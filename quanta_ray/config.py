@@ -1,0 +1,188 @@
+"""Engine + pipeline configuration.
+
+Mirrors the reference's versioned YAML pipeline spec and source config
+(``/root/reference/internal/spec/spec.go:17-44``,
+``internal/config/pipeline.go:15-35`` — ``schema_version: v1`` enforced;
+``source/kafka/config.go:46-90`` — defaults + ``QUANTA_KAFKA__*`` env overlay)
+as plain dataclasses with a YAML-ish dict loader and ``QUANTA_RAY__*`` env
+overrides.
+
+``CEPConfig`` is the semantic contract shared by the streaming engine, the
+batch pipelines and the single-threaded oracle — every duration is in integer
+microseconds so watermark arithmetic is exact and identical everywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+SCHEMA_VERSION = "v1"
+
+US = 1_000_000  # microseconds per second
+
+
+@dataclass(frozen=True)
+class CEPConfig:
+    """Event-time/CEP semantics knobs (all durations in microseconds)."""
+
+    allowed_lateness_us: int = 300 * US  # 5 min
+    tumbling_size_us: int = 3600 * US  # 1 h
+    sliding_size_us: int = 3600 * US  # 1 h
+    sliding_slide_us: int = 900 * US  # 15 min
+    session_gap_us: int = 600 * US  # 10 min
+    join_bound_us: int = 3600 * US  # tool→assistant match horizon
+    num_partitions: int = 8
+    # emit everything still buffered when the stream ends (watermark → +inf)
+    final_flush: bool = True
+
+    def replace(self, **kw: Any) -> "CEPConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class RetryPolicy:
+    """Per-stage logical retry (reference: ``internal/pipeline/runner.go:135-176``
+    — retry ``attempts`` times with fixed ``backoff_ms``, then drop+ack)."""
+
+    attempts: int = 3
+    backoff_ms: int = 0  # sleeps are pointless in-process; kept for spec parity
+
+
+@dataclass(frozen=True)
+class StageSpec:
+    """One transformer stage (reference: ``internal/spec/spec.go:17-27``)."""
+
+    name: str
+    type: str = "inproc"  # the reference's grpc type is replaced by in-process
+    timeout_ms: int = 1000
+    retry: RetryPolicy = field(default_factory=RetryPolicy)
+    options: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class SourceSpec:
+    kind: str = "parquet-stream"
+    driver: str = "parquet"
+    # ordered file list or a directory; order = arrival order = the "topic"
+    paths: tuple[str, ...] = ()
+    # flow control (reference: token bucket capacity, source/kafka/config.go:74-79)
+    max_inflight_epochs: int = 2
+
+
+@dataclass(frozen=True)
+class SinkSpec:
+    kind: str = "exactly-once-parquet"  # | "fire-and-forget-parquet" | "stdout"
+    path: str = ""
+    commit_mode: str = "e2e"  # "auto" = no manifest (reference commit modes,
+    # source/kafka/config.go:15-20)
+    options: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class PipelineSpec:
+    schema_version: str = SCHEMA_VERSION
+    pipeline_id: str = "default"
+    source: SourceSpec = field(default_factory=SourceSpec)
+    transformers: tuple[StageSpec, ...] = ()
+    sink: SinkSpec = field(default_factory=SinkSpec)
+    cep: CEPConfig = field(default_factory=CEPConfig)
+
+
+class SpecError(ValueError):
+    pass
+
+
+_KNOWN_SOURCE_KINDS = {"parquet-stream"}
+_KNOWN_SINK_KINDS = {"exactly-once-parquet", "fire-and-forget-parquet", "stdout"}
+
+
+def load_spec(d: dict[str, Any]) -> PipelineSpec:
+    """Validate + build a PipelineSpec from a plain dict (parsed YAML/JSON).
+
+    Enforcement mirrors the reference compiler
+    (``internal/pipeline/compiler.go:26-100``): unknown schema_version, source
+    kind or sink kind are compile errors.
+    """
+    ver = d.get("schema_version", SCHEMA_VERSION)
+    if ver != SCHEMA_VERSION:
+        raise SpecError(f"unsupported schema_version {ver!r} (want {SCHEMA_VERSION!r})")
+    src = d.get("source", {})
+    if src.get("kind", "parquet-stream") not in _KNOWN_SOURCE_KINDS:
+        raise SpecError(f"unsupported source kind {src.get('kind')!r}")
+    sink = d.get("sink", {})
+    if sink.get("kind", "exactly-once-parquet") not in _KNOWN_SINK_KINDS:
+        raise SpecError(f"unsupported sink kind {sink.get('kind')!r}")
+    stages = []
+    for t in d.get("transformers", []):
+        if "name" not in t:
+            raise SpecError("transformer missing name")
+        rp = t.get("retry_policy", {})
+        stages.append(
+            StageSpec(
+                name=t["name"],
+                type=t.get("type", "inproc"),
+                timeout_ms=int(t.get("timeout_ms", 1000)),
+                retry=RetryPolicy(
+                    attempts=int(rp.get("attempts", 3)),
+                    backoff_ms=int(rp.get("backoff_ms", 0)),
+                ),
+                options=dict(t.get("options", {})),
+            )
+        )
+    cep_d = dict(d.get("cep", {}))
+    cep = CEPConfig(**cep_d) if cep_d else CEPConfig()
+    return PipelineSpec(
+        schema_version=ver,
+        pipeline_id=d.get("pipeline_id", "default"),
+        source=SourceSpec(
+            kind=src.get("kind", "parquet-stream"),
+            driver=src.get("driver", "parquet"),
+            paths=tuple(src.get("paths", ())),
+            max_inflight_epochs=int(src.get("max_inflight_epochs", 2)),
+        ),
+        transformers=tuple(stages),
+        sink=SinkSpec(
+            kind=sink.get("kind", "exactly-once-parquet"),
+            path=sink.get("path", ""),
+            commit_mode=sink.get("commit_mode", "e2e"),
+            options=dict(sink.get("options", {})),
+        ),
+        cep=cep,
+    )
+
+
+def load_spec_file(path: str) -> PipelineSpec:
+    """Load a spec from JSON (or YAML if pyyaml is present — it is optional)."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        try:
+            import yaml  # type: ignore
+
+            d = yaml.safe_load(text)
+        except ImportError as e:  # pragma: no cover
+            raise SpecError(f"{path}: not JSON and pyyaml unavailable") from e
+    return load_spec(_env_overlay(d))
+
+
+def _env_overlay(d: dict[str, Any]) -> dict[str, Any]:
+    """Apply ``QUANTA_RAY__a__b=x`` env overrides (reference analog:
+    ``QUANTA_KAFKA__*`` koanf overlay, ``source/kafka/config.go:60``)."""
+    for key, val in os.environ.items():
+        if not key.startswith("QUANTA_RAY__"):
+            continue
+        parts = [p.lower() for p in key[len("QUANTA_RAY__") :].split("__")]
+        node = d
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        try:
+            node[parts[-1]] = json.loads(val)
+        except json.JSONDecodeError:
+            node[parts[-1]] = val
+    return d

@@ -1,0 +1,285 @@
+"""Single-threaded oracle interpreter — THE semantic spec of the engine.
+
+Plain Python over pyarrow, row at a time, no Ray. Every distributed pipeline
+in ``quanta_ray.engine`` must produce row-for-row identical output to this
+interpreter for the same input stream + config (per ``BASELINE.json``:
+"per-turn text equality under stable (conv_id, turn_idx) ordering").
+
+This mirrors the reference's own minimal semantic harness — driving
+``Runner.pushFrame`` directly with scripted stages
+(``/root/reference/internal/pipeline/runner_test.go:69-142``) — extended with
+the north-rule CEP contracts the reference lacks.
+
+Pinned semantics (all time values are int64 epoch-microseconds):
+
+- **Stream**: an ordered list of epoch tables; arrival order = (epoch, row).
+- **Watermark** (deterministic, epoch-granular): ``max_ts_seen`` is the max
+  ``ts`` over all rows in epochs ``<= e``;
+  ``wm_e = max_ts_seen - allowed_lateness``. A row in epoch ``e`` is **late**
+  iff ``ts < wm_{e-1}``; late rows are dropped and counted (reference analog:
+  DROP status ack-and-discard, ``internal/pipeline/runner.go:161-164``) and do
+  not advance ``max_ts_seen``.
+- **Transform chain**: ordered stages with OK/DROP/RETRY/ERROR status
+  semantics and 1→0..N fan-out (``runner.go:120-200``); RETRY/ERROR retried
+  ``attempts`` times then dropped-with-count (``runner.go:135-176``).
+- **Tumbling window**: key ``(conv_id, w_start = ts // size * size)``; a
+  window is emitted exactly once, at the end of the first epoch whose
+  ``wm_e >= w_start + size``.
+- **Sliding window**: row belongs to every ``w_start = k*slide`` with
+  ``w_start <= ts < w_start + size``; emission rule as tumbling.
+- **Session window**: per conv, rows sorted by ``(ts, turn_idx)``; a new
+  session starts when ``ts - prev_ts > gap``; a session is emitted when
+  ``wm_e > session_end + gap`` (no on-time row can extend it afterwards).
+  ``session_id`` is the 0-based index of the session within its conversation
+  in final emission order.
+- **Stream-stream join**: a ``tool`` row at turn ``k`` resolves at the end of
+  the first epoch with ``wm_e >= tool_ts + bound``; its match is the
+  ``assistant`` row with minimal ``(ts, turn_idx)`` among buffered on-time
+  assistants of the same conv with ``turn_idx > k`` and
+  ``tool_ts <= ts <= tool_ts + bound``; if none, an unmatched row
+  (``matched=false``, null assistant fields) is emitted (side-expiry).
+- **End of stream** (``final_flush``): watermark jumps to +inf; all remaining
+  windows/sessions/tool rows emit under the same rules.
+
+Outputs (dicts of python lists, converted to Arrow by ``run_oracle``):
+``turns`` (transformed on-time rows), ``tumbling``, ``sliding``, ``sessions``,
+``joins``, and a ``metrics`` dict. All outputs sorted by their natural key.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any, Iterable
+
+import pyarrow as pa
+
+from .config import CEPConfig
+from .schema import JOIN_SCHEMA, SESSION_SCHEMA, WINDOW_AGG_SCHEMA
+
+
+class OracleState:
+    def __init__(self, cfg: CEPConfig, stages: list[Any] | None = None):
+        self.cfg = cfg
+        self.stages = stages or []
+        self.max_ts_seen = -(1 << 62)
+        self.wm = -(1 << 62)
+        # per conv: list of (ts, turn_idx, role, text, tool) on-time rows
+        self.buf: dict[str, list[tuple]] = defaultdict(list)
+        self.emitted_tumbling: set[tuple[str, int]] = set()
+        self.emitted_sliding: set[tuple[str, int]] = set()
+        self.emitted_sessions: set[tuple[str, int, int]] = set()  # (conv, start, end)
+        self.resolved_tools: set[tuple[str, int]] = set()
+        self.session_counter: dict[str, int] = defaultdict(int)
+        self.metrics = {
+            "n_input": 0,
+            "n_late_dropped": 0,
+            "n_stage_dropped": 0,
+            "n_turns_out": 0,
+        }
+        self.turns: list[dict] = []
+        self.tumbling: list[dict] = []
+        self.sliding: list[dict] = []
+        self.sessions: list[dict] = []
+        self.joins: list[dict] = []
+
+
+def _ts_us(v) -> int:
+    """pyarrow timestamp scalar → int64 epoch-us."""
+    return v.cast(pa.int64()).as_py()
+
+
+def process_epoch(st: OracleState, table: pa.Table) -> None:
+    cfg = st.cfg
+    rows = table.to_pylist()
+    # normalize ts to int us
+    ts_col = table.column("ts").cast(pa.int64()).to_pylist()
+    for r, t in zip(rows, ts_col):
+        r["ts"] = t
+
+    epoch_max = st.max_ts_seen
+    for r in rows:
+        st.metrics["n_input"] += 1
+        if r["ts"] < st.wm:  # late vs wm at arrival (= wm after previous epoch)
+            st.metrics["n_late_dropped"] += 1
+            continue
+        epoch_max = max(epoch_max, r["ts"])
+        # transform chain (status semantics + fan-out)
+        out_rows = [r]
+        dropped = False
+        for stage in st.stages:
+            nxt: list[dict] = []
+            for rr in out_rows:
+                produced = stage.apply_row(dict(rr))
+                if produced is None:
+                    st.metrics["n_stage_dropped"] += 1
+                else:
+                    nxt.extend(produced)
+            out_rows = nxt
+            if not out_rows:
+                dropped = True
+                break
+        if dropped:
+            continue
+        for rr in out_rows:
+            st.metrics["n_turns_out"] += 1
+            st.turns.append(rr)
+            st.buf[rr["conv_id"]].append(
+                (rr["ts"], rr["turn_idx"], rr["role"], rr["text"], rr["tool"])
+            )
+    st.max_ts_seen = epoch_max
+    st.wm = st.max_ts_seen - cfg.allowed_lateness_us
+    _emit(st, st.wm)
+
+
+def finish(st: OracleState) -> None:
+    if st.cfg.final_flush:
+        _emit(st, 1 << 62)
+
+
+def _agg(conv: str, w_start: int, w_end: int, rows: list[tuple]) -> dict:
+    rows = sorted(rows)  # (ts, turn_idx, ...) order
+    return {
+        "conv_id": conv,
+        "w_start": w_start,
+        "w_end": w_end,
+        "n_turns": len(rows),
+        "n_user": sum(1 for r in rows if r[2] == "user"),
+        "n_assistant": sum(1 for r in rows if r[2] == "assistant"),
+        "n_tool": sum(1 for r in rows if r[2] == "tool"),
+        "first_text": rows[0][3],
+        "last_text": rows[-1][3],
+        "min_ts": rows[0][0],
+        "max_ts": max(r[0] for r in rows),
+    }
+
+
+def _emit(st: OracleState, wm: int) -> None:
+    cfg = st.cfg
+    size, slide = cfg.sliding_size_us, cfg.sliding_slide_us
+    tsize = cfg.tumbling_size_us
+    for conv, rows in st.buf.items():
+        if not rows:
+            continue
+        # --- tumbling ---
+        by_w: dict[int, list[tuple]] = defaultdict(list)
+        for r in rows:
+            by_w[r[0] // tsize * tsize].append(r)
+        for w_start, wrows in by_w.items():
+            if w_start + tsize <= wm and (conv, w_start) not in st.emitted_tumbling:
+                st.emitted_tumbling.add((conv, w_start))
+                st.tumbling.append(_agg(conv, w_start, w_start + tsize, wrows))
+        # --- sliding ---
+        by_s: dict[int, list[tuple]] = defaultdict(list)
+        for r in rows:
+            ts = r[0]
+            k_hi = ts // slide
+            k_lo = (ts - size) // slide + 1
+            for k in range(k_lo, k_hi + 1):
+                by_s[k * slide].append(r)
+        for w_start, wrows in by_s.items():
+            if w_start + size <= wm and (conv, w_start) not in st.emitted_sliding:
+                st.emitted_sliding.add((conv, w_start))
+                st.sliding.append(_agg(conv, w_start, w_start + size, wrows))
+        # --- sessions ---
+        srows = sorted(rows)
+        sess: list[list[tuple]] = []
+        for r in srows:
+            if sess and r[0] - sess[-1][-1][0] <= cfg.session_gap_us:
+                sess[-1].append(r)
+            else:
+                sess.append([r])
+        for s in sess:
+            s_start, s_end = s[0][0], s[-1][0]
+            key = (conv, s_start, s_end)
+            if s_end + cfg.session_gap_us < wm and key not in st.emitted_sessions:
+                st.emitted_sessions.add(key)
+                st.sessions.append(
+                    {
+                        "conv_id": conv,
+                        "session_id": st.session_counter[conv],
+                        "session_start": s_start,
+                        "session_end": s_end,
+                        "n_turns": len(s),
+                        "first_text": s[0][3],
+                        "last_text": s[-1][3],
+                    }
+                )
+                st.session_counter[conv] += 1
+        # --- join: resolve tool rows past their deadline ---
+        assistants = sorted(r for r in srows if r[2] == "assistant")
+        for r in srows:
+            if r[2] != "tool":
+                continue
+            key = (conv, r[1])
+            if key in st.resolved_tools or r[0] + cfg.join_bound_us > wm:
+                continue
+            st.resolved_tools.add(key)
+            match = None
+            for a in assistants:
+                if a[1] > r[1] and r[0] <= a[0] <= r[0] + cfg.join_bound_us:
+                    match = a
+                    break
+            st.joins.append(
+                {
+                    "conv_id": conv,
+                    "tool_turn_idx": r[1],
+                    "tool": r[4],
+                    "tool_text": r[3],
+                    "tool_ts": r[0],
+                    "assistant_turn_idx": match[1] if match else None,
+                    "assistant_text": match[3] if match else None,
+                    "assistant_ts": match[0] if match else None,
+                    "matched": match is not None,
+                }
+            )
+
+
+def _to_table(rows: list[dict], schema: pa.Schema, sort_keys: list[str]) -> pa.Table:
+    rows = sorted(rows, key=lambda r: tuple((r[k] is None, r[k]) for k in sort_keys))
+    if not rows:
+        return schema.empty_table()
+    cols = {}
+    for f in schema:
+        vals = [r.get(f.name) for r in rows]
+        if pa.types.is_timestamp(f.type):
+            cols[f.name] = pa.array(vals, type=pa.int64()).cast(f.type)
+        else:
+            cols[f.name] = pa.array(vals, type=f.type)
+    return pa.Table.from_arrays([cols[f.name] for f in schema], schema=schema)
+
+
+def run_oracle(
+    epochs: Iterable[pa.Table],
+    cfg: CEPConfig,
+    stages: list[Any] | None = None,
+) -> dict[str, Any]:
+    """Run the interpreter over an ordered epoch stream; return Arrow outputs."""
+    st = OracleState(cfg, stages)
+    for t in epochs:
+        process_epoch(st, t)
+    finish(st)
+
+    turn_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    # transformed rows may carry extra columns added by stages
+    extra = sorted(
+        {k for r in st.turns for k in r} - {f.name for f in turn_schema} - {"_epoch", "_offset"}
+    )
+    for name in extra:
+        turn_schema = turn_schema.append(pa.field(name, pa.string()))
+    return {
+        "turns": _to_table(st.turns, turn_schema, ["conv_id", "turn_idx"]),
+        "tumbling": _to_table(st.tumbling, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),
+        "sliding": _to_table(st.sliding, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),
+        "sessions": _to_table(st.sessions, SESSION_SCHEMA, ["conv_id", "session_id"]),
+        "joins": _to_table(st.joins, JOIN_SCHEMA, ["conv_id", "tool_turn_idx"]),
+        "metrics": dict(st.metrics),
+    }

@@ -1,0 +1,409 @@
+"""Batch-mode CEP pipelines over the ``events`` stream table — pure Ray Data.
+
+These are the SQL-checkable counterparts of the streaming engine's window /
+join operators (SURVEY §2.2 N5-N8), run in batch mode (watermark = +inf, no
+late-drop) so a DuckDB oracle can verify them. Key = ``user_id`` (stands in
+for ``conv_id``), event-time = ``ts``.
+
+Scale notes (100 TB discipline):
+- window assignment is vectorized Arrow/numpy inside ``map_batches``;
+- every aggregation **pre-aggregates per batch** (one row per key+window per
+  batch) before the global ``groupby`` — the all-to-all shuffle moves
+  partial aggregates, not events;
+- per-key ordered logic (sessions, next-event join) uses ONE hash shuffle
+  (``groupby(key).map_groups``) and sorts only within groups;
+- hot keys in the pre-aggregate path can be salted (``salt`` param) — the
+  partial-agg key becomes (key, salt) and the second, tiny groupby removes
+  the salt. Stateful per-key order logic must NOT be salted (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+US = 1_000_000
+HOUR_US = 3600 * US
+
+
+def _events(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _w_start_us(ts_us: np.ndarray, size_us: int) -> np.ndarray:
+    return ts_us // size_us * size_us
+
+
+# --- tumbling window aggregate (N5) ------------------------------------------
+
+
+def tumbling_agg(sf_dir: str, size_us: int = HOUR_US, salt: int = 0) -> pa.Table:
+    """Per (user_id, tumbling window): count + sum(value) + min/max ts.
+
+    Two-phase: vectorized per-batch partial aggregates (pandas groupby inside
+    the batch), then a global groupby over the partials.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(),
+                "w_start_us": _w_start_us(ts, size_us),
+                "value": batch.column("value").to_numpy(),
+                "ts_us": ts,
+            }
+        )
+        if salt:
+            df["_salt"] = np.arange(len(df)) % salt
+        keys = ["user_id", "w_start_us"] + (["_salt"] if salt else [])
+        g = df.groupby(keys, as_index=False).agg(
+            n_events=("value", "size"),
+            sum_value=("value", "sum"),
+            min_ts_us=("ts_us", "min"),
+            max_ts_us=("ts_us", "max"),
+        )
+        return pa.Table.from_pandas(g.drop(columns=["_salt"] if salt else []), preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = _events(sf_dir, ["user_id", "ts", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    )
+    out = partials.groupby(["user_id", "w_start_us"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+        Min("min_ts_us", alias_name="min_ts_us"),
+        Max("max_ts_us", alias_name="max_ts_us"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        w = batch.column("w_start_us").cast(pa.int64()).cast(pa.timestamp("us"))
+        mn = batch.column("min_ts_us").cast(pa.int64()).cast(pa.timestamp("us"))
+        mx = batch.column("max_ts_us").cast(pa.int64()).cast(pa.timestamp("us"))
+        return pa.Table.from_arrays(
+            [
+                batch.column("user_id"),
+                w,
+                batch.column("n_events").cast(pa.int64()),
+                pc.round(batch.column("sum_value"), 6),
+                mn,
+                mx,
+            ],
+            names=["user_id", "w_start", "n_events", "sum_value", "min_ts", "max_ts"],
+        )
+
+    return _concat(out.map_batches(finalize, batch_format="pyarrow"))
+
+
+TUMBLING_SQL = """
+SELECT user_id,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       min(ts) AS min_ts,
+       max(ts) AS max_ts
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- sliding window aggregate (N6) -------------------------------------------
+
+
+def sliding_agg(
+    sf_dir: str, size_us: int = HOUR_US, slide_us: int = 15 * 60 * US
+) -> pa.Table:
+    """Per (user_id, sliding window): count + sum(value). A row belongs to
+    ``size/slide`` windows; expansion is vectorized (numpy repeat/tile)."""
+    k = size_us // slide_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        user = batch.column("user_id").to_numpy()
+        val = batch.column("value").to_numpy()
+        base = ts // slide_us * slide_us
+        offs = np.tile(np.arange(k, dtype=np.int64) * slide_us, n)
+        w_start = np.repeat(base, k) - offs
+        keep = w_start > np.repeat(ts, k) - size_us  # w_start <= ts < w_start+size
+        df = pd.DataFrame(
+            {
+                "user_id": np.repeat(user, k)[keep],
+                "w_start_us": w_start[keep],
+                "value": np.repeat(val, k)[keep],
+            }
+        )
+        g = df.groupby(["user_id", "w_start_us"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = _events(sf_dir, ["user_id", "ts", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    )
+    out = partials.groupby(["user_id", "w_start_us"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("user_id"),
+                batch.column("w_start_us").cast(pa.int64()).cast(pa.timestamp("us")),
+                batch.column("n_events").cast(pa.int64()),
+                pc.round(batch.column("sum_value"), 6),
+            ],
+            names=["user_id", "w_start", "n_events", "sum_value"],
+        )
+
+    return _concat(out.map_batches(finalize, batch_format="pyarrow"))
+
+
+SLIDING_SQL = """
+WITH expanded AS (
+  SELECT user_id, value,
+         (epoch_us(ts) // 900000000 - k.k) * 900000000 AS w_start_us,
+         epoch_us(ts) AS ts_us
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+SELECT user_id,
+       make_timestamp(w_start_us) AS w_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM expanded
+WHERE w_start_us <= ts_us AND w_start_us > ts_us - 3600000000
+GROUP BY 1, 2
+"""
+
+
+# --- session windows (N7) -----------------------------------------------------
+
+
+def session_agg(sf_dir: str, gap_us: int = 30 * 60 * US) -> pa.Table:
+    """Gap-based sessions per user: one hash shuffle on user_id, ordered scan
+    per group (sessions need per-key order — never salted)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].astype("int64")
+        new_sess = (ts_us - ts_us.shift(1)).fillna(gap_us + 1) > gap_us
+        sid = new_sess.cumsum() - 1
+        out = g.groupby(sid.values).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "size"),
+            sum_value=("value", "sum"),
+        )
+        out["session_id"] = range(len(out))
+        out["sum_value"] = out["sum_value"].round(6)
+        return out
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _concat(out)[
+        ["user_id", "session_id", "session_start", "session_end", "n_events", "sum_value"]
+    ]
+
+
+SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM numbered
+GROUP BY 1, 2
+"""
+
+
+# --- stream-stream join (N8, batch form) -------------------------------------
+
+
+def next_event_join(
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    bound_us: int = HOUR_US,
+) -> pa.Table:
+    """For every ``left_type`` event, the first ``right_type`` event of the
+    same user with ``left.ts <= right.ts <= left.ts + bound`` (the batch-mode
+    analog of the tool→assistant streaming join). Unmatched lefts emitted
+    with nulls (left outer, side-expiry analog).
+
+    One hash shuffle on user_id; per group a vectorized ``searchsorted``
+    against the sorted right side.
+    """
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type].sort_values(["ts", "event_id"])
+        right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
+        if len(left) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "left_id", "left_ts", "right_id", "right_ts"]
+            )
+        lt = left["ts"].astype("int64").to_numpy()
+        rt = right["ts"].astype("int64").to_numpy()
+        pos = np.searchsorted(rt, lt, side="left")
+        ok = (pos < len(rt)) & (rt[np.minimum(pos, max(len(rt) - 1, 0))] <= lt + bound_us)
+        rid = right["event_id"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "user_id": left["user_id"].to_numpy(),
+                "left_id": left["event_id"].to_numpy(),
+                "left_ts": left["ts"].to_numpy(),
+                "right_id": np.where(ok, rid[np.minimum(pos, max(len(rt) - 1, 0))], -1),
+                "right_ts": np.where(
+                    ok, rt[np.minimum(pos, max(len(rt) - 1, 0))], np.int64(0)
+                ),
+            }
+        )
+        out["right_id"] = out["right_id"].astype("int64")
+        out.loc[out["right_id"] < 0, "right_id"] = pd.NA
+        out["right_ts"] = pd.to_datetime(out["right_ts"], unit="us")
+        out.loc[out["right_id"].isna(), "right_ts"] = pd.NaT
+        return out
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _concat(out)
+
+
+NEXT_EVENT_JOIN_SQL = """
+SELECT l.user_id,
+       l.event_id AS left_id,
+       l.ts AS left_ts,
+       r.right_id,
+       r.right_ts
+FROM events l
+LEFT JOIN LATERAL (
+  SELECT r.event_id AS right_id, r.ts AS right_ts
+  FROM events r
+  WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+    AND r.ts >= l.ts AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000
+  ORDER BY r.ts, r.event_id
+  LIMIT 1
+) r ON TRUE
+WHERE l.event_type = 'click'
+"""
+
+
+# --- dedup / top-k / projection ----------------------------------------------
+
+
+def dedup_exact(sf_dir: str) -> pa.Table:
+    """Exact dedup: first event (by ts, event_id) per (user_id, event_type).
+
+    Hash-partition on the dedup key + per-group first — the groupby shuffle
+    moves each key group to one reducer (SURVEY guide pattern)."""
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"]).head(1)
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+    out = ds.groupby(["user_id", "event_type"]).map_groups(
+        first_row, batch_format="pandas"
+    )
+    return _concat(out)[["user_id", "event_type", "event_id", "ts", "value"]]
+
+
+DEDUP_EXACT_SQL = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+def topk_users(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k users by total value: partial-agg → tiny groupby → sort/limit."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(),
+                "value": batch.column("value").to_numpy(),
+            }
+        )
+        g = df.groupby("user_id", as_index=False)["value"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _events(sf_dir, ["user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("user_id")
+        .aggregate(Sum("value", alias_name="total_value"))
+        .sort(["total_value", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+    t = _concat(out)
+    return pa.Table.from_arrays(
+        [t.column("user_id"), pc.round(t.column("total_value"), 6)],
+        names=["user_id", "total_value"],
+    )
+
+
+TOPK_USERS_SQL = """
+SELECT user_id, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1
+ORDER BY sum(value) DESC, user_id LIMIT 10
+"""
+
+
+def filter_project_upper(sf_dir: str, min_value: float = 100.0) -> pa.Table:
+    """The reference's uppercase transform as a batch op: filter + project +
+    ``upper(event_type)`` (``examples/transformers/uppercase/main.go:61-97``),
+    fully vectorized arrow kernels, columns pruned at the read."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("value"), min_value))
+        return pa.Table.from_arrays(
+            [
+                batch.column("event_id"),
+                pc.utf8_upper(batch.column("event_type")),
+                batch.column("value"),
+            ],
+            names=["event_id", "event_type_u", "value"],
+        )
+
+    return _concat(
+        _events(sf_dir, ["event_id", "event_type", "value"]).map_batches(
+            fn, batch_format="pyarrow"
+        )
+    )
+
+
+FILTER_PROJECT_SQL = """
+SELECT event_id, upper(event_type) AS event_type_u, value
+FROM events WHERE value > 100.0
+"""
+
+
+def _concat(ds: rd.Dataset) -> pa.Table:
+    """Materialize a (small, post-aggregation) Dataset result to one table."""
+    tables = [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+    if not tables:
+        return pa.table({})
+    t = pa.concat_tables(tables, promote_options="default")
+    return t.combine_chunks()

@@ -1,0 +1,88 @@
+"""Arrow schemas for the engine.
+
+The transcript schema is fixed by ``BASELINE.json.input_hint``; the engine
+*upgrades* the reference's opaque ``Frame.value: bytes`` payload
+(``/root/reference/api/proto/v1/frame.proto:35-42``) to typed Arrow columns —
+Ray Data blocks are Arrow tables, so schema'd payloads are free.
+
+Lineage columns play the role of the reference's ``CheckpointToken``
+(``frame.proto:25-32``): provenance carried through the pipeline so the sink
+can commit input offsets, never parsed by transform stages.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# --- transcript table (input_hint) -------------------------------------------
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),  # user | assistant | tool
+        ("text", pa.string()),
+        ("tool", pa.string()),  # tool name for role='tool', "" otherwise
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+# Lineage/provenance columns (CheckpointToken analog). ``_epoch`` is the file
+# index in the ordered stream ("partition+offset" coarse component), ``_offset``
+# the row index within the file. Fan-out descendants inherit their source row's
+# lineage (reference: ``runner.go:96-102`` — events inherit the original
+# frame's checkpoint token).
+LINEAGE_EPOCH = "_epoch"
+LINEAGE_OFFSET = "_offset"
+PARTITION_COL = "_part"
+
+ROLES = ("user", "assistant", "tool")
+
+
+def with_lineage(schema: pa.Schema) -> pa.Schema:
+    return schema.append(pa.field(LINEAGE_EPOCH, pa.int64())).append(
+        pa.field(LINEAGE_OFFSET, pa.int64())
+    )
+
+
+# --- CEP output schemas -------------------------------------------------------
+WINDOW_AGG_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("w_start", pa.timestamp("us")),
+        ("w_end", pa.timestamp("us")),
+        ("n_turns", pa.int64()),
+        ("n_user", pa.int64()),
+        ("n_assistant", pa.int64()),
+        ("n_tool", pa.int64()),
+        ("first_text", pa.string()),
+        ("last_text", pa.string()),
+        ("min_ts", pa.timestamp("us")),
+        ("max_ts", pa.timestamp("us")),
+    ]
+)
+
+SESSION_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("session_id", pa.int64()),
+        ("session_start", pa.timestamp("us")),
+        ("session_end", pa.timestamp("us")),
+        ("n_turns", pa.int64()),
+        ("first_text", pa.string()),
+        ("last_text", pa.string()),
+    ]
+)
+
+JOIN_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("tool_turn_idx", pa.int32()),
+        ("tool", pa.string()),
+        ("tool_text", pa.string()),
+        ("tool_ts", pa.timestamp("us")),
+        ("assistant_turn_idx", pa.int32()),  # null when expired unmatched
+        ("assistant_text", pa.string()),
+        ("assistant_ts", pa.timestamp("us")),
+        ("matched", pa.bool_()),
+    ]
+)

@@ -1,0 +1,93 @@
+"""Exactly-once Parquet sink (two-phase commit via manifests).
+
+Upgrade of the reference's end-to-end ack commit path
+(``/root/reference/internal/pipeline/runner.go:44-60`` →
+``source/kafka/driver_sarama.go:216-241`` → throttled offset commit) from
+at-least-once to exactly-once observable output:
+
+1. writer tasks/actors produce **deterministic** file names
+   ``data/{stream}/part-{partition:05d}-{epoch:08d}.parquet`` written via
+   temp-name + atomic rename — a retried/replayed writer overwrites with
+   byte-identical content instead of duplicating;
+2. the single committer writes one ``manifest-{epoch:08d}.json`` naming every
+   file (plus checkpoints, offsets, metrics) and flips ``_LATEST`` —
+   the commit unit is the whole input epoch per the reference's
+   first-ack-wins fan-out dedup (commit unit = input offsets, never output
+   rows, ``driver_sarama.go:126-135``);
+3. readers trust only manifests: orphan files from a crashed epoch are
+   invisible (``read_committed``).
+
+Layout (one directory per output stream, partitioned files → a failed run
+skips finished partitions on resume):
+
+    out_dir/
+      data/{turns,tumbling,sliding,sessions,joins}/part-PPPPP-EEEEEEEE.parquet
+      checkpoints/epoch-EEEEEEEE/part-PPPPP.pkl
+      manifest-EEEEEEEE.json
+      _LATEST.json
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..state.checkpoint import latest_committed_epoch, read_manifest
+
+
+def part_file_path(out_dir: str, stream: str, partition: int, epoch: int) -> str:
+    return os.path.join(
+        out_dir, "data", stream, f"part-{partition:05d}-{epoch:08d}.parquet"
+    )
+
+
+def write_part_file(
+    table: pa.Table, out_dir: str, stream: str, partition: int, epoch: int
+) -> dict | None:
+    """Write one partition's epoch output atomically; None for empty tables.
+
+    Returns the manifest entry: {stream, path(relative), rows, partition,
+    epoch}.
+    """
+    if table.num_rows == 0:
+        return None
+    path = part_file_path(out_dir, stream, partition, epoch)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return {
+        "stream": stream,
+        "path": os.path.relpath(path, out_dir),
+        "rows": table.num_rows,
+        "partition": partition,
+        "epoch": epoch,
+    }
+
+
+def committed_files(out_dir: str, stream: str) -> list[str]:
+    """All files of a stream named by committed manifests, in epoch order."""
+    files: list[str] = []
+    latest = latest_committed_epoch(out_dir)
+    for e in range(latest + 1):
+        m = read_manifest(out_dir, e)
+        if m is None:  # gaps cannot exist in a committed prefix
+            raise FileNotFoundError(f"manifest for epoch {e} missing in {out_dir}")
+        for entry in m["files"]:
+            if entry["stream"] == stream:
+                files.append(os.path.join(out_dir, entry["path"]))
+    return files
+
+
+def read_committed(out_dir: str, stream: str) -> pa.Table | None:
+    """Union of a stream's committed output (None if no files)."""
+    files = committed_files(out_dir, stream)
+    if not files:
+        return None
+    tables = [pq.read_table(f) for f in files]
+    return pa.concat_tables(tables, promote_options="default")
+
+
+SINK_REGISTRY = {"exactly-once-parquet": write_part_file}

@@ -1,0 +1,126 @@
+"""Transformer stage contract + status/retry semantics.
+
+Re-expresses the reference's transformer plugin model without the per-record
+gRPC hop:
+
+- reference: one ``TransformService.Transform`` RPC per record per stage
+  (``/root/reference/internal/pipeline/runner.go:142``), response is 0..N
+  events with a Status (``api/proto/v1/transformer.proto:30-42,79-84``).
+- here: a stage is a Python object with a **vectorized batch path**
+  (``transform_batch(pa.Table) -> pa.Table``, used inside Ray Data
+  ``map_batches`` over zero-copy Arrow) and a **per-row path**
+  (``apply_row(dict) -> list[dict] | None``) used by the single-threaded
+  oracle. Tests assert both paths agree row-for-row.
+
+Status semantics (``runner.go:158-174``):
+  OK    → forward produced rows (1→0..N fan-out native);
+  DROP  → row discarded, counted, offset still commits (``apply_row`` → None);
+  RETRY/ERROR → retry the call up to ``attempts`` times, then drop+count
+  ("drop+ack to avoid deadlocks", reference CONFIGS.md:95). In the batch path
+  a transient failure raises ``TransientError`` and the whole batch call is
+  retried — logically identical because stages are deterministic per row.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Sequence
+
+import pyarrow as pa
+
+from ..config import RetryPolicy, StageSpec
+
+
+class Status(enum.IntEnum):  # transformer.proto:79-84
+    OK = 0
+    DROP = 1
+    RETRY = 2
+    ERROR = 3
+
+
+class TransientError(RuntimeError):
+    """Stage-raised transient failure → retried, then dropped (T3)."""
+
+
+class Transformer:
+    """Base stage. Subclasses override one or both paths.
+
+    Default: batch path built from the row path (slow; fine for tests), row
+    path built from the batch path is NOT derivable, so hot stages implement
+    ``transform_batch`` natively with pyarrow.compute kernels.
+    """
+
+    name = "transformer"
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for r in batch.to_pylist():
+            out = self.apply_row(r)
+            if out:
+                rows.extend(out)
+        if not rows:
+            return batch.schema.empty_table()
+        return pa.Table.from_pylist(rows)
+
+    def apply_row(self, row: dict) -> list[dict] | None:
+        raise NotImplementedError
+
+
+class RetryingStage:
+    """Wraps a Transformer with the reference's retry-then-drop policy.
+
+    Works for both paths; usable directly as a ``map_batches`` callable.
+    ``backoff_ms`` is honored as spec parity but not slept in-process
+    (the reference sleeps between attempts, ``runner.go:151``; an in-process
+    deterministic stage gains nothing from sleeping).
+    """
+
+    def __init__(self, inner: Transformer, policy: RetryPolicy | None = None):
+        self.inner = inner
+        self.policy = policy or RetryPolicy()
+        self.dropped_after_retries = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.transform_batch(batch)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        for _attempt in range(max(1, self.policy.attempts)):
+            try:
+                return self.inner.transform_batch(batch)
+            except TransientError:
+                continue
+        self.dropped_after_retries += batch.num_rows
+        return batch.schema.empty_table()
+
+    def apply_row(self, row: dict) -> list[dict] | None:
+        for _attempt in range(max(1, self.policy.attempts)):
+            try:
+                return self.inner.apply_row(row)
+            except TransientError:
+                continue
+        self.dropped_after_retries += 1
+        return None
+
+
+def build_chain(specs: Sequence[StageSpec]) -> list[RetryingStage]:
+    """Spec → ordered stage chain (reference compiler analog,
+    ``internal/pipeline/compiler.go:53-67``)."""
+    from .transforms import TRANSFORM_REGISTRY
+
+    chain = []
+    for s in specs:
+        if s.name not in TRANSFORM_REGISTRY:
+            raise ValueError(f"unknown transformer {s.name!r}")
+        inner = TRANSFORM_REGISTRY[s.name](**s.options)
+        chain.append(RetryingStage(inner, s.retry))
+    return chain
+
+
+def apply_chain_batch(chain: Sequence[RetryingStage], batch: pa.Table) -> pa.Table:
+    """Run a batch through the ordered chain; early-exit on empty
+    (reference: ``runner.go:186-189``)."""
+    for stage in chain:
+        if batch.num_rows == 0:
+            break
+        batch = stage.transform_batch(batch)
+    return batch

@@ -1,0 +1,133 @@
+"""Concrete transform stages.
+
+Each stage implements BOTH the vectorized Arrow batch path (engine hot path)
+and the per-row path (oracle spec path); unit tests assert they agree.
+
+``UppercaseStage`` is the analog of the reference's example plugin
+(``/root/reference/examples/transformers/uppercase/main.go:61-97``: uppercase
+the payload and annotate provenance). ``DropRoleStage``/``FanoutStage``/
+``ErrorThenOKStage`` reproduce the reference test harness's scripted stage
+modes drop/fanout2/errorThenOK (``internal/pipeline/runner_test.go:15-47``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .base import TransientError, Transformer
+
+
+class NormalizeStage(Transformer):
+    """Adds ``text_norm`` = uppercased text; keeps ``text`` untouched so the
+    per-turn text-equality invariant stays on the raw column."""
+
+    name = "normalize"
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        if "text_norm" in batch.column_names:
+            return batch
+        return batch.append_column("text_norm", pc.utf8_upper(batch["text"]))
+
+    def apply_row(self, row: dict) -> list[dict] | None:
+        row = dict(row)
+        row.setdefault("text_norm", row["text"].upper())
+        return [row]
+
+
+class UppercaseStage(Transformer):
+    """In-place uppercase of ``text`` + provenance annotation column
+    (`transformed_by`), mirroring the reference plugin's
+    ``attributes["transformed_by"]`` echo (uppercase/main.go:83-90)."""
+
+    name = "uppercase"
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        idx = batch.column_names.index("text")
+        batch = batch.set_column(idx, "text", pc.utf8_upper(batch["text"]))
+        if "transformed_by" not in batch.column_names:
+            batch = batch.append_column(
+                "transformed_by",
+                pa.array(["uppercase"] * batch.num_rows, type=pa.string()),
+            )
+        return batch
+
+    def apply_row(self, row: dict) -> list[dict] | None:
+        row = dict(row)
+        row["text"] = row["text"].upper()
+        row.setdefault("transformed_by", "uppercase")
+        return [row]
+
+
+class DropRoleStage(Transformer):
+    """DROP rows whose role matches (reference DROP status: discard + count +
+    still-ack, ``runner.go:161-164``)."""
+
+    name = "drop_role"
+
+    def __init__(self, role: str = "tool"):
+        self.role = role
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["role"], self.role))
+
+    def apply_row(self, row: dict) -> list[dict] | None:
+        return None if row["role"] == self.role else [dict(row)]
+
+
+class FanoutStage(Transformer):
+    """1→N fan-out; descendants share the source row's lineage (reference:
+    events inherit the original frame's checkpoint, ``runner.go:96-102``)."""
+
+    name = "fanout"
+
+    def __init__(self, n: int = 2):
+        self.n = n
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        idx = np.repeat(np.arange(batch.num_rows), self.n)
+        out = batch.take(pa.array(idx))
+        copy = pa.array(
+            np.tile(np.arange(self.n), batch.num_rows).astype("int32"), type=pa.int32()
+        )
+        if "fanout_copy" in out.column_names:
+            out = out.drop_columns(["fanout_copy"])
+        return out.append_column("fanout_copy", copy)
+
+    def apply_row(self, row: dict) -> list[dict] | None:
+        return [{**row, "fanout_copy": i} for i in range(self.n)]
+
+
+class ErrorThenOKStage(Transformer):
+    """Fails the first ``fail_times`` calls with a transient error, then
+    passes rows through — the reference test's errorThenOK scripted mode
+    (``runner_test.go:106-122``). Stateful per instance."""
+
+    name = "error_then_ok"
+
+    def __init__(self, fail_times: int = 1):
+        self.fail_times = fail_times
+        self.calls = 0
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        self.calls += 1
+        if self.calls <= self.fail_times:
+            raise TransientError("scripted transient failure")
+        return batch
+
+    def apply_row(self, row: dict) -> list[dict] | None:
+        self.calls += 1
+        if self.calls <= self.fail_times:
+            raise TransientError("scripted transient failure")
+        return [dict(row)]
+
+
+TRANSFORM_REGISTRY = {
+    "normalize": NormalizeStage,
+    "uppercase": UppercaseStage,
+    "drop_role": DropRoleStage,
+    "fanout": FanoutStage,
+    "error_then_ok": ErrorThenOKStage,
+}

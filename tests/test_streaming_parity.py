@@ -1,0 +1,129 @@
+"""Oracle-diff tests: the streaming engine must equal the single-threaded
+interpreter row-for-row (BASELINE.json: per-turn text equality under stable
+(conv_id, turn_idx) ordering), plus exactly-once kill/resume tests."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from quanta_ray.config import CEPConfig, PipelineSpec, SinkSpec, SourceSpec, StageSpec
+from quanta_ray.oracle import run_oracle
+from quanta_ray.sinks.exactly_once import read_committed
+from quanta_ray.stages import NormalizeStage, RetryingStage
+
+
+def _sorted(table: pa.Table, keys) -> pa.Table:
+    if table is None:
+        return None
+    idx = pa.compute.sort_indices(table, sort_keys=[(k, "ascending") for k in keys])
+    return table.take(idx).combine_chunks()
+
+
+def _assert_tables_equal(name, got: pa.Table, want: pa.Table, keys):
+    __tracebackhide__ = True
+    if want.num_rows == 0:
+        assert got is None or got.num_rows == 0, f"{name}: expected empty, got {got.num_rows}"
+        return
+    assert got is not None, f"{name}: engine produced nothing, oracle has {want.num_rows}"
+    got = _sorted(got.select(want.column_names), keys)
+    want = _sorted(want, keys)
+    assert got.num_rows == want.num_rows, f"{name}: rows {got.num_rows} != {want.num_rows}"
+    for col in want.column_names:
+        assert got.column(col).equals(want.column(col)), f"{name}: column {col} differs"
+
+
+SORT_KEYS = {
+    "turns": ["conv_id", "turn_idx"],
+    "tumbling": ["conv_id", "w_start"],
+    "sliding": ["conv_id", "w_start"],
+    "sessions": ["conv_id", "session_id"],
+    "joins": ["conv_id", "tool_turn_idx"],
+}
+
+
+@pytest.fixture(scope="module")
+def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
+    from quanta_ray.engine import run_pipeline
+
+    files, _params = small_stream
+    cfg = CEPConfig(num_partitions=4)
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(StageSpec(name="normalize"),),
+        sink=SinkSpec(),
+        cep=cfg,
+    )
+    out_dir = str(tmp_path_factory.mktemp("engine_out"))
+    summary = run_pipeline(spec, out_dir)
+    assert summary["status"] == "complete"
+
+    oracle = run_oracle(
+        (pq.read_table(f) for f in files),
+        cfg,
+        stages=[RetryingStage(NormalizeStage())],
+    )
+    return out_dir, oracle
+
+
+@pytest.mark.parametrize("stream", ["turns", "tumbling", "sliding", "sessions", "joins"])
+def test_stream_matches_oracle(engine_and_oracle, stream):
+    out_dir, oracle = engine_and_oracle
+    got = read_committed(out_dir, stream)
+    _assert_tables_equal(stream, got, oracle[stream], SORT_KEYS[stream])
+
+
+def test_late_rows_were_dropped(engine_and_oracle):
+    out_dir, oracle = engine_and_oracle
+    assert oracle["metrics"]["n_late_dropped"] > 0, "fixture should contain late rows"
+    import json, glob, os
+
+    n_late = 0
+    for m in glob.glob(os.path.join(out_dir, "manifest-*.json")):
+        with open(m) as f:
+            d = json.load(f)
+        n_late += d.get("source_stats", {}).get("n_late_dropped", 0)
+    assert n_late == oracle["metrics"]["n_late_dropped"]
+
+
+def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
+    """Crash after epoch 1, resume → byte-identical committed output."""
+    from quanta_ray.engine import StreamingRunner
+
+    files, _ = small_stream
+    cfg = CEPConfig(num_partitions=3)
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(StageSpec(name="normalize"),),
+        cep=cfg,
+    )
+    full_dir = str(tmp_path_factory.mktemp("full_run"))
+    StreamingRunner(spec, full_dir).run()
+
+    resumed_dir = str(tmp_path_factory.mktemp("resumed_run"))
+    r1 = StreamingRunner(spec, resumed_dir).run(stop_after_epoch=1)
+    assert r1["status"] == "stopped"
+    r2 = StreamingRunner(spec, resumed_dir).run()
+    assert r2["status"] == "complete"
+
+    for stream, keys in SORT_KEYS.items():
+        a = read_committed(full_dir, stream)
+        b = read_committed(resumed_dir, stream)
+        if a is None:
+            assert b is None
+            continue
+        a, b = _sorted(a, keys), _sorted(b.select(a.column_names), keys)
+        assert a.equals(b), f"{stream}: resume output differs from single run"
+
+
+def test_rerun_is_noop(ray_session, small_stream, tmp_path_factory):
+    from quanta_ray.engine import StreamingRunner
+
+    files, _ = small_stream
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(StageSpec(name="normalize"),),
+        cep=CEPConfig(num_partitions=2),
+    )
+    d = str(tmp_path_factory.mktemp("noop"))
+    assert StreamingRunner(spec, d).run()["status"] == "complete"
+    assert StreamingRunner(spec, d).run()["status"] == "already-complete"

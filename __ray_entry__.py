@@ -1,44 +1,123 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship streaming CEP pipeline (transcript-shaped
+stream → windows/join/exactly-once sink) on sf0.001-derived data.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+callable over an sf dir; ``oracle_sql()`` gives the DuckDB-checkable subset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: events@sf0.001 → transcript stream → streaming CEP engine →
+    tumbling-window table (exactly-once committed output)."""
+    from quanta_ray.pipelines import flagship
+
+    work = tempfile.mkdtemp(prefix="quanta-entry-", dir="/tmp")
+    try:
+        res = flagship.run_flagship_on_events("/root/testdata/sf0.001", work)
+        out = flagship.flagship_outputs(res["out_dir"])
+        t = out["tumbling"]
+        return t.to_pandas() if t is not None else __import__("pandas").DataFrame()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _streaming_cep(sf_dir: str) -> Any:
+    """Full streaming engine over sf events (rows-only check: watermark
+    late-drop + exactly-once are not SQL-expressible)."""
+    from quanta_ray.pipelines import flagship
+
+    work = tempfile.mkdtemp(prefix="quanta-cep-", dir="/tmp")
+    try:
+        res = flagship.run_flagship_on_events(sf_dir, work)
+        out = flagship.flagship_outputs(res["out_dir"])
+        t = out["sessions"]
+        return t.to_pandas() if t is not None else __import__("pandas").DataFrame()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _media_features(sf_dir: str) -> Any:
+    from quanta_ray.functions.multimodal import media_features
+
+    return media_features()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from quanta_ray.functions import dedup, simsearch, text
+    from quanta_ray.pipelines import batch_cep, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- windowed CEP (batch form; N5-N8) ---
+        "ev_tumbling": batch_cep.tumbling_agg,
+        "ev_sliding": batch_cep.sliding_agg,
+        "ev_session": batch_cep.session_agg,
+        "ev_next_event_join": batch_cep.next_event_join,
+        "ev_dedup_exact": batch_cep.dedup_exact,
+        "ev_topk_users": batch_cep.topk_users,
+        "ev_filter_project_upper": batch_cep.filter_project_upper,
+        # --- streaming engine end-to-end (rows-only) ---
+        "cep_streaming_sessions": _streaming_cep,
+        # --- relational stage library ---
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_revenue_by_nation": relational.revenue_by_nation,
+        "rel_revenue_by_orderpriority": relational.revenue_by_orderpriority,
+        "rel_orders_of_top_customers": relational.orders_of_top_customers,
+        # --- text analysis ---
+        "doc_token_counts": text.token_counts,
+        "doc_quality_scores": text.quality_scores,
+        "doc_fingerprint_md5": text.fingerprints_md5,
+        "doc_lang_id": text.lang_id,
+        # --- dedup family ---
+        "doc_dedup_exact": dedup.dedup_exact,
+        "doc_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "doc_simhash_signatures": dedup.simhash_signatures,
+        "doc_ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        # --- similarity search ---
+        "emb_knn_bruteforce": simsearch.knn_bruteforce,
+        "emb_knn_ivf": simsearch.knn_ivf,
+        "emb_near_dup_cosine": simsearch.near_dup_cosine,
+        # --- multimodal plumbing (stubbed decode; rows-only) ---
+        "mm_media_features": _media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from quanta_ray.functions import dedup, text
+    from quanta_ray.pipelines import batch_cep, relational
+
+    return {
+        "ev_tumbling": batch_cep.TUMBLING_SQL,
+        "ev_sliding": batch_cep.SLIDING_SQL,
+        "ev_session": batch_cep.SESSION_SQL,
+        "ev_next_event_join": batch_cep.NEXT_EVENT_JOIN_SQL,
+        "ev_dedup_exact": batch_cep.DEDUP_EXACT_SQL,
+        "ev_topk_users": batch_cep.TOPK_USERS_SQL,
+        "ev_filter_project_upper": batch_cep.FILTER_PROJECT_SQL,
+        "rel_pricing_summary": relational.PRICING_SUMMARY_SQL,
+        "rel_revenue_by_nation": relational.REVENUE_BY_NATION_SQL,
+        "rel_revenue_by_orderpriority": relational.REVENUE_BY_ORDERPRIORITY_SQL,
+        "rel_orders_of_top_customers": relational.ORDERS_OF_TOP_CUSTOMERS_SQL,
+        "doc_token_counts": text.TOKEN_COUNTS_SQL,
+        "doc_quality_scores": text.QUALITY_SCORES_SQL,
+        "doc_fingerprint_md5": text.FINGERPRINTS_MD5_SQL,
+        "doc_dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "emb_knn_bruteforce": simsearch_knn_sql(),
+    }
+
+
+def simsearch_knn_sql() -> str:
+    from quanta_ray.functions import simsearch
+
+    return simsearch.KNN_BRUTEFORCE_SQL

@@ -1,0 +1,212 @@
+"""Benchmark harness.
+
+Headline: turns/sec sustained through the full streaming CEP pipeline
+(read → late-filter → transform → hash-partition → window/join actors →
+exactly-once sink) over a deterministic synthetic transcript stream
+(BASELINE.json metric). Secondary: per-query wall times over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling`` runs the headline twice in fresh processes (num_cpus=8 and 32)
+on the same input and reports throughput at both + scaling efficiency
+eff = T(32)/(4·T(8)) — the sandbox substitution for the N vs 4N node
+cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = [
+    "ev_tumbling",
+    "ev_sliding",
+    "ev_session",
+    "ev_next_event_join",
+    "ev_dedup_exact",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_revenue_by_orderpriority",
+    "doc_token_counts",
+    "doc_dedup_exact",
+    "doc_minhash_lsh_pairs",
+    "emb_knn_bruteforce",
+]
+
+# bench-scale synthetic transcript stream (deterministic; cached under /tmp)
+BENCH_N_CONVS = 6000
+BENCH_EPOCHS = 12
+BENCH_SEED = 42
+
+
+def _bench_stream_dir() -> str:
+    return f"/tmp/quanta-bench-stream-c{BENCH_N_CONVS}-e{BENCH_EPOCHS}-s{BENCH_SEED}"
+
+
+def prepare_stream() -> tuple[list[str], int]:
+    from quanta_ray.fixtures import TranscriptParams, make_stream
+
+    params = TranscriptParams(
+        n_convs=BENCH_N_CONVS, seed=BENCH_SEED, n_epochs=BENCH_EPOCHS
+    )
+    files = make_stream(_bench_stream_dir(), params)
+    import pyarrow.parquet as pq
+
+    n_turns = sum(pq.read_metadata(f).num_rows for f in files)
+    return files, n_turns
+
+
+def run_headline(num_cpus: int) -> dict:
+    from quanta_ray.config import CEPConfig
+    from quanta_ray.engine import StreamingRunner
+    from quanta_ray.pipelines.flagship import default_spec
+
+    files, n_turns = prepare_stream()
+    # warm the page cache (measure compute+shuffle, not first disk read)
+    for f in files:
+        with open(f, "rb") as fh:
+            fh.read()
+
+    out_dir = f"/tmp/quanta-bench-out-{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CEPConfig(num_partitions=max(4, num_cpus))
+    spec = default_spec(files, cfg)
+    t0 = time.time()
+    summary = StreamingRunner(spec, out_dir).run()
+    dt = time.time() - t0
+    assert summary["status"] == "complete"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": dt, "n_turns": n_turns, "turns_per_sec": n_turns / dt}
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # force materialization for Dataset results
+        if hasattr(res, "iter_batches"):
+            for _ in res.iter_batches(batch_size=None):
+                pass
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    headline = run_headline(num_cpus)
+    queries = run_queries(sf_dir)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "streaming CEP flagship wall time (synthetic transcript stream, "
+                f"{headline['n_turns']} turns, {BENCH_EPOCHS} epochs)",
+                "value": round(headline["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "num_cpus": num_cpus,
+                "turns_per_sec": round(headline["turns_per_sec"], 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), QUANTA_BENCH_HEADLINE_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
+    eff = t_hi / ((hi / lo) * t_lo)
+    print(
+        json.dumps(
+            {
+                "turns_per_sec_8": t_lo,
+                "turns_per_sec_32": t_hi,
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+def headline_only() -> None:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    h = run_headline(num_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": "streaming CEP flagship",
+                "value": round(h["sec"], 3),
+                "unit": "sec",
+                "turns_per_sec": round(h["turns_per_sec"], 1),
+                "num_cpus": num_cpus,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--headline-only" in sys.argv:
+        headline_only()
+    else:
+        main()

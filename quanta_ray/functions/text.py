@@ -1,0 +1,201 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale-training-pipeline text ops, each a vectorized ``map_batches``
+stage (actor pool where there is per-actor setup such as compiled regexes):
+
+- token counting (regex word tokens — SQL-checkable);
+- quality scoring (length / distinct-token / avg-token-length — SQL-checkable);
+- document fingerprinting (md5 + rolling 64-bit polynomial hash);
+- language ID (character n-gram heuristic; rows-only check — a heuristic has
+  no SQL oracle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _concat(ds: rd.Dataset) -> pa.Table:
+    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
+# --- token counting -----------------------------------------------------------
+
+
+class TokenCounter:
+    """Word-token counts per document. Regex compiled once per actor
+    (reference pattern: stateful setup in __init__, work per batch)."""
+
+    def __init__(self):
+        import re
+
+        self.word = re.compile(r"[A-Za-z0-9]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.findall(self.word)
+        batch["n_tokens"] = toks.str.len().astype("int64")
+        batch["n_unique_tokens"] = toks.map(lambda ws: len(set(ws))).astype("int64")
+        return batch[["doc_id", "n_tokens", "n_unique_tokens"]]
+
+
+def token_counts(sf_dir: str) -> pa.Table:
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        TokenCounter, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+    t = _concat(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+       len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS n_unique_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- quality scoring ----------------------------------------------------------
+
+
+def quality_scores(sf_dir: str) -> pa.Table:
+    """Heuristic quality features, all vectorized and SQL-expressible:
+    char length, token count, type-token ratio, mean token length."""
+
+    class Scorer:
+        def __init__(self):
+            import re
+
+            self.word = re.compile(r"[A-Za-z0-9]+")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["text"].str.findall(self.word)
+            n = toks.str.len().astype("int64")
+            uniq = toks.map(lambda ws: len(set(ws))).astype("int64")
+            total_len = toks.map(lambda ws: sum(map(len, ws))).astype("int64")
+            out = pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_chars_text": batch["text"].str.len().astype("int64"),
+                    "n_tokens": n,
+                    "ttr": (uniq / n.clip(lower=1)).round(6),
+                    "mean_token_len": (total_len / n.clip(lower=1)).round(6),
+                }
+            )
+            return out
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Scorer, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+    t = _concat(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+QUALITY_SCORES_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars_text,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+       round(len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+')))
+             / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1), 6) AS ttr,
+       round(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                     x -> length(x)))
+             / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1), 6)
+         AS mean_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- fingerprinting -----------------------------------------------------------
+
+
+def fingerprints(sf_dir: str) -> pa.Table:
+    """md5 content fingerprint (SQL-checkable) + 64-bit rolling polynomial
+    hash (rows-only; used by dedup)."""
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["md5"] = batch["text"].map(
+            lambda s: hashlib.md5(s.encode()).hexdigest()
+        )
+        batch["rhash"] = batch["text"].map(_rolling_hash_py).astype("uint64")
+        return batch[["doc_id", "md5", "rhash"]]
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pandas", batch_size=8192
+    )
+    t = _concat(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+def _rolling_hash_py(s: str, base: int = 1000003, mod: int = (1 << 61) - 1) -> int:
+    h = 0
+    for ch in s.encode():
+        h = (h * base + ch) % mod
+    return h
+
+
+FINGERPRINTS_MD5_SQL = """
+SELECT doc_id, md5(text) AS md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def fingerprints_md5(sf_dir: str) -> pa.Table:
+    t = fingerprints(sf_dir)
+    return t.select(["doc_id", "md5"])
+
+
+# --- language identification (heuristic; rows-only) ---------------------------
+
+# tiny per-language character-trigram profiles over common function words;
+# a real deployment would load fasttext-style models in the actor __init__.
+_LANG_MARKERS = {
+    "en": ("the", "and", "ing", "ion", " of", " to"),
+    "fr": ("le ", "la ", "es ", "de ", "ent", "que"),
+    "de": ("der", "die", "und", "ein", "sch", "cht"),
+    "es": ("el ", "los", "de ", "ión", "que", "ar "),
+    "zh": tuple(),  # non-latin scripts detected by codepoint range below
+}
+
+
+class LangId:
+    """n-gram marker voting + script detection; setup once per actor."""
+
+    def __init__(self):
+        self.markers = {k: v for k, v in _LANG_MARKERS.items() if v}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def detect(s: str) -> str:
+            if any("一" <= ch <= "鿿" for ch in s[:200]):
+                return "zh"
+            low = s.lower()
+            scores = {
+                lang: sum(low.count(m) for m in ms) for lang, ms in self.markers.items()
+            }
+            best = max(scores, key=lambda k: (scores[k], k))
+            return best if scores[best] > 0 else "unknown"
+
+        batch["lang_pred"] = batch["text"].map(detect)
+        return batch[["doc_id", "lang_pred"]]
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+    t = _concat(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))

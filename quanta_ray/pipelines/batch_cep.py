@@ -208,9 +208,9 @@ def session_agg(sf_dir: str, gap_us: int = 30 * 60 * US) -> pa.Table:
 
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    return _concat(out)[
+    return _concat(out).select(
         ["user_id", "session_id", "session_start", "session_end", "n_events", "sum_value"]
-    ]
+    )
 
 
 SESSION_SQL = """
@@ -251,34 +251,47 @@ def next_event_join(
     against the sorted right side.
     """
 
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([], dtype="int64"),
+                "left_id": pd.array([], dtype="int64"),
+                "left_ts": pd.array([], dtype="datetime64[us]"),
+                "right_id": pd.array([], dtype="Int64"),
+                "right_ts": pd.array([], dtype="datetime64[us]"),
+            }
+        )
+
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["event_type"] == left_type].sort_values(["ts", "event_id"])
-        right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
         if len(left) == 0:
-            return pd.DataFrame(
-                columns=["user_id", "left_id", "left_ts", "right_id", "right_ts"]
-            )
+            return _empty()
+        right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
         lt = left["ts"].astype("int64").to_numpy()
-        rt = right["ts"].astype("int64").to_numpy()
-        pos = np.searchsorted(rt, lt, side="left")
-        ok = (pos < len(rt)) & (rt[np.minimum(pos, max(len(rt) - 1, 0))] <= lt + bound_us)
-        rid = right["event_id"].to_numpy()
-        out = pd.DataFrame(
+        n_r = len(right)
+        if n_r == 0:
+            ok = np.zeros(len(left), dtype=bool)
+            rsel = np.zeros(len(left), dtype=np.int64)
+            rid = np.zeros(1, dtype=np.int64)
+            rt = np.zeros(1, dtype=np.int64)
+        else:
+            rt = right["ts"].astype("int64").to_numpy()
+            rid = right["event_id"].to_numpy()
+            pos = np.searchsorted(rt, lt, side="left")
+            rsel = np.minimum(pos, n_r - 1)
+            ok = (pos < n_r) & (rt[rsel] <= lt + bound_us)
+        right_id = pd.array(rid[rsel], dtype="Int64")
+        right_id[~ok] = pd.NA
+        right_ts = pd.Series(pd.to_datetime(rt[rsel], unit="us")).where(ok, pd.NaT)
+        return pd.DataFrame(
             {
                 "user_id": left["user_id"].to_numpy(),
                 "left_id": left["event_id"].to_numpy(),
                 "left_ts": left["ts"].to_numpy(),
-                "right_id": np.where(ok, rid[np.minimum(pos, max(len(rt) - 1, 0))], -1),
-                "right_ts": np.where(
-                    ok, rt[np.minimum(pos, max(len(rt) - 1, 0))], np.int64(0)
-                ),
+                "right_id": right_id,
+                "right_ts": right_ts.astype("datetime64[us]").to_numpy(),
             }
         )
-        out["right_id"] = out["right_id"].astype("int64")
-        out.loc[out["right_id"] < 0, "right_id"] = pd.NA
-        out["right_ts"] = pd.to_datetime(out["right_ts"], unit="us")
-        out.loc[out["right_id"].isna(), "right_ts"] = pd.NaT
-        return out
 
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
@@ -320,7 +333,7 @@ def dedup_exact(sf_dir: str) -> pa.Table:
     out = ds.groupby(["user_id", "event_type"]).map_groups(
         first_row, batch_format="pandas"
     )
-    return _concat(out)[["user_id", "event_type", "event_id", "ts", "value"]]
+    return _concat(out).select(["user_id", "event_type", "event_id", "ts", "value"])
 
 
 DEDUP_EXACT_SQL = """

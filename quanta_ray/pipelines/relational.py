@@ -1,0 +1,288 @@
+"""Relational pipelines over the TPC-H-ish tables — pure Ray Data.
+
+Demonstrates the engine's general query capability with scale-correct join
+strategies:
+
+- **broadcast join** for small sides (dimension tables): ``ray.put`` the
+  small table ONCE on the driver; every map task reads it zero-copy from the
+  object store and merges per batch — no shuffle, no per-batch re-shipping;
+- **partitioned hash join** for two large sides: ``Dataset.join`` (hash
+  shuffle on the key) when available, else an explicit bucket-groupby join;
+- **pre-aggregated groupby** everywhere (partials inside map_batches, the
+  all-to-all moves partial aggregates only).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _concat(ds: rd.Dataset) -> pa.Table:
+    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
+# --- TPC-H Q1-style pricing summary ------------------------------------------
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """Aggregate lineitem by (returnflag, linestatus) with computed measures.
+
+    Columns pruned at the read; per-batch partial aggregation; the global
+    groupby shuffles ~6 rows per batch instead of 6M rows per SF."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        charge = pc.multiply(
+            disc_price, pc.add(pa.scalar(1.0), batch.column("l_tax"))
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch.column("l_returnflag").to_numpy(),
+                "l_linestatus": batch.column("l_linestatus").to_numpy(),
+                "qty": batch.column("l_quantity").to_numpy(),
+                "price": batch.column("l_extendedprice").to_numpy(),
+                "disc_price": disc_price.to_numpy(),
+                "charge": charge.to_numpy(),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_price=("price", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_charge=("charge", "sum"),
+            count_order=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=131072)
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("sum_charge", alias_name="sum_charge"),
+        Sum("count_order", alias_name="count_order"),
+    )
+    t = _concat(out)
+    return pa.Table.from_arrays(
+        [
+            t.column("l_returnflag"),
+            t.column("l_linestatus"),
+            pc.round(t.column("sum_qty"), 4),
+            pc.round(t.column("sum_base_price"), 4),
+            pc.round(t.column("sum_disc_price"), 4),
+            pc.round(t.column("sum_charge"), 4),
+            t.column("count_order").cast(pa.int64()),
+        ],
+        names=[
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "count_order",
+        ],
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+# --- broadcast join: orders ⋈ customer ⋈ nation ------------------------------
+
+
+def revenue_by_nation(sf_dir: str) -> pa.Table:
+    """Total order value per customer nation.
+
+    customer+nation are small → broadcast once via ``ray.put``; each orders
+    batch does an in-memory merge. No shuffle on the big side until the final
+    (tiny) groupby of partials."""
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_nation = customer.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]]
+    ref = ray.put(cust_nation)
+
+    class JoinAgg:
+        def __init__(self):
+            # broadcast side fetched once per actor, indexed once
+            self.lookup = ray.get(ref).set_index("c_custkey")["n_name"]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch["n_name"] = batch["o_custkey"].map(self.lookup)
+            g = batch.groupby("n_name", as_index=False)["o_totalprice"].sum()
+            return g.rename(columns={"o_totalprice": "revenue"})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(JoinAgg, batch_format="pandas", batch_size=131072, concurrency=4)
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    t = _concat(out)
+    return pa.Table.from_arrays(
+        [t.column("n_name"), pc.round(t.column("revenue"), 4)],
+        names=["n_name", "revenue"],
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n.n_name, round(sum(o.o_totalprice), 4) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+# --- large-large hash join: lineitem ⋈ orders --------------------------------
+
+
+def revenue_by_orderpriority(sf_dir: str) -> pa.Table:
+    """lineitem ⋈ orders on orderkey (both large) → revenue per priority.
+
+    Uses ``Dataset.join`` (hash-partitioned shuffle join) when this Ray
+    version provides it; falls back to an explicit hash-bucket join
+    (add bucket col → groupby bucket → pandas merge per bucket)."""
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.Table.from_arrays(
+            [batch.column("l_orderkey"), r], names=["l_orderkey", "rev"]
+        )
+
+    lineitem = lineitem.map_batches(rev, batch_format="pyarrow", batch_size=131072)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    from ray.data.aggregate import Sum
+
+    if hasattr(lineitem, "join"):
+        joined = lineitem.join(
+            orders,
+            join_type="inner",
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+            num_partitions=16,
+        )
+    else:  # pragma: no cover - fallback for older Ray
+        joined = _bucket_join(lineitem, orders, "l_orderkey", "o_orderkey", 16)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("o_orderpriority", as_index=False)["rev"].sum()
+        return g.rename(columns={"rev": "revenue"})
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    t = _concat(out)
+    return pa.Table.from_arrays(
+        [t.column("o_orderpriority"), pc.round(t.column("revenue"), 4)],
+        names=["o_orderpriority", "revenue"],
+    )
+
+
+def _bucket_join(left: rd.Dataset, right: rd.Dataset, lkey: str, rkey: str, buckets: int) -> rd.Dataset:
+    """Explicit partitioned hash join: tag both sides with hash-bucket, union,
+    per-bucket pandas merge inside map_groups."""
+    import numpy as np
+    import pandas as pd
+
+    def tag(key: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch["_bucket"] = (
+                pd.util.hash_array(batch[key].to_numpy()) % buckets
+            ).astype("int64")
+            batch["_side"] = 0 if key == lkey else 1
+            return batch
+
+        return fn
+
+    lt = left.map_batches(tag(lkey), batch_format="pandas")
+    rt = right.map_batches(tag(rkey), batch_format="pandas")
+    both = lt.union(rt)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0].dropna(axis=1, how="all")
+        rg = g[g["_side"] == 1].dropna(axis=1, how="all")
+        m = lg.merge(rg, left_on=lkey, right_on=rkey)
+        return m.drop(columns=[c for c in ("_bucket_x", "_bucket_y", "_side_x", "_side_y", "_bucket", "_side") if c in m.columns])
+
+    return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+REVENUE_BY_ORDERPRIORITY_SQL = """
+SELECT o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+# --- filtered semi-join: orders by high-balance customers --------------------
+
+
+def orders_of_top_customers(sf_dir: str, min_acctbal: float = 5000.0) -> pa.Table:
+    """Semi-join via broadcast key set (Bloom-filter pattern at scale)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
+    keys = frozenset(cust.loc[cust["c_acctbal"] > min_acctbal, "c_custkey"])
+    ref = ray.put(keys)
+
+    class SemiFilter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["o_custkey"].isin(self.keys)]
+
+    out = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(SemiFilter, batch_format="pandas", batch_size=131072, concurrency=2)
+    t = _concat(out)
+    idx = pc.sort_indices(t, sort_keys=[("o_orderkey", "ascending")])
+    return t.take(idx)
+
+
+ORDERS_OF_TOP_CUSTOMERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+ORDER BY o_orderkey
+"""

@@ -37,6 +37,8 @@ def list_epoch_files(paths_or_dir: str | list[str] | tuple[str, ...]) -> list[st
             for f in os.listdir(paths_or_dir)
             if f.endswith(".parquet")
         )
+    if not os.path.exists(paths_or_dir):
+        raise FileNotFoundError(f"source path does not exist: {paths_or_dir}")
     return [paths_or_dir]
 
 

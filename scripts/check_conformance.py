@@ -1,0 +1,115 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry and compare against oracle_sql() via DuckDB (row count + schema +
+order-insensitive value comparison). Usage:
+
+    python scripts/check_conformance.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def to_df(res) -> pd.DataFrame:
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(4)
+        elif isinstance(df[c].dtype, pd.Int64Dtype) or pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+    sortable = [
+        c
+        for c in df.columns
+        if not df[c].map(lambda v: isinstance(v, (list, dict, np.ndarray))).any()
+    ]
+    return df.sort_values(sortable).reset_index(drop=True) if sortable else df
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    import time
+
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = canon(to_df(fn(sf_dir)))
+        except Exception:
+            print(f"FAIL {name}: query raised\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        dt = time.time() - t0
+        if name not in sqls:
+            print(f"ok   {name}: rows={len(got)} (rows-only, {dt:.1f}s)")
+            continue
+        try:
+            want = canon(con.sql(sqls[name]).df())
+        except Exception:
+            print(f"FAIL {name}: oracle SQL raised\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            failures.append(name)
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            failures.append(name)
+            continue
+        try:
+            pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6)
+        except AssertionError as ex:
+            print(f"FAIL {name}: values differ: {str(ex)[:500]}")
+            failures.append(name)
+            continue
+        print(f"ok   {name}: rows={len(got)} ({dt:.1f}s)")
+
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -90,6 +90,11 @@ class PipelineSpec:
     transformers: tuple[StageSpec, ...] = ()
     sink: SinkSpec = field(default_factory=SinkSpec)
     cep: CEPConfig = field(default_factory=CEPConfig)
+    # operator-state checkpoint cadence in epochs (reference analog: commit
+    # throttle, source/kafka/config.go:80-82). Output manifests still commit
+    # every epoch; resume restores the last checkpointed state and replays
+    # the (deterministic) epochs since — replayed writes are byte-identical.
+    checkpoint_every: int = 1
 
 
 class SpecError(ValueError):

@@ -1,0 +1,569 @@
+"""Per-partition stateful CEP worker — fully incremental.
+
+State per conversation is O(open windows + open sessions + pending tools +
+join-horizon assistants) — never the raw rows. Everything a closed window
+needs is folded into running aggregates at ingest:
+
+- **tumbling/sliding windows**: dict ``w_start → [n, n_user, n_assistant,
+  n_tool, first_key, last_key]`` where first/last keys are ``(ts, turn_idx,
+  text)`` tuples (min/max under the oracle's (ts, turn_idx) order;
+  ``min_ts = first_key[0]``, ``max_ts = last_key[0]``). A window is popped
+  and emitted when ``w_start + size <= wm``. No emitted-dedup set is needed:
+  a row that would re-create an emitted window is by definition late and was
+  dropped at the source (see oracle.py watermark proof).
+- **sessions**: sorted disjoint interval list ``[start_key, end_key, n]``
+  maintained by interval-merge insertion (gap clustering is incremental: a
+  new point can bridge at most its two neighbor sessions, and any two points
+  of one session are chained by ≤gap steps). Sessions close strictly in
+  start order (disjointness ⇒ earlier sessions close first), so the per-conv
+  ``session_id`` counter matches the oracle's emission order.
+- **join**: per conv a sorted ``assistants`` list of (ts, turn_idx, text)
+  and a ``tools`` min-heap keyed by deadline ``ts + bound``. A tool resolves
+  at the first pass with ``deadline <= wm``; its match is the minimal
+  (ts, turn_idx) assistant with ``turn_idx > tool_turn`` in the ts bound.
+  Assistants with ``ts < wm - bound`` can never match a pending tool
+  (pending ⇒ ``tool_ts > wm - bound ≥ assistant ts``) and are pruned.
+
+Scheduling: a conversation is touched at ingest and re-examined only when
+its earliest pending deadline passes the watermark (``pending`` dict).
+Deadlines stored are lower bounds — an extra no-op pass is harmless, a
+missed emission impossible (every structure's true deadline only moves
+later via merges; new rows lower it through ingest).
+
+Batch-level vectorization: window partials are computed with ONE pandas
+groupby per batch (rows sorted by (ts, turn_idx) so groupby first/last give
+the oracle's first/last), then merged into state dicts with one Python
+operation per (conv, window) per epoch — not per row.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+import pickle
+from bisect import bisect_left, bisect_right, insort
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import CEPConfig
+from ..schema import JOIN_SCHEMA, SESSION_SCHEMA, WINDOW_AGG_SCHEMA
+from ..sinks.exactly_once import write_part_file
+
+NEG_INF = -(1 << 62)
+POS_INF = 1 << 62
+
+
+def _limit_native_threads() -> None:
+    """One compute thread per worker process: parallelism comes from Ray
+    scheduling workers, not intra-worker Arrow/BLAS pools (P workers × 32
+    threads each thrashes the node)."""
+    try:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+    except Exception:
+        pass
+
+
+class _ConvState:
+    """Incremental per-conversation CEP state."""
+
+    __slots__ = ("tumbling", "sliding", "sessions", "session_count", "assistants", "tools")
+
+    def __init__(self) -> None:
+        self.tumbling: dict[int, list] = {}  # w_start -> agg
+        self.sliding: dict[int, list] = {}
+        # sorted disjoint [start_key, end_key, n]; keys are (ts, turn, text)
+        self.sessions: list[list] = []
+        self.session_count = 0
+        self.assistants: list[tuple] = []  # sorted (ts, turn_idx, text)
+        self.tools: list[tuple] = []  # heap (deadline, ts, turn_idx, tool, text)
+
+    def to_payload(self) -> tuple:
+        return (
+            self.tumbling,
+            self.sliding,
+            self.sessions,
+            self.session_count,
+            self.assistants,
+            self.tools,
+        )
+
+    @classmethod
+    def from_payload(cls, p: tuple) -> "_ConvState":
+        st = cls()
+        (st.tumbling, st.sliding, st.sessions, st.session_count, st.assistants, st.tools) = p
+        return st
+
+
+def _merge_agg(agg: list | None, part: list) -> list:
+    if agg is None:
+        return list(part)
+    agg[0] += part[0]
+    agg[1] += part[1]
+    agg[2] += part[2]
+    agg[3] += part[3]
+    if part[4] < agg[4]:
+        agg[4] = part[4]
+    if part[5] > agg[5]:
+        agg[5] = part[5]
+    return agg
+
+
+class PartitionWorkerImpl:
+    """One hash-partition's window/session/join state (north-rule N3-N8).
+
+    Reference analogs: per-partition ordered processing of the Kafka claim
+    loop (``/root/reference/source/kafka/driver_sarama.go:114-214``) and the
+    contiguous commit watermark (``checkpoint.go:11-62``) — here per-epoch
+    state + the 2PC manifest sink make it exactly-once.
+    """
+
+    def __init__(self, partition: int, cfg: CEPConfig, out_dir: str):
+        _limit_native_threads()
+        self.partition = partition
+        self.cfg = cfg
+        self.out_dir = out_dir
+        self.convs: dict[str, _ConvState] = {}
+        self.pending: dict[str, int] = {}  # conv -> earliest deadline lower bound
+        self.wm = NEG_INF
+        self.last_epoch = -1  # highest epoch folded into state
+        self.totals: dict[str, int] = defaultdict(int)
+
+    # --- checkpoint / restore -------------------------------------------------
+
+    def checkpoint_state(self, epoch: int) -> dict:
+        path = os.path.join(
+            self.out_dir,
+            "checkpoints",
+            f"epoch-{epoch:08d}",
+            f"part-{self.partition:05d}.pkl",
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = {
+            "partition": self.partition,
+            "wm": self.wm,
+            "epoch": epoch,
+            "totals": dict(self.totals),
+            "convs": {c: s.to_payload() for c, s in self.convs.items()},
+            "pending": self.pending,
+        }
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
+        return {
+            "partition": self.partition,
+            "path": os.path.relpath(path, self.out_dir),
+            "epoch": epoch,
+        }
+
+    def restore(self, checkpoint_rel_path: str) -> None:
+        with open(os.path.join(self.out_dir, checkpoint_rel_path), "rb") as f:
+            payload = pickle.load(f)
+        assert payload["partition"] == self.partition
+        self.wm = payload["wm"]
+        self.last_epoch = payload.get("epoch", -1)
+        self.totals = defaultdict(int, payload["totals"])
+        self.pending = payload["pending"]
+        self.convs = {c: _ConvState.from_payload(p) for c, p in payload["convs"].items()}
+
+    # --- epoch processing -----------------------------------------------------
+
+    def process_epoch(
+        self,
+        epoch: int,
+        wm: int,
+        table: pa.Table,
+        do_checkpoint: bool = True,
+        write_outputs: bool = True,
+    ) -> dict:
+        import time as _time
+
+        if epoch <= self.last_epoch:
+            # replay of an epoch already folded into this partition's
+            # restored state (staggered checkpoints): pure no-op
+            return {"files": [], "checkpoint": None, "metrics": {"skipped": epoch}}
+        self.last_epoch = epoch
+
+        t0 = _time.perf_counter()
+        touched = self._ingest(table) if table.num_rows else set()
+        self.wm = max(self.wm, wm)
+        t_ingest = _time.perf_counter()
+        out = self._emission_pass(touched)
+        t_emit = _time.perf_counter()
+
+        if not write_outputs:
+            # resume replay of an already-committed epoch: state advances,
+            # outputs (byte-identical, already in the manifest) are skipped
+            return {"files": [], "checkpoint": None, "metrics": {"replayed": epoch}}
+
+        files = []
+        for stream, schema, rows in (
+            ("tumbling", WINDOW_AGG_SCHEMA, out["tumbling"]),
+            ("sliding", WINDOW_AGG_SCHEMA, out["sliding"]),
+            ("sessions", SESSION_SCHEMA, out["sessions"]),
+            ("joins", JOIN_SCHEMA, out["joins"]),
+        ):
+            if rows:
+                rows.sort(key=lambda r: (r[0], r[1]))
+                entry = self._write_stream(_rows_to_table(rows, schema), stream, epoch)
+                if entry:
+                    files.append(entry)
+        t_write = _time.perf_counter()
+
+        self.totals["turns_in"] += table.num_rows
+        for k in ("tumbling", "sliding", "sessions", "joins"):
+            self.totals[f"{k}_emitted"] += len(out[k])
+        ckpt = self.checkpoint_state(epoch) if do_checkpoint else None
+        t_ckpt = _time.perf_counter()
+        metrics = {
+            "partition": self.partition,
+            "epoch": epoch,
+            "rows_in": table.num_rows,
+            "wm": self.wm,
+            "live_convs": len(self.convs),
+            **{f"{k}_emitted": len(out[k]) for k in ("tumbling", "sliding", "sessions", "joins")},
+            "t_ingest": round(t_ingest - t0, 4),
+            "t_emit": round(t_emit - t_ingest, 4),
+            "t_write": round(t_write - t_emit, 4),
+            "t_ckpt": round(t_ckpt - t_write, 4),
+        }
+        return {"files": files, "checkpoint": ckpt, "metrics": metrics}
+
+    def finish(self, epoch: int, do_checkpoint: bool = True) -> dict:
+        empty = _empty_turns_table()
+        wm = self.wm if not self.cfg.final_flush else POS_INF
+        return self.process_epoch(epoch, wm, empty, do_checkpoint)
+
+    # --- ingest (vectorized per batch) ---------------------------------------
+
+    def _ingest(self, table: pa.Table) -> set[str]:
+        cfg = self.cfg
+        tsize, ssize, slide = (
+            cfg.tumbling_size_us,
+            cfg.sliding_size_us,
+            cfg.sliding_slide_us,
+        )
+        gap, bound = cfg.session_gap_us, cfg.join_bound_us
+
+        # sort the batch by (conv_code, ts, turn): groups become contiguous and
+        # group-first/last are the oracle's (ts, turn_idx)-min/max per window
+        ts0 = table.column("ts").cast(pa.int64()).to_numpy()
+        conv0 = np.asarray(table.column("conv_id").to_pandas(), dtype=object)
+        codes0, uniques = pd.factorize(conv0, sort=False)
+        order = np.lexsort((table.column("turn_idx").to_numpy(), ts0, codes0))
+        ts = ts0[order]
+        codes = codes0[order]
+        turn = table.column("turn_idx").to_numpy()[order]
+        role = np.asarray(table.column("role").to_pandas())[order]
+        text = np.asarray(table.column("text").to_pandas())[order]
+        tool = np.asarray(table.column("tool").to_pandas())[order]
+        is_user = (role == "user").astype(np.int64)
+        is_assistant = (role == "assistant").astype(np.int64)
+        is_tool = role == "tool"
+
+        touched: set[str] = set(uniques)
+        for c in uniques:
+            if c not in self.convs:
+                self.convs[c] = _ConvState()
+        convs = self.convs
+        names = uniques.tolist()
+
+        # ---- tumbling partials (numpy reduceat over contiguous groups) ----
+        self._merge_window_partials(
+            names, codes, ts // tsize * tsize, ts, turn, text,
+            is_user, is_assistant, is_tool.astype(np.int64), "tumbling", tsize,
+        )
+
+        # ---- sliding partials: k shifted window assignments, same path.
+        # Each shift keeps (conv, ts) order, and w_j is monotone in ts within
+        # a conv → groups stay contiguous; no expansion, no re-sort.
+        k = ssize // slide
+        base = ts // slide * slide
+        it = is_tool.astype(np.int64)
+        for j in range(k):
+            w_j = base - j * slide
+            mask = w_j > ts - ssize
+            if mask.all():
+                self._merge_window_partials(
+                    names, codes, w_j, ts, turn, text,
+                    is_user, is_assistant, it, "sliding", ssize,
+                )
+            else:
+                sel = np.flatnonzero(mask)
+                self._merge_window_partials(
+                    names, codes[sel], w_j[sel], ts[sel], turn[sel], text[sel],
+                    is_user[sel], is_assistant[sel], it[sel], "sliding", ssize,
+                )
+
+        # ---- sessions + join state: per-conv contiguous segments ----
+        n = len(ts)
+        pend = self.pending
+        conv_bounds = np.append(
+            np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1]))), n
+        ).tolist()
+        ts_l = ts.tolist()
+        turn_l = turn.tolist()
+        text_l = text.tolist()
+        tool_l = tool.tolist()
+        af = is_assistant.astype(bool).tolist()
+        tf = is_tool.tolist()
+        session_insert = self._session_insert
+        for ci in range(len(conv_bounds) - 1):
+            s, e = conv_bounds[ci], conv_bounds[ci + 1]
+            conv = names[codes[s]]
+            st = convs[conv]
+            assistants = st.assistants
+            tools = st.tools
+            sessions = st.sessions
+            dl = pend.get(conv, POS_INF)
+            for i in range(s, e):
+                ts_i = ts_l[i]
+                key = (ts_i, turn_l[i], text_l[i])
+                session_insert(st, key, gap, sessions)
+                cand = ts_i + gap + 1
+                if af[i]:
+                    insort(assistants, key)
+                elif tf[i]:
+                    deadline = ts_i + bound
+                    heapq.heappush(
+                        tools, (deadline, ts_i, turn_l[i], tool_l[i], text_l[i])
+                    )
+                    if deadline < cand:
+                        cand = deadline
+                if cand < dl:
+                    dl = cand
+            pend[conv] = dl
+
+        return touched
+
+    def _merge_window_partials(
+        self,
+        names: list,
+        codes: np.ndarray,
+        w: np.ndarray,
+        ts: np.ndarray,
+        turn: np.ndarray,
+        text: np.ndarray,
+        is_user: np.ndarray,
+        is_assistant: np.ndarray,
+        is_tool: np.ndarray,
+        kind: str,
+        size: int,
+    ) -> None:
+        """Fold (conv, window) partial aggregates into state.
+
+        Inputs are sorted by (conv, ts, turn) and w is monotone in ts within
+        a conv, so (conv, w) groups are contiguous; reduce with
+        ``np.add.reduceat`` and touch Python once per group, not per row.
+        """
+        n = len(w)
+        if n == 0:
+            return
+        starts = np.flatnonzero(
+            np.concatenate(([True], (codes[1:] != codes[:-1]) | (w[1:] != w[:-1])))
+        )
+        counts = np.diff(np.append(starts, n))
+        lasts = starts + counts - 1
+        # one C-level conversion per column; the loop below sees python ints
+        g_code = codes[starts].tolist()
+        g_w = w[starts].tolist()
+        g_n = counts.tolist()
+        g_nu = np.add.reduceat(is_user, starts).tolist()
+        g_na = np.add.reduceat(is_assistant, starts).tolist()
+        g_nt = np.add.reduceat(is_tool, starts).tolist()
+        f_ts, f_turn, f_text = ts[starts].tolist(), turn[starts].tolist(), text[starts].tolist()
+        l_ts, l_turn, l_text = ts[lasts].tolist(), turn[lasts].tolist(), text[lasts].tolist()
+        pend = self.pending
+        convs = self.convs
+        tumbling = kind == "tumbling"
+        for gi in range(len(g_code)):
+            conv = names[g_code[gi]]
+            st = convs[conv]
+            d = st.tumbling if tumbling else st.sliding
+            wv = g_w[gi]
+            part = [
+                g_n[gi], g_nu[gi], g_na[gi], g_nt[gi],
+                (f_ts[gi], f_turn[gi], f_text[gi]),
+                (l_ts[gi], l_turn[gi], l_text[gi]),
+            ]
+            cur = d.get(wv)
+            d[wv] = _merge_agg(cur, part)
+            dl = wv + size
+            if dl < pend.get(conv, POS_INF):
+                pend[conv] = dl
+
+    @staticmethod
+    def _session_insert(st: _ConvState, key: tuple, gap: int, sess: list | None = None) -> None:
+        """Interval-merge the point into the sorted disjoint session list."""
+        if sess is None:
+            sess = st.sessions
+        ts = key[0]
+        # find first session with start_key > key
+        lo, hi = 0, len(sess)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if sess[mid][0] <= key:
+                lo = mid + 1
+            else:
+                hi = mid
+        i = lo  # sessions[i-1].start <= key < sessions[i].start
+        joined = None
+        if i > 0 and ts - sess[i - 1][1][0] <= gap:
+            s = sess[i - 1]
+            s[2] += 1
+            if key > s[1]:
+                s[1] = key
+            if key < s[0]:
+                s[0] = key
+            joined = i - 1
+        if i < len(sess) and sess[i][0][0] - ts <= gap:
+            if joined is not None:
+                # bridge: merge session i into i-1
+                a, b = sess[joined], sess[i]
+                a[1] = max(a[1], b[1])
+                a[2] += b[2]
+                del sess[i]
+            else:
+                s = sess[i]
+                s[2] += 1
+                if key < s[0]:
+                    s[0] = key
+                if key > s[1]:
+                    s[1] = key
+                joined = i
+        if joined is None:
+            sess.insert(i, [key, key, 1])
+
+    # --- emission -------------------------------------------------------------
+
+    def _emission_pass(self, touched: set[str]) -> dict[str, list]:
+        wm = self.wm
+        out: dict[str, list] = {"tumbling": [], "sliding": [], "sessions": [], "joins": []}
+        due = [c for c, dl in self.pending.items() if dl <= wm]
+        for conv in due if not touched else set(due) | touched:
+            st = self.convs.get(conv)
+            if st is None:
+                self.pending.pop(conv, None)
+                continue
+            dl = self.pending.get(conv, POS_INF)
+            if dl > wm:
+                continue  # touched but nothing can emit yet; deadline is a lower bound
+            next_dl = self._emit_conv(conv, st, wm, out)
+            if not (st.tumbling or st.sliding or st.sessions or st.tools or st.assistants):
+                del self.convs[conv]
+                self.pending.pop(conv, None)
+            elif next_dl >= POS_INF:
+                self.pending.pop(conv, None)
+            else:
+                self.pending[conv] = next_dl
+        return out
+
+    def _emit_conv(self, conv: str, st: _ConvState, wm: int, out: dict) -> int:
+        cfg = self.cfg
+        next_dl = POS_INF
+
+        # tumbling / sliding: pop closed windows
+        for kind, size in (("tumbling", cfg.tumbling_size_us), ("sliding", cfg.sliding_size_us)):
+            d = st.tumbling if kind == "tumbling" else st.sliding
+            if d:
+                closed = [w for w in d if w + size <= wm]
+                for w in closed:
+                    agg = d.pop(w)
+                    out[kind].append(
+                        (
+                            conv, w, w + size,
+                            agg[0], agg[1], agg[2], agg[3],
+                            agg[4][2], agg[5][2], agg[4][0], agg[5][0],
+                        )
+                    )
+                if d:
+                    next_dl = min(next_dl, min(d) + size)
+
+        # sessions: closable prefix (disjointness ⇒ earlier sessions close first)
+        gap = cfg.session_gap_us
+        sess = st.sessions
+        n_close = 0
+        for s in sess:
+            if s[1][0] + gap < wm:
+                n_close += 1
+            else:
+                break
+        for s in sess[:n_close]:
+            out["sessions"].append(
+                (
+                    conv, st.session_count, s[0][0], s[1][0],
+                    s[2], s[0][2], s[1][2],
+                )
+            )
+            st.session_count += 1
+        if n_close:
+            del sess[:n_close]
+        if sess:
+            next_dl = min(next_dl, sess[0][1][0] + gap + 1)
+
+        # joins: resolve tools past deadline (heap order = deadline order =
+        # ts order; output re-sorted by (conv, tool_turn_idx) at write)
+        bound = cfg.join_bound_us
+        tools = st.tools
+        assistants = st.assistants
+        while tools and tools[0][0] <= wm:
+            deadline, t_ts, t_turn, t_tool, t_text = heapq.heappop(tools)
+            match = None
+            i = bisect_left(assistants, (t_ts,))
+            while i < len(assistants):
+                a = assistants[i]
+                if a[0] > t_ts + bound:
+                    break
+                if a[1] > t_turn:
+                    match = a
+                    break
+                i += 1
+            out["joins"].append(
+                (
+                    conv, t_turn, t_tool, t_text, t_ts,
+                    match[1] if match else None,
+                    match[2] if match else None,
+                    match[0] if match else None,
+                    match is not None,
+                )
+            )
+        if tools:
+            next_dl = min(next_dl, tools[0][0])
+
+        # prune assistants that no pending tool can ever match
+        if assistants:
+            cut = wm - bound
+            if cut > NEG_INF:
+                i = bisect_right(assistants, (cut,))
+                if i:
+                    del assistants[:i]
+
+        return next_dl
+
+    # --- output ---------------------------------------------------------------
+
+    def _write_stream(self, table: pa.Table, stream: str, epoch: int):
+        if table is None or table.num_rows == 0:
+            return None
+        return write_part_file(table, self.out_dir, stream, self.partition, epoch)
+
+
+def _rows_to_table(rows: list[tuple], schema: pa.Schema) -> pa.Table:
+    cols = list(zip(*rows))
+    arrays = []
+    for i, f in enumerate(schema):
+        if pa.types.is_timestamp(f.type):
+            arrays.append(pa.array(cols[i], type=pa.int64()).cast(f.type))
+        else:
+            arrays.append(pa.array(cols[i], type=f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def _empty_turns_table() -> pa.Table:
+    from ..schema import TRANSCRIPT_SCHEMA, with_lineage
+
+    return with_lineage(TRANSCRIPT_SCHEMA).empty_table()

@@ -1,0 +1,127 @@
+"""Functions library tests: dedup family with planted duplicates, similarity
+search vs a numpy ground truth, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def doc_dir(tmp_path_factory):
+    """documents.parquet with planted exact + near duplicates."""
+    d = tmp_path_factory.mktemp("docs")
+    rng = np.random.default_rng(3)
+    vocab = np.array("alpha beta gamma delta epsilon zeta eta theta".split())
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(40)]
+    texts[10] = texts[0]  # exact dup of 0
+    texts[11] = texts[1]  # exact dup of 1
+    words2 = texts[2].split()
+    words2[5] = "CHANGED"
+    texts[12] = " ".join(words2)  # near dup of 2
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(40), type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 40,
+            "source": ["synthetic"] * 40,
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def emb_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("emb")
+    rng = np.random.default_rng(4)
+    mat = rng.standard_normal((50, 16)).astype(np.float32)
+    mat[20] = mat[5] + 0.001 * rng.standard_normal(16).astype(np.float32)  # near dup
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(50), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], type=pa.list_(pa.float32())),
+            "label": pa.array(rng.integers(0, 3, 50), type=pa.int32()),
+        }
+    )
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    return str(d), mat
+
+
+def test_exact_dedup_drops_planted_dups(ray_session, doc_dir):
+    from quanta_ray.functions.dedup import dedup_exact
+
+    out = dedup_exact(doc_dir)
+    ids = out.column("doc_id").to_pylist()
+    assert 0 in ids and 10 not in ids
+    assert 1 in ids and 11 not in ids
+    assert len(ids) == 38
+
+
+def test_minhash_lsh_finds_near_dup(ray_session, doc_dir):
+    from quanta_ray.functions.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(doc_dir, jaccard_threshold=0.5)
+    got = {(a, b) for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist())}
+    assert (0, 10) in got  # exact dup: jaccard 1.0
+    assert (1, 11) in got
+    assert (2, 12) in got  # near dup
+
+
+def test_simhash_near_dups(ray_session, doc_dir):
+    from quanta_ray.functions.dedup import simhash_near_dups
+
+    pairs = simhash_near_dups(doc_dir, max_hamming=10)
+    got = {(a, b) for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist())}
+    assert (0, 10) in got and (1, 11) in got
+
+
+def test_knn_bruteforce_matches_numpy(ray_session, emb_dir):
+    from quanta_ray.functions.simsearch import knn_bruteforce
+
+    d, mat = emb_dir
+    out = knn_bruteforce(d, query_ids=(5,), k=3)
+    rows = out.to_pylist()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    # ground truth in numpy
+    m = mat.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m[5]
+    sims[5] = -np.inf
+    top = np.argsort(-sims)[:3]
+    assert [r["neighbor_id"] for r in rows] == top.tolist()
+    assert rows[0]["neighbor_id"] == 20  # planted near-identical vector
+
+
+def test_near_dup_cosine_finds_planted(ray_session, emb_dir):
+    from quanta_ray.functions.simsearch import near_dup_cosine
+
+    d, _ = emb_dir
+    pairs = near_dup_cosine(d, threshold=0.99)
+    got = {(a, b) for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist())}
+    assert (5, 20) in got
+
+
+def test_media_plumbing(ray_session):
+    from quanta_ray.functions.multimodal import (
+        FrameSampler,
+        MediaFeatureExtractor,
+        media_features,
+        synthesize_media_table,
+    )
+
+    out = media_features()
+    assert out.num_rows == 64
+    assert out.column("features").type.list_size == 16
+    # deterministic across runs
+    out2 = media_features()
+    assert out.equals(out2)
+    # frame sampler fans out only videos
+    t = synthesize_media_table(16)
+    frames = FrameSampler()(t)
+    kinds = t.column("kind").to_pylist()
+    assert (frames.num_rows > 0) == ("video" in kinds)
+    # real decode mode is an explicit stub
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(mode="real")

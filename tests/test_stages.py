@@ -1,0 +1,125 @@
+"""Reference-semantics stage tests, mirroring the reference's runner tests
+(``/root/reference/internal/pipeline/runner_test.go:69-142``): OK forwards,
+DROP discards, ERROR-then-OK retries exactly once, fan-out doubles rows.
+Both execution paths (vectorized batch / per-row oracle) must agree."""
+
+import pyarrow as pa
+import pytest
+
+from quanta_ray.config import RetryPolicy, SpecError, StageSpec, load_spec
+from quanta_ray.stages import (
+    DropRoleStage,
+    ErrorThenOKStage,
+    FanoutStage,
+    NormalizeStage,
+    RetryingStage,
+    UppercaseStage,
+    apply_chain_batch,
+    build_chain,
+)
+
+
+def _batch() -> pa.Table:
+    return pa.table(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": pa.array([0, 1, 0], type=pa.int32()),
+            "role": ["user", "tool", "assistant"],
+            "text": ["hello", "run ls", "hi there"],
+            "tool": ["", "bash", ""],
+            "ts": pa.array([1, 2, 3], type=pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+
+
+def _rows(t: pa.Table) -> list[dict]:
+    return t.to_pylist()
+
+
+def test_ok_forwards_payload_preserved():
+    # runner_test.go:69-87 — OK status forwards the frame, payload preserved
+    st = RetryingStage(NormalizeStage())
+    out = st.transform_batch(_batch())
+    assert out.num_rows == 3
+    assert out.column("text").to_pylist() == ["hello", "run ls", "hi there"]
+    assert out.column("text_norm").to_pylist() == ["HELLO", "RUN LS", "HI THERE"]
+
+
+def test_drop_discards():
+    # runner_test.go:89-104 — DROP → zero frames forwarded for matches
+    st = RetryingStage(DropRoleStage(role="tool"))
+    out = st.transform_batch(_batch())
+    assert out.num_rows == 2
+    assert "tool" not in out.column("role").to_pylist()
+    assert st.apply_row({"role": "tool"}) is None
+
+
+def test_error_then_ok_retries_once():
+    # runner_test.go:106-122 — ERROR then OK with retries → exactly one output
+    st = RetryingStage(ErrorThenOKStage(fail_times=1), RetryPolicy(attempts=2))
+    out = st.transform_batch(_batch())
+    assert out.num_rows == 3
+    assert st.dropped_after_retries == 0
+
+
+def test_retries_exhausted_drops_batch():
+    # retry exhaustion → drop + count ("drop+ack", reference CONFIGS.md:95)
+    st = RetryingStage(ErrorThenOKStage(fail_times=5), RetryPolicy(attempts=2))
+    out = st.transform_batch(_batch())
+    assert out.num_rows == 0
+    assert st.dropped_after_retries == 3
+
+
+def test_fanout_doubles_rows():
+    # runner_test.go:124-142 — two-stage chain, fan-out 1→2
+    chain = [RetryingStage(FanoutStage(n=2)), RetryingStage(NormalizeStage())]
+    out = apply_chain_batch(chain, _batch())
+    assert out.num_rows == 6
+    # fan-out descendants inherit source row values (lineage analog)
+    assert out.column("conv_id").to_pylist() == ["c1", "c1", "c1", "c1", "c2", "c2"]
+
+
+def test_batch_and_row_paths_agree():
+    for stage in (NormalizeStage(), UppercaseStage(), DropRoleStage("tool"), FanoutStage(2)):
+        batch_out = stage.transform_batch(_batch())
+        row_out = []
+        for r in _rows(_batch()):
+            got = stage.apply_row(r)
+            if got:
+                row_out.extend(got)
+        assert batch_out.num_rows == len(row_out), stage.name
+        for col in batch_out.column_names:
+            assert batch_out.column(col).to_pylist() == [r.get(col) for r in row_out], (
+                f"{stage.name}.{col}"
+            )
+
+
+def test_spec_schema_version_enforced():
+    # pipeline_test.go:39-53 — unsupported schema_version rejected
+    with pytest.raises(SpecError):
+        load_spec({"schema_version": "v999"})
+    assert load_spec({"schema_version": "v1"}).schema_version == "v1"
+
+
+def test_unknown_transformer_rejected():
+    # compiler.go:64-66 — unsupported transformer type is a compile error
+    with pytest.raises(ValueError, match="unknown transformer"):
+        build_chain([StageSpec(name="not-a-stage")])
+
+
+def test_unknown_source_and_sink_rejected():
+    with pytest.raises(SpecError, match="source kind"):
+        load_spec({"source": {"kind": "kafka"}})
+    with pytest.raises(SpecError, match="sink kind"):
+        load_spec({"sink": {"kind": "elastic"}})
+
+
+def test_env_overlay(monkeypatch):
+    # config.go:60 — env overrides overlay the file config
+    from quanta_ray.config import _env_overlay
+
+    monkeypatch.setenv("QUANTA_RAY__CEP__NUM_PARTITIONS", "17")
+    d = _env_overlay({"cep": {}})
+    assert d["cep"]["num_partitions"] == 17
+    spec = load_spec(d)
+    assert spec.cep.num_partitions == 17

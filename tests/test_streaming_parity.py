@@ -91,16 +91,19 @@ def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
 
     files, _ = small_stream
     cfg = CEPConfig(num_partitions=3)
+    # checkpoint_every=2 exercises the restore-then-replay resume path
+    # (crash after epoch 2 → state restored from epoch 1, epoch 2 replayed)
     spec = PipelineSpec(
         source=SourceSpec(paths=tuple(files)),
         transformers=(StageSpec(name="normalize"),),
         cep=cfg,
+        checkpoint_every=2,
     )
     full_dir = str(tmp_path_factory.mktemp("full_run"))
     StreamingRunner(spec, full_dir).run()
 
     resumed_dir = str(tmp_path_factory.mktemp("resumed_run"))
-    r1 = StreamingRunner(spec, resumed_dir).run(stop_after_epoch=1)
+    r1 = StreamingRunner(spec, resumed_dir).run(stop_after_epoch=2)
     assert r1["status"] == "stopped"
     r2 = StreamingRunner(spec, resumed_dir).run()
     assert r2["status"] == "complete"

@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_dedup_exact": batch_cep.dedup_exact,
         "ev_topk_users": batch_cep.topk_users,
         "ev_filter_project_upper": batch_cep.filter_project_upper,
+        "ev_type_hourly_stats": batch_cep.type_hourly_stats,
+        "ev_distinct_users": batch_cep.distinct_users_per_type,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_cep,
         # --- relational stage library ---
@@ -74,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_revenue_by_nation": relational.revenue_by_nation,
         "rel_revenue_by_orderpriority": relational.revenue_by_orderpriority,
         "rel_orders_of_top_customers": relational.orders_of_top_customers,
+        "rel_orders_by_month": relational.orders_by_month,
+        "rel_shipped_qty_by_flag": relational.shipped_qty_by_flag,
+        "rel_top_parts_by_price": relational.top_parts_by_price,
         # --- text analysis ---
         "doc_token_counts": text.token_counts,
         "doc_quality_scores": text.quality_scores,
@@ -105,6 +110,11 @@ def oracle_sql() -> dict[str, str]:
         "ev_dedup_exact": batch_cep.DEDUP_EXACT_SQL,
         "ev_topk_users": batch_cep.TOPK_USERS_SQL,
         "ev_filter_project_upper": batch_cep.FILTER_PROJECT_SQL,
+        "ev_type_hourly_stats": batch_cep.TYPE_HOURLY_SQL,
+        "ev_distinct_users": batch_cep.DISTINCT_USERS_SQL,
+        "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
+        "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
+        "rel_top_parts_by_price": relational.TOP_PARTS_SQL,
         "rel_pricing_summary": relational.PRICING_SUMMARY_SQL,
         "rel_revenue_by_nation": relational.REVENUE_BY_NATION_SQL,
         "rel_revenue_by_orderpriority": relational.REVENUE_BY_ORDERPRIORITY_SQL,

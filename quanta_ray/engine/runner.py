@@ -47,7 +47,7 @@ import ray
 from ..config import PipelineSpec
 from ..sources.stream import list_epoch_files, precompute_watermarks
 from ..stages.base import apply_chain_batch, build_chain
-from .worker import PartitionWorkerImpl, _limit_native_threads
+from .worker import MultiPartitionWorker, _limit_native_threads
 from ..state.checkpoint import (
     latest_committed_epoch,
     read_manifest,
@@ -71,16 +71,38 @@ def partition_ids(conv_ids: np.ndarray, num_partitions: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def _read_split_impl(
-    path: str, epoch: int, wm_prev: int, spec: PipelineSpec, out_dir: str | None
-) -> list[Any]:
+def _write_turns_impl(out_dir: str, epoch: int, *parts: pa.Table) -> dict | None:
+    """Write the pass-through "turns" stream: one sorted file per epoch.
+
+    A separate task so the (compressing) write overlaps with the stateful
+    actors instead of delaying their dispatch."""
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     from ..sinks.exactly_once import write_part_file
 
     _limit_native_threads()
+    table = pa.concat_tables([p for p in parts if p.num_rows])
+    if table.num_rows == 0:
+        return None
+    idx = pc.sort_indices(
+        table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    return write_part_file(table.take(idx), out_dir, "turns", 0, epoch)
 
+
+_write_turns = ray.remote(_write_turns_impl)
+
+
+def _read_split_impl(
+    path: str, epoch: int, wm_prev: int, spec: PipelineSpec
+) -> list[Any]:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    _limit_native_threads()
+    import time as _time
+
+    t0 = _time.perf_counter()
     P = spec.cep.num_partitions
     table = pq.read_table(path)
     n_input = table.num_rows
@@ -97,15 +119,6 @@ def _read_split_impl(
     chain = build_chain(spec.transformers)
     table = apply_chain_batch(chain, table)
     n_out = table.num_rows
-    # the pass-through "turns" stream is epoch-complete before partitioning →
-    # write it HERE as one large sequential file per epoch instead of P tiny
-    # per-partition files (same deterministic content, sorted)
-    turns_entry = None
-    if out_dir is not None and n_out:
-        idx = pc.sort_indices(
-            table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
-        )
-        turns_entry = write_part_file(table.take(idx), out_dir, "turns", 0, epoch)
     # hash partition on conv_id
     conv = np.asarray(table.column("conv_id").to_pandas(), dtype=object)
     part = partition_ids(conv, P)
@@ -119,7 +132,7 @@ def _read_split_impl(
         "n_stage_dropped": int(
             sum(getattr(s, "dropped_after_retries", 0) for s in chain)
         ),
-        "turns_entry": turns_entry,
+        "t_read_split": round(_time.perf_counter() - t0, 4),
     }
     out: list[Any] = [stats]
     for p in range(P):
@@ -135,7 +148,25 @@ _read_split = ray.remote(_read_split_impl)
 # reduce side: per-partition stateful CEP worker (see worker.py)
 # --------------------------------------------------------------------------
 
-PartitionWorker = ray.remote(PartitionWorkerImpl)
+# Each worker PROCESS hosts several logical partitions and reserves one CPU
+# slot — the slots model: partition count P is fixed by the job, worker count
+# scales with the cluster, and the num_cpus=1 reservation makes
+# ``ray.init(num_cpus=N)`` a REAL parallelism bound (a 0-cpu actor would run
+# unthrottled on every physical core and fake any scaling measurement).
+PartitionWorker = ray.remote(num_cpus=1)(MultiPartitionWorker)
+
+
+def plan_worker_slots(P: int, cpus: int | None = None) -> list[list[int]]:
+    """partition → worker-process assignment: M = cpus − reserve slots for
+    the map/write tasks, capped at P; deterministic round-robin."""
+    if cpus is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    reserve = max(2, cpus // 4)
+    target = max(1, min(P, cpus - reserve))
+    # prefer an M that divides P: unequal partitions-per-worker makes the
+    # heavier workers 2x stragglers on every epoch
+    M = next((m for m in range(target, 0, -1) if P % m == 0), 1)
+    return [[p for p in range(P) if p % M == m] for m in range(M)]
 
 
 # --------------------------------------------------------------------------
@@ -157,6 +188,22 @@ class StreamingRunner:
         self.files = list_epoch_files(spec.source.paths)
         if not self.files:
             raise ValueError("source has no files")
+        self._workers: list[Any] | None = None
+        self._assign: list[list[int]] | None = None
+
+    def prepare_workers(self) -> None:
+        """Create + warm the worker actors (process spawn and imports happen
+        here). Call before ``run()`` to measure sustained throughput without
+        actor cold-start; ``run()`` calls it lazily."""
+        if self._workers is None:
+            P = self.spec.cep.num_partitions
+            os.makedirs(self.out_dir, exist_ok=True)
+            self._assign = plan_worker_slots(P)
+            self._workers = [
+                PartitionWorker.remote(pids, self.spec.cep, self.out_dir)
+                for pids in self._assign
+            ]
+            ray.get([w.ping.remote() for w in self._workers])
 
     def run(self, stop_after_epoch: int | None = None) -> dict[str, Any]:
         spec, cfg = self.spec, self.spec.cep
@@ -174,9 +221,10 @@ class StreamingRunner:
         start_epoch = latest + 1
         ckpt_every = max(1, spec.checkpoint_every)
 
-        workers = [
-            PartitionWorker.remote(p, cfg, self.out_dir) for p in range(P)
-        ]
+        self.prepare_workers()
+        workers, assign = self._workers, self._assign
+        assert workers is not None
+        M = len(workers)
         resumed_ckpt_epoch: int | None = None
         if latest >= 0:
             m = read_manifest(self.out_dir, latest)
@@ -196,20 +244,26 @@ class StreamingRunner:
             assert len(per_part) == P, "missing partition checkpoints for resume"
             resumed_ckpt_epoch = m.get("last_checkpoint_epoch", latest)
             ray.get(
-                [workers[p].restore.remote(per_part[p]["path"]) for p in range(P)]
+                [
+                    workers[mi].restore.remote(
+                        {p: per_part[p]["path"] for p in assign[mi]}
+                    )
+                    for mi in range(M)
+                ]
             )
             replay_from = min(c["epoch"] for c in per_part.values()) + 1
             for e in range(replay_from, latest + 1):
                 wm_prev = wms[e - 1] if e > 0 else NEG_INF
                 refs = _read_split.options(num_returns=P + 1).remote(
-                    files[e], e, wm_prev, spec, None
+                    files[e], e, wm_prev, spec
                 )
                 ray.get(
                     [
-                        workers[p].process_epoch.remote(
-                            e, wms[e], refs[1 + p], False, False
+                        workers[mi].process_epoch.remote(
+                            e, wms[e], [], False,
+                            *[refs[1 + p] for p in assign[mi]],
                         )
-                        for p in range(P)
+                        for mi in range(M)
                     ]
                 )
 
@@ -225,16 +279,21 @@ class StreamingRunner:
         e2e = spec.sink.commit_mode != "auto"
 
         def commit(epoch: int) -> None:
-            stats_ref, result_refs = inflight.pop(epoch)
+            import time as _time
+
+            t_c0 = _time.perf_counter()
+            stats_ref, result_refs, turns_ref = inflight.pop(epoch)
             stats = ray.get(stats_ref) if stats_ref is not None else {}
             results = ray.get(result_refs)
+            turns_entry = ray.get(turns_ref) if turns_ref is not None else None
+            if stats is not None:
+                stats["t_commit_wait"] = round(_time.perf_counter() - t_c0, 4)
             if not e2e:
                 summary_metrics.append({"epoch": epoch, **stats})
                 return
-            checkpoints = [r["checkpoint"] for r in results if r["checkpoint"]]
+            checkpoints = [c for r in results for c in r["checkpoints"]]
             if checkpoints:
                 last_ckpt_epoch["v"] = epoch
-            turns_entry = stats.pop("turns_entry", None) if stats else None
             manifest = {
                 "pipeline_id": spec.pipeline_id,
                 "num_partitions": P,
@@ -245,7 +304,7 @@ class StreamingRunner:
                 + [f for r in results for f in r["files"]],
                 "checkpoints": checkpoints,
                 "last_checkpoint_epoch": last_ckpt_epoch["v"],
-                "metrics": [r["metrics"] for r in results],
+                "metrics": [pm for r in results for pm in r["metrics"]],
             }
             write_manifest(self.out_dir, epoch, manifest)
             summary_metrics.append(
@@ -256,21 +315,28 @@ class StreamingRunner:
         for e in range(start_epoch, n_epochs):
             wm_prev = wms[e - 1] if e > 0 else NEG_INF
             refs = _read_split.options(num_returns=P + 1).remote(
-                files[e], e, wm_prev, spec, self.out_dir
+                files[e], e, wm_prev, spec
             )
             stats_ref, parts = refs[0], refs[1:]
+            turns_ref = _write_turns.remote(self.out_dir, e, *parts)
             # stagger checkpoints across partitions so the pickle+write I/O
             # spreads over epochs instead of spiking every K-th epoch
             res = [
-                workers[p].process_epoch.remote(
+                workers[mi].process_epoch.remote(
                     e,
                     wms[e],
-                    parts[p],
-                    e2e and ((e + 1 + p) % ckpt_every == 0 or e == n_epochs - 1),
+                    [
+                        p
+                        for p in assign[mi]
+                        if e2e
+                        and ((e + 1 + p) % ckpt_every == 0 or e == n_epochs - 1)
+                    ],
+                    True,
+                    *[parts[p] for p in assign[mi]],
                 )
-                for p in range(P)
+                for mi in range(M)
             ]
-            inflight[e] = (stats_ref, res)
+            inflight[e] = (stats_ref, res, turns_ref)
             last_dispatched = e
             while len(inflight) >= max_inflight:
                 commit(min(inflight))
@@ -284,8 +350,8 @@ class StreamingRunner:
             return {"status": "stopped", "committed_through": last_dispatched}
 
         # final flush epoch (wm → +inf)
-        res = [workers[p].finish.remote(final_epoch, e2e) for p in range(P)]
-        inflight[final_epoch] = (None, res)
+        res = [workers[mi].finish.remote(final_epoch, e2e) for mi in range(M)]
+        inflight[final_epoch] = (None, res, None)
         commit(final_epoch)
         return {
             "status": "complete",

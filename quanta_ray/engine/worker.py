@@ -151,8 +151,13 @@ class PartitionWorkerImpl:
             "pending": self.pending,
         }
         tmp = path + f".tmp-{os.getpid()}"
+        raw = pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
+        if len(raw) > 4096:  # text-heavy state compresses ~5x; disk is scarce
+            import zlib
+
+            raw = b"QZC1" + zlib.compress(raw, 1)
         with open(tmp, "wb") as f:
-            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+            f.write(raw)
         os.replace(tmp, path)
         return {
             "partition": self.partition,
@@ -162,7 +167,12 @@ class PartitionWorkerImpl:
 
     def restore(self, checkpoint_rel_path: str) -> None:
         with open(os.path.join(self.out_dir, checkpoint_rel_path), "rb") as f:
-            payload = pickle.load(f)
+            raw = f.read()
+        if raw[:4] == b"QZC1":
+            import zlib
+
+            raw = zlib.decompress(raw[4:])
+        payload = pickle.loads(raw)
         assert payload["partition"] == self.partition
         self.wm = payload["wm"]
         self.last_epoch = payload.get("epoch", -1)
@@ -567,3 +577,57 @@ def _empty_turns_table() -> pa.Table:
     from ..schema import TRANSCRIPT_SCHEMA, with_lineage
 
     return with_lineage(TRANSCRIPT_SCHEMA).empty_table()
+
+
+class MultiPartitionWorker:
+    """One worker PROCESS hosting several logical partitions (the slots
+    model of real clusters: partition count P is fixed by the job, worker
+    processes scale with the cluster; each Ray actor reserves ``num_cpus=1``
+    so ``ray.init(num_cpus=N)`` genuinely bounds reduce-stage parallelism —
+    actors with default 0-cpu reservation would run unthrottled on every
+    physical core and fake any scaling measurement).
+
+    State, checkpoints and output files stay PER PARTITION, so a resumed run
+    may use a different worker count over the same partition layout.
+    """
+
+    def __init__(self, partition_ids: list[int], cfg, out_dir: str):
+        _limit_native_threads()
+        self.impls = {p: PartitionWorkerImpl(p, cfg, out_dir) for p in partition_ids}
+        self.pids = list(partition_ids)
+
+    def process_epoch(
+        self,
+        epoch: int,
+        wm: int,
+        do_checkpoint_pids: list[int],
+        write_outputs: bool,
+        *tables: pa.Table,
+    ) -> dict:
+        files, ckpts, metrics = [], [], []
+        for pid, table in zip(self.pids, tables):
+            r = self.impls[pid].process_epoch(
+                epoch, wm, table, pid in do_checkpoint_pids, write_outputs
+            )
+            files.extend(r["files"])
+            if r["checkpoint"]:
+                ckpts.append(r["checkpoint"])
+            metrics.append(r["metrics"])
+        return {"files": files, "checkpoints": ckpts, "metrics": metrics}
+
+    def finish(self, epoch: int, do_checkpoint: bool = True) -> dict:
+        files, ckpts, metrics = [], [], []
+        for pid in self.pids:
+            r = self.impls[pid].finish(epoch, do_checkpoint)
+            files.extend(r["files"])
+            if r["checkpoint"]:
+                ckpts.append(r["checkpoint"])
+            metrics.append(r["metrics"])
+        return {"files": files, "checkpoints": ckpts, "metrics": metrics}
+
+    def restore(self, by_pid: dict[int, str]) -> None:
+        for pid, rel in by_pid.items():
+            self.impls[pid].restore(rel)
+
+    def ping(self) -> bool:
+        return True

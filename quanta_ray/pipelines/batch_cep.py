@@ -420,3 +420,91 @@ def _concat(ds: rd.Dataset) -> pa.Table:
         return pa.table({})
     t = pa.concat_tables(tables, promote_options="default")
     return t.combine_chunks()
+
+
+# --- additional SQL-checkable operators --------------------------------------
+
+
+def type_hourly_stats(sf_dir: str) -> pa.Table:
+    """Per (event_type, hour): count + avg/min/max value — the windowed
+    aggregate shape over a low-cardinality key (pre-aggregated partials)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_numpy(),
+                "w_start_us": _w_start_us(ts, HOUR_US),
+                "value": batch.column("value").to_numpy(),
+            }
+        )
+        g = df.groupby(["event_type", "w_start_us"], as_index=False).agg(
+            n=("value", "size"),
+            sum_value=("value", "sum"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = (
+        _events(sf_dir, ["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "w_start_us"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value", alias_name="sum_value"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value"),
+        )
+    )
+    t = _concat(out)
+    avg = pc.round(pc.divide(t.column("sum_value"), pc.cast(t.column("n"), pa.float64())), 6)
+    return pa.Table.from_arrays(
+        [
+            t.column("event_type"),
+            t.column("w_start_us").cast(pa.int64()).cast(pa.timestamp("us")),
+            t.column("n").cast(pa.int64()),
+            avg,
+            pc.round(t.column("min_value"), 6),
+            pc.round(t.column("max_value"), 6),
+        ],
+        names=["event_type", "w_start", "n", "avg_value", "min_value", "max_value"],
+    )
+
+
+TYPE_HOURLY_SQL = """
+SELECT event_type,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start,
+       count(*) AS n,
+       round(sum(value) / count(*), 6) AS avg_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def distinct_users_per_type(sf_dir: str) -> pa.Table:
+    """COUNT(DISTINCT ...) via two-level groupby: dedup on the pair key,
+    then count — both shuffles move only key pairs."""
+    from ray.data.aggregate import Count
+
+    pairs = (
+        _events(sf_dir, ["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    t = _concat(out)
+    return pa.Table.from_arrays(
+        [t.column("event_type"), t.column("n_users").cast(pa.int64())],
+        names=["event_type", "n_users"],
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""

@@ -286,3 +286,104 @@ FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
 ORDER BY o_orderkey
 """
+
+
+# --- additional SQL-checkable operators --------------------------------------
+
+
+def orders_by_month(sf_dir: str) -> pa.Table:
+    """Order count + revenue per calendar month (pandas Period per batch —
+    calendar arithmetic is not a fixed-size window)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        g = batch.groupby(m, as_index=False).agg(
+            n_orders=("o_orderkey", "size"), revenue=("o_totalprice", "sum")
+        )
+        g = g.rename(columns={"o_orderdate": "month"})
+        return g
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas", batch_size=131072)
+        .groupby("month")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue", alias_name="revenue"),
+        )
+    )
+    t = _concat(out)
+    return pa.Table.from_arrays(
+        [
+            t.column("month").cast(pa.timestamp("us")),
+            t.column("n_orders").cast(pa.int64()),
+            pc.round(t.column("revenue"), 4),
+        ],
+        names=["month", "n_orders", "revenue"],
+    )
+
+
+ORDERS_BY_MONTH_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+def shipped_qty_by_flag(sf_dir: str, before: str = "1997-01-01") -> pa.Table:
+    """Filter (predicate pushed to the parquet read) + grouped aggregate."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_shipdate"],
+        filter=(pads.field("l_shipdate") < pads.scalar(pd.Timestamp(before))),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("l_returnflag", as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), n=("l_quantity", "size")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("l_returnflag")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n", alias_name="n"))
+    )
+    t = _concat(out)
+    return pa.Table.from_arrays(
+        [
+            t.column("l_returnflag"),
+            pc.round(t.column("sum_qty"), 4),
+            t.column("n").cast(pa.int64()),
+        ],
+        names=["l_returnflag", "sum_qty", "n"],
+    )
+
+
+SHIPPED_QTY_SQL = """
+SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+def top_parts_by_price(sf_dir: str, k: int = 15) -> pa.Table:
+    """Global sort + limit (top-k)."""
+    out = (
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+        .sort(["p_retailprice", "p_partkey"], descending=[True, False])
+        .limit(k)
+    )
+    return _concat(out)
+
+
+TOP_PARTS_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15
+"""

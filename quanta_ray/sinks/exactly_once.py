@@ -56,7 +56,9 @@ def write_part_file(
     path = part_file_path(out_dir, stream, partition, epoch)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp-{os.getpid()}"
-    pq.write_table(table, tmp)
+    # zstd: transcript text compresses 5-10x — disk/network bytes are the
+    # scarce resource at scale (and the sandbox's single virtual disk)
+    pq.write_table(table, tmp, compression="zstd", compression_level=3)
     os.replace(tmp, path)
     return {
         "stream": stream,

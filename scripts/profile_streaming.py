@@ -50,8 +50,10 @@ for e in range(latest_committed_epoch(out_dir) + 1):
         for k in ("t_ingest", "t_emit", "t_write", "t_ckpt"):
             tot[k] = max(tot[k], pm.get(k, 0))  # critical path = slowest partition
             phase[k + "_sum"] += pm.get(k, 0)
+    ss = m.get("source_stats") or {}
     per_epoch.append({"epoch": e, **{k: round(v, 3) for k, v in tot.items()},
-                      "live_rows": max(pm.get("live_rows", 0) for pm in m["metrics"])})
+                      "t_read": ss.get("t_read_split"), "t_wait": ss.get("t_commit_wait"),
+                      "live_convs": max(pm.get("live_convs", 0) for pm in m["metrics"])})
 
 print(json.dumps({"wall": round(wall, 2), "turns_per_sec": round(n_turns / wall),
                   "ncpu": ncpu, "phase_sums": {k: round(v, 2) for k, v in phase.items()}}))

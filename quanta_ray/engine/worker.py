@@ -309,46 +309,113 @@ class PartitionWorkerImpl:
                     is_user[sel], is_assistant[sel], it[sel], "sliding", ssize,
                 )
 
-        # ---- sessions + join state: per-conv contiguous segments ----
+        # ---- sessions + join state: vectorized per-conv segments ----
+        # gap-cluster the NEW rows of each conv in numpy (one python op per
+        # cluster, not per row), then interval-merge each cluster into the
+        # session list; assistants/tools touch python only for their rows.
         n = len(ts)
         pend = self.pending
-        conv_bounds = np.append(
-            np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1]))), n
-        ).tolist()
-        ts_l = ts.tolist()
-        turn_l = turn.tolist()
-        text_l = text.tolist()
-        tool_l = tool.tolist()
-        af = is_assistant.astype(bool).tolist()
-        tf = is_tool.tolist()
-        session_insert = self._session_insert
-        for ci in range(len(conv_bounds) - 1):
-            s, e = conv_bounds[ci], conv_bounds[ci + 1]
-            conv = names[codes[s]]
+        # cluster breaks: same conv AND within gap of previous row
+        brk = np.concatenate(
+            ([True], (codes[1:] != codes[:-1]) | (np.diff(ts) > gap))
+        )
+        cl_starts = np.flatnonzero(brk)
+        cl_ends = np.append(cl_starts[1:], n) - 1
+        cl_s_list = cl_starts.tolist()
+        cl_e_list = cl_ends.tolist()
+        ts_s, ts_e = ts[cl_starts].tolist(), ts[cl_ends].tolist()
+        turn_s, turn_e = turn[cl_starts].tolist(), turn[cl_ends].tolist()
+        text_s, text_e = text[cl_starts].tolist(), text[cl_ends].tolist()
+        code_s = codes[cl_starts].tolist()
+        for gi in range(len(cl_s_list)):
+            conv = names[code_s[gi]]
             st = convs[conv]
-            assistants = st.assistants
-            tools = st.tools
-            sessions = st.sessions
-            dl = pend.get(conv, POS_INF)
-            for i in range(s, e):
-                ts_i = ts_l[i]
-                key = (ts_i, turn_l[i], text_l[i])
-                session_insert(st, key, gap, sessions)
-                cand = ts_i + gap + 1
-                if af[i]:
-                    insort(assistants, key)
-                elif tf[i]:
-                    deadline = ts_i + bound
-                    heapq.heappush(
-                        tools, (deadline, ts_i, turn_l[i], tool_l[i], text_l[i])
-                    )
-                    if deadline < cand:
-                        cand = deadline
-                if cand < dl:
-                    dl = cand
-            pend[conv] = dl
+            skey = (ts_s[gi], turn_s[gi], text_s[gi])
+            ekey = (ts_e[gi], turn_e[gi], text_e[gi])
+            self._session_insert_cluster(
+                st.sessions, skey, ekey, cl_e_list[gi] - cl_s_list[gi] + 1, gap
+            )
+            cand = ts_s[gi] + gap + 1
+            if cand < pend.get(conv, POS_INF):
+                pend[conv] = cand
+
+        a_idx = np.flatnonzero(is_assistant)
+        if len(a_idx):
+            a_ts = ts[a_idx].tolist()
+            a_turn = turn[a_idx].tolist()
+            a_text = text[a_idx].tolist()
+            a_code = codes[a_idx].tolist()
+            for i in range(len(a_ts)):
+                insort(convs[names[a_code[i]]].assistants, (a_ts[i], a_turn[i], a_text[i]))
+
+        t_idx = np.flatnonzero(is_tool)
+        if len(t_idx):
+            t_ts = ts[t_idx].tolist()
+            t_turn = turn[t_idx].tolist()
+            t_text = text[t_idx].tolist()
+            t_tool = tool[t_idx].tolist()
+            t_code = codes[t_idx].tolist()
+            for i in range(len(t_ts)):
+                conv = names[t_code[i]]
+                st = convs[conv]
+                deadline = t_ts[i] + bound
+                heapq.heappush(
+                    st.tools, (deadline, t_ts[i], t_turn[i], t_tool[i], t_text[i])
+                )
+                if deadline < pend.get(conv, POS_INF):
+                    pend[conv] = deadline
 
         return touched
+
+    @staticmethod
+    def _session_insert_cluster(
+        sess: list, skey: tuple, ekey: tuple, count: int, gap: int
+    ) -> None:
+        """Interval-merge a pre-clustered run of rows (internal gaps ≤ gap)
+        into the sorted disjoint session list. A cluster can bridge at most
+        one session on its left but arbitrarily many on its right (any
+        session starting within ``cluster_end + gap`` chains through the
+        cluster's ≤gap-spaced points)."""
+        cs, ce = skey[0], ekey[0]
+        lo, hi = 0, len(sess)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if sess[mid][0] <= skey:
+                lo = mid + 1
+            else:
+                hi = mid
+        i = lo  # sess[i-1].start_key <= skey < sess[i].start_key
+        # absorb right neighbors chained through the cluster
+        j = i
+        while j < len(sess) and sess[j][0][0] - ce <= gap:
+            j += 1
+        merge_left = i > 0 and cs - sess[i - 1][1][0] <= gap
+        if merge_left:
+            tgt = sess[i - 1]
+            if skey < tgt[0]:
+                tgt[0] = skey
+            if ekey > tgt[1]:
+                tgt[1] = ekey
+            tgt[2] += count
+            for k in range(i, j):
+                if sess[k][1] > tgt[1]:
+                    tgt[1] = sess[k][1]
+                tgt[2] += sess[k][2]
+            del sess[i:j]
+        elif j > i:
+            tgt = sess[i]
+            if skey < tgt[0]:
+                tgt[0] = skey
+            if ekey > tgt[1]:
+                tgt[1] = ekey
+            tgt[2] += count
+            for k in range(i + 1, j):
+                if sess[k][1] > tgt[1]:
+                    tgt[1] = sess[k][1]
+                tgt[2] += sess[k][2]
+            del sess[i + 1 : j]
+        else:
+            sess.insert(i, [skey, ekey, count])
 
     def _merge_window_partials(
         self,
@@ -405,48 +472,6 @@ class PartitionWorkerImpl:
             dl = wv + size
             if dl < pend.get(conv, POS_INF):
                 pend[conv] = dl
-
-    @staticmethod
-    def _session_insert(st: _ConvState, key: tuple, gap: int, sess: list | None = None) -> None:
-        """Interval-merge the point into the sorted disjoint session list."""
-        if sess is None:
-            sess = st.sessions
-        ts = key[0]
-        # find first session with start_key > key
-        lo, hi = 0, len(sess)
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if sess[mid][0] <= key:
-                lo = mid + 1
-            else:
-                hi = mid
-        i = lo  # sessions[i-1].start <= key < sessions[i].start
-        joined = None
-        if i > 0 and ts - sess[i - 1][1][0] <= gap:
-            s = sess[i - 1]
-            s[2] += 1
-            if key > s[1]:
-                s[1] = key
-            if key < s[0]:
-                s[0] = key
-            joined = i - 1
-        if i < len(sess) and sess[i][0][0] - ts <= gap:
-            if joined is not None:
-                # bridge: merge session i into i-1
-                a, b = sess[joined], sess[i]
-                a[1] = max(a[1], b[1])
-                a[2] += b[2]
-                del sess[i]
-            else:
-                s = sess[i]
-                s[2] += 1
-                if key < s[0]:
-                    s[0] = key
-                if key > s[1]:
-                    s[1] = key
-                joined = i
-        if joined is None:
-            sess.insert(i, [key, key, 1])
 
     # --- emission -------------------------------------------------------------
 

@@ -296,12 +296,12 @@ def orders_by_month(sf_dir: str) -> pa.Table:
     calendar arithmetic is not a fixed-size window)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch["o_orderdate"].dt.to_period("M").dt.to_timestamp()
-        g = batch.groupby(m, as_index=False).agg(
+        batch = batch.assign(
+            month=batch["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        )
+        return batch.groupby("month", as_index=False).agg(
             n_orders=("o_orderkey", "size"), revenue=("o_totalprice", "sum")
         )
-        g = g.rename(columns={"o_orderdate": "month"})
-        return g
 
     from ray.data.aggregate import Sum
 

@@ -1,0 +1,52 @@
+"""CLI entry (reference main.go analog) and salted pre-aggregation tests."""
+
+import json
+import subprocess
+import sys
+
+
+def test_cli_run_pipeline(ray_session, small_stream, tmp_path):
+    """python -m quanta_ray run <spec> <out> — end-to-end via the CLI spec
+    path (subprocess so the CLI owns its own Ray session)."""
+    files, _ = small_stream
+    spec = {
+        "schema_version": "v1",
+        "pipeline_id": "cli-test",
+        "source": {"kind": "parquet-stream", "paths": list(files)},
+        "transformers": [{"name": "normalize", "timeout_ms": 1000,
+                          "retry_policy": {"attempts": 3, "backoff_ms": 200}}],
+        "sink": {"kind": "exactly-once-parquet", "commit_mode": "e2e"},
+        "cep": {"num_partitions": 2},
+    }
+    spec_path = tmp_path / "pipeline.json"
+    spec_path.write_text(json.dumps(spec))
+    out_dir = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "quanta_ray", "run", str(spec_path), str(out_dir)],
+        capture_output=True,
+        text=True,
+        timeout=180,
+        env={**__import__("os").environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["status"] == "complete"
+    assert (out_dir / "_LATEST.json").exists()
+
+
+def test_salted_preagg_equals_unsalted(ray_session):
+    """Hot-key salting on the stateless pre-aggregation path must not change
+    the result (SURVEY §7: salt only stateless pre-aggregation)."""
+    from quanta_ray.pipelines.batch_cep import tumbling_agg
+
+    sf = "/root/testdata/sf0.001"
+    plain = tumbling_agg(sf, salt=0)
+    salted = tumbling_agg(sf, salt=4)
+    import pyarrow.compute as pc
+
+    def norm(t):
+        return t.take(
+            pc.sort_indices(t, sort_keys=[("user_id", "ascending"), ("w_start", "ascending")])
+        ).combine_chunks()
+
+    assert norm(plain).equals(norm(salted))

@@ -39,6 +39,13 @@ class CEPConfig:
     # emit everything still buffered when the stream ends (watermark → +inf)
     final_flush: bool = True
 
+    def __post_init__(self) -> None:
+        if self.sliding_size_us % self.sliding_slide_us != 0:
+            raise ValueError(
+                "sliding_size_us must be a multiple of sliding_slide_us "
+                f"({self.sliding_size_us} % {self.sliding_slide_us})"
+            )
+
     def replace(self, **kw: Any) -> "CEPConfig":
         return dataclasses.replace(self, **kw)
 

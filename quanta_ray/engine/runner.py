@@ -81,9 +81,10 @@ def _write_turns_impl(out_dir: str, epoch: int, *parts: pa.Table) -> dict | None
     from ..sinks.exactly_once import write_part_file
 
     _limit_native_threads()
-    table = pa.concat_tables([p for p in parts if p.num_rows])
-    if table.num_rows == 0:
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:  # an epoch can be entirely late-dropped
         return None
+    table = pa.concat_tables(nonempty)
     idx = pc.sort_indices(
         table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
     )

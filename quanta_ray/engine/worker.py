@@ -128,6 +128,9 @@ class PartitionWorkerImpl:
         self.out_dir = out_dir
         self.convs: dict[str, _ConvState] = {}
         self.pending: dict[str, int] = {}  # conv -> earliest deadline lower bound
+        # session ids are per-conv monotonic FOREVER (oracle semantics), so
+        # the counter must survive eviction of an idle conv's heavy state
+        self.session_counts: dict[str, int] = {}
         self.wm = NEG_INF
         self.last_epoch = -1  # highest epoch folded into state
         self.totals: dict[str, int] = defaultdict(int)
@@ -149,6 +152,7 @@ class PartitionWorkerImpl:
             "totals": dict(self.totals),
             "convs": {c: s.to_payload() for c, s in self.convs.items()},
             "pending": self.pending,
+            "session_counts": self.session_counts,
         }
         tmp = path + f".tmp-{os.getpid()}"
         raw = pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
@@ -178,6 +182,7 @@ class PartitionWorkerImpl:
         self.last_epoch = payload.get("epoch", -1)
         self.totals = defaultdict(int, payload["totals"])
         self.pending = payload["pending"]
+        self.session_counts = payload.get("session_counts", {})
         self.convs = {c: _ConvState.from_payload(p) for c, p in payload["convs"].items()}
 
     # --- epoch processing -----------------------------------------------------
@@ -278,7 +283,8 @@ class PartitionWorkerImpl:
         touched: set[str] = set(uniques)
         for c in uniques:
             if c not in self.convs:
-                self.convs[c] = _ConvState()
+                st = self.convs[c] = _ConvState()
+                st.session_count = self.session_counts.get(c, 0)
         convs = self.convs
         names = uniques.tolist()
 
@@ -489,6 +495,8 @@ class PartitionWorkerImpl:
                 continue  # touched but nothing can emit yet; deadline is a lower bound
             next_dl = self._emit_conv(conv, st, wm, out)
             if not (st.tumbling or st.sliding or st.sessions or st.tools or st.assistants):
+                if st.session_count:
+                    self.session_counts[conv] = st.session_count
                 del self.convs[conv]
                 self.pending.pop(conv, None)
             elif next_dl >= POS_INF:

@@ -50,16 +50,17 @@ def dedup_exact(sf_dir: str) -> pa.Table:
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         batch["md5"] = batch["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
-        return batch[["doc_id", "md5"]]
+        # per-batch partial: one survivor per md5 per batch
+        return batch.groupby("md5", as_index=False)["doc_id"].min()
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, "doc_id")
+    from ray.data.aggregate import Min
 
     out = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(add_hash, batch_format="pandas", batch_size=8192)
+        .repartition(8)
         .groupby("md5")
-        .map_groups(first, batch_format="pandas")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
     )
     t = _concat(out).select(["doc_id", "md5"])
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
@@ -76,35 +77,41 @@ ORDER BY doc_id
 # --- minhash machinery (shared with LSH) --------------------------------------
 
 
-def _shingles(text: str, k: int = 3) -> set[int]:
-    """Word k-gram shingles hashed to int64 (crc-free deterministic hash)."""
+P31 = (1 << 31) - 1  # 31-bit prime field: a*x+b fits uint64, fully vectorized
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingles → deterministic 31-bit hashes (vectorized
+    ``pandas.util.hash_array`` over the gram strings)."""
     words = text.split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
     if len(words) < k:
-        grams = [" ".join(words)] if words else []
+        grams = [" ".join(words)]
     else:
         grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = set()
-    for g in grams:
-        h = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-        out.add(h & ((1 << 61) - 1))
-    return out
+    h = pd.util.hash_array(np.asarray(grams, dtype=object))
+    return np.unique(h % np.uint64(P31))
+
+
+def _shingles(text: str, k: int = 3) -> set[int]:
+    return set(_shingle_hashes(text, k).tolist())
 
 
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(1, P31, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, P31, size=num_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
-def _minhash_sig(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    if not sh:
-        return np.full(len(a), np.uint64(MERSENNE), dtype=np.uint64)
-    x = np.fromiter(sh, dtype=np.uint64)
-    # (a*x + b) mod p, vectorized over perms × shingles (object math avoided
-    # via python-int matmul on small sets; perm count is small)
-    vals = (np.outer(a.astype(object), x.astype(object)) + b[:, None].astype(object)) % MERSENNE
-    return vals.min(axis=1).astype(np.uint64)
+def _minhash_sig(sh, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = sh if isinstance(sh, np.ndarray) else np.fromiter(sh, dtype=np.uint64)
+    if len(x) == 0:
+        return np.full(len(a), np.uint64(P31), dtype=np.uint64)
+    # (a*x + b) mod p with 31-bit operands: products < 2^62, no overflow
+    vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(P31)
+    return vals.min(axis=1)
 
 
 class MinHasher:
@@ -122,7 +129,7 @@ class MinHasher:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out_doc, out_band, out_hash = [], [], []
         for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = _minhash_sig(_shingles(text, self.k), self.a, self.b)
+            sig = _minhash_sig(_shingle_hashes(text, self.k), self.a, self.b)
             for band in range(self.bands):
                 seg = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
                 h = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
@@ -152,27 +159,30 @@ def minhash_lsh_pairs(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
         batch_format="pandas",
-        batch_size=2048,
-        concurrency=2,
+        batch_size=1024,
+        # autoscaling pool: scales to 8 on the bench cluster, fits the
+        # 4-cpu test cluster (a fixed 8 would deadlock actor placement)
+        concurrency=(1, 8),
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame(columns=["a", "b"])
-        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        return pd.DataFrame(pairs, columns=["a", "b"])
-
-    cand = bands_ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    cand_t = _concat(cand)
-    if cand_t.num_rows == 0:
+    # candidate buckets: almost every (band, band_hash) bucket is a
+    # singleton; collect the band rows (docs × bands, tiny vs the corpus)
+    # and find multi-member buckets in one vectorized pass. At 10^9+ docs
+    # this becomes groupby(count)→filter(n>1)→semi-join before collecting.
+    bdf = _concat(bands_ds).to_pandas()
+    dup = bdf[bdf.duplicated(["band", "band_hash"], keep=False)]
+    pairs: set[tuple[int, int]] = set()
+    for _, g in dup.groupby(["band", "band_hash"], sort=False):
+        ids = sorted(set(g["doc_id"]))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    if not pairs:
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
-    cand_df = cand_t.to_pandas().drop_duplicates()
+    cand_df = pd.DataFrame(sorted(pairs), columns=["a", "b"])
 
     # verify: fetch candidate texts once (ids are few), compute exact Jaccard
     import ray

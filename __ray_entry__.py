@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": text.quality_scores,
         "doc_fingerprint_md5": text.fingerprints_md5,
         "doc_lang_id": text.lang_id,
+        "doc_lang_stats": text.lang_stats,
+        "doc_quality_filter": text.quality_filter,
         # --- dedup family ---
         "doc_dedup_exact": dedup.dedup_exact,
         "doc_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -122,6 +124,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": text.TOKEN_COUNTS_SQL,
         "doc_quality_scores": text.QUALITY_SCORES_SQL,
         "doc_fingerprint_md5": text.FINGERPRINTS_MD5_SQL,
+        "doc_lang_stats": text.LANG_STATS_SQL,
+        "doc_quality_filter": text.QUALITY_FILTER_SQL,
         "doc_dedup_exact": dedup.DEDUP_EXACT_SQL,
         "emb_knn_bruteforce": simsearch_knn_sql(),
     }

@@ -199,3 +199,76 @@ def lang_id(sf_dir: str) -> pa.Table:
     )
     t = _concat(out)
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+# --- per-language corpus stats (SQL-checkable groupby on documents) -----------
+
+
+def lang_stats(sf_dir: str) -> pa.Table:
+    """Per-language doc count + mean length: partial-agg then tiny groupby."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("lang", as_index=False).agg(
+            n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+    import ray.data as _rd
+
+    out = (
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars"))
+    )
+    t = _concat(out)
+    mean = pc.round(
+        pc.divide(pc.cast(t.column("sum_chars"), pa.float64()),
+                  pc.cast(t.column("n_docs"), pa.float64())), 6)
+    res = pa.Table.from_arrays(
+        [t.column("lang"), t.column("n_docs").cast(pa.int64()), mean],
+        names=["lang", "n_docs", "mean_chars"],
+    )
+    return res.take(pc.sort_indices(res, sort_keys=[("lang", "ascending")]))
+
+
+LANG_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       round(sum(n_chars) * 1.0 / count(*), 6) AS mean_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def quality_filter(sf_dir: str, min_tokens: int = 50, min_ttr: float = 0.3) -> pa.Table:
+    """Quality-gated corpus: docs passing token-count + type-token-ratio
+    thresholds (the canonical training-data quality filter), vectorized."""
+
+    class Filter:
+        def __init__(self):
+            import re
+
+            self.word = re.compile(r"[A-Za-z0-9]+")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["text"].str.findall(self.word)
+            n = toks.str.len().astype("int64")
+            uniq = toks.map(lambda ws: len(set(ws))).astype("int64")
+            ttr = uniq / n.clip(lower=1)
+            keep = (n >= min_tokens) & (ttr >= min_ttr)
+            return batch.loc[keep, ["doc_id", "lang", "n_chars"]]
+
+    out = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"]).map_batches(
+        Filter, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+    t = _concat(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+QUALITY_FILTER_SQL = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE len(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 50
+  AND len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+'))) * 1.0
+      / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) >= 0.3
+ORDER BY doc_id
+"""

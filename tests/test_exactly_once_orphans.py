@@ -1,0 +1,41 @@
+"""Exactly-once guarantee: files not named by a committed manifest are
+invisible, and a crashed epoch's orphan files are overwritten byte-identically
+on resume (reference F5/F7 semantics made exactly-once)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from quanta_ray.config import CEPConfig, PipelineSpec, SourceSpec, StageSpec
+from quanta_ray.engine import StreamingRunner
+from quanta_ray.sinks.exactly_once import part_file_path, read_committed
+
+
+def test_orphan_files_invisible_and_overwritten(ray_session, small_stream, tmp_path_factory):
+    files, _ = small_stream
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(StageSpec(name="normalize"),),
+        cep=CEPConfig(num_partitions=2),
+    )
+    d = str(tmp_path_factory.mktemp("orphans"))
+    r1 = StreamingRunner(spec, d).run(stop_after_epoch=1)
+    assert r1["status"] == "stopped"
+
+    # simulate a crash mid-epoch-2: a garbage partial output landed on disk
+    orphan = part_file_path(d, "turns", 0, 2)
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    pq.write_table(pa.table({"conv_id": ["GARBAGE"], "turn_idx": pa.array([0], pa.int32())}), orphan)
+
+    # committed view never sees the orphan
+    committed = read_committed(d, "turns")
+    assert committed is None or "GARBAGE" not in committed.column("conv_id").to_pylist()
+
+    # resume: epoch 2 is re-run; the deterministic writer REPLACES the garbage
+    r2 = StreamingRunner(spec, d).run()
+    assert r2["status"] == "complete"
+    final = read_committed(d, "turns")
+    assert "GARBAGE" not in final.column("conv_id").to_pylist()
+    again = pq.read_table(orphan)
+    assert "GARBAGE" not in again.column("conv_id").to_pylist()

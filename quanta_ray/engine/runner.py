@@ -94,6 +94,26 @@ def _write_turns_impl(out_dir: str, epoch: int, *parts: pa.Table) -> dict | None
 _write_turns = ray.remote(_write_turns_impl)
 
 
+@ray.remote
+def _write_outputs(out_dir: str, epoch: int, payload: dict) -> dict:
+    """Write one worker's emitted stream tables + checkpoint blobs.
+
+    Runs as a task on the map slots so the (compressing) writes overlap with
+    the stateful workers instead of extending their serial chains; the
+    manifest commit waits on this task, preserving the 2PC guarantee."""
+    from ..sinks.exactly_once import write_part_file
+    from .worker import write_checkpoint_blob
+
+    _limit_native_threads()
+    entries = []
+    for stream, pid, table in payload["tables"]:
+        e = write_part_file(table, out_dir, stream, pid, epoch)
+        if e:
+            entries.append(e)
+    ckpts = [write_checkpoint_blob(out_dir, meta, raw) for meta, raw in payload["ckpt_blobs"]]
+    return {"files": entries, "checkpoints": ckpts}
+
+
 def _read_split_impl(
     path: str, epoch: int, wm_prev: int, spec: PipelineSpec
 ) -> list[Any]:
@@ -260,10 +280,10 @@ class StreamingRunner:
                 )
                 ray.get(
                     [
-                        workers[mi].process_epoch.remote(
+                        workers[mi].process_epoch.options(num_returns=2).remote(
                             e, wms[e], [], False,
                             *[refs[1 + p] for p in assign[mi]],
-                        )
+                        )[0]
                         for mi in range(M)
                     ]
                 )
@@ -283,16 +303,18 @@ class StreamingRunner:
             import time as _time
 
             t_c0 = _time.perf_counter()
-            stats_ref, result_refs, turns_ref = inflight.pop(epoch)
+            stats_ref, meta_refs, write_refs, turns_ref = inflight.pop(epoch)
             stats = ray.get(stats_ref) if stats_ref is not None else {}
-            results = ray.get(result_refs)
+            metas = ray.get(meta_refs)
+            writes = ray.get(write_refs)
+            stream_files = [f for w in writes for f in w["files"]]
             turns_entry = ray.get(turns_ref) if turns_ref is not None else None
             if stats is not None:
                 stats["t_commit_wait"] = round(_time.perf_counter() - t_c0, 4)
             if not e2e:
                 summary_metrics.append({"epoch": epoch, **stats})
                 return
-            checkpoints = [c for r in results for c in r["checkpoints"]]
+            checkpoints = [c for w in writes for c in w["checkpoints"]]
             if checkpoints:
                 last_ckpt_epoch["v"] = epoch
             manifest = {
@@ -301,11 +323,10 @@ class StreamingRunner:
                 "input": {"file": files[epoch] if epoch < n_epochs else None},
                 "watermark": wms[epoch] if epoch < n_epochs else POS_INF,
                 "source_stats": stats,
-                "files": ([turns_entry] if turns_entry else [])
-                + [f for r in results for f in r["files"]],
+                "files": ([turns_entry] if turns_entry else []) + stream_files,
                 "checkpoints": checkpoints,
                 "last_checkpoint_epoch": last_ckpt_epoch["v"],
-                "metrics": [pm for r in results for pm in r["metrics"]],
+                "metrics": [pm for r in metas for pm in r["metrics"]],
             }
             write_manifest(self.out_dir, epoch, manifest)
             summary_metrics.append(
@@ -322,8 +343,11 @@ class StreamingRunner:
             turns_ref = _write_turns.remote(self.out_dir, e, *parts)
             # stagger checkpoints across partitions so the pickle+write I/O
             # spreads over epochs instead of spiking every K-th epoch
-            res = [
-                workers[mi].process_epoch.remote(
+            meta_refs, write_refs = [], []
+            for mi in range(M):
+                meta_ref, tables_ref = workers[mi].process_epoch.options(
+                    num_returns=2
+                ).remote(
                     e,
                     wms[e],
                     [
@@ -335,9 +359,9 @@ class StreamingRunner:
                     True,
                     *[parts[p] for p in assign[mi]],
                 )
-                for mi in range(M)
-            ]
-            inflight[e] = (stats_ref, res, turns_ref)
+                meta_refs.append(meta_ref)
+                write_refs.append(_write_outputs.remote(self.out_dir, e, tables_ref))
+            inflight[e] = (stats_ref, meta_refs, write_refs, turns_ref)
             last_dispatched = e
             while len(inflight) >= max_inflight:
                 commit(min(inflight))
@@ -351,8 +375,14 @@ class StreamingRunner:
             return {"status": "stopped", "committed_through": last_dispatched}
 
         # final flush epoch (wm → +inf)
-        res = [workers[mi].finish.remote(final_epoch, e2e) for mi in range(M)]
-        inflight[final_epoch] = (None, res, None)
+        meta_refs, write_refs = [], []
+        for mi in range(M):
+            meta_ref, tables_ref = workers[mi].finish.options(num_returns=2).remote(
+                final_epoch, e2e
+            )
+            meta_refs.append(meta_ref)
+            write_refs.append(_write_outputs.remote(self.out_dir, final_epoch, tables_ref))
+        inflight[final_epoch] = (None, meta_refs, write_refs, None)
         commit(final_epoch)
         return {
             "status": "complete",

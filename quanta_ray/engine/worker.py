@@ -50,7 +50,6 @@ import pyarrow as pa
 
 from ..config import CEPConfig
 from ..schema import JOIN_SCHEMA, SESSION_SCHEMA, WINDOW_AGG_SCHEMA
-from ..sinks.exactly_once import write_part_file
 
 NEG_INF = -(1 << 62)
 POS_INF = 1 << 62
@@ -98,6 +97,21 @@ class _ConvState:
         return st
 
 
+def write_checkpoint_blob(out_dir: str, meta: dict, raw: bytes) -> dict:
+    """Compress + atomically write one partition checkpoint blob."""
+    path = os.path.join(out_dir, meta["path"])
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if len(raw) > 4096:  # text-heavy state compresses ~5x; disk is scarce
+        import zlib
+
+        raw = b"QZC1" + zlib.compress(raw, 1)
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(raw)
+    os.replace(tmp, path)
+    return meta
+
+
 def _merge_agg(agg: list | None, part: list) -> list:
     if agg is None:
         return list(part)
@@ -137,14 +151,12 @@ class PartitionWorkerImpl:
 
     # --- checkpoint / restore -------------------------------------------------
 
-    def checkpoint_state(self, epoch: int) -> dict:
+    def checkpoint_blob(self, epoch: int) -> tuple[dict, bytes]:
+        """Serialize state (must happen in-worker); the compress+write runs
+        as an off-worker task (see runner._write_checkpoints)."""
         path = os.path.join(
-            self.out_dir,
-            "checkpoints",
-            f"epoch-{epoch:08d}",
-            f"part-{self.partition:05d}.pkl",
+            "checkpoints", f"epoch-{epoch:08d}", f"part-{self.partition:05d}.pkl"
         )
-        os.makedirs(os.path.dirname(path), exist_ok=True)
         payload = {
             "partition": self.partition,
             "wm": self.wm,
@@ -154,20 +166,15 @@ class PartitionWorkerImpl:
             "pending": self.pending,
             "session_counts": self.session_counts,
         }
-        tmp = path + f".tmp-{os.getpid()}"
         raw = pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
-        if len(raw) > 4096:  # text-heavy state compresses ~5x; disk is scarce
-            import zlib
+        meta = {"partition": self.partition, "path": path, "epoch": epoch}
+        return meta, raw
 
-            raw = b"QZC1" + zlib.compress(raw, 1)
-        with open(tmp, "wb") as f:
-            f.write(raw)
-        os.replace(tmp, path)
-        return {
-            "partition": self.partition,
-            "path": os.path.relpath(path, self.out_dir),
-            "epoch": epoch,
-        }
+    def checkpoint_state(self, epoch: int) -> dict:
+        """Synchronous form (used by direct/unit callers)."""
+        meta, raw = self.checkpoint_blob(epoch)
+        write_checkpoint_blob(self.out_dir, meta, raw)
+        return meta
 
     def restore(self, checkpoint_rel_path: str) -> None:
         with open(os.path.join(self.out_dir, checkpoint_rel_path), "rb") as f:
@@ -200,7 +207,7 @@ class PartitionWorkerImpl:
         if epoch <= self.last_epoch:
             # replay of an epoch already folded into this partition's
             # restored state (staggered checkpoints): pure no-op
-            return {"files": [], "checkpoint": None, "metrics": {"skipped": epoch}}
+            return {"tables": [], "ckpt_blob": None, "metrics": {"skipped": epoch}}
         self.last_epoch = epoch
 
         t0 = _time.perf_counter()
@@ -213,9 +220,12 @@ class PartitionWorkerImpl:
         if not write_outputs:
             # resume replay of an already-committed epoch: state advances,
             # outputs (byte-identical, already in the manifest) are skipped
-            return {"files": [], "checkpoint": None, "metrics": {"replayed": epoch}}
+            return {"tables": [], "ckpt_blob": None, "metrics": {"replayed": epoch}}
 
-        files = []
+        # build the emitted tables but DON'T write them here: the (zstd)
+        # parquet writes run as tasks on the map slots so the stateful
+        # worker chain — the scaling-critical path — stays compute-only
+        tables = []
         for stream, schema, rows in (
             ("tumbling", WINDOW_AGG_SCHEMA, out["tumbling"]),
             ("sliding", WINDOW_AGG_SCHEMA, out["sliding"]),
@@ -224,15 +234,13 @@ class PartitionWorkerImpl:
         ):
             if rows:
                 rows.sort(key=lambda r: (r[0], r[1]))
-                entry = self._write_stream(_rows_to_table(rows, schema), stream, epoch)
-                if entry:
-                    files.append(entry)
+                tables.append((stream, self.partition, _rows_to_table(rows, schema)))
         t_write = _time.perf_counter()
 
         self.totals["turns_in"] += table.num_rows
         for k in ("tumbling", "sliding", "sessions", "joins"):
             self.totals[f"{k}_emitted"] += len(out[k])
-        ckpt = self.checkpoint_state(epoch) if do_checkpoint else None
+        ckpt = self.checkpoint_blob(epoch) if do_checkpoint else None
         t_ckpt = _time.perf_counter()
         metrics = {
             "partition": self.partition,
@@ -246,7 +254,7 @@ class PartitionWorkerImpl:
             "t_write": round(t_write - t_emit, 4),
             "t_ckpt": round(t_ckpt - t_write, 4),
         }
-        return {"files": files, "checkpoint": ckpt, "metrics": metrics}
+        return {"tables": tables, "ckpt_blob": ckpt, "metrics": metrics}
 
     def finish(self, epoch: int, do_checkpoint: bool = True) -> dict:
         empty = _empty_turns_table()
@@ -587,13 +595,6 @@ class PartitionWorkerImpl:
 
         return next_dl
 
-    # --- output ---------------------------------------------------------------
-
-    def _write_stream(self, table: pa.Table, stream: str, epoch: int):
-        if table is None or table.num_rows == 0:
-            return None
-        return write_part_file(table, self.out_dir, stream, self.partition, epoch)
-
 
 def _rows_to_table(rows: list[tuple], schema: pa.Schema) -> pa.Table:
     cols = list(zip(*rows))
@@ -637,26 +638,29 @@ class MultiPartitionWorker:
         write_outputs: bool,
         *tables: pa.Table,
     ) -> dict:
-        files, ckpts, metrics = [], [], []
+        out_tables, blobs, metrics = [], [], []
         for pid, table in zip(self.pids, tables):
             r = self.impls[pid].process_epoch(
                 epoch, wm, table, pid in do_checkpoint_pids, write_outputs
             )
-            files.extend(r["files"])
-            if r["checkpoint"]:
-                ckpts.append(r["checkpoint"])
+            out_tables.extend(r["tables"])
+            if r["ckpt_blob"]:
+                blobs.append(r["ckpt_blob"])
             metrics.append(r["metrics"])
-        return {"files": files, "checkpoints": ckpts, "metrics": metrics}
+        # two returns (num_returns=2): small meta for the driver's commit;
+        # emitted tables + checkpoint blobs go to the off-worker writer task
+        # — the driver never pulls the heavy payload
+        return {"metrics": metrics}, {"tables": out_tables, "ckpt_blobs": blobs}
 
-    def finish(self, epoch: int, do_checkpoint: bool = True) -> dict:
-        files, ckpts, metrics = [], [], []
+    def finish(self, epoch: int, do_checkpoint: bool = True) -> tuple:
+        out_tables, blobs, metrics = [], [], []
         for pid in self.pids:
             r = self.impls[pid].finish(epoch, do_checkpoint)
-            files.extend(r["files"])
-            if r["checkpoint"]:
-                ckpts.append(r["checkpoint"])
+            out_tables.extend(r["tables"])
+            if r["ckpt_blob"]:
+                blobs.append(r["ckpt_blob"])
             metrics.append(r["metrics"])
-        return {"files": files, "checkpoints": ckpts, "metrics": metrics}
+        return {"metrics": metrics}, {"tables": out_tables, "ckpt_blobs": blobs}
 
     def restore(self, by_pid: dict[int, str]) -> None:
         for pid, rel in by_pid.items():

@@ -8,14 +8,19 @@ micro-batch):
          fragment): read → drop late rows vs wm[e-1] → transform chain
          (vectorized Arrow, status semantics) → hash-partition on conv_id →
          num_returns=P+1 (stats + one table per partition)
-      └─ PartitionWorker[p].process_epoch(e, wm[e], part_table)  (stateful
-         actor, one per partition): ordered per-conv buffers, watermark-driven
-         tumbling/sliding/session emission, tool→assistant join resolution,
-         eviction, Parquet part-file writes, state checkpoint
+      └─ _write_turns task: the pass-through stream, one sorted zstd file
+         per epoch, written off the critical path
+      └─ worker[m].process_epoch(e, wm[e], tables…)  (stateful actor process
+         hosting P/M partitions, num_cpus=1): incremental window/session/
+         join state, watermark-driven emission; returns emitted tables +
+         pickled checkpoint blobs via the object store — its chain is
+         compute-only
+      └─ _write_outputs task (map slots): compress+write emitted streams and
+         checkpoint blobs
       └─ driver commits manifest-e (2PC: files + checkpoints + offsets +
-         metrics) strictly in epoch order; bounded in-flight epochs =
-         backpressure (reference analog: token-bucket capacity,
-         ``/root/reference/source/kafka/backpressure.go:9-85``).
+         metrics) strictly in epoch order, AFTER all of the above; bounded
+         in-flight epochs = backpressure (reference analog: token-bucket
+         capacity, ``/root/reference/source/kafka/backpressure.go:9-85``).
 
 Why raw Ray actors instead of ``Dataset.map_batches`` for the stateful stage:
 windows/joins need *persistent keyed state across micro-batches* plus

@@ -376,7 +376,9 @@ class StreamingRunner:
         while inflight:
             commit(min(inflight))
 
-        if stop_after_epoch is not None and last_dispatched < n_epochs - 1:
+        if stop_after_epoch is not None and stop_after_epoch < final_epoch:
+            # a requested stop always halts BEFORE the final flush — even when
+            # every data epoch committed — so resume exercises the flush path
             return {"status": "stopped", "committed_through": last_dispatched}
 
         # final flush epoch (wm → +inf)

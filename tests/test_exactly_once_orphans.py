@@ -39,3 +39,35 @@ def test_orphan_files_invisible_and_overwritten(ray_session, small_stream, tmp_p
     assert "GARBAGE" not in final.column("conv_id").to_pylist()
     again = pq.read_table(orphan)
     assert "GARBAGE" not in again.column("conv_id").to_pylist()
+
+
+def test_resume_only_final_flush(ray_session, small_stream, tmp_path_factory):
+    """Crash after the LAST data epoch but before the final flush: resume
+    must run just the flush and produce output identical to a single run."""
+    import pyarrow.compute as pc
+
+    files, _ = small_stream
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(StageSpec(name="normalize"),),
+        cep=CEPConfig(num_partitions=2),
+    )
+    full_dir = str(tmp_path_factory.mktemp("flush_full"))
+    StreamingRunner(spec, full_dir).run()
+
+    d = str(tmp_path_factory.mktemp("flush_resume"))
+    r1 = StreamingRunner(spec, d).run(stop_after_epoch=len(files) - 1)
+    assert r1["status"] == "stopped"
+    r2 = StreamingRunner(spec, d).run()
+    assert r2["status"] == "complete"
+
+    for stream in ("turns", "tumbling", "sliding", "sessions", "joins"):
+        a, b = read_committed(full_dir, stream), read_committed(d, stream)
+        if a is None:
+            assert b is None, stream
+            continue
+        keys = [(a.column_names[0], "ascending"), (a.column_names[1], "ascending")]
+        sa = a.take(pc.sort_indices(a, sort_keys=keys)).combine_chunks()
+        sb = b.select(a.column_names)
+        sb = sb.take(pc.sort_indices(sb, sort_keys=keys)).combine_chunks()
+        assert sa.equals(sb), stream

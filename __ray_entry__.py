@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_filter_project_upper": batch_cep.filter_project_upper,
         "ev_type_hourly_stats": batch_cep.type_hourly_stats,
         "ev_distinct_users": batch_cep.distinct_users_per_type,
+        "ev_props_k_stats": batch_cep.props_k_stats,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_cep,
         # --- relational stage library ---
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_filter_project_upper": batch_cep.FILTER_PROJECT_SQL,
         "ev_type_hourly_stats": batch_cep.TYPE_HOURLY_SQL,
         "ev_distinct_users": batch_cep.DISTINCT_USERS_SQL,
+        "ev_props_k_stats": batch_cep.PROPS_K_STATS_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
         "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
         "rel_top_parts_by_price": relational.TOP_PARTS_SQL,

@@ -30,10 +30,12 @@ Deadlines stored are lower bounds — an extra no-op pass is harmless, a
 missed emission impossible (every structure's true deadline only moves
 later via merges; new rows lower it through ingest).
 
-Batch-level vectorization: window partials are computed with ONE pandas
-groupby per batch (rows sorted by (ts, turn_idx) so groupby first/last give
-the oracle's first/last), then merged into state dicts with one Python
-operation per (conv, window) per epoch — not per row.
+Batch-level vectorization: rows are sorted once by (conv, ts, turn_idx);
+window partials reduce over contiguous (conv, window) runs with numpy
+``add.reduceat`` (group first/last = the oracle's (ts, turn_idx)-min/max),
+sessions are gap-clustered in numpy and merged as whole intervals, and the
+remaining Python loops touch one (conv, window) or cluster per epoch — never
+a row (except assistant/tool inserts, which touch only their rows).
 """
 
 from __future__ import annotations
@@ -153,7 +155,7 @@ class PartitionWorkerImpl:
 
     def checkpoint_blob(self, epoch: int) -> tuple[dict, bytes]:
         """Serialize state (must happen in-worker); the compress+write runs
-        as an off-worker task (see runner._write_checkpoints)."""
+        as an off-worker task (see runner._write_outputs)."""
         path = os.path.join(
             "checkpoints", f"epoch-{epoch:08d}", f"part-{self.partition:05d}.pkl"
         )

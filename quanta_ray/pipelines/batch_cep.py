@@ -529,3 +529,52 @@ DISTINCT_USERS_SQL = """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1
 """
+
+
+# --- JSON payload parsing (reference parity: the uppercase plugin JSON-decodes
+# the opaque payload, examples/transformers/uppercase/main.go:63-78) ----------
+
+
+def props_k_stats(sf_dir: str) -> pa.Table:
+    """Parse the JSON ``props`` payload, extract ``k``, aggregate value stats
+    per k-decile. Parsing is vectorized (the payload shape is fixed, so a
+    regex beats per-row json.loads; a stage would fall back to json.loads for
+    irregular payloads)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].str.extract(r'"k":\s*(-?\d+)', expand=False).astype("int64")
+        decile = k // 10
+        df = pd.DataFrame({"k_decile": decile, "value": batch["value"]})
+        return df.groupby("k_decile", as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _coalesce(
+            _events(sf_dir, ["props", "value"]).map_batches(
+                partial, batch_format="pandas", batch_size=65536
+            ),
+            blocks=4,
+        )
+        .groupby("k_decile")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    )
+    t = _concat(out)
+    return pa.Table.from_arrays(
+        [
+            t.column("k_decile").cast(pa.int64()),
+            t.column("n").cast(pa.int64()),
+            pc.round(t.column("sum_value"), 6),
+        ],
+        names=["k_decile", "n", "sum_value"],
+    )
+
+
+PROPS_K_STATS_SQL = """
+SELECT (json_extract(props, '$.k')::BIGINT // 10) AS k_decile,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1
+"""

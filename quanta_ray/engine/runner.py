@@ -267,17 +267,25 @@ class StreamingRunner:
                 for c in sm["checkpoints"]:
                     per_part.setdefault(c["partition"], c)
                 e_scan -= 1
-            assert len(per_part) == P, "missing partition checkpoints for resume"
             resumed_ckpt_epoch = m.get("last_checkpoint_epoch", latest)
             ray.get(
                 [
                     workers[mi].restore.remote(
-                        {p: per_part[p]["path"] for p in assign[mi]}
+                        {p: per_part[p]["path"] for p in assign[mi] if p in per_part}
                     )
                     for mi in range(M)
                 ]
             )
-            replay_from = min(c["epoch"] for c in per_part.values()) + 1
+            # Staggered checkpoints ((e+1+p) % K) mean a crash early in the
+            # run can leave partitions with NO checkpoint in any committed
+            # manifest. Those partitions start from fresh (empty) state and
+            # deterministically replay every committed epoch; restored
+            # partitions skip epochs already folded into their state
+            # (worker.process_epoch's last_epoch guard).
+            if len(per_part) < P:
+                replay_from = 0
+            else:
+                replay_from = min(c["epoch"] for c in per_part.values()) + 1
             for e in range(replay_from, latest + 1):
                 wm_prev = wms[e - 1] if e > 0 else NEG_INF
                 refs = _read_split.options(num_returns=P + 1).remote(

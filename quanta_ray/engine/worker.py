@@ -219,6 +219,12 @@ class PartitionWorkerImpl:
         out = self._emission_pass(touched)
         t_emit = _time.perf_counter()
 
+        # totals accumulate on replay too, so a resumed run's checkpointed
+        # counters match an uninterrupted run (ADVICE: metrics drift)
+        self.totals["turns_in"] += table.num_rows
+        for k in ("tumbling", "sliding", "sessions", "joins"):
+            self.totals[f"{k}_emitted"] += len(out[k])
+
         if not write_outputs:
             # resume replay of an already-committed epoch: state advances,
             # outputs (byte-identical, already in the manifest) are skipped
@@ -239,9 +245,6 @@ class PartitionWorkerImpl:
                 tables.append((stream, self.partition, _rows_to_table(rows, schema)))
         t_write = _time.perf_counter()
 
-        self.totals["turns_in"] += table.num_rows
-        for k in ("tumbling", "sliding", "sessions", "joins"):
-            self.totals[f"{k}_emitted"] += len(out[k])
         ckpt = self.checkpoint_blob(epoch) if do_checkpoint else None
         t_ckpt = _time.perf_counter()
         metrics = {
@@ -563,8 +566,17 @@ class PartitionWorkerImpl:
         bound = cfg.join_bound_us
         tools = st.tools
         assistants = st.assistants
+        # fan-out stages (1→N) duplicate whole rows; the oracle resolves each
+        # (conv, turn_idx) tool at most once (oracle.py resolved_tools).
+        # Duplicates share ts ⇒ share deadline ⇒ pop in the SAME loop (a later
+        # re-arrival would be late-dropped at the source), so a per-loop set
+        # reproduces the oracle without unbounded persistent state.
+        popped: set[tuple] = set()
         while tools and tools[0][0] <= wm:
             deadline, t_ts, t_turn, t_tool, t_text = heapq.heappop(tools)
+            if (t_ts, t_turn) in popped:
+                continue
+            popped.add((t_ts, t_turn))
             match = None
             i = bisect_left(assistants, (t_ts,))
             while i < len(assistants):

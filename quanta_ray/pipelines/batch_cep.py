@@ -236,8 +236,10 @@ WITH ordered AS (
               THEN 1 ELSE 0 END AS is_new
   FROM events
 ), numbered AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+  -- CAST: window-sum yields HUGEINT → float64 in pandas; the engine emits
+  -- int64, and the driver hash is dtype-sensitive
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM ordered
 )
 SELECT user_id, session_id,
@@ -272,7 +274,7 @@ def next_event_join(
                 "user_id": pd.array([], dtype="int64"),
                 "left_id": pd.array([], dtype="int64"),
                 "left_ts": pd.array([], dtype="datetime64[us]"),
-                "right_id": pd.array([], dtype="Int64"),
+                "right_id": pd.array([], dtype="float64"),
                 "right_ts": pd.array([], dtype="datetime64[us]"),
             }
         )
@@ -295,8 +297,10 @@ def next_event_join(
             pos = np.searchsorted(rt, lt, side="left")
             rsel = np.minimum(pos, n_r - 1)
             ok = (pos < n_r) & (rt[rsel] <= lt + bound_us)
-        right_id = pd.array(rid[rsel], dtype="Int64")
-        right_id[~ok] = pd.NA
+        # float64 + NaN: matches what DuckDB's nullable-BIGINT left join
+        # becomes in pandas, so the driver value-hash agrees bit-for-bit
+        right_id = rid[rsel].astype(np.float64)
+        right_id[~ok] = np.nan
         right_ts = pd.Series(pd.to_datetime(rt[rsel], unit="us")).where(ok, pd.NaT)
         return pd.DataFrame(
             {
@@ -573,7 +577,9 @@ def props_k_stats(sf_dir: str) -> pa.Table:
 
 
 PROPS_K_STATS_SQL = """
-SELECT (json_extract(props, '$.k')::BIGINT // 10) AS k_decile,
+-- floor() (not //): DuckDB // truncates toward zero while Python floor-divides;
+-- the extraction regex admits negative k, so keep both floor-consistent
+SELECT CAST(floor(json_extract(props, '$.k')::BIGINT / 10.0) AS BIGINT) AS k_decile,
        count(*) AS n,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1

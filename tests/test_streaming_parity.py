@@ -118,6 +118,44 @@ def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
         assert a.equals(b), f"{stream}: resume output differs from single run"
 
 
+def test_resume_before_any_checkpoint(ray_session, small_stream, tmp_path_factory):
+    """Crash after epoch 0 with checkpoint_every=4 and P=3: NO partition has
+    a checkpoint in any committed manifest ((0+1+p)%4 != 0 for p<3). Resume
+    must rebuild every partition from fresh state by replaying epoch 0, and
+    final output must equal an uninterrupted run (ADVICE: resume previously
+    asserted len(per_part) == P and aborted)."""
+    import json, os
+
+    from quanta_ray.engine import StreamingRunner
+
+    files, _ = small_stream
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(StageSpec(name="normalize"),),
+        cep=CEPConfig(num_partitions=3),
+        checkpoint_every=4,
+    )
+    full_dir = str(tmp_path_factory.mktemp("full_run_nockpt"))
+    StreamingRunner(spec, full_dir).run()
+
+    resumed_dir = str(tmp_path_factory.mktemp("resumed_nockpt"))
+    r1 = StreamingRunner(spec, resumed_dir).run(stop_after_epoch=0)
+    assert r1["status"] == "stopped"
+    with open(os.path.join(resumed_dir, "manifest-00000000.json")) as f:
+        assert json.load(f)["checkpoints"] == [], "fixture must hit the no-checkpoint path"
+    r2 = StreamingRunner(spec, resumed_dir).run()
+    assert r2["status"] == "complete"
+
+    for stream, keys in SORT_KEYS.items():
+        a = read_committed(full_dir, stream)
+        b = read_committed(resumed_dir, stream)
+        if a is None:
+            assert b is None
+            continue
+        a, b = _sorted(a, keys), _sorted(b.select(a.column_names), keys)
+        assert a.equals(b), f"{stream}: resume output differs from single run"
+
+
 def test_rerun_is_noop(ray_session, small_stream, tmp_path_factory):
     from quanta_ray.engine import StreamingRunner
 

@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": dedup.dedup_exact,
         "doc_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "doc_simhash_signatures": dedup.simhash_signatures,
+        "doc_simhash_near_dups": dedup.simhash_near_dups,
         "doc_ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         # --- similarity search ---
         "emb_knn_bruteforce": simsearch.knn_bruteforce,

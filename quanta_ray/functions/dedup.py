@@ -141,6 +141,83 @@ class MinHasher:
         )
 
 
+def _pairs_from_buckets(
+    rows_ds: rd.Dataset, bucket_keys: list[str], id_col: str, num_partitions: int = 32
+) -> rd.Dataset:
+    """(bucket, id) rows → deduped candidate (a, b) pairs, fully distributed.
+
+    Both wide steps hash-bucket their key into ``num_partitions`` coarse
+    groups and do the real per-key work vectorized in pandas INSIDE each
+    group: Ray group counts stay bounded (group-count-proportional engine
+    overhead measured ~50s for a 22k-group ``aggregate`` at sf0.01), while
+    all rows of one bucket / one pair still meet in one group.
+
+      stage 1: groupby(hash(bucket) % NP).map_groups → per-bucket pair emit
+               (only multi-member buckets emit; partition-local dedup)
+      stage 2: groupby(hash(a,b) % NP).map_groups → global pair dedup
+               (a pair found by several bands lands in ONE group)
+
+    The shuffles move only key/id rows, never payloads; a giant bucket still
+    emits O(n²) pairs — inherent to LSH pair-emit, bounded in practice by
+    band width. Lazy: callers decide when to ``materialize()``."""
+
+    def add_pkey(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch[bucket_keys[0]].to_numpy().astype(np.uint64)
+        for k in bucket_keys[1:]:
+            key = key * np.uint64(1_000_003) + batch[k].to_numpy().astype(np.uint64)
+        batch = batch[[id_col] + bucket_keys].copy()
+        batch["_pkey"] = (pd.util.hash_array(key) % num_partitions).astype(np.int64)
+        return batch
+
+    def emit_partition(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a: list[np.ndarray] = []
+        outs_b: list[np.ndarray] = []
+        for _, grp in g.groupby(bucket_keys, sort=False):
+            ids = np.unique(grp[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            outs_a.append(ids[ii])
+            outs_b.append(ids[jj])
+        if not outs_a:
+            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+        u = np.unique(
+            np.stack([np.concatenate(outs_a), np.concatenate(outs_b)], axis=1), axis=0
+        )
+        return pd.DataFrame({"a": u[:, 0], "b": u[:, 1]})
+
+    def add_pair_pkey(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["a"].to_numpy().astype(np.uint64) * np.uint64(
+            2_654_435_761
+        ) + batch["b"].to_numpy().astype(np.uint64)
+        batch = batch.copy()
+        batch["_pkey"] = (pd.util.hash_array(key) % num_partitions).astype(np.int64)
+        return batch
+
+    def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    pairs = (
+        rows_ds.map_batches(add_pkey, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(emit_partition, batch_format="pandas")
+    )
+    return (
+        pairs.map_batches(add_pair_pkey, batch_format="pandas")
+        .groupby("_pkey")
+        .map_groups(dedup_partition, batch_format="pandas")
+    )
+
+
+def _candidate_ids(pairs_ds: rd.Dataset) -> frozenset[int]:
+    """Distinct ids of a (small, deduped) candidate-pair dataset."""
+    ids: set[int] = set()
+    for b in pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        ids.update(b.column("a").to_pylist())
+        ids.update(b.column("b").to_pylist())
+    return frozenset(ids)
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     num_perm: int = 64,
@@ -150,10 +227,19 @@ def minhash_lsh_pairs(
 ) -> pa.Table:
     """MinHash+LSH near-duplicate pairs with exact Jaccard verification.
 
-    Stages: signature+band explode (actor pool) → groupby (band, band_hash)
-    → emit candidate pairs per bucket → dedup pairs → verify Jaccard on the
-    candidate docs only (broadcast candidate texts; at 100 TB this becomes a
-    re-read of just the candidate ids). Rows-only oracle (no SQL form)."""
+    Every stage is distributed; the driver materializes only the deduped
+    candidate-pair set (tiny), the broadcast sides, and the verified pairs:
+
+      signature+band explode (actor pool, seeded params in __init__)
+      → groupby (band, band_hash) pair-emit (multi-member buckets only)
+      → pair-dedup groupby
+      → broadcast candidate-id set → semi-join docs → shingle arrays
+        (the candidate shingle map is the broadcast small side)
+      → distributed exact-Jaccard verify over the pair dataset.
+
+    At 10^9+ docs nothing driver-side grows with the corpus — only with the
+    candidate count. Rows-only oracle (no SQL form)."""
+    import ray
 
     bands_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHasher,
@@ -165,55 +251,76 @@ def minhash_lsh_pairs(
         concurrency=(1, 8),
     )
 
-    # candidate buckets: almost every (band, band_hash) bucket is a
-    # singleton; collect the band rows (docs × bands, tiny vs the corpus)
-    # and find multi-member buckets in one vectorized pass. At 10^9+ docs
-    # this becomes groupby(count)→filter(n>1)→semi-join before collecting.
-    bdf = _concat(bands_ds).to_pandas()
-    dup = bdf[bdf.duplicated(["band", "band_hash"], keep=False)]
-    pairs: set[tuple[int, int]] = set()
-    for _, g in dup.groupby(["band", "band_hash"], sort=False):
-        ids = sorted(set(g["doc_id"]))
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
-    if not pairs:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
-        )
-    cand_df = pd.DataFrame(sorted(pairs), columns=["a", "b"])
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    # materialize the pair set (object store, not driver): it is consumed
+    # twice (id collection + verify) and must not recompute the band stage
+    pairs_ds = _pairs_from_buckets(bands_ds, ["band", "band_hash"], "doc_id").materialize()
+    if pairs_ds.count() == 0:
+        return empty
 
-    # verify: fetch candidate texts once (ids are few), compute exact Jaccard
-    import ray
+    ids_ref = ray.put(_candidate_ids(pairs_ds))
 
-    ids = frozenset(cand_df["a"]) | frozenset(cand_df["b"])
-    ids_ref = ray.put(ids)
+    class CandidateShingles:
+        """Semi-join: only candidate docs shingle (broadcast id set)."""
 
-    class FilterDocs:
-        def __init__(self):
+        def __init__(self, k: int):
             self.ids = ray.get(ids_ref)
+            self.k = k
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["doc_id"].isin(self.ids)]
+            sel = batch[batch["doc_id"].isin(self.ids)]
+            return pd.DataFrame(
+                {
+                    "doc_id": sel["doc_id"].to_numpy(),
+                    "sh": [_shingle_hashes(t, self.k) for t in sel["text"]],
+                }
+            )
 
-    texts = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(FilterDocs, batch_format="pandas", batch_size=8192, concurrency=2)
+    sh_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        CandidateShingles,
+        fn_constructor_kwargs={"k": shingle_k},
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=2,
     )
-    tdf = _concat(texts).to_pandas().set_index("doc_id")["text"]
-    sh = {i: _shingles(tdf.loc[i], shingle_k) for i in tdf.index}
+    sh_map: dict[int, np.ndarray] = {}
+    for b in sh_ds.iter_batches(batch_format="pandas", batch_size=None):
+        for d, arr in zip(b["doc_id"], b["sh"]):
+            sh_map[int(d)] = np.asarray(arr, dtype=np.uint64)
+    sh_ref = ray.put(sh_map)
 
-    def jac(a: int, b: int) -> float:
-        sa, sb = sh[a], sh[b]
-        if not sa and not sb:
-            return 1.0
-        return len(sa & sb) / max(1, len(sa | sb))
+    class VerifyJaccard:
+        def __init__(self, threshold: float):
+            self.sh = ray.get(sh_ref)
+            self.threshold = threshold
 
-    cand_df["jaccard"] = [jac(a, b) for a, b in zip(cand_df["a"], cand_df["b"])]
-    keep = cand_df[cand_df["jaccard"] >= jaccard_threshold].sort_values(["a", "b"])
-    keep["jaccard"] = keep["jaccard"].round(6)
-    return pa.Table.from_pandas(keep.reset_index(drop=True), preserve_index=False)
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            jac = np.empty(len(batch))
+            for i, (a, b) in enumerate(zip(batch["a"], batch["b"])):
+                sa, sb = self.sh[int(a)], self.sh[int(b)]
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                jac[i] = 1.0 if union == 0 else inter / union
+            out = batch.copy()
+            out["jaccard"] = np.round(jac, 6)
+            return out[out["jaccard"] >= self.threshold]
+
+    verified = pairs_ds.map_batches(
+        VerifyJaccard,
+        fn_constructor_kwargs={"threshold": jaccard_threshold},
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=2,
+    )
+    t = _concat(verified)  # only verified pairs ever reach the driver
+    if t.num_rows == 0:
+        return empty
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    ).combine_chunks()
 
 
 # --- n-gram jaccard (exact, all-pairs within LSH buckets) ---------------------
@@ -279,29 +386,88 @@ def simhash_signatures(sf_dir: str) -> pa.Table:
 
 
 def simhash_near_dups(sf_dir: str, max_hamming: int = 8) -> pa.Table:
-    """Near-dup pairs by simhash hamming distance, candidates via 4×16-bit
-    band buckets (a pair within hamming ≤ 3 shares ≥ 1 band; wider distances
-    need more bands — documented tradeoff). Rows-only oracle."""
-    sig = simhash_signatures(sf_dir).to_pandas()
-    sig["simhash"] = sig["simhash"].map(lambda h: int(h, 16)).astype("uint64")
-    rows = []
-    for shift in (0, 16, 32, 48):
-        sig[f"band_{shift}"] = (sig["simhash"] >> np.uint64(shift)) & np.uint64(0xFFFF)
-    cand = set()
-    for shift in (0, 16, 32, 48):
-        for _, g in sig.groupby(f"band_{shift}"):
-            ids = sorted(g["doc_id"])
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    cand.add((ids[i], ids[j]))
-    by_id = sig.set_index("doc_id")["simhash"]
-    for a, b in sorted(cand):
-        d = bin(int(by_id.loc[a]) ^ int(by_id.loc[b])).count("1")
-        if d <= max_hamming:
-            rows.append({"a": a, "b": b, "hamming": d})
-    if not rows:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-             "hamming": pa.array([], pa.int64())}
+    """Near-dup pairs by simhash hamming distance — fully distributed.
+
+    Candidates via 4×16-bit band buckets (a pair within hamming ≤ 3 shares
+    ≥ 1 band; wider distances need more bands — documented tradeoff):
+
+      signatures (actor pool) → materialize (8 B/doc, reused twice)
+      → band explode → bucket groupby pair-emit → pair-dedup groupby
+      → hamming verify with the broadcast CANDIDATE signature map
+        (semi-joined, so the broadcast scales with candidates, not corpus).
+
+    Rows-only oracle."""
+    import ray
+
+    sig_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        SimHasher, batch_format="pandas", batch_size=4096, concurrency=2
+    ).materialize()
+
+    def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = batch["simhash"].map(lambda h: int(h, 16)).to_numpy(dtype=np.uint64)
+        n = len(sig)
+        shifts = np.array([0, 16, 32, 48], dtype=np.uint64)
+        bval = (sig[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), 4),
+                "band": np.tile(np.arange(4, dtype=np.int64), n),
+                "bval": bval.reshape(-1).astype(np.int64),
+            }
         )
-    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    bands_ds = sig_ds.map_batches(explode_bands, batch_format="pandas", batch_size=8192)
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "hamming": pa.array([], pa.int64())}
+    )
+    pairs_ds = _pairs_from_buckets(bands_ds, ["band", "bval"], "doc_id").materialize()
+    if pairs_ds.count() == 0:
+        return empty
+
+    ids_ref = ray.put(_candidate_ids(pairs_ds))
+
+    class CandidateSigs:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["doc_id"].isin(self.ids)]
+
+    cand_sigs = sig_ds.map_batches(
+        CandidateSigs, batch_format="pandas", batch_size=8192, concurrency=2
+    )
+    sig_map: dict[int, int] = {}
+    for b in cand_sigs.iter_batches(batch_format="pandas", batch_size=None):
+        for d, h in zip(b["doc_id"], b["simhash"]):
+            sig_map[int(d)] = int(h, 16)
+    sig_ref = ray.put(sig_map)
+
+    class VerifyHamming:
+        def __init__(self, max_h: int):
+            self.sig = ray.get(sig_ref)
+            self.max_h = max_h
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sa = batch["a"].map(self.sig).to_numpy(dtype=np.uint64)
+            sb = batch["b"].map(self.sig).to_numpy(dtype=np.uint64)
+            x = (sa ^ sb).view(np.uint8).reshape(len(batch), 8)
+            ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+            out = pd.DataFrame(
+                {"a": batch["a"].to_numpy(), "b": batch["b"].to_numpy(), "hamming": ham}
+            )
+            return out[out["hamming"] <= self.max_h]
+
+    verified = pairs_ds.map_batches(
+        VerifyHamming,
+        fn_constructor_kwargs={"max_h": max_hamming},
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=2,
+    )
+    t = _concat(verified)
+    if t.num_rows == 0:
+        return empty
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    ).combine_chunks()

@@ -153,10 +153,19 @@ def knn_ivf(
                     centroids[c] = v / n
     cref = ray.put(centroids)
 
-    q_tbl = _concat(_emb(sf_dir))  # queries from the same table
-    q_ids_all, q_mat_all = _batch_matrix(q_tbl)
-    sel = np.isin(q_ids_all, query_ids)
-    q_ids, q_mat = q_ids_all[sel], q_mat_all[sel]
+    # query vectors via a pushed-down source filter (same pattern as
+    # knn_bruteforce) — never the whole table on the driver
+    import pyarrow.dataset as pads
+
+    q_tbl = _concat(
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            filter=pads.field("vec_id").isin(list(query_ids)),
+        )
+    )
+    q_ids, q_mat = _batch_matrix(q_tbl)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], q_mat[order]
     probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
     qref = ray.put((q_ids, q_mat, probe))
 
@@ -199,35 +208,120 @@ def knn_ivf(
     )
 
 
-def near_dup_cosine(sf_dir: str, threshold: float = 0.95, n_planes: int = 16, seed: int = 13) -> pa.Table:
-    """Embedding near-dup pairs (cosine ≥ threshold) via random-hyperplane
-    LSH buckets + exact verification inside buckets. Rows-only oracle."""
-    rng = np.random.default_rng(seed)
-    t = _concat(_emb(sf_dir))
-    ids, mat = _batch_matrix(t)
-    planes = rng.standard_normal((mat.shape[1], n_planes))
-    sig = (mat @ planes > 0).astype(np.uint8)
-    keys = np.packbits(sig, axis=1)
-    key_ints = np.array([int.from_bytes(k.tobytes(), "big") for k in keys])
-    df = pd.DataFrame({"vec_id": ids, "bucket": key_ints})
-    rows = []
-    for _, g in df.groupby("bucket"):
-        gids = np.sort(g["vec_id"].to_numpy())
-        if len(gids) < 2:
-            continue
-        pos = {v: i for i, v in enumerate(ids)}
-        sub = mat[[pos[v] for v in gids]]
-        sims = sub @ sub.T
-        for i in range(len(gids)):
-            for j in range(i + 1, len(gids)):
-                if sims[i, j] >= threshold:
-                    rows.append(
-                        {"a": int(gids[i]), "b": int(gids[j]), "cosine": round(float(sims[i, j]), 4)}
-                    )
-    if not rows:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-             "cosine": pa.array([], pa.float64())}
+def near_dup_cosine(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_bands: int = 16,
+    seed: int = 13,
+) -> pa.Table:
+    """Embedding near-dup pairs (cosine ≥ threshold) — fully distributed.
+
+    Random-hyperplane LSH with ``n_bands`` independent bands of ``n_planes``
+    planes each (multi-band OR: a pair collides if it agrees on ALL planes of
+    ANY band — recall ≈ 1-(1-p^n_planes)^n_bands, p = 1-θ/π):
+
+      band signatures (map_batches; planes re-derived from the seed in each
+      actor __init__ — no broadcast) → bucket groupby pair-emit → pair-dedup
+      groupby → exact-cosine verify with the broadcast CANDIDATE vectors
+      (semi-joined, so the broadcast scales with candidates, not corpus).
+
+    Default threshold 0.4: the synthetic embeddings are near-orthogonal
+    (max off-diagonal cosine ≈0.5–0.6 at sf0.01/sf0.1), so the classic 0.95
+    near-dup bar would trivially return zero rows and never exercise the
+    operator. At cos 0.4 vs orthogonal the per-plane gap is small (0.63 vs
+    0.5), so wide bands (4 planes × 16 bands ⇒ ~94% recall) admit many far
+    candidates — acceptable here because verify is a vectorized dot product.
+    For production near-dup thresholds (≥0.9) pass sharper bands
+    (n_planes=8, n_bands=8: ~94% recall, ~3% far-candidate rate).
+    Approximate recall by design → rows-only oracle."""
+    from .dedup import _candidate_ids, _pairs_from_buckets
+
+    dim_probe = _concat(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet").limit(1)
+    )
+    dim = len(dim_probe.column("embedding")[0].as_py())
+
+    class BandSignatures:
+        def __init__(self):
+            rng = np.random.default_rng(seed)
+            self.planes = rng.standard_normal((dim, n_bands * n_planes))
+            self.pow2 = (1 << np.arange(n_planes, dtype=np.int64))
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids, mat = _batch_matrix(batch)
+            n = len(ids)
+            signs = (mat @ self.planes > 0).astype(np.int64)
+            bval = signs.reshape(n, n_bands, n_planes) @ self.pow2  # (n, bands)
+            return pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int64), n),
+                    "bval": bval.reshape(-1),
+                }
+            )
+
+    bands_ds = _emb(sf_dir).map_batches(
+        BandSignatures, batch_format="pyarrow", batch_size=4096, concurrency=2
+    )
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+    pairs_ds = _pairs_from_buckets(bands_ds, ["band", "bval"], "vec_id").materialize()
+    if pairs_ds.count() == 0:
+        return empty
+
+    ids_ref = ray.put(_candidate_ids(pairs_ds))
+
+    class CandidateVecs:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(
+                pc.is_in(batch.column("vec_id"), pa.array(sorted(self.ids)))
+            )
+
+    cand = _concat(
+        _emb(sf_dir).map_batches(
+            CandidateVecs, batch_format="pyarrow", batch_size=8192, concurrency=2
         )
-    out = pd.DataFrame(rows).sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    )
+    c_ids, c_mat = _batch_matrix(cand)
+    vref = ray.put((
+        {int(v): i for i, v in enumerate(c_ids)},
+        c_mat,
+    ))
+
+    class VerifyCosine:
+        def __init__(self, thr: float):
+            self.pos, self.mat = ray.get(vref)
+            self.thr = thr
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ia = np.array([self.pos[int(v)] for v in batch["a"]], dtype=np.int64)
+            ib = np.array([self.pos[int(v)] for v in batch["b"]], dtype=np.int64)
+            cos = np.round((self.mat[ia] * self.mat[ib]).sum(axis=1), 4)
+            out = pd.DataFrame(
+                {"a": batch["a"].to_numpy(), "b": batch["b"].to_numpy(), "cosine": cos}
+            )
+            return out[out["cosine"] >= self.thr]
+
+    verified = pairs_ds.map_batches(
+        VerifyCosine,
+        fn_constructor_kwargs={"thr": threshold},
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=2,
+    )
+    t = _concat(verified)
+    if t.num_rows == 0:
+        return empty
+    import pyarrow.compute as pc
+
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    ).combine_chunks()

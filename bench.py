@@ -53,7 +53,10 @@ BENCH_PARTITIONS = 48
 
 
 def _bench_stream_dir() -> str:
-    return f"/tmp/quanta-bench-stream-c{BENCH_N_CONVS}-e{BENCH_EPOCHS}-s{BENCH_SEED}"
+    # -rg64k: epoch files written with 64 Ki-row row groups so the map side
+    # fragments (SourceSpec.fragment_rows); older cached streams had one
+    # giant row group per epoch and would silently serialize the read
+    return f"/tmp/quanta-bench-stream-c{BENCH_N_CONVS}-e{BENCH_EPOCHS}-s{BENCH_SEED}-rg64k"
 
 
 def prepare_stream() -> tuple[list[str], int]:

@@ -78,6 +78,10 @@ class SourceSpec:
     paths: tuple[str, ...] = ()
     # flow control (reference: token bucket capacity, source/kafka/config.go:74-79)
     max_inflight_epochs: int = 2
+    # target rows per map-side fragment: an epoch file is read by
+    # ceil(rows / fragment_rows) parallel tasks split on row-group
+    # boundaries, so map parallelism is epochs × fragments, not epochs
+    fragment_rows: int = 131072
 
 
 @dataclass(frozen=True)
@@ -87,6 +91,10 @@ class SinkSpec:
     commit_mode: str = "e2e"  # "auto" = no manifest (reference commit modes,
     # source/kafka/config.go:15-20)
     options: dict[str, Any] = field(default_factory=dict)
+    # the pass-through "turns" stream is written by this many parallel group
+    # tasks per epoch (partition p → group p % G). Part of the JOB layout —
+    # fixed across cluster sizes so output file names stay deterministic
+    turns_write_groups: int = 8
 
 
 @dataclass(frozen=True)
@@ -155,6 +163,7 @@ def load_spec(d: dict[str, Any]) -> PipelineSpec:
             driver=src.get("driver", "parquet"),
             paths=tuple(src.get("paths", ())),
             max_inflight_epochs=int(src.get("max_inflight_epochs", 2)),
+            fragment_rows=int(src.get("fragment_rows", 131072)),
         ),
         transformers=tuple(stages),
         sink=SinkSpec(
@@ -162,6 +171,7 @@ def load_spec(d: dict[str, Any]) -> PipelineSpec:
             path=sink.get("path", ""),
             commit_mode=sink.get("commit_mode", "e2e"),
             options=dict(sink.get("options", {})),
+            turns_write_groups=int(sink.get("turns_write_groups", 8)),
         ),
         cep=cep,
     )

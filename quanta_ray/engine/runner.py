@@ -4,12 +4,15 @@ Physical plan (SURVEY §4.2), per epoch e (one input Parquet file = one
 micro-batch):
 
     driver:  wm[e] precomputed from Parquet footer stats (sources/stream.py)
-      └─ _read_split task   (stateless; one per epoch, scales to one per file
-         fragment): read → drop late rows vs wm[e-1] → transform chain
-         (vectorized Arrow, status semantics) → hash-partition on conv_id →
-         num_returns=P+1 (stats + one table per partition)
-      └─ _write_turns task: the pass-through stream, one sorted zstd file
-         per epoch, written off the critical path
+      └─ _read_split tasks  (stateless; ONE PER FILE FRAGMENT — row-group
+         ranges of ~fragment_rows rows, planned from footer metadata): read →
+         drop late rows vs wm[e-1] → transform chain (vectorized Arrow,
+         status semantics) → hash-partition on conv_id → num_returns=P+1
+         (stats + one table per partition). Map parallelism = in-flight
+         epochs × fragments, not epochs.
+      └─ _write_turns tasks: the pass-through stream, G=turns_write_groups
+         sorted zstd files per epoch (partition p → group p % G), written
+         off the critical path
       └─ worker[m].process_epoch(e, wm[e], tables…)  (stateful actor process
          hosting P/M partitions, num_cpus=1): incremental window/session/
          join state, watermark-driven emission; returns emitted tables +
@@ -50,7 +53,7 @@ import pyarrow as pa
 import ray
 
 from ..config import PipelineSpec
-from ..sources.stream import list_epoch_files, precompute_watermarks
+from ..sources.stream import list_epoch_files, plan_fragments, precompute_watermarks
 from ..stages.base import apply_chain_batch, build_chain
 from .worker import MultiPartitionWorker, _limit_native_threads
 from ..state.checkpoint import (
@@ -76,10 +79,13 @@ def partition_ids(conv_ids: np.ndarray, num_partitions: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def _write_turns_impl(out_dir: str, epoch: int, *parts: pa.Table) -> dict | None:
-    """Write the pass-through "turns" stream: one sorted file per epoch.
+def _write_turns_impl(out_dir: str, epoch: int, group: int, *parts: pa.Table) -> dict | None:
+    """Write one partition-group's slice of the pass-through "turns" stream.
 
-    A separate task so the (compressing) write overlaps with the stateful
+    Per epoch the turns stream is written by ``turns_write_groups`` parallel
+    tasks (partition p → group p % G, G fixed by the spec so file names stay
+    deterministic across cluster sizes), each sorted by (conv_id, turn_idx).
+    Separate tasks so the (compressing) writes overlap with the stateful
     actors instead of delaying their dispatch."""
     import pyarrow.compute as pc
 
@@ -87,13 +93,13 @@ def _write_turns_impl(out_dir: str, epoch: int, *parts: pa.Table) -> dict | None
 
     _limit_native_threads()
     nonempty = [p for p in parts if p.num_rows]
-    if not nonempty:  # an epoch can be entirely late-dropped
+    if not nonempty:  # a group's slice can be entirely late-dropped
         return None
     table = pa.concat_tables(nonempty)
     idx = pc.sort_indices(
         table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
     )
-    return write_part_file(table.take(idx), out_dir, "turns", 0, epoch)
+    return write_part_file(table.take(idx), out_dir, "turns", group, epoch)
 
 
 _write_turns = ray.remote(_write_turns_impl)
@@ -120,8 +126,18 @@ def _write_outputs(out_dir: str, epoch: int, payload: dict) -> dict:
 
 
 def _read_split_impl(
-    path: str, epoch: int, wm_prev: int, spec: PipelineSpec
+    path: str,
+    epoch: int,
+    wm_prev: int,
+    spec: PipelineSpec,
+    rg_lo: int = 0,
+    rg_hi: int | None = None,
+    row_offset: int = 0,
 ) -> list[Any]:
+    """Read ONE FRAGMENT (row groups [rg_lo, rg_hi)) of an epoch file, late-
+    filter, run the transform chain, hash-partition. Map parallelism is
+    epochs × fragments (``SourceSpec.fragment_rows``), so a large epoch no
+    longer serializes read+transform+partition in one task."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -130,11 +146,16 @@ def _read_split_impl(
 
     t0 = _time.perf_counter()
     P = spec.cep.num_partitions
-    table = pq.read_table(path)
+    pf = pq.ParquetFile(path)
+    if rg_hi is None:
+        rg_hi = pf.metadata.num_row_groups
+    table = pf.read_row_groups(list(range(rg_lo, rg_hi)))
     n_input = table.num_rows
-    # lineage columns (CheckpointToken analog): epoch + row offset in file
+    # lineage columns (CheckpointToken analog): epoch + file-global row offset
     table = table.append_column("_epoch", pa.array(np.full(n_input, epoch), type=pa.int64()))
-    table = table.append_column("_offset", pa.array(np.arange(n_input), type=pa.int64()))
+    table = table.append_column(
+        "_offset", pa.array(row_offset + np.arange(n_input), type=pa.int64())
+    )
     # late filter vs the watermark at arrival (wm after the previous epoch)
     ts = table.column("ts").cast(pa.int64())
     on_time = pc.greater_equal(ts, pa.scalar(wm_prev, type=pa.int64()))
@@ -288,14 +309,19 @@ class StreamingRunner:
                 replay_from = min(c["epoch"] for c in per_part.values()) + 1
             for e in range(replay_from, latest + 1):
                 wm_prev = wms[e - 1] if e > 0 else NEG_INF
-                refs = _read_split.options(num_returns=P + 1).remote(
-                    files[e], e, wm_prev, spec
-                )
+                frags = plan_fragments(files[e], spec.source.fragment_rows)
+                frefs = [
+                    _read_split.options(num_returns=P + 1).remote(
+                        files[e], e, wm_prev, spec, lo, hi, off
+                    )
+                    for (lo, hi, off) in frags
+                ]
+                F = len(frags)
                 ray.get(
                     [
                         workers[mi].process_epoch.options(num_returns=2).remote(
-                            e, wms[e], [], False,
-                            *[refs[1 + p] for p in assign[mi]],
+                            e, wms[e], [], False, F,
+                            *[frefs[fi][1 + p] for p in assign[mi] for fi in range(F)],
                         )[0]
                         for mi in range(M)
                     ]
@@ -316,13 +342,24 @@ class StreamingRunner:
             import time as _time
 
             t_c0 = _time.perf_counter()
-            stats_ref, meta_refs, write_refs, turns_ref = inflight.pop(epoch)
-            stats = ray.get(stats_ref) if stats_ref is not None else {}
+            stats_refs, meta_refs, write_refs, turns_refs = inflight.pop(epoch)
+            frag_stats = ray.get(stats_refs) if stats_refs else []
+            stats: dict[str, Any] = {}
+            if frag_stats:
+                stats = {
+                    "epoch": epoch,
+                    "n_fragments": len(frag_stats),
+                    "n_input": sum(s["n_input"] for s in frag_stats),
+                    "n_late_dropped": sum(s["n_late_dropped"] for s in frag_stats),
+                    "n_after_chain": sum(s["n_after_chain"] for s in frag_stats),
+                    "n_stage_dropped": sum(s["n_stage_dropped"] for s in frag_stats),
+                    "t_read_split": max(s["t_read_split"] for s in frag_stats),
+                }
             metas = ray.get(meta_refs)
             writes = ray.get(write_refs)
             stream_files = [f for w in writes for f in w["files"]]
-            turns_entry = ray.get(turns_ref) if turns_ref is not None else None
-            if stats is not None:
+            turns_entries = [t for t in ray.get(turns_refs) if t] if turns_refs else []
+            if stats:
                 stats["t_commit_wait"] = round(_time.perf_counter() - t_c0, 4)
             if not e2e:
                 summary_metrics.append({"epoch": epoch, **stats})
@@ -336,7 +373,7 @@ class StreamingRunner:
                 "input": {"file": files[epoch] if epoch < n_epochs else None},
                 "watermark": wms[epoch] if epoch < n_epochs else POS_INF,
                 "source_stats": stats,
-                "files": ([turns_entry] if turns_entry else []) + stream_files,
+                "files": turns_entries + stream_files,
                 "checkpoints": checkpoints,
                 "last_checkpoint_epoch": last_ckpt_epoch["v"],
                 "metrics": [pm for r in metas for pm in r["metrics"]],
@@ -346,14 +383,28 @@ class StreamingRunner:
                 {"epoch": epoch, **stats, "files": len(manifest["files"])}
             )
 
+        G = max(1, min(spec.sink.turns_write_groups, P))
         last_dispatched = start_epoch - 1
         for e in range(start_epoch, n_epochs):
             wm_prev = wms[e - 1] if e > 0 else NEG_INF
-            refs = _read_split.options(num_returns=P + 1).remote(
-                files[e], e, wm_prev, spec
-            )
-            stats_ref, parts = refs[0], refs[1:]
-            turns_ref = _write_turns.remote(self.out_dir, e, *parts)
+            frags = plan_fragments(files[e], spec.source.fragment_rows)
+            F = len(frags)
+            frefs = [
+                _read_split.options(num_returns=P + 1).remote(
+                    files[e], e, wm_prev, spec, lo, hi, off
+                )
+                for (lo, hi, off) in frags
+            ]
+            stats_refs = [r[0] for r in frefs]
+            # parts[p] = this epoch's fragment tables for partition p, in
+            # arrival (fragment) order
+            parts = [[frefs[fi][1 + p] for fi in range(F)] for p in range(P)]
+            turns_refs = [
+                _write_turns.remote(
+                    self.out_dir, e, g, *[t for p in range(g, P, G) for t in parts[p]]
+                )
+                for g in range(G)
+            ]
             # stagger checkpoints across partitions so the pickle+write I/O
             # spreads over epochs instead of spiking every K-th epoch
             meta_refs, write_refs = [], []
@@ -370,11 +421,12 @@ class StreamingRunner:
                         and ((e + 1 + p) % ckpt_every == 0 or e == n_epochs - 1)
                     ],
                     True,
-                    *[parts[p] for p in assign[mi]],
+                    F,
+                    *[t for p in assign[mi] for t in parts[p]],
                 )
                 meta_refs.append(meta_ref)
                 write_refs.append(_write_outputs.remote(self.out_dir, e, tables_ref))
-            inflight[e] = (stats_ref, meta_refs, write_refs, turns_ref)
+            inflight[e] = (stats_refs, meta_refs, write_refs, turns_refs)
             last_dispatched = e
             while len(inflight) >= max_inflight:
                 commit(min(inflight))
@@ -397,7 +449,7 @@ class StreamingRunner:
             )
             meta_refs.append(meta_ref)
             write_refs.append(_write_outputs.remote(self.out_dir, final_epoch, tables_ref))
-        inflight[final_epoch] = (None, meta_refs, write_refs, None)
+        inflight[final_epoch] = ([], meta_refs, write_refs, [])
         commit(final_epoch)
         return {
             "status": "complete",

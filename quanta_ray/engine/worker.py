@@ -650,10 +650,23 @@ class MultiPartitionWorker:
         wm: int,
         do_checkpoint_pids: list[int],
         write_outputs: bool,
+        n_frags: int,
         *tables: pa.Table,
     ) -> dict:
+        """``tables`` is pid-major: ``n_frags`` fragment tables per hosted
+        partition, in arrival (fragment) order — concatenated here so the
+        per-partition state fold sees the epoch exactly as a single-task
+        read would have produced it."""
         out_tables, blobs, metrics = [], [], []
-        for pid, table in zip(self.pids, tables):
+        for i, pid in enumerate(self.pids):
+            frag = list(tables[i * n_frags : (i + 1) * n_frags])
+            nonempty = [t for t in frag if t.num_rows]
+            if not nonempty:
+                table = frag[0]
+            elif len(nonempty) == 1:
+                table = nonempty[0]
+            else:
+                table = pa.concat_tables(nonempty)
             r = self.impls[pid].process_epoch(
                 epoch, wm, table, pid in do_checkpoint_pids, write_outputs
             )

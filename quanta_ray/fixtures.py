@@ -185,20 +185,35 @@ def generate_transcripts(p: TranscriptParams) -> pa.Table:
     )
 
 
-def write_stream(table: pa.Table, out_dir: str, n_epochs: int) -> list[str]:
-    """Split the arrival-ordered table into epoch files (the "topic")."""
+def write_stream(
+    table: pa.Table, out_dir: str, n_epochs: int, row_group_size: int = 65536
+) -> list[str]:
+    """Split the arrival-ordered table into epoch files (the "topic").
+
+    ``row_group_size`` bounds the map-side fragment granularity: the runner
+    reads each epoch with one task per ~``fragment_rows`` rows split on
+    row-group boundaries, so a single giant row group would serialize the
+    read."""
     os.makedirs(out_dir, exist_ok=True)
     n = table.num_rows
     bounds = [round(i * n / n_epochs) for i in range(n_epochs + 1)]
     paths = []
     for e in range(n_epochs):
         path = os.path.join(out_dir, f"epoch-{e:05d}.parquet")
-        pq.write_table(table.slice(bounds[e], bounds[e + 1] - bounds[e]), path)
+        pq.write_table(
+            table.slice(bounds[e], bounds[e + 1] - bounds[e]),
+            path,
+            row_group_size=row_group_size,
+        )
         paths.append(path)
     return paths
 
 
-def make_stream(out_dir: str, params: TranscriptParams | None = None) -> list[str]:
+def make_stream(
+    out_dir: str,
+    params: TranscriptParams | None = None,
+    row_group_size: int = 65536,
+) -> list[str]:
     """Generate and write a transcript stream; returns ordered epoch paths.
 
     Idempotent for a given (out_dir, params): regenerates only if missing.
@@ -207,4 +222,4 @@ def make_stream(out_dir: str, params: TranscriptParams | None = None) -> list[st
     expect = [os.path.join(out_dir, f"epoch-{e:05d}.parquet") for e in range(p.n_epochs)]
     if all(os.path.exists(x) for x in expect):
         return expect
-    return write_stream(generate_transcripts(p), out_dir, p.n_epochs)
+    return write_stream(generate_transcripts(p), out_dir, p.n_epochs, row_group_size)

@@ -77,6 +77,35 @@ def precompute_watermarks(
     return prefix, wms
 
 
+def plan_fragments(path: str, target_rows: int) -> list[tuple[int, int, int]]:
+    """Split an epoch file into map fragments on row-group boundaries.
+
+    Returns ``[(rg_lo, rg_hi, row_offset), ...]`` where ``row_offset`` is the
+    file-global row index of the fragment's first row (the lineage offset
+    base). Greedy: row groups accumulate until ``target_rows``. A file
+    written as one giant row group yields a single fragment — splitting
+    below row-group granularity would re-read the whole group per task.
+    Metadata-only (no data read), like the watermark precompute."""
+    md = pq.read_metadata(path)
+    frags: list[tuple[int, int, int]] = []
+    lo = 0
+    off = 0
+    acc = 0
+    frag_off = 0
+    for rg in range(md.num_row_groups):
+        n = md.row_group(rg).num_rows
+        acc += n
+        off += n
+        if acc >= target_rows:
+            frags.append((lo, rg + 1, frag_off))
+            lo = rg + 1
+            frag_off = off
+            acc = 0
+    if lo < md.num_row_groups or not frags:
+        frags.append((lo, md.num_row_groups, frag_off))
+    return frags
+
+
 # Source driver registry (reference analog: ``source/kafka/registry.go:5-18``;
 # the reference registers one real driver, "sarama", and keeps empty
 # placeholders as the extension surface).

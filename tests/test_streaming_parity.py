@@ -85,6 +85,38 @@ def test_late_rows_were_dropped(engine_and_oracle):
     assert n_late == oracle["metrics"]["n_late_dropped"]
 
 
+def test_fragment_parallel_parity(ray_session, small_stream, tmp_path_factory):
+    """A stream written with tiny row groups (many map fragments per epoch)
+    must produce output identical to the oracle — fragment splitting is a
+    physical-plan choice, never a semantic one."""
+    from quanta_ray.engine import run_pipeline
+    from quanta_ray.fixtures import TranscriptParams, generate_transcripts, write_stream
+    from quanta_ray.sources.stream import plan_fragments
+
+    params = TranscriptParams(n_convs=60, seed=42, n_epochs=5)
+    d = tmp_path_factory.mktemp("stream_fragmented")
+    files = write_stream(generate_transcripts(params), str(d), params.n_epochs, row_group_size=50)
+    assert len(plan_fragments(files[0], 100)) > 1, "fixture must yield multiple fragments"
+
+    cfg = CEPConfig(num_partitions=4)
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files), fragment_rows=100),
+        transformers=(StageSpec(name="normalize"),),
+        sink=SinkSpec(),
+        cep=cfg,
+    )
+    out_dir = str(tmp_path_factory.mktemp("engine_out_frag"))
+    assert run_pipeline(spec, out_dir)["status"] == "complete"
+
+    oracle = run_oracle(
+        (pq.read_table(f) for f in files),
+        cfg,
+        stages=[RetryingStage(NormalizeStage())],
+    )
+    for stream, keys in SORT_KEYS.items():
+        _assert_tables_equal(stream, read_committed(out_dir, stream), oracle[stream], keys)
+
+
 def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
     """Crash after epoch 1, resume → byte-identical committed output."""
     from quanta_ray.engine import StreamingRunner

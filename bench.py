@@ -43,13 +43,14 @@ BENCH_QUERIES = [
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)
-BENCH_N_CONVS = 400000
-BENCH_EPOCHS = 16
+# env overrides exist for experimentation only — recorded results use defaults
+BENCH_N_CONVS = int(os.environ.get("QUANTA_BENCH_CONVS", "400000"))
+BENCH_EPOCHS = int(os.environ.get("QUANTA_BENCH_EPOCHS", "16"))
 BENCH_SEED = 42
 # logical partition count is part of the job layout, NOT the cluster size:
 # the same P at both parallelism levels is what makes the 8 vs 32 cpu
 # comparison a pure scheduling-scale measurement (N vs 4N nodes analog)
-BENCH_PARTITIONS = 48
+BENCH_PARTITIONS = int(os.environ.get("QUANTA_BENCH_P", "48"))
 
 
 def _bench_stream_dir() -> str:
@@ -97,8 +98,12 @@ def run_headline(num_cpus: int) -> dict:
     spec = default_spec(files, cfg)
     spec = dataclasses.replace(
         spec,
-        source=dataclasses.replace(spec.source, max_inflight_epochs=8),
+        source=dataclasses.replace(
+            spec.source,
+            max_inflight_epochs=int(os.environ.get("QUANTA_BENCH_INFLIGHT", "8")),
+        ),
         checkpoint_every=8,
+        rebalance_every=int(os.environ.get("QUANTA_BENCH_REB", "2")),
     )
     runner = StreamingRunner(spec, out_dir)
     # actor cold-start (process spawn + imports) happens once per job on a
@@ -108,8 +113,25 @@ def run_headline(num_cpus: int) -> dict:
     summary = runner.run()
     dt = time.time() - t0
     assert summary["status"] == "complete"
+    # total reduce-side busy time from per-partition phase counters: wall
+    # varies with host steal, busy measures the work itself. The 8-vs-32
+    # busy ratio quantifies per-core slowdown under fleet load (contention),
+    # separating host physics from engine packing in --scaling output.
+    from quanta_ray.state.checkpoint import latest_committed_epoch, read_manifest
+
+    busy = 0.0
+    for e in range(latest_committed_epoch(out_dir) + 1):
+        m = read_manifest(out_dir, e)
+        for pm in m["metrics"]:
+            busy += sum(pm.get(k, 0.0) for k in ("t_ingest", "t_emit", "t_write", "t_ckpt"))
     shutil.rmtree(out_dir, ignore_errors=True)
-    return {"sec": dt, "n_turns": n_turns, "turns_per_sec": n_turns / dt}
+    return {
+        "sec": dt,
+        "n_turns": n_turns,
+        "turns_per_sec": n_turns / dt,
+        "busy_sec": round(busy, 1),
+        "migrations": len(summary.get("migrations", [])),
+    }
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
@@ -189,13 +211,24 @@ def scaling() -> None:
     for _ in range(3):
         r_lo, r_hi = run_once(lo), run_once(hi)
         t_lo, t_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
+        eff = round(t_hi / ((hi / lo) * t_lo), 3)
+        # contention correction: busy_sec is the same deterministic work
+        # measured by in-worker counters; busy_32/busy_8 > 1 is per-core
+        # slowdown under 4x process load (host memory bandwidth / steal),
+        # not engine inefficiency — a real 4N-node cluster has 4x the
+        # memory bandwidth too. corrected = eff x (busy_32 / busy_8).
+        busy_ratio = round(r_hi["busy_sec"] / max(r_lo["busy_sec"], 1e-9), 3)
         pairs.append(
             {
                 "turns_per_sec_8": t_lo,
                 "turns_per_sec_32": t_hi,
                 "sec_8": r_lo["value"],
                 "sec_32": r_hi["value"],
-                "scaling_efficiency": round(t_hi / ((hi / lo) * t_lo), 3),
+                "busy_sec_8": r_lo["busy_sec"],
+                "busy_sec_32": r_hi["busy_sec"],
+                "busy_inflation_32v8": busy_ratio,
+                "scaling_efficiency": eff,
+                "scaling_efficiency_contention_corrected": round(eff * busy_ratio, 3),
             }
         )
     pairs.sort(key=lambda p: p["scaling_efficiency"])
@@ -226,6 +259,8 @@ def headline_only() -> None:
                 "unit": "sec",
                 "turns_per_sec": round(h["turns_per_sec"], 1),
                 "num_cpus": num_cpus,
+                "busy_sec": h["busy_sec"],
+                "migrations": h["migrations"],
             }
         )
     )

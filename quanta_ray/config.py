@@ -110,6 +110,15 @@ class PipelineSpec:
     # every epoch; resume restores the last checkpointed state and replays
     # the (deterministic) epochs since — replayed writes are byte-identical.
     checkpoint_every: int = 1
+    # between-epoch work stealing: every K dispatched epochs the driver may
+    # move one partition from the most-loaded worker to the least-loaded
+    # (EMA of per-partition compute time from committed metrics). Heals
+    # slow-node / hot-partition skew without stalling the pipeline (actor
+    # call ordering + an extract→adopt ObjectRef dependency replace a
+    # drain). 0 disables.
+    rebalance_every: int = 2
+    # migrate only when max worker load > ratio × min worker load
+    rebalance_ratio: float = 1.2
 
 
 class SpecError(ValueError):
@@ -174,6 +183,9 @@ def load_spec(d: dict[str, Any]) -> PipelineSpec:
             turns_write_groups=int(sink.get("turns_write_groups", 8)),
         ),
         cep=cep,
+        checkpoint_every=int(d.get("checkpoint_every", 1)),
+        rebalance_every=int(d.get("rebalance_every", 2)),
+        rebalance_ratio=float(d.get("rebalance_ratio", 1.2)),
     )
 
 

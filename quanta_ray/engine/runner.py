@@ -205,10 +205,14 @@ PartitionWorker = ray.remote(num_cpus=1)(MultiPartitionWorker)
 
 def plan_worker_slots(P: int, cpus: int | None = None) -> list[list[int]]:
     """partition → worker-process assignment: M = cpus − reserve slots for
-    the map/write tasks, capped at P; deterministic round-robin."""
+    the map/write tasks, capped at P; deterministic round-robin.
+
+    ``QUANTA_WORKER_RESERVE`` overrides the reserved slot count (deployment
+    tuning: more reserve = fewer, better-packed reduce workers)."""
     if cpus is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-    reserve = max(2, cpus // 4)
+    env_r = os.environ.get("QUANTA_WORKER_RESERVE")
+    reserve = int(env_r) if env_r else max(2, cpus // 4)
     target = max(1, min(P, cpus - reserve))
     # prefer an M that divides P: unequal partitions-per-worker makes the
     # heavier workers 2x stragglers on every epoch
@@ -251,6 +255,42 @@ class StreamingRunner:
                 for pids in self._assign
             ]
             ray.get([w.ping.remote() for w in self._workers])
+
+    @staticmethod
+    def _maybe_migrate(
+        workers: list[Any],
+        assign: list[list[int]],
+        part_cost: dict[int, float],
+        ratio: float,
+    ) -> tuple[int, int, int] | None:
+        """Move one partition from the most- to the least-loaded worker if
+        the imbalance exceeds ``ratio`` and the move strictly improves it.
+
+        Zero-stall protocol: ``extract`` is enqueued on the donor after its
+        already-dispatched epochs (actor calls run in submission order) and
+        ``adopt`` on the receiver before its next epoch; the extract→adopt
+        ObjectRef dependency orders the two actors. State is per-partition
+        and pure, so output is unaffected by which worker hosts it."""
+        M = len(workers)
+        if M < 2 or not part_cost:
+            return None
+        loads = [sum(part_cost.get(p, 0.0) for p in assign[mi]) for mi in range(M)]
+        di = max(range(M), key=lambda i: loads[i])
+        ri = min(range(M), key=lambda i: loads[i])
+        if di == ri or len(assign[di]) < 2 or loads[ri] <= 0:
+            return None
+        if loads[di] < ratio * loads[ri]:
+            return None
+        gap = (loads[di] - loads[ri]) / 2
+        p = min(assign[di], key=lambda q: abs(part_cost.get(q, 0.0) - gap))
+        c = part_cost.get(p, 0.0)
+        if c <= 0 or c >= loads[di] - loads[ri]:  # move must strictly improve
+            return None
+        ref = workers[di].extract_partition.remote(p)
+        workers[ri].adopt_partition.remote(p, ref)
+        assign[di].remove(p)
+        assign[ri].append(p)
+        return (di, ri, p)
 
     def run(self, stop_after_epoch: int | None = None) -> dict[str, Any]:
         spec, cfg = self.spec, self.spec.cep
@@ -320,7 +360,7 @@ class StreamingRunner:
                 ray.get(
                     [
                         workers[mi].process_epoch.options(num_returns=2).remote(
-                            e, wms[e], [], False, F,
+                            e, wms[e], [], False, F, list(assign[mi]),
                             *[frefs[fi][1 + p] for p in assign[mi] for fi in range(F)],
                         )[0]
                         for mi in range(M)
@@ -330,6 +370,31 @@ class StreamingRunner:
         inflight: dict[int, tuple[Any, list[Any]]] = {}
         max_inflight = max(1, spec.source.max_inflight_epochs)
         summary_metrics: list[dict] = []
+        # per-partition compute-cost EMA drives between-epoch work stealing.
+        # Metas are harvested EAGERLY (ray.wait, zero timeout) as workers
+        # finish epochs — not at commit — so rebalancing reacts within
+        # ~1 epoch instead of lagging the in-flight window.
+        part_cost: dict[int, float] = {}
+        migrations: list[tuple[int, int, int, int]] = []
+        unharvested: list[Any] = []
+
+        def fold_meta(r: dict) -> None:
+            for pm in r["metrics"]:
+                p = pm.get("partition")
+                if p is None:
+                    continue
+                c = pm.get("t_ingest", 0.0) + pm.get("t_emit", 0.0) + pm.get("t_write", 0.0)
+                part_cost[p] = 0.5 * part_cost.get(p, c) + 0.5 * c
+
+        def harvest_ready() -> None:
+            nonlocal unharvested
+            if not unharvested:
+                return
+            ready, unharvested = ray.wait(
+                unharvested, num_returns=len(unharvested), timeout=0
+            )
+            for r in ray.get(ready):
+                fold_meta(r)
 
         last_ckpt_epoch = {"v": resumed_ckpt_epoch}
         # "auto" commit mode = fire-and-forget (reference F6,
@@ -384,8 +449,14 @@ class StreamingRunner:
             )
 
         G = max(1, min(spec.sink.turns_write_groups, P))
+        reb_every = spec.rebalance_every
         last_dispatched = start_epoch - 1
         for e in range(start_epoch, n_epochs):
+            harvest_ready()
+            if reb_every > 0 and e > start_epoch and e % reb_every == 0:
+                mv = self._maybe_migrate(workers, assign, part_cost, spec.rebalance_ratio)
+                if mv is not None:
+                    migrations.append((e, *mv))
             wm_prev = wms[e - 1] if e > 0 else NEG_INF
             frags = plan_fragments(files[e], spec.source.fragment_rows)
             F = len(frags)
@@ -422,10 +493,12 @@ class StreamingRunner:
                     ],
                     True,
                     F,
+                    list(assign[mi]),
                     *[t for p in assign[mi] for t in parts[p]],
                 )
                 meta_refs.append(meta_ref)
                 write_refs.append(_write_outputs.remote(self.out_dir, e, tables_ref))
+            unharvested.extend(meta_refs)
             inflight[e] = (stats_refs, meta_refs, write_refs, turns_refs)
             last_dispatched = e
             while len(inflight) >= max_inflight:
@@ -455,6 +528,7 @@ class StreamingRunner:
             "status": "complete",
             "epochs": n_epochs,
             "metrics": summary_metrics,
+            "migrations": migrations,
         }
 
 

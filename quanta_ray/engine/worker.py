@@ -153,21 +153,35 @@ class PartitionWorkerImpl:
 
     # --- checkpoint / restore -------------------------------------------------
 
+    def state_payload(self) -> dict:
+        """Complete per-partition state as a plain dict — the unit of both
+        checkpointing and live partition migration (work stealing)."""
+        return {
+            "partition": self.partition,
+            "wm": self.wm,
+            "epoch": self.last_epoch,
+            "totals": dict(self.totals),
+            "convs": {c: s.to_payload() for c, s in self.convs.items()},
+            "pending": self.pending,
+            "session_counts": self.session_counts,
+        }
+
+    def load_state_payload(self, payload: dict) -> None:
+        assert payload["partition"] == self.partition
+        self.wm = payload["wm"]
+        self.last_epoch = payload.get("epoch", -1)
+        self.totals = defaultdict(int, payload["totals"])
+        self.pending = payload["pending"]
+        self.session_counts = payload.get("session_counts", {})
+        self.convs = {c: _ConvState.from_payload(p) for c, p in payload["convs"].items()}
+
     def checkpoint_blob(self, epoch: int) -> tuple[dict, bytes]:
         """Serialize state (must happen in-worker); the compress+write runs
         as an off-worker task (see runner._write_outputs)."""
         path = os.path.join(
             "checkpoints", f"epoch-{epoch:08d}", f"part-{self.partition:05d}.pkl"
         )
-        payload = {
-            "partition": self.partition,
-            "wm": self.wm,
-            "epoch": epoch,
-            "totals": dict(self.totals),
-            "convs": {c: s.to_payload() for c, s in self.convs.items()},
-            "pending": self.pending,
-            "session_counts": self.session_counts,
-        }
+        payload = dict(self.state_payload(), epoch=epoch)
         raw = pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
         meta = {"partition": self.partition, "path": path, "epoch": epoch}
         return meta, raw
@@ -185,14 +199,7 @@ class PartitionWorkerImpl:
             import zlib
 
             raw = zlib.decompress(raw[4:])
-        payload = pickle.loads(raw)
-        assert payload["partition"] == self.partition
-        self.wm = payload["wm"]
-        self.last_epoch = payload.get("epoch", -1)
-        self.totals = defaultdict(int, payload["totals"])
-        self.pending = payload["pending"]
-        self.session_counts = payload.get("session_counts", {})
-        self.convs = {c: _ConvState.from_payload(p) for c, p in payload["convs"].items()}
+        self.load_state_payload(pickle.loads(raw))
 
     # --- epoch processing -----------------------------------------------------
 
@@ -641,8 +648,28 @@ class MultiPartitionWorker:
 
     def __init__(self, partition_ids: list[int], cfg, out_dir: str):
         _limit_native_threads()
+        self.cfg = cfg
+        self.out_dir = out_dir
         self.impls = {p: PartitionWorkerImpl(p, cfg, out_dir) for p in partition_ids}
         self.pids = list(partition_ids)
+
+    # --- live partition migration (between-epoch work stealing) --------------
+    # Actor calls execute in submission order, so the driver enqueues
+    # ``extract`` on the donor AFTER the last pre-migration epoch and
+    # ``adopt`` on the receiver BEFORE the first post-migration epoch; the
+    # extract→adopt ObjectRef dependency orders the two actors. No drain.
+
+    def extract_partition(self, pid: int) -> dict:
+        impl = self.impls.pop(pid)
+        self.pids.remove(pid)
+        return impl.state_payload()
+
+    def adopt_partition(self, pid: int, payload: dict) -> bool:
+        impl = PartitionWorkerImpl(pid, self.cfg, self.out_dir)
+        impl.load_state_payload(payload)
+        self.impls[pid] = impl
+        self.pids.append(pid)
+        return True
 
     def process_epoch(
         self,
@@ -651,12 +678,16 @@ class MultiPartitionWorker:
         do_checkpoint_pids: list[int],
         write_outputs: bool,
         n_frags: int,
+        pids: list[int],
         *tables: pa.Table,
     ) -> dict:
         """``tables`` is pid-major: ``n_frags`` fragment tables per hosted
         partition, in arrival (fragment) order — concatenated here so the
         per-partition state fold sees the epoch exactly as a single-task
-        read would have produced it."""
+        read would have produced it. ``pids`` is the driver's view of this
+        worker's layout — asserted against actor state to catch any
+        migration desync."""
+        assert pids == self.pids, f"layout desync: driver {pids} != worker {self.pids}"
         out_tables, blobs, metrics = [], [], []
         for i, pid in enumerate(self.pids):
             frag = list(tables[i * n_frags : (i + 1) * n_frags])

@@ -117,6 +117,38 @@ def test_fragment_parallel_parity(ray_session, small_stream, tmp_path_factory):
         _assert_tables_equal(stream, read_committed(out_dir, stream), oracle[stream], keys)
 
 
+def test_migration_parity_under_skew(ray_session, tmp_path_factory):
+    """Aggressive between-epoch partition migration (rebalance every epoch,
+    any imbalance triggers) over a Zipf-skewed stream must not change a
+    single output row vs the oracle — hosting is physical, state is
+    per-partition and pure."""
+    from quanta_ray.engine import StreamingRunner
+    from quanta_ray.fixtures import TranscriptParams, make_stream
+
+    d = tmp_path_factory.mktemp("stream_skewed")
+    params = TranscriptParams(n_convs=40, seed=7, zipf_a=1.2, n_epochs=6)
+    files = make_stream(str(d), params)
+    cfg = CEPConfig(num_partitions=4)
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(StageSpec(name="normalize"),),
+        cep=cfg,
+        rebalance_every=1,
+        rebalance_ratio=1.0,
+    )
+    out_dir = str(tmp_path_factory.mktemp("engine_out_mig"))
+    summary = StreamingRunner(spec, out_dir).run()
+    assert summary["status"] == "complete"
+
+    oracle = run_oracle(
+        (pq.read_table(f) for f in files),
+        cfg,
+        stages=[RetryingStage(NormalizeStage())],
+    )
+    for stream, keys in SORT_KEYS.items():
+        _assert_tables_equal(stream, read_committed(out_dir, stream), oracle[stream], keys)
+
+
 def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
     """Crash after epoch 1, resume → byte-identical committed output."""
     from quanta_ray.engine import StreamingRunner

@@ -98,9 +98,13 @@ def run_headline(num_cpus: int) -> dict:
     spec = default_spec(files, cfg)
     spec = dataclasses.replace(
         spec,
+        # capacity 12 of 16 epochs: bounded in-flight (backpressure stays
+        # real) with enough runway that a straggling worker does not idle
+        # the rest of the fleet; the reference's default token capacity is
+        # similarly generous (30k frames vs its example's 1k)
         source=dataclasses.replace(
             spec.source,
-            max_inflight_epochs=int(os.environ.get("QUANTA_BENCH_INFLIGHT", "8")),
+            max_inflight_epochs=int(os.environ.get("QUANTA_BENCH_INFLIGHT", "12")),
         ),
         checkpoint_every=8,
         rebalance_every=int(os.environ.get("QUANTA_BENCH_REB", "2")),

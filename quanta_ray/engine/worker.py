@@ -4,10 +4,12 @@ State per conversation is O(open windows + open sessions + pending tools +
 join-horizon assistants) — never the raw rows. Everything a closed window
 needs is folded into running aggregates at ingest:
 
-- **tumbling/sliding windows**: dict ``w_start → [n, n_user, n_assistant,
-  n_tool, first_key, last_key]`` where first/last keys are ``(ts, turn_idx,
-  text)`` tuples (min/max under the oracle's (ts, turn_idx) order;
-  ``min_ts = first_key[0]``, ``max_ts = last_key[0]``). A window is popped
+- **tumbling/sliding windows**: PARTITION-LEVEL COLUMNAR state
+  (``_WindowState``): parallel numpy arrays keyed (conv code, w_start) with
+  counts + first/last (ts, turn, text). Merge = concat + lexsort +
+  segment-reduce; emission = ``w + size <= wm`` mask. Per-conv dicts would
+  cost one Python op per (conv, window) group and most groups hold ~1 row
+  per epoch — columnar keeps the whole path vectorized. A window is popped
   and emitted when ``w_start + size <= wm``. No emitted-dedup set is needed:
   a row that would re-create an emitted window is by definition late and was
   dropped at the source (see oracle.py watermark proof).
@@ -69,13 +71,16 @@ def _limit_native_threads() -> None:
 
 
 class _ConvState:
-    """Incremental per-conversation CEP state."""
+    """Incremental per-conversation CEP state (sessions + join buffers).
 
-    __slots__ = ("tumbling", "sliding", "sessions", "session_count", "assistants", "tools")
+    Window state is NOT here: with short conversations most (conv, window)
+    groups hold ~1 row per epoch, so per-conv dicts degenerate to one Python
+    dict op per row. Windows live in the partition-level columnar
+    ``_WindowState`` instead (vectorized merge + emission)."""
+
+    __slots__ = ("sessions", "session_count", "assistants", "tools")
 
     def __init__(self) -> None:
-        self.tumbling: dict[int, list] = {}  # w_start -> agg
-        self.sliding: dict[int, list] = {}
         # sorted disjoint [start_key, end_key, n]; keys are (ts, turn, text)
         self.sessions: list[list] = []
         self.session_count = 0
@@ -84,8 +89,6 @@ class _ConvState:
 
     def to_payload(self) -> tuple:
         return (
-            self.tumbling,
-            self.sliding,
             self.sessions,
             self.session_count,
             self.assistants,
@@ -95,8 +98,135 @@ class _ConvState:
     @classmethod
     def from_payload(cls, p: tuple) -> "_ConvState":
         st = cls()
-        (st.tumbling, st.sliding, st.sessions, st.session_count, st.assistants, st.tools) = p
+        (st.sessions, st.session_count, st.assistants, st.tools) = p
         return st
+
+
+_WS_FIELDS = (
+    "code", "w", "n", "nu", "na", "nt",
+    "f_ts", "f_turn", "f_text", "l_ts", "l_turn", "l_text",
+)
+
+
+class _WindowState:
+    """Partition-level columnar open-window state (one per window kind).
+
+    Arrays are parallel, keyed by (conv code, w_start) — codes intern conv
+    ids per partition (``PartitionWorkerImpl.conv_code``). Merge is a
+    vectorized concat + lexsort + segment-reduce; emission is a boolean
+    mask. first/last are the (ts, turn_idx)-min/max rows of the window
+    ((conv, ts, turn_idx) is unique, so text never breaks ties)."""
+
+    __slots__ = _WS_FIELDS
+
+    def __init__(self) -> None:
+        for f in ("code", "w", "n", "nu", "na", "nt", "f_ts", "f_turn", "l_ts", "l_turn"):
+            setattr(self, f, np.empty(0, np.int64))
+        self.f_text = np.empty(0, object)
+        self.l_text = np.empty(0, object)
+
+    def merge(self, *partial: np.ndarray) -> None:
+        """Fold partial aggregates (same 12-field layout) into state."""
+        cols = [np.concatenate([getattr(self, f), p]) if len(getattr(self, f)) else p
+                for f, p in zip(_WS_FIELDS, partial)]
+        (code, w, n, nu, na, nt, f_ts, f_turn, f_text, l_ts, l_turn, l_text) = cols
+        if len(code) == 0:
+            return
+        # primary order (code, w); secondary (f_ts, f_turn) → group starts
+        # are the per-group first-key minima
+        ord_f = np.lexsort((f_turn, f_ts, w, code))
+        code_s, w_s = code[ord_f], w[ord_f]
+        brk = np.concatenate(
+            ([True], (code_s[1:] != code_s[:-1]) | (w_s[1:] != w_s[:-1]))
+        )
+        starts = np.flatnonzero(brk)
+        if len(starts) == len(code_s):  # all keys unique — no combining
+            self.code, self.w = code_s, w_s
+            self.n, self.nu, self.na, self.nt = n[ord_f], nu[ord_f], na[ord_f], nt[ord_f]
+            self.f_ts, self.f_turn, self.f_text = f_ts[ord_f], f_turn[ord_f], f_text[ord_f]
+            self.l_ts, self.l_turn, self.l_text = l_ts[ord_f], l_turn[ord_f], l_text[ord_f]
+            return
+        ends = np.append(starts[1:], len(code_s)) - 1
+        self.code, self.w = code_s[starts], w_s[starts]
+        self.n = np.add.reduceat(n[ord_f], starts)
+        self.nu = np.add.reduceat(nu[ord_f], starts)
+        self.na = np.add.reduceat(na[ord_f], starts)
+        self.nt = np.add.reduceat(nt[ord_f], starts)
+        self.f_ts, self.f_turn, self.f_text = (
+            f_ts[ord_f][starts], f_turn[ord_f][starts], f_text[ord_f][starts]
+        )
+        # same group segments under the (l_ts, l_turn)-secondary order;
+        # group ends are the per-group last-key maxima
+        ord_l = np.lexsort((l_turn, l_ts, w, code))
+        self.l_ts, self.l_turn, self.l_text = (
+            l_ts[ord_l][ends], l_turn[ord_l][ends], l_text[ord_l][ends]
+        )
+
+    def pop_closed(self, size: int, wm: int) -> tuple | None:
+        """Remove and return all windows with w + size <= wm (vectorized)."""
+        if len(self.w) == 0:
+            return None
+        mask = self.w + size <= wm
+        if not mask.any():
+            return None
+        out = (
+            self.code[mask], self.w[mask], self.n[mask], self.nu[mask],
+            self.na[mask], self.nt[mask], self.f_ts[mask], self.f_text[mask],
+            self.l_ts[mask], self.l_text[mask],
+        )
+        keep = ~mask
+        for f in _WS_FIELDS:
+            setattr(self, f, getattr(self, f)[keep])
+        return out
+
+    def to_payload(self) -> tuple:
+        return tuple(getattr(self, f) for f in _WS_FIELDS)
+
+    @classmethod
+    def from_payload(cls, p: tuple) -> "_WindowState":
+        ws = cls()
+        for f, arr in zip(_WS_FIELDS, p):
+            setattr(ws, f, arr)
+        return ws
+
+
+def _window_partials(
+    codes: np.ndarray,
+    w: np.ndarray,
+    ts: np.ndarray,
+    turn: np.ndarray,
+    text: np.ndarray,
+    is_user: np.ndarray,
+    is_assistant: np.ndarray,
+    is_tool: np.ndarray,
+) -> tuple:
+    """Per-(conv, window) partial aggregates of a batch slice as arrays.
+
+    Inputs are sorted by (conv, ts, turn) with w monotone in ts within a
+    conv, so groups are contiguous runs; first/last = run boundaries."""
+    n = len(w)
+    if n == 0:
+        z = np.empty(0, np.int64)
+        o = np.empty(0, object)
+        return (z, z, z, z, z, z, z, z, o, z, z, o)
+    brk = np.concatenate(([True], (codes[1:] != codes[:-1]) | (w[1:] != w[:-1])))
+    starts = np.flatnonzero(brk)
+    counts = np.diff(np.append(starts, n))
+    lasts = starts + counts - 1
+    return (
+        codes[starts],
+        w[starts],
+        counts.astype(np.int64),
+        np.add.reduceat(is_user, starts),
+        np.add.reduceat(is_assistant, starts),
+        np.add.reduceat(is_tool, starts),
+        ts[starts],
+        turn[starts].astype(np.int64),
+        text[starts],
+        ts[lasts],
+        turn[lasts].astype(np.int64),
+        text[lasts],
+    )
 
 
 def write_checkpoint_blob(out_dir: str, meta: dict, raw: bytes) -> dict:
@@ -112,20 +242,6 @@ def write_checkpoint_blob(out_dir: str, meta: dict, raw: bytes) -> dict:
         f.write(raw)
     os.replace(tmp, path)
     return meta
-
-
-def _merge_agg(agg: list | None, part: list) -> list:
-    if agg is None:
-        return list(part)
-    agg[0] += part[0]
-    agg[1] += part[1]
-    agg[2] += part[2]
-    agg[3] += part[3]
-    if part[4] < agg[4]:
-        agg[4] = part[4]
-    if part[5] > agg[5]:
-        agg[5] = part[5]
-    return agg
 
 
 class PartitionWorkerImpl:
@@ -147,6 +263,11 @@ class PartitionWorkerImpl:
         # session ids are per-conv monotonic FOREVER (oracle semantics), so
         # the counter must survive eviction of an idle conv's heavy state
         self.session_counts: dict[str, int] = {}
+        # conv interning for the columnar window state (grows with convs
+        # seen, like session_counts — an accepted O(seen convs) map)
+        self.conv_code: dict[str, int] = {}
+        self.conv_names: list[str] = []
+        self.win = {"tumbling": _WindowState(), "sliding": _WindowState()}
         self.wm = NEG_INF
         self.last_epoch = -1  # highest epoch folded into state
         self.totals: dict[str, int] = defaultdict(int)
@@ -164,6 +285,8 @@ class PartitionWorkerImpl:
             "convs": {c: s.to_payload() for c, s in self.convs.items()},
             "pending": self.pending,
             "session_counts": self.session_counts,
+            "conv_names": list(self.conv_names),
+            "win": {k: ws.to_payload() for k, ws in self.win.items()},
         }
 
     def load_state_payload(self, payload: dict) -> None:
@@ -173,6 +296,9 @@ class PartitionWorkerImpl:
         self.totals = defaultdict(int, payload["totals"])
         self.pending = payload["pending"]
         self.session_counts = payload.get("session_counts", {})
+        self.conv_names = list(payload["conv_names"])
+        self.conv_code = {c: i for i, c in enumerate(self.conv_names)}
+        self.win = {k: _WindowState.from_payload(p) for k, p in payload["win"].items()}
         self.convs = {c: _ConvState.from_payload(p) for c, p in payload["convs"].items()}
 
     def checkpoint_blob(self, epoch: int) -> tuple[dict, bytes]:
@@ -224,13 +350,25 @@ class PartitionWorkerImpl:
         self.wm = max(self.wm, wm)
         t_ingest = _time.perf_counter()
         out = self._emission_pass(touched)
+        # columnar window emission: mask + filter, no per-conv iteration.
+        # Runs on replay too (state must advance identically).
+        win_tables = {
+            "tumbling": self._pop_windows_table("tumbling", self.cfg.tumbling_size_us, self.wm),
+            "sliding": self._pop_windows_table("sliding", self.cfg.sliding_size_us, self.wm),
+        }
         t_emit = _time.perf_counter()
 
+        n_emitted = {
+            "tumbling": win_tables["tumbling"].num_rows if win_tables["tumbling"] is not None else 0,
+            "sliding": win_tables["sliding"].num_rows if win_tables["sliding"] is not None else 0,
+            "sessions": len(out["sessions"]),
+            "joins": len(out["joins"]),
+        }
         # totals accumulate on replay too, so a resumed run's checkpointed
         # counters match an uninterrupted run (ADVICE: metrics drift)
         self.totals["turns_in"] += table.num_rows
-        for k in ("tumbling", "sliding", "sessions", "joins"):
-            self.totals[f"{k}_emitted"] += len(out[k])
+        for k, v in n_emitted.items():
+            self.totals[f"{k}_emitted"] += v
 
         if not write_outputs:
             # resume replay of an already-committed epoch: state advances,
@@ -241,9 +379,11 @@ class PartitionWorkerImpl:
         # parquet writes run as tasks on the map slots so the stateful
         # worker chain — the scaling-critical path — stays compute-only
         tables = []
+        for stream in ("tumbling", "sliding"):
+            t = win_tables[stream]
+            if t is not None and t.num_rows:
+                tables.append((stream, self.partition, t))
         for stream, schema, rows in (
-            ("tumbling", WINDOW_AGG_SCHEMA, out["tumbling"]),
-            ("sliding", WINDOW_AGG_SCHEMA, out["sliding"]),
             ("sessions", SESSION_SCHEMA, out["sessions"]),
             ("joins", JOIN_SCHEMA, out["joins"]),
         ):
@@ -260,7 +400,7 @@ class PartitionWorkerImpl:
             "rows_in": table.num_rows,
             "wm": self.wm,
             "live_convs": len(self.convs),
-            **{f"{k}_emitted": len(out[k]) for k in ("tumbling", "sliding", "sessions", "joins")},
+            **{f"{k}_emitted": v for k, v in n_emitted.items()},
             "t_ingest": round(t_ingest - t0, 4),
             "t_emit": round(t_emit - t_ingest, 4),
             "t_write": round(t_write - t_emit, 4),
@@ -308,32 +448,52 @@ class PartitionWorkerImpl:
         convs = self.convs
         names = uniques.tolist()
 
-        # ---- tumbling partials (numpy reduceat over contiguous groups) ----
-        self._merge_window_partials(
-            names, codes, ts // tsize * tsize, ts, turn, text,
-            is_user, is_assistant, is_tool.astype(np.int64), "tumbling", tsize,
+        # ---- windows: columnar partials → vectorized state merge ----
+        # map batch-local factorize codes to persistent per-partition codes
+        # (one dict op per TOUCHED CONV, not per row/group)
+        cc = self.conv_code
+        cn = self.conv_names
+        pmap = np.empty(len(names), np.int64)
+        for i, c in enumerate(names):
+            pc_ = cc.get(c)
+            if pc_ is None:
+                pc_ = len(cn)
+                cc[c] = pc_
+                cn.append(c)
+            pmap[i] = pc_
+        pcodes = pmap[codes]
+        it = is_tool.astype(np.int64)
+
+        self.win["tumbling"].merge(
+            *_window_partials(
+                pcodes, ts // tsize * tsize, ts, turn, text, is_user, is_assistant, it
+            )
         )
 
-        # ---- sliding partials: k shifted window assignments, same path.
-        # Each shift keeps (conv, ts) order, and w_j is monotone in ts within
-        # a conv → groups stay contiguous; no expansion, no re-sort.
+        # sliding: k shifted window assignments. Each shift keeps (conv, ts)
+        # order and w_j is monotone in ts within a conv → groups stay
+        # contiguous; the k partials concatenate into ONE state merge.
         k = ssize // slide
         base = ts // slide * slide
-        it = is_tool.astype(np.int64)
+        shift_parts = []
         for j in range(k):
             w_j = base - j * slide
             mask = w_j > ts - ssize
             if mask.all():
-                self._merge_window_partials(
-                    names, codes, w_j, ts, turn, text,
-                    is_user, is_assistant, it, "sliding", ssize,
+                shift_parts.append(
+                    _window_partials(pcodes, w_j, ts, turn, text, is_user, is_assistant, it)
                 )
             else:
                 sel = np.flatnonzero(mask)
-                self._merge_window_partials(
-                    names, codes[sel], w_j[sel], ts[sel], turn[sel], text[sel],
-                    is_user[sel], is_assistant[sel], it[sel], "sliding", ssize,
+                shift_parts.append(
+                    _window_partials(
+                        pcodes[sel], w_j[sel], ts[sel], turn[sel], text[sel],
+                        is_user[sel], is_assistant[sel], it[sel],
+                    )
                 )
+        self.win["sliding"].merge(
+            *(np.concatenate([sp[i] for sp in shift_parts]) for i in range(12))
+        )
 
         # ---- sessions + join state: vectorized per-conv segments ----
         # gap-cluster the NEW rows of each conv in numpy (one python op per
@@ -443,67 +603,44 @@ class PartitionWorkerImpl:
         else:
             sess.insert(i, [skey, ekey, count])
 
-    def _merge_window_partials(
-        self,
-        names: list,
-        codes: np.ndarray,
-        w: np.ndarray,
-        ts: np.ndarray,
-        turn: np.ndarray,
-        text: np.ndarray,
-        is_user: np.ndarray,
-        is_assistant: np.ndarray,
-        is_tool: np.ndarray,
-        kind: str,
-        size: int,
-    ) -> None:
-        """Fold (conv, window) partial aggregates into state.
-
-        Inputs are sorted by (conv, ts, turn) and w is monotone in ts within
-        a conv, so (conv, w) groups are contiguous; reduce with
-        ``np.add.reduceat`` and touch Python once per group, not per row.
-        """
-        n = len(w)
-        if n == 0:
-            return
-        starts = np.flatnonzero(
-            np.concatenate(([True], (codes[1:] != codes[:-1]) | (w[1:] != w[:-1])))
-        )
-        counts = np.diff(np.append(starts, n))
-        lasts = starts + counts - 1
-        # one C-level conversion per column; the loop below sees python ints
-        g_code = codes[starts].tolist()
-        g_w = w[starts].tolist()
-        g_n = counts.tolist()
-        g_nu = np.add.reduceat(is_user, starts).tolist()
-        g_na = np.add.reduceat(is_assistant, starts).tolist()
-        g_nt = np.add.reduceat(is_tool, starts).tolist()
-        f_ts, f_turn, f_text = ts[starts].tolist(), turn[starts].tolist(), text[starts].tolist()
-        l_ts, l_turn, l_text = ts[lasts].tolist(), turn[lasts].tolist(), text[lasts].tolist()
-        pend = self.pending
-        convs = self.convs
-        tumbling = kind == "tumbling"
-        for gi in range(len(g_code)):
-            conv = names[g_code[gi]]
-            st = convs[conv]
-            d = st.tumbling if tumbling else st.sliding
-            wv = g_w[gi]
-            part = [
-                g_n[gi], g_nu[gi], g_na[gi], g_nt[gi],
-                (f_ts[gi], f_turn[gi], f_text[gi]),
-                (l_ts[gi], l_turn[gi], l_text[gi]),
-            ]
-            cur = d.get(wv)
-            d[wv] = _merge_agg(cur, part)
-            dl = wv + size
-            if dl < pend.get(conv, POS_INF):
-                pend[conv] = dl
-
     # --- emission -------------------------------------------------------------
 
+    def _pop_windows_table(self, kind: str, size: int, wm: int) -> pa.Table | None:
+        """Emit all closed windows of one kind as a sorted Arrow table."""
+        popped = self.win[kind].pop_closed(size, wm)
+        if popped is None:
+            return None
+        import pyarrow.compute as pc
+
+        code, w, n, nu, na, nt, f_ts, f_text, l_ts, l_text = popped
+        names = np.array(self.conv_names, dtype=object)[code]
+        us = pa.timestamp("us")
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(names, type=pa.string()),
+                pa.array(w, type=pa.int64()).cast(us),
+                pa.array(w + size, type=pa.int64()).cast(us),
+                pa.array(n, type=pa.int64()),
+                pa.array(nu, type=pa.int64()),
+                pa.array(na, type=pa.int64()),
+                pa.array(nt, type=pa.int64()),
+                pa.array(f_text, type=pa.string()),
+                pa.array(l_text, type=pa.string()),
+                pa.array(f_ts, type=pa.int64()).cast(us),
+                pa.array(l_ts, type=pa.int64()).cast(us),
+            ],
+            schema=WINDOW_AGG_SCHEMA,
+        )
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("conv_id", "ascending"), ("w_start", "ascending")]
+        )
+        return tbl.take(idx)
+
     def _emission_pass(self, touched: set[str]) -> dict[str, list]:
+        """Per-conv emission for sessions + joins (windows are columnar and
+        emitted separately via ``_pop_windows_table``)."""
         wm = self.wm
-        out: dict[str, list] = {"tumbling": [], "sliding": [], "sessions": [], "joins": []}
+        out: dict[str, list] = {"sessions": [], "joins": []}
         due = [c for c, dl in self.pending.items() if dl <= wm]
         for conv in due if not touched else set(due) | touched:
             st = self.convs.get(conv)
@@ -514,7 +651,7 @@ class PartitionWorkerImpl:
             if dl > wm:
                 continue  # touched but nothing can emit yet; deadline is a lower bound
             next_dl = self._emit_conv(conv, st, wm, out)
-            if not (st.tumbling or st.sliding or st.sessions or st.tools or st.assistants):
+            if not (st.sessions or st.tools or st.assistants):
                 if st.session_count:
                     self.session_counts[conv] = st.session_count
                 del self.convs[conv]
@@ -528,23 +665,6 @@ class PartitionWorkerImpl:
     def _emit_conv(self, conv: str, st: _ConvState, wm: int, out: dict) -> int:
         cfg = self.cfg
         next_dl = POS_INF
-
-        # tumbling / sliding: pop closed windows
-        for kind, size in (("tumbling", cfg.tumbling_size_us), ("sliding", cfg.sliding_size_us)):
-            d = st.tumbling if kind == "tumbling" else st.sliding
-            if d:
-                closed = [w for w in d if w + size <= wm]
-                for w in closed:
-                    agg = d.pop(w)
-                    out[kind].append(
-                        (
-                            conv, w, w + size,
-                            agg[0], agg[1], agg[2], agg[3],
-                            agg[4][2], agg[5][2], agg[4][0], agg[5][0],
-                        )
-                    )
-                if d:
-                    next_dl = min(next_dl, min(d) + size)
 
         # sessions: closable prefix (disjointness ⇒ earlier sessions close first)
         gap = cfg.session_gap_us

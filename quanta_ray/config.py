@@ -65,7 +65,12 @@ class StageSpec:
 
     name: str
     type: str = "inproc"  # the reference's grpc type is replaced by in-process
-    timeout_ms: int = 1000
+    # per-call timeout, enforced via a watchdog thread around the stage call
+    # (reference: context.WithTimeout per plugin call, runner.go:138-144;
+    # timeout → the retry-then-drop+ack path). 0 disables — unlike the
+    # reference's RPC hop, an in-process vectorized stage is deterministic,
+    # and a universal default would drop data under host contention.
+    timeout_ms: int = 0
     retry: RetryPolicy = field(default_factory=RetryPolicy)
     options: dict[str, Any] = field(default_factory=dict)
 
@@ -154,7 +159,7 @@ def load_spec(d: dict[str, Any]) -> PipelineSpec:
             StageSpec(
                 name=t["name"],
                 type=t.get("type", "inproc"),
-                timeout_ms=int(t.get("timeout_ms", 1000)),
+                timeout_ms=int(t.get("timeout_ms", 0)),
                 retry=RetryPolicy(
                     attempts=int(rp.get("attempts", 3)),
                     backoff_ms=int(rp.get("backoff_ms", 0)),

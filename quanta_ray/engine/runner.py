@@ -292,7 +292,28 @@ class StreamingRunner:
         assign[ri].append(p)
         return (di, ri, p)
 
-    def run(self, stop_after_epoch: int | None = None) -> dict[str, Any]:
+    def run(
+        self,
+        stop_after_epoch: int | None = None,
+        follow: int = 0,
+        poll_sleep_s: float = 0.05,
+        on_idle: Any = None,
+    ) -> dict[str, Any]:
+        """Run the stream to completion (exactly-once commit per epoch).
+
+        ``follow > 0`` enables TAILING mode (reference analog: the consumer
+        loops on new records forever, ``driver_sarama.go:71-82``): when the
+        known epoch files are exhausted the source directory is re-listed;
+        new files extend the stream (watermarks extended incrementally from
+        footer stats). After ``follow`` consecutive empty polls the stream
+        is declared ended and the final flush runs. ``on_idle(n)`` is an
+        injectable hook called per empty poll (tests use it to append
+        files deterministically); ``poll_sleep_s`` paces the driver's poll
+        loop only — never semantics (all event time is data ``ts``).
+        A flushed (completed) stream is final: growth after the final-flush
+        manifest is not resumable."""
+        import time as _walltime
+
         spec, cfg = self.spec, self.spec.cep
         P = cfg.num_partitions
         files = self.files
@@ -300,7 +321,8 @@ class StreamingRunner:
         final_epoch = n_epochs  # reserved epoch index for the final flush
         os.makedirs(self.out_dir, exist_ok=True)
 
-        _, wms = precompute_watermarks(files, cfg.allowed_lateness_us)
+        prefix, wms = precompute_watermarks(files, cfg.allowed_lateness_us)
+        cur_max = prefix[-1]
 
         latest = latest_committed_epoch(self.out_dir)
         if latest >= final_epoch:
@@ -435,8 +457,8 @@ class StreamingRunner:
             manifest = {
                 "pipeline_id": spec.pipeline_id,
                 "num_partitions": P,
-                "input": {"file": files[epoch] if epoch < n_epochs else None},
-                "watermark": wms[epoch] if epoch < n_epochs else POS_INF,
+                "input": {"file": files[epoch] if epoch < len(files) else None},
+                "watermark": wms[epoch] if epoch < len(files) else POS_INF,
                 "source_stats": stats,
                 "files": turns_entries + stream_files,
                 "checkpoints": checkpoints,
@@ -451,7 +473,34 @@ class StreamingRunner:
         G = max(1, min(spec.sink.turns_write_groups, P))
         reb_every = spec.rebalance_every
         last_dispatched = start_epoch - 1
-        for e in range(start_epoch, n_epochs):
+        e = start_epoch
+        idle_polls = 0
+        while True:
+            # tailing: poll the source for new epoch files when caught up
+            while e >= len(files) and follow > 0 and idle_polls < follow:
+                relisted = list_epoch_files(spec.source.paths)
+                new = relisted[len(files):]
+                if new:
+                    assert relisted[: len(files)] == files, "existing epoch files changed"
+                    from ..sources.stream import epoch_max_ts_us
+
+                    for f in new:
+                        cur_max = max(cur_max, epoch_max_ts_us(f))
+                        wms.append(cur_max - cfg.allowed_lateness_us)
+                    files.extend(new)
+                    idle_polls = 0
+                    break
+                idle_polls += 1
+                # durability while waiting: commit finished epochs instead
+                # of holding them until the stream ends
+                if inflight:
+                    commit(min(inflight))
+                if on_idle is not None:
+                    on_idle(idle_polls)
+                if poll_sleep_s:
+                    _walltime.sleep(poll_sleep_s)
+            if e >= len(files):
+                break
             harvest_ready()
             if reb_every > 0 and e > start_epoch and e % reb_every == 0:
                 mv = self._maybe_migrate(workers, assign, part_cost, spec.rebalance_ratio)
@@ -489,7 +538,7 @@ class StreamingRunner:
                         p
                         for p in assign[mi]
                         if e2e
-                        and ((e + 1 + p) % ckpt_every == 0 or e == n_epochs - 1)
+                        and ((e + 1 + p) % ckpt_every == 0 or e == len(files) - 1)
                     ],
                     True,
                     F,
@@ -505,10 +554,12 @@ class StreamingRunner:
                 commit(min(inflight))
             if stop_after_epoch is not None and e >= stop_after_epoch:
                 break
+            e += 1
 
         while inflight:
             commit(min(inflight))
 
+        final_epoch = len(files)  # the stream may have grown while tailing
         if stop_after_epoch is not None and stop_after_epoch < final_epoch:
             # a requested stop always halts BEFORE the final flush — even when
             # every data epoch committed — so resume exercises the flush path
@@ -526,7 +577,7 @@ class StreamingRunner:
         commit(final_epoch)
         return {
             "status": "complete",
-            "epochs": n_epochs,
+            "epochs": len(files),
             "metrics": summary_metrics,
             "migrations": migrations,
         }

@@ -24,17 +24,43 @@ class StdoutSink:
         value_max_bytes: int = 120,  # driver.go default
         counters: bool = True,
         ack_batch_size: int = 1,
+        ack_flush_ms: int = 0,  # 0 = timer off (driver.go example default)
         on_ack: Callable[[int], None] | None = None,
         stream=None,
+        clock: Callable[[], float] | None = None,
     ):
+        import time
+
         self.print_values = print_values
         self.value_max_bytes = value_max_bytes
         self.counters = counters
         self.ack_batch_size = max(1, ack_batch_size)
+        self.ack_flush_ms = ack_flush_ms
         self.on_ack = on_ack
         self.count = 0
         self._pending_acks = 0
         self.stream = stream or sys.stdout
+        # injected clock (like CommitThrottle) keeps tests deterministic;
+        # the reference flushes from a background timer goroutine
+        # (driver.go:72-87) — here the timer is checked on write()/tick()
+        self._clock = clock or time.monotonic
+        self._last_flush = self._clock()
+
+    def _flush_acks(self) -> None:
+        if self.on_ack and self._pending_acks:
+            self.on_ack(self._pending_acks)
+            self._pending_acks = 0
+        self._last_flush = self._clock()
+
+    def tick(self) -> None:
+        """Fire the ack timer if ``ack_flush_ms`` elapsed since last flush
+        (reference K1 time-based flush, ``sink/stdout/driver.go:72-87``)."""
+        if (
+            self.ack_flush_ms > 0
+            and self._pending_acks
+            and (self._clock() - self._last_flush) * 1000.0 >= self.ack_flush_ms
+        ):
+            self._flush_acks()
 
     def write(self, table: pa.Table) -> int:
         """Print rows (truncated) and fire batched acks; returns rows seen."""
@@ -48,15 +74,14 @@ class StdoutSink:
                 print(f"{prefix}{text}", file=self.stream)
             self._pending_acks += 1
             if self.on_ack and self._pending_acks >= self.ack_batch_size:
-                self.on_ack(self._pending_acks)
-                self._pending_acks = 0
+                self._flush_acks()
+        self.tick()
         return table.num_rows
 
     def close(self) -> None:
         """Flush remaining acks (driver.go flush-on-close, :106-116)."""
         if self.on_ack and self._pending_acks:
-            self.on_ack(self._pending_acks)
-            self._pending_acks = 0
+            self._flush_acks()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """map_batches passthrough form."""

@@ -66,8 +66,43 @@ class Transformer:
         raise NotImplementedError
 
 
+class StageTimeout(TransientError):
+    """Stage call exceeded ``timeout_ms`` → handled exactly like a transient
+    error: retried, then drop+ack (reference: ``context.WithTimeout`` per
+    plugin call, ``runner.go:138-144``; DeadlineExceeded takes the retry
+    path)."""
+
+
+def _call_with_timeout(fn, batch: pa.Table, timeout_ms: int) -> pa.Table:
+    """Run ``fn(batch)`` under a watchdog thread with a deadline.
+
+    A timed-out call's thread is abandoned (daemon), mirroring the
+    reference's cancelled-context semantics — the in-flight plugin call is
+    walked away from, never killed."""
+    import threading
+
+    box: list = []
+
+    def run() -> None:
+        try:
+            box.append(("ok", fn(batch)))
+        except BaseException as exc:  # noqa: BLE001 — re-raised on the caller thread
+            box.append(("err", exc))
+
+    t = threading.Thread(target=run, daemon=True, name="stage-watchdog")
+    t.start()
+    t.join(timeout_ms / 1000.0)
+    if not box:
+        raise StageTimeout(f"stage call exceeded {timeout_ms} ms")
+    kind, val = box[0]
+    if kind == "err":
+        raise val
+    return val
+
+
 class RetryingStage:
-    """Wraps a Transformer with the reference's retry-then-drop policy.
+    """Wraps a Transformer with the reference's retry-then-drop policy and
+    optional per-call timeout (T2+T3).
 
     Works for both paths; usable directly as a ``map_batches`` callable.
     ``backoff_ms`` is honored as spec parity but not slept in-process
@@ -75,10 +110,17 @@ class RetryingStage:
     deterministic stage gains nothing from sleeping).
     """
 
-    def __init__(self, inner: Transformer, policy: RetryPolicy | None = None):
+    def __init__(
+        self,
+        inner: Transformer,
+        policy: RetryPolicy | None = None,
+        timeout_ms: int = 0,
+    ):
         self.inner = inner
         self.policy = policy or RetryPolicy()
+        self.timeout_ms = timeout_ms
         self.dropped_after_retries = 0
+        self.timed_out = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.transform_batch(batch)
@@ -86,7 +128,14 @@ class RetryingStage:
     def transform_batch(self, batch: pa.Table) -> pa.Table:
         for _attempt in range(max(1, self.policy.attempts)):
             try:
+                if self.timeout_ms > 0:
+                    return _call_with_timeout(
+                        self.inner.transform_batch, batch, self.timeout_ms
+                    )
                 return self.inner.transform_batch(batch)
+            except StageTimeout:
+                self.timed_out += 1
+                continue
             except TransientError:
                 continue
         self.dropped_after_retries += batch.num_rows
@@ -112,7 +161,7 @@ def build_chain(specs: Sequence[StageSpec]) -> list[RetryingStage]:
         if s.name not in TRANSFORM_REGISTRY:
             raise ValueError(f"unknown transformer {s.name!r}")
         inner = TRANSFORM_REGISTRY[s.name](**s.options)
-        chain.append(RetryingStage(inner, s.retry))
+        chain.append(RetryingStage(inner, s.retry, timeout_ms=s.timeout_ms))
     return chain
 
 

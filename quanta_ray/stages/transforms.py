@@ -124,10 +124,35 @@ class ErrorThenOKStage(Transformer):
         return [dict(row)]
 
 
+class HangStage(Transformer):
+    """Sleeps ``hang_s`` on the first ``hang_times`` calls, then passes rows
+    through — the timeout-enforcement test stage (a deliberately hung plugin;
+    reference analog: a plugin that never answers its RPC)."""
+
+    name = "hang"
+
+    def __init__(self, hang_s: float = 10.0, hang_times: int = 1_000_000):
+        self.hang_s = hang_s
+        self.hang_times = hang_times
+        self.calls = 0
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        import time
+
+        self.calls += 1
+        if self.calls <= self.hang_times:
+            time.sleep(self.hang_s)
+        return batch
+
+    def apply_row(self, row: dict) -> list[dict] | None:
+        return [dict(row)]
+
+
 TRANSFORM_REGISTRY = {
     "normalize": NormalizeStage,
     "uppercase": UppercaseStage,
     "drop_role": DropRoleStage,
     "fanout": FanoutStage,
     "error_then_ok": ErrorThenOKStage,
+    "hang": HangStage,
 }

@@ -51,3 +51,38 @@ def test_fire_and_forget_mode(ray_session, small_stream, tmp_path_factory):
     assert glob.glob(os.path.join(d, "data", "turns", "*.parquet"))
     assert not glob.glob(os.path.join(d, "manifest-*.json"))
     assert not os.path.exists(os.path.join(d, "checkpoints"))
+
+
+def test_ack_timer_flush():
+    """K1 time-based ack flush (sink/stdout/driver.go:72-87) with an
+    injected clock."""
+    import io
+
+    from quanta_ray.sinks.stdout import StdoutSink
+
+    now = {"t": 100.0}
+    acks = []
+    sink = StdoutSink(
+        print_values=False,
+        ack_batch_size=1000,  # size never reached
+        ack_flush_ms=500,
+        on_ack=acks.append,
+        stream=io.StringIO(),
+        clock=lambda: now["t"],
+    )
+    import pyarrow as pa
+
+    sink.write(pa.table({"x": [1, 2, 3]}))
+    assert acks == []  # neither size nor timer reached
+    now["t"] += 0.4
+    sink.tick()
+    assert acks == []  # 400 ms < 500 ms
+    now["t"] += 0.2
+    sink.tick()
+    assert acks == [3]  # timer fired with pending acks
+    sink.write(pa.table({"x": [4]}))
+    now["t"] += 0.6
+    sink.write(pa.table({"x": [5]}))  # write() checks the timer too
+    assert acks == [3, 2]
+    sink.close()
+    assert acks == [3, 2]  # nothing pending after timer flush

@@ -123,3 +123,43 @@ def test_env_overlay(monkeypatch):
     assert d["cep"]["num_partitions"] == 17
     spec = load_spec(d)
     assert spec.cep.num_partitions == 17
+
+
+def test_stage_timeout_retry_then_drop():
+    """T2+T3: a hung stage call times out, is retried, and after exhaustion
+    the batch is dropped+acked (reference: context.WithTimeout per call,
+    runner.go:138-144, then the drop+ack path)."""
+    import pyarrow as pa
+
+    from quanta_ray.config import RetryPolicy
+    from quanta_ray.stages.base import RetryingStage
+    from quanta_ray.stages.transforms import HangStage
+
+    batch = pa.table({"text": ["a", "b"], "role": ["user", "user"]})
+
+    # hangs forever -> every attempt times out -> drop
+    stage = RetryingStage(HangStage(hang_s=5.0), RetryPolicy(attempts=2), timeout_ms=50)
+    out = stage.transform_batch(batch)
+    assert out.num_rows == 0
+    assert stage.timed_out == 2
+    assert stage.dropped_after_retries == 2
+
+    # hangs once -> first attempt times out, retry succeeds (no data loss)
+    stage2 = RetryingStage(
+        HangStage(hang_s=5.0, hang_times=1), RetryPolicy(attempts=3), timeout_ms=50
+    )
+    out2 = stage2.transform_batch(batch)
+    assert out2.num_rows == 2
+    assert stage2.timed_out == 1
+    assert stage2.dropped_after_retries == 0
+
+
+def test_timeout_zero_disables_watchdog():
+    import pyarrow as pa
+
+    from quanta_ray.stages.base import RetryingStage
+    from quanta_ray.stages.transforms import NormalizeStage
+
+    stage = RetryingStage(NormalizeStage(), timeout_ms=0)
+    out = stage.transform_batch(pa.table({"text": ["x"]}))
+    assert out.column("text_norm").to_pylist() == ["X"]

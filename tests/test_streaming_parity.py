@@ -220,6 +220,88 @@ def test_resume_before_any_checkpoint(ray_session, small_stream, tmp_path_factor
         assert a.equals(b), f"{stream}: resume output differs from single run"
 
 
+def test_tailing_source_picks_up_new_epochs(ray_session, tmp_path_factory):
+    """Tailing mode (reference: consumer loops on new records forever,
+    driver_sarama.go:71-82): a file appended mid-run is discovered on an
+    idle poll, committed, and included in the final output."""
+    from quanta_ray.engine import StreamingRunner
+    from quanta_ray.fixtures import TranscriptParams, generate_transcripts, write_stream
+
+    params = TranscriptParams(n_convs=40, seed=11, n_epochs=4)
+    d = tmp_path_factory.mktemp("stream_tail")
+    table = generate_transcripts(params)
+    files = write_stream(table, str(d), 4)
+    # hold back the last epoch; the producer "appends" it mid-run
+    import os
+
+    held_back = files[3]
+    hidden = held_back + ".hidden"
+    os.rename(held_back, hidden)
+
+    appended = {"done": False}
+
+    def producer(idle_polls: int) -> None:
+        if not appended["done"]:
+            os.rename(hidden, held_back)
+            appended["done"] = True
+
+    cfg = CEPConfig(num_partitions=3)
+    spec = PipelineSpec(
+        source=SourceSpec(paths=(str(d),)),  # directory source → re-listable
+        transformers=(StageSpec(name="normalize"),),
+        cep=cfg,
+    )
+    out_dir = str(tmp_path_factory.mktemp("engine_out_tail"))
+    summary = StreamingRunner(spec, out_dir).run(
+        follow=3, poll_sleep_s=0.0, on_idle=producer
+    )
+    assert summary["status"] == "complete"
+    assert summary["epochs"] == 4 and appended["done"]
+
+    oracle = run_oracle(
+        (pq.read_table(f) for f in files),
+        cfg,
+        stages=[RetryingStage(NormalizeStage())],
+    )
+    for stream, keys in SORT_KEYS.items():
+        _assert_tables_equal(stream, read_committed(out_dir, stream), oracle[stream], keys)
+
+
+def test_epoch_completes_past_hanging_stage(ray_session, small_stream, tmp_path_factory):
+    """A deliberately hung stage call must not hang the epoch: the watchdog
+    times the call out and the retry path completes it (VERDICT item 5)."""
+    from quanta_ray.config import RetryPolicy
+    from quanta_ray.engine import run_pipeline
+
+    files, _ = small_stream
+    cfg = CEPConfig(num_partitions=2)
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(
+            StageSpec(
+                name="hang",
+                timeout_ms=100,
+                retry=RetryPolicy(attempts=3),
+                options={"hang_s": 30.0, "hang_times": 1},
+            ),
+            StageSpec(name="normalize"),
+        ),
+        cep=cfg,
+    )
+    out_dir = str(tmp_path_factory.mktemp("engine_out_hang"))
+    summary = run_pipeline(spec, out_dir)
+    assert summary["status"] == "complete"
+    # first call per fragment hung once and was retried — zero rows lost
+    oracle = run_oracle(
+        (pq.read_table(f) for f in files),
+        cfg,
+        stages=[RetryingStage(NormalizeStage())],
+    )
+    _assert_tables_equal(
+        "turns", read_committed(out_dir, "turns"), oracle["turns"], SORT_KEYS["turns"]
+    )
+
+
 def test_rerun_is_noop(ray_session, small_stream, tmp_path_factory):
     from quanta_ray.engine import StreamingRunner
 

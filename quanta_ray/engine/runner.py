@@ -277,7 +277,9 @@ class StreamingRunner:
         loads = [sum(part_cost.get(p, 0.0) for p in assign[mi]) for mi in range(M)]
         di = max(range(M), key=lambda i: loads[i])
         ri = min(range(M), key=lambda i: loads[i])
-        if di == ri or len(assign[di]) < 2 or loads[ri] <= 0:
+        # a zero MIN load is fine (tiny partitions round to 0) — only a zero
+        # MAX load means there is no signal yet
+        if di == ri or len(assign[di]) < 2 or loads[di] <= 0:
             return None
         if loads[di] < ratio * loads[ri]:
             return None

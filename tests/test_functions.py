@@ -125,3 +125,64 @@ def test_media_plumbing(ray_session):
     # real decode mode is an explicit stub
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(mode="real")
+
+
+def test_knn_ivf_finds_planted_neighbor(ray_session, emb_dir):
+    """IVF probe must find the planted near-identical vector: it shares the
+    query's coarse centroid by construction (rows-only operator, pinned here
+    by a planted fixture instead of a SQL oracle)."""
+    from quanta_ray.functions.simsearch import knn_ivf
+
+    d, _ = emb_dir
+    out = knn_ivf(d, query_ids=(5,), k=3)
+    rows = out.to_pylist()
+    assert rows and rows[0]["neighbor_id"] == 20
+    assert rows[0]["cosine"] > 0.99
+
+
+def test_simhash_signatures_deterministic(ray_session, doc_dir):
+    from quanta_ray.functions.dedup import simhash_signatures
+
+    a = simhash_signatures(doc_dir)
+    b = simhash_signatures(doc_dir)
+    assert a.equals(b)
+    sig = dict(zip(a.column("doc_id").to_pylist(), a.column("simhash").to_pylist()))
+    assert sig[0] == sig[10] and sig[1] == sig[11]  # exact dups → equal signatures
+
+
+def test_ngram_jaccard_dedup_drops_planted(ray_session, doc_dir):
+    from quanta_ray.functions.dedup import ngram_jaccard_dedup
+
+    out = ngram_jaccard_dedup(doc_dir, threshold=0.7)
+    ids = set(out.column("doc_id").to_pylist())
+    assert 0 in ids and 1 in ids and 2 in ids  # originals survive
+    assert 10 not in ids and 11 not in ids  # exact dups dropped
+    assert 12 not in ids  # near dup (1 word of 30 changed) dropped
+
+
+def test_lang_id_planted(ray_session, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("lang_docs")
+    texts = [
+        "the cat and the dog are running to the house of the king",
+        "der hund und die katze sind ein schönes paar nicht schlecht",
+        "你好世界 这是一个测试文档",
+        "zzzz qqqq xxxx",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "text": texts,
+            "lang": ["en", "de", "zh", "xx"],
+            "source": ["synthetic"] * 4,
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    from quanta_ray.functions.text import lang_id
+
+    out = lang_id(str(d))
+    pred = dict(zip(out.column("doc_id").to_pylist(), out.column("lang_pred").to_pylist()))
+    assert pred[0] == "en" and pred[1] == "de" and pred[2] == "zh" and pred[3] == "unknown"

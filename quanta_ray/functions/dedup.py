@@ -53,15 +53,12 @@ def dedup_exact(sf_dir: str) -> pa.Table:
         # per-batch partial: one survivor per md5 per batch
         return batch.groupby("md5", as_index=False)["doc_id"].min()
 
-    from ray.data.aggregate import Min
+    from ..bucket import bucketed_group_agg
 
-    out = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(add_hash, batch_format="pandas", batch_size=8192)
-        .repartition(8)
-        .groupby("md5")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_hash, batch_format="pandas", batch_size=8192
     )
+    out = bucketed_group_agg(partials, ["md5"], dict(doc_id=("doc_id", "min")))
     t = _concat(out).select(["doc_id", "md5"])
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
 

@@ -79,18 +79,20 @@ def tumbling_agg(sf_dir: str, size_us: int = HOUR_US, salt: int = 0) -> pa.Table
         )
         return pa.Table.from_pandas(g.drop(columns=["_salt"] if salt else []), preserve_index=False)
 
-    from ray.data.aggregate import Max, Min, Sum
+    from ..bucket import bucketed_group_agg
 
-    partials = _coalesce(
-        _events(sf_dir, ["user_id", "ts", "value"]).map_batches(
-            partial, batch_format="pyarrow", batch_size=65536
-        )
+    partials = _events(sf_dir, ["user_id", "ts", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
     )
-    out = partials.groupby(["user_id", "w_start_us"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
-        Min("min_ts_us", alias_name="min_ts_us"),
-        Max("max_ts_us", alias_name="max_ts_us"),
+    out = bucketed_group_agg(
+        partials,
+        ["user_id", "w_start_us"],
+        dict(
+            n_events=("n_events", "sum"),
+            sum_value=("sum_value", "sum"),
+            min_ts_us=("min_ts_us", "min"),
+            max_ts_us=("max_ts_us", "max"),
+        ),
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -155,16 +157,15 @@ def sliding_agg(
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    from ..bucket import bucketed_group_agg
 
-    partials = _coalesce(
-        _events(sf_dir, ["user_id", "ts", "value"]).map_batches(
-            partial, batch_format="pyarrow", batch_size=65536
-        )
+    partials = _events(sf_dir, ["user_id", "ts", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
     )
-    out = partials.groupby(["user_id", "w_start_us"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
+    out = bucketed_group_agg(
+        partials,
+        ["user_id", "w_start_us"],
+        dict(n_events=("n_events", "sum"), sum_value=("sum_value", "sum")),
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -202,14 +203,16 @@ GROUP BY 1, 2
 
 
 def session_agg(sf_dir: str, gap_us: int = 30 * 60 * US) -> pa.Table:
-    """Gap-based sessions per user: one hash shuffle on user_id, ordered scan
-    per group (sessions need per-key order — never salted)."""
+    """Gap-based sessions per user: one hash-bucketed shuffle on user_id,
+    sessions of ALL users in a bucket computed in one vectorized pass
+    (sessions need per-key order — never salted)."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
         ts_us = g["ts"].astype("int64")
-        new_sess = (ts_us - ts_us.shift(1)).fillna(gap_us + 1) > gap_us
-        sid = new_sess.cumsum() - 1
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        new_sess = new_user | ((ts_us - ts_us.shift()).fillna(gap_us + 1) > gap_us)
+        sid = new_sess.cumsum()  # bucket-global session counter, ts-ordered
         out = g.groupby(sid.values).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"),
@@ -217,12 +220,16 @@ def session_agg(sf_dir: str, gap_us: int = 30 * 60 * US) -> pa.Table:
             n_events=("event_id", "size"),
             sum_value=("value", "sum"),
         )
-        out["session_id"] = range(len(out))
+        out["session_id"] = out.groupby("user_id").cumcount()
         out["sum_value"] = out["sum_value"].round(6)
-        return out
+        return out[
+            ["user_id", "session_id", "session_start", "session_end", "n_events", "sum_value"]
+        ]
+
+    from ..bucket import bucketed_apply
 
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = bucketed_apply(ds, ["user_id"], per_bucket)
     return _concat(out).select(
         ["user_id", "session_id", "session_start", "session_end", "n_events", "sum_value"]
     )
@@ -312,8 +319,14 @@ def next_event_join(
             }
         )
 
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [per_user(gu) for _, gu in g.groupby("user_id", sort=False)]
+        return pd.concat(outs, ignore_index=True) if outs else _empty()
+
+    from ..bucket import bucketed_apply
+
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = bucketed_apply(ds, ["user_id"], per_bucket)
     return _concat(out)
 
 
@@ -345,13 +358,17 @@ def dedup_exact(sf_dir: str) -> pa.Table:
     Hash-partition on the dedup key + per-group first — the groupby shuffle
     moves each key group to one reducer (SURVEY guide pattern)."""
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"]).head(1)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["user_id", "event_type", "ts", "event_id"])
+            .groupby(["user_id", "event_type"], as_index=False, sort=False)
+            .head(1)
+        )
+
+    from ..bucket import bucketed_apply
 
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
-    out = ds.groupby(["user_id", "event_type"]).map_groups(
-        first_row, batch_format="pandas"
-    )
+    out = bucketed_apply(ds, ["user_id", "event_type"], per_bucket)
     return _concat(out).select(["user_id", "event_type", "event_id", "ts", "value"])
 
 
@@ -379,20 +396,22 @@ def topk_users(sf_dir: str, k: int = 10) -> pa.Table:
         g = df.groupby("user_id", as_index=False)["value"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    from ..bucket import bucketed_group_agg
 
-    out = (
-        _coalesce(
-            _events(sf_dir, ["user_id", "value"]).map_batches(
-                partial, batch_format="pyarrow", batch_size=65536
-            )
-        )
-        .groupby("user_id")
-        .aggregate(Sum("value", alias_name="total_value"))
-        .sort(["total_value", "user_id"], descending=[True, False])
-        .limit(k)
+    partials = _events(sf_dir, ["user_id", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
     )
-    t = _concat(out)
+    agg = bucketed_group_agg(partials, ["user_id"], dict(total_value=("value", "sum")))
+    # per-bucket local top-k → tiny driver merge (partial top-k pattern)
+    local = agg.map_batches(
+        lambda df: df.sort_values(
+            ["total_value", "user_id"], ascending=[False, True]
+        ).head(k),
+        batch_format="pandas",
+    )
+    df = _concat(local).to_pandas()
+    df = df.sort_values(["total_value", "user_id"], ascending=[False, True]).head(k)
+    t = pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
     return pa.Table.from_arrays(
         [t.column("user_id"), pc.round(t.column("total_value"), 6)],
         names=["user_id", "total_value"],
@@ -468,21 +487,21 @@ def type_hourly_stats(sf_dir: str) -> pa.Table:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Max, Min, Sum
+    from ..bucket import bucketed_group_agg
 
-    out = (
-        _coalesce(
-            _events(sf_dir, ["event_type", "ts", "value"]).map_batches(
-                partial, batch_format="pyarrow", batch_size=65536
-            )
-        )
-        .groupby(["event_type", "w_start_us"])
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sum_value", alias_name="sum_value"),
-            Min("min_value", alias_name="min_value"),
-            Max("max_value", alias_name="max_value"),
-        )
+    partials = _events(sf_dir, ["event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    )
+    out = bucketed_group_agg(
+        partials,
+        ["event_type", "w_start_us"],
+        dict(
+            n=("n", "sum"),
+            sum_value=("sum_value", "sum"),
+            min_value=("min_value", "min"),
+            max_value=("max_value", "max"),
+        ),
+        num_buckets=16,
     )
     t = _concat(out)
     avg = pc.round(pc.divide(t.column("sum_value"), pc.cast(t.column("n"), pa.float64())), 6)
@@ -515,11 +534,14 @@ def distinct_users_per_type(sf_dir: str) -> pa.Table:
     then count — both shuffles move only key pairs."""
     from ray.data.aggregate import Count
 
-    pairs = (
-        _events(sf_dir, ["event_type", "user_id"])
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+    from ..bucket import bucketed_apply
+
+    # stage 1 (high-cardinality pair dedup): bucketed drop_duplicates;
+    # stage 2 (5 groups): Ray's native Count is fine at tiny cardinality
+    pairs = bucketed_apply(
+        _events(sf_dir, ["event_type", "user_id"]),
+        ["event_type", "user_id"],
+        lambda g: g.drop_duplicates(["event_type", "user_id"]),
     )
     out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
     t = _concat(out)

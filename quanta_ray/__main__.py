@@ -2,8 +2,13 @@
 read the pipeline spec path from env/args, init logging from env, run).
 
 Usage:
-    python -m quanta_ray run <pipeline.json|yml> <out_dir> [--resume]
+    python -m quanta_ray run <pipeline.json|yml> <out_dir> [--follow N]
     python -m quanta_ray bench-stream <out_dir> [n_convs] [n_epochs]
+
+``--follow N`` tails the source directory (reference: the consumer loops on
+new records forever): new epoch files are picked up until N consecutive
+empty polls, then the stream is flushed. Re-running ``run`` on an existing
+out_dir resumes from the last committed manifest automatically.
 
 The spec file is JSON (or YAML when pyyaml is installed); schema_version v1
 is enforced. ``QUANTA_RAY_PIPELINE`` overrides the positional spec path.
@@ -26,6 +31,11 @@ def main(argv: list[str]) -> int:
     cmd, *rest = argv
 
     if cmd == "run":
+        follow = 0
+        if "--follow" in rest:
+            i = rest.index("--follow")
+            follow = int(rest[i + 1])
+            rest = rest[:i] + rest[i + 2 :]
         spec_path = os.environ.get("QUANTA_RAY_PIPELINE", rest[0] if rest else "pipeline.json")
         out_dir = rest[1] if len(rest) > 1 else "./quanta-out"
         from .config import load_spec_file
@@ -39,7 +49,7 @@ def main(argv: list[str]) -> int:
         try:
             from .engine import StreamingRunner
 
-            summary = StreamingRunner(spec, out_dir).run()
+            summary = StreamingRunner(spec, out_dir).run(follow=follow)
             log.info("run complete: %s", summary["status"])
             print(json.dumps(summary, default=str))
         finally:

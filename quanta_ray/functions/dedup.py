@@ -76,19 +76,42 @@ ORDER BY doc_id
 
 P31 = (1 << 31) - 1  # 31-bit prime field: a*x+b fits uint64, fully vectorized
 
+# position coefficients for the rolling k-gram combine (odd 64-bit constants;
+# uint64 arithmetic wraps deterministically)
+_GRAM_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _gram_coeffs(k: int) -> np.ndarray:
+    c = np.empty(k, dtype=np.uint64)
+    c[0] = np.uint64(1)
+    with np.errstate(over="ignore"):  # wrapping uint64 is the point
+        for i in range(1, k):
+            c[i] = c[i - 1] * _GRAM_MULT
+    return c
+
+
+def _roll_grams(wh: np.ndarray, k: int) -> np.ndarray:
+    """Combine k consecutive word hashes into gram hashes (wrapping uint64);
+    for < k words, combine what exists into one gram."""
+    coef = _gram_coeffs(k)
+    if len(wh) < k:
+        return (wh * coef[: len(wh)]).sum(keepdims=True, dtype=np.uint64)
+    n = len(wh) - k + 1
+    g = np.zeros(n, dtype=np.uint64)
+    for i in range(k):
+        g += wh[i : i + n] * coef[i]
+    return g
+
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingles → deterministic 31-bit hashes (vectorized
-    ``pandas.util.hash_array`` over the gram strings)."""
+    """Word k-gram shingles → deterministic 64-bit hashes via rolling
+    word-hash combination (same scheme as the batched ``MinHasher``, so
+    candidate generation and exact-Jaccard verification agree)."""
     words = text.split()
     if not words:
         return np.empty(0, dtype=np.uint64)
-    if len(words) < k:
-        grams = [" ".join(words)]
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    h = pd.util.hash_array(np.asarray(grams, dtype=object))
-    return np.unique(h % np.uint64(P31))
+    wh = pd.util.hash_array(np.asarray(words, dtype=object))
+    return np.unique(_roll_grams(wh, k))
 
 
 def _shingles(text: str, k: int = 3) -> set[int]:
@@ -97,8 +120,10 @@ def _shingles(text: str, k: int = 3) -> set[int]:
 
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, P31, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, P31, size=num_perm, dtype=np.int64).astype(np.uint64)
+    # multiply-shift (Dietzfelbinger) family: odd 64-bit multiplier + offset,
+    # top 31 bits kept. No modulo — uint64 % prime is the hot op at scale.
+    a = rng.integers(1, 1 << 62, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 62, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -106,35 +131,101 @@ def _minhash_sig(sh, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = sh if isinstance(sh, np.ndarray) else np.fromiter(sh, dtype=np.uint64)
     if len(x) == 0:
         return np.full(len(a), np.uint64(P31), dtype=np.uint64)
-    # (a*x + b) mod p with 31-bit operands: products < 2^62, no overflow
-    vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(P31)
+    # wrapping multiply-shift: (a*x + b) >> 33 keeps the top 31 bits, so the
+    # empty-set sentinel P31 = 2^31 - 1 is the maximum attainable value
+    vals = (a[:, None] * x[None, :] + b[:, None]) >> np.uint64(33)
     return vals.min(axis=1)
 
 
 class MinHasher:
-    """Per-batch minhash signatures → exploded LSH band rows.
+    """Per-batch minhash signatures → exploded LSH band rows, fully
+    vectorized: words exploded once per batch (`Series.explode` +
+    `hash_array`), k-gram shingles by rolling word-hash combination,
+    per-doc signature minima via `np.minimum.reduceat` over doc segments,
+    band hashes as wrapping polynomials over signature segments (an LSH
+    bucket key only needs segment-equality ⇒ any injective-enough mix
+    works; spurious collisions are killed by the exact-Jaccard verify).
 
     Stateful actor: permutation params generated once per actor (identical
     across actors — seeded)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
         self.a, self.b = _minhash_params(num_perm)
+        self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.k = shingle_k
+        self.band_coef = _gram_coeffs(self.rows_per_band)
+
+    def _signatures(self, texts: pd.Series) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix."""
+        n = len(texts)
+        sig = np.full((n, self.num_perm), np.uint64(P31), dtype=np.uint64)
+        words = texts.str.split().explode().dropna()
+        if len(words) == 0:
+            return sig
+        doc_flat = words.index.to_numpy()  # positional row index per word
+        wh = pd.util.hash_array(words.to_numpy(dtype=object))
+        k = self.k
+        # rolling grams across the flat word array; drop windows that cross
+        # doc boundaries
+        if len(wh) >= k:
+            g = np.zeros(len(wh) - k + 1, dtype=np.uint64)
+            coef = _gram_coeffs(k)
+            for i in range(k):
+                g += wh[i : i + len(g)] * coef[i]
+            valid = doc_flat[: len(g)] == doc_flat[k - 1 :]
+            g, gd = g[valid], doc_flat[: len(g)][valid]
+        else:
+            g = np.empty(0, dtype=np.uint64)
+            gd = np.empty(0, dtype=np.int64)
+        # docs with < k words fall back to one whole-doc gram
+        lens = np.bincount(doc_flat, minlength=n)
+        short = np.flatnonzero((lens > 0) & (lens < k))
+        if len(short):
+            sg = []
+            starts = np.searchsorted(doc_flat, short)
+            for s, d in zip(starts, short):
+                sg.append(_roll_grams(wh[s : s + lens[d]], k)[0])
+            g = np.concatenate([g, np.asarray(sg, dtype=np.uint64)])
+            gd = np.concatenate([gd, short])
+        if len(g) == 0:
+            return sig
+        # dedupe (doc, gram) and segment per doc
+        order = np.lexsort((g, gd))
+        g, gd = g[order], gd[order]
+        keep = np.concatenate(([True], (gd[1:] != gd[:-1]) | (g[1:] != g[:-1])))
+        g, gd = g[keep], gd[keep]
+        starts = np.flatnonzero(np.concatenate(([True], gd[1:] != gd[:-1])))
+        # per-doc minima, one permutation at a time into a REUSED buffer:
+        # a (num_perm, G) broadcast materializes num_perm fresh G-sized
+        # temporaries, and first-touch page faults dominate on this host —
+        # the loop does the same flops with O(G) resident memory
+        mins = np.empty((self.num_perm, len(starts)), dtype=np.uint64)
+        tmp = np.empty(len(g), dtype=np.uint64)
+        s33 = np.uint64(33)
+        for pi in range(self.num_perm):
+            np.multiply(g, self.a[pi], out=tmp)
+            np.add(tmp, self.b[pi], out=tmp)
+            np.right_shift(tmp, s33, out=tmp)
+            mins[pi] = np.minimum.reduceat(tmp, starts)
+        sig[gd[starts]] = mins.T
+        return sig
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_band, out_hash = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = _minhash_sig(_shingle_hashes(text, self.k), self.a, self.b)
-            for band in range(self.bands):
-                seg = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                h = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
-                out_doc.append(doc_id)
-                out_band.append(band)
-                out_hash.append(int.from_bytes(h, "big") >> 1)
+        texts = batch["text"].reset_index(drop=True)
+        sig = self._signatures(texts)
+        n = len(batch)
+        seg = sig.reshape(n, self.bands, self.rows_per_band)
+        bh = (seg * self.band_coef).sum(axis=2, dtype=np.uint64)  # wrapping mix
+        bh ^= bh >> np.uint64(29)
+        bh = (bh * _GRAM_MULT) >> np.uint64(1)  # fits int64
         return pd.DataFrame(
-            {"doc_id": out_doc, "band": out_band, "band_hash": out_hash}
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), self.bands),
+                "band": np.tile(np.arange(self.bands, dtype=np.int64), n),
+                "band_hash": bh.reshape(-1).astype(np.int64),
+            }
         )
 
 

@@ -32,10 +32,19 @@ def _concat(ds: rd.Dataset) -> pa.Table:
 
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    """(ids, row-normalized float64 matrix) from an Arrow batch."""
+    """(ids, row-normalized float64 matrix) from an Arrow batch.
+
+    Zero-copy flatten of the fixed-dim list column (``to_pylist`` would
+    build millions of Python floats per batch)."""
     ids = batch.column("vec_id").to_numpy()
     emb = batch.column("embedding")
-    mat = np.asarray(emb.to_pylist(), dtype=np.float64)
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False)
+    if len(ids) == 0:
+        return ids, np.empty((0, 0), dtype=np.float64)
+    assert len(flat) % len(ids) == 0, "embedding column must be fixed-dim"
+    mat = flat.astype(np.float64, copy=True).reshape(len(ids), -1)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return ids, mat / norms

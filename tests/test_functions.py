@@ -186,3 +186,21 @@ def test_lang_id_planted(ray_session, tmp_path_factory):
     out = lang_id(str(d))
     pred = dict(zip(out.column("doc_id").to_pylist(), out.column("lang_pred").to_pylist()))
     assert pred[0] == "en" and pred[1] == "de" and pred[2] == "zh" and pred[3] == "unknown"
+
+
+def test_minhash_batched_signatures_match_per_doc():
+    """The vectorized batch signature path must equal the per-doc reference
+    path (same shingles, same permutations) — pins the explode/reduceat
+    machinery against the simple definition."""
+    import pandas as pd
+
+    from quanta_ray.functions.dedup import MinHasher, _minhash_sig, _shingle_hashes
+
+    mh = MinHasher()
+    texts = pd.Series(
+        ["a b c d e f", "", "x y", "a b c d e f g h", "one", "a b c a b c a b c"]
+    )
+    sig = mh._signatures(texts)
+    for i, t in enumerate(texts):
+        expect = _minhash_sig(_shingle_hashes(t, mh.k), mh.a, mh.b)
+        assert np.array_equal(sig[i], expect), f"doc {i}"

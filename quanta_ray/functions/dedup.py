@@ -230,7 +230,11 @@ class MinHasher:
 
 
 def _pairs_from_buckets(
-    rows_ds: rd.Dataset, bucket_keys: list[str], id_col: str, num_partitions: int = 32
+    rows_ds: rd.Dataset,
+    bucket_keys: list[str],
+    id_col: str,
+    num_partitions: int = 32,
+    max_bucket: int = 256,
 ) -> rd.Dataset:
     """(bucket, id) rows → deduped candidate (a, b) pairs, fully distributed.
 
@@ -245,9 +249,13 @@ def _pairs_from_buckets(
       stage 2: groupby(hash(a,b) % NP).map_groups → global pair dedup
                (a pair found by several bands lands in ONE group)
 
-    The shuffles move only key/id rows, never payloads; a giant bucket still
-    emits O(n²) pairs — inherent to LSH pair-emit, bounded in practice by
-    band width. Lazy: callers decide when to ``materialize()``."""
+    The shuffles move only key/id rows, never payloads. ``max_bucket`` is
+    the HOT-BUCKET CAP (standard in production LSH dedup): a bucket larger
+    than this means the band carries no discriminating information for that
+    cluster, and emitting its O(n²) pairs would dominate the job — such
+    buckets are skipped; a true near-dup pair is still found through its
+    other bands unless every one of its bands is degenerate. Lazy: callers
+    decide when to ``materialize()``."""
 
     def add_pkey(batch: pd.DataFrame) -> pd.DataFrame:
         key = batch[bucket_keys[0]].to_numpy().astype(np.uint64)
@@ -262,7 +270,7 @@ def _pairs_from_buckets(
         outs_b: list[np.ndarray] = []
         for _, grp in g.groupby(bucket_keys, sort=False):
             ids = np.unique(grp[id_col].to_numpy())
-            if len(ids) < 2:
+            if len(ids) < 2 or len(ids) > max_bucket:
                 continue
             ii, jj = np.triu_indices(len(ids), k=1)
             outs_a.append(ids[ii])
@@ -473,11 +481,15 @@ def simhash_signatures(sf_dir: str) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
 
 
-def simhash_near_dups(sf_dir: str, max_hamming: int = 8) -> pa.Table:
+def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     """Near-dup pairs by simhash hamming distance — fully distributed.
 
-    Candidates via 4×16-bit band buckets (a pair within hamming ≤ 3 shares
-    ≥ 1 band; wider distances need more bands — documented tradeoff):
+    Candidates via 4×16-bit band buckets. Default ``max_hamming=3`` is the
+    banding guarantee boundary (a pair within hamming ≤ 3 shares ≥ 1 of 4
+    bands; wider distances need more bands — documented tradeoff). On
+    clustered corpora (the synthetic docs share a small vocabulary) looser
+    bounds are degenerate: at sf0.1, hamming ≤ 8 admits 2.6M of 12.5M
+    possible pairs.
 
       signatures (actor pool) → materialize (8 B/doc, reused twice)
       → band explode → bucket groupby pair-emit → pair-dedup groupby

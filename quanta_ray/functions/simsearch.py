@@ -220,8 +220,8 @@ def knn_ivf(
 def near_dup_cosine(
     sf_dir: str,
     threshold: float = 0.4,
-    n_planes: int = 4,
-    n_bands: int = 16,
+    n_planes: int = 8,
+    n_bands: int = 32,
     seed: int = 13,
 ) -> pa.Table:
     """Embedding near-dup pairs (cosine ≥ threshold) — fully distributed.
@@ -239,11 +239,11 @@ def near_dup_cosine(
     (max off-diagonal cosine ≈0.5–0.6 at sf0.01/sf0.1), so the classic 0.95
     near-dup bar would trivially return zero rows and never exercise the
     operator. At cos 0.4 vs orthogonal the per-plane gap is small (0.63 vs
-    0.5), so wide bands (4 planes × 16 bands ⇒ ~94% recall) admit many far
-    candidates — acceptable here because verify is a vectorized dot product.
-    For production near-dup thresholds (≥0.9) pass sharper bands
-    (n_planes=8, n_bands=8: ~94% recall, ~3% far-candidate rate).
-    Approximate recall by design → rows-only oracle."""
+    0.5): the 8×32 default trades recall (~0.56 at cos 0.4) for a bounded
+    far-candidate rate (~12% of all pairs instead of ~65% with wide bands)
+    — on genuinely near-dup data (cos ≥ 0.9, per-plane p ≥ 0.85) the same
+    bands give ~99% recall. Approximate recall by design → rows-only
+    oracle."""
     from .dedup import _candidate_ids, _pairs_from_buckets
 
     dim_probe = _concat(

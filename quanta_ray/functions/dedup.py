@@ -451,26 +451,55 @@ def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.8, shingle_k: int = 3)
 
 
 class SimHasher:
-    """64-bit simhash over word tokens (vectorized bit-vote per batch)."""
+    """64-bit simhash over unique word tokens, computed for a whole batch at
+    once: explode words, hash vectorized, per-(doc, word) dedupe via
+    lexsort, per-doc bit votes via ``add.reduceat`` over the unpacked bit
+    matrix. No per-word Python in the hot path."""
 
     def __init__(self):
         pass
 
     @staticmethod
-    def _simhash(text: str) -> int:
-        v = np.zeros(64, dtype=np.int64)
-        for w in set(text.split()):
-            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-            v += np.where(bits > 0, 1, -1)
-        out = np.packbits((v > 0).astype(np.uint8))
-        return int.from_bytes(out.tobytes(), "big")
+    def _batch_simhash(texts: pd.Series) -> np.ndarray:
+        """(n,) uint64 simhash per text (0 for empty texts)."""
+        n = len(texts)
+        sig = np.zeros(n, dtype=np.uint64)
+        words = texts.str.split().explode().dropna()
+        if len(words) == 0:
+            return sig
+        doc = words.index.to_numpy()
+        wh = pd.util.hash_array(words.to_numpy(dtype=object))
+        # unique (doc, word-hash) pairs — simhash votes once per distinct word
+        order = np.lexsort((wh, doc))
+        doc, wh = doc[order], wh[order]
+        keep = np.concatenate(([True], (doc[1:] != doc[:-1]) | (wh[1:] != wh[:-1])))
+        doc, wh = doc[keep], wh[keep]
+        bits = np.unpackbits(wh[:, None].view(np.uint8), axis=1)  # (W, 64)
+        starts = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
+        ends = np.append(starts[1:], len(doc))
+        # per-doc bit sums via slice loop: 2-D reduceat walks strided
+        # columns (measured 2.8s for 116k x 64) while D short contiguous
+        # sums cost microseconds each
+        ones = np.empty((len(starts), 64), dtype=np.int64)
+        for i in range(len(starts)):
+            ones[i] = bits[starts[i] : ends[i]].sum(axis=0)
+        counts = ends - starts
+        majority = (2 * ones) > counts[:, None]  # vote: bit set iff sum(±1) > 0
+        packed = np.packbits(majority.astype(np.uint8), axis=1)  # (D, 8) big-endian
+        vals = packed.copy().view(">u8").reshape(-1).astype(np.uint64)
+        sig[doc[starts]] = vals
+        return sig
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sig = self._batch_simhash(batch["text"].reset_index(drop=True))
         # hex string: survives every (pandas / Arrow / driver-hash) round-trip
         # that a uint64 >= 2^63 would not
-        batch["simhash"] = batch["text"].map(lambda s: f"{self._simhash(s):016x}")
-        return batch[["doc_id", "simhash"]]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "simhash": [f"{int(v):016x}" for v in sig],
+            }
+        )
 
 
 def simhash_signatures(sf_dir: str) -> pa.Table:

@@ -173,9 +173,11 @@ GROUP BY 1
 def revenue_by_orderpriority(sf_dir: str) -> pa.Table:
     """lineitem ⋈ orders on orderkey (both large) → revenue per priority.
 
-    Uses ``Dataset.join`` (hash-partitioned shuffle join) when this Ray
-    version provides it; falls back to an explicit hash-bucket join
-    (add bucket col → groupby bucket → pandas merge per bucket)."""
+    Primary path: explicit hash-bucket join (tag both sides with
+    hash(key) % B → one bucket groupby → vectorized pandas merge per
+    bucket) — same shuffle volume as ``Dataset.join`` but measured ~1.5×
+    faster here (3.2 s vs 4.5–5.7 s at sf0.1/32 cpu, identical output);
+    set ``QUANTA_USE_DATASET_JOIN=1`` to use Ray's native join instead."""
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(batch: pa.Table) -> pa.Table:
@@ -192,7 +194,9 @@ def revenue_by_orderpriority(sf_dir: str) -> pa.Table:
 
     from ray.data.aggregate import Sum
 
-    if hasattr(lineitem, "join"):
+    import os
+
+    if os.environ.get("QUANTA_USE_DATASET_JOIN") and hasattr(lineitem, "join"):
         joined = lineitem.join(
             orders,
             join_type="inner",
@@ -200,7 +204,7 @@ def revenue_by_orderpriority(sf_dir: str) -> pa.Table:
             right_on=("o_orderkey",),
             num_partitions=16,
         )
-    else:  # pragma: no cover - fallback for older Ray
+    else:
         joined = _bucket_join(lineitem, orders, "l_orderkey", "o_orderkey", 16)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:

@@ -33,19 +33,33 @@ def entry() -> Any:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _streaming_cep(sf_dir: str) -> Any:
-    """Full streaming engine over sf events (rows-only check: watermark
-    late-drop + exactly-once are not SQL-expressible)."""
-    from quanta_ray.pipelines import flagship
+_CEP_CACHE: dict[str, dict] = {}
 
-    work = tempfile.mkdtemp(prefix="quanta-cep-", dir="/tmp")
-    try:
-        res = flagship.run_flagship_on_events(sf_dir, work)
-        out = flagship.flagship_outputs(res["out_dir"])
-        t = out["sessions"]
+
+def _streaming_outputs(sf_dir: str) -> dict:
+    """Run the full streaming engine once per sf_dir per process and cache
+    ALL committed output streams (each queries() entry returns one)."""
+    if sf_dir not in _CEP_CACHE:
+        from quanta_ray.pipelines import flagship
+
+        work = tempfile.mkdtemp(prefix="quanta-cep-", dir="/tmp")
+        try:
+            res = flagship.run_flagship_on_events(sf_dir, work)
+            _CEP_CACHE[sf_dir] = flagship.flagship_outputs(res["out_dir"])
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    return _CEP_CACHE[sf_dir]
+
+
+def _streaming_stream(stream: str):
+    """Rows-only checks: watermark late-drop + exactly-once commit are not
+    SQL-expressible; each stream is pinned by the oracle-diff pytest suite."""
+
+    def q(sf_dir: str) -> Any:
+        t = _streaming_outputs(sf_dir)[stream]
         return t.to_pandas() if t is not None else __import__("pandas").DataFrame()
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+
+    return q
 
 
 def _media_features(sf_dir: str) -> Any:
@@ -71,7 +85,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_distinct_users": batch_cep.distinct_users_per_type,
         "ev_props_k_stats": batch_cep.props_k_stats,
         # --- streaming engine end-to-end (rows-only) ---
-        "cep_streaming_sessions": _streaming_cep,
+        "cep_streaming_sessions": _streaming_stream("sessions"),
+        "cep_streaming_tumbling": _streaming_stream("tumbling"),
+        "cep_streaming_joins": _streaming_stream("joins"),
+        "cep_streaming_turns": _streaming_stream("turns"),
         # --- relational stage library ---
         "rel_pricing_summary": relational.pricing_summary,
         "rel_revenue_by_nation": relational.revenue_by_nation,
@@ -80,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_orders_by_month": relational.orders_by_month,
         "rel_shipped_qty_by_flag": relational.shipped_qty_by_flag,
         "rel_top_parts_by_price": relational.top_parts_by_price,
+        "rel_region_revenue": relational.region_revenue,
+        "rel_customer_order_stats": relational.customer_order_stats,
         # --- text analysis ---
         "doc_token_counts": text.token_counts,
         "doc_quality_scores": text.quality_scores,
@@ -87,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": text.lang_id,
         "doc_lang_stats": text.lang_stats,
         "doc_quality_filter": text.quality_filter,
+        "doc_token_topk": text.token_topk,
+        "doc_length_histogram": text.length_histogram,
         # --- dedup family ---
         "doc_dedup_exact": dedup.dedup_exact,
         "doc_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -125,6 +146,10 @@ def oracle_sql() -> dict[str, str]:
         "rel_revenue_by_orderpriority": relational.REVENUE_BY_ORDERPRIORITY_SQL,
         "rel_orders_of_top_customers": relational.ORDERS_OF_TOP_CUSTOMERS_SQL,
         "doc_token_counts": text.TOKEN_COUNTS_SQL,
+        "doc_token_topk": text.TOKEN_TOPK_SQL,
+        "doc_length_histogram": text.LENGTH_HISTOGRAM_SQL,
+        "rel_region_revenue": relational.REGION_REVENUE_SQL,
+        "rel_customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
         "doc_quality_scores": text.QUALITY_SCORES_SQL,
         "doc_fingerprint_md5": text.FINGERPRINTS_MD5_SQL,
         "doc_lang_stats": text.LANG_STATS_SQL,

@@ -272,3 +272,92 @@ WHERE len(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 50
       / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) >= 0.3
 ORDER BY doc_id
 """
+
+
+# --- global vocabulary statistics (token frequency top-k) ---------------------
+
+
+def token_topk(sf_dir: str, k: int = 50) -> pa.Table:
+    """Top-k most frequent whitespace tokens across the corpus — the vocab
+    stats job of a training-data pipeline. Per-batch value_counts partials →
+    hash-bucketed global sum → per-block local top-k → tiny driver merge.
+    The shuffle moves (token, count) partials only, never text."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ").explode().dropna()
+        toks = toks[toks != ""]
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object), "n": vc.to_numpy()})
+
+    from ..bucket import bucketed_group_agg
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+    agg = bucketed_group_agg(partials, ["token"], dict(n=("n", "sum")))
+    local = agg.map_batches(
+        lambda df: df.sort_values(["n", "token"], ascending=[False, True]).head(k),
+        batch_format="pandas",
+    )
+    df = _concat(local).to_pandas()
+    df = df.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    t = pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    return pa.Table.from_arrays(
+        [t.column("token"), t.column("n").cast(pa.int64())], names=["token", "n"]
+    )
+
+
+TOKEN_TOPK_SQL = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY 1 ORDER BY n DESC, token LIMIT 50
+"""
+
+
+# --- document length histogram ------------------------------------------------
+
+
+def length_histogram(sf_dir: str, bucket_chars: int = 100) -> pa.Table:
+    """Doc count + mean length per 100-char length bucket (corpus shape
+    stats). Per-batch partials → tiny global sum."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch["n_chars"].to_numpy() // bucket_chars
+        df = pd.DataFrame({"bucket": b, "n_chars": batch["n_chars"].to_numpy()})
+        return df.groupby("bucket", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+
+    from ..bucket import bucketed_group_agg
+
+    partials = _docs(sf_dir, ["n_chars"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+    agg = bucketed_group_agg(
+        partials,
+        ["bucket"],
+        dict(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")),
+        num_buckets=8,
+    )
+    t = _concat(agg)
+    avg = pc.round(
+        pc.divide(
+            pc.cast(t.column("sum_chars"), pa.float64()),
+            pc.cast(t.column("n_docs"), pa.float64()),
+        ),
+        6,
+    )
+    out = pa.Table.from_arrays(
+        [t.column("bucket").cast(pa.int64()), t.column("n_docs").cast(pa.int64()), avg],
+        names=["bucket", "n_docs", "avg_chars"],
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("bucket", "ascending")]))
+
+
+LENGTH_HISTOGRAM_SQL = """
+SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+FROM documents GROUP BY 1 ORDER BY bucket
+"""

@@ -391,3 +391,99 @@ TOP_PARTS_SQL = """
 SELECT p_partkey, p_name, p_retailprice
 FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15
 """
+
+
+def region_revenue(sf_dir: str) -> pa.Table:
+    """Revenue per region: a 4-way star join (orders ⋈ customer ⋈ nation ⋈
+    region) where every dimension is small — the three lookups COMPOSE into
+    one broadcast custkey→region map on the driver, so the fact table does
+    zero shuffles before the (5-row) final aggregate."""
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    lookup = (
+        customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        .set_index("c_custkey")["r_name"]
+    )
+    ref = ray.put(lookup)
+
+    class JoinAgg:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch["r_name"] = batch["o_custkey"].map(self.lookup)
+            return batch.groupby("r_name", as_index=False).agg(
+                revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+            )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(JoinAgg, batch_format="pandas", batch_size=131072, concurrency=4)
+        .groupby("r_name")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+    )
+    t = _concat(out)
+    return pa.Table.from_arrays(
+        [
+            t.column("r_name"),
+            pc.round(t.column("revenue"), 4),
+            t.column("n_orders").cast(pa.int64()),
+        ],
+        names=["r_name", "revenue", "n_orders"],
+    )
+
+
+REGION_REVENUE_SQL = """
+SELECT r.r_name,
+       round(sum(o.o_totalprice), 4) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+"""
+
+
+def customer_order_stats(sf_dir: str, min_orders: int = 5) -> pa.Table:
+    """Per-customer order count + spend, HAVING count ≥ N — a
+    high-cardinality groupby (every customer is a group) through the
+    hash-bucketed aggregation path."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), total=("o_totalprice", "sum")
+        )
+
+    from ..bucket import bucketed_group_agg
+
+    partials = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        partial, batch_format="pandas", batch_size=131072
+    )
+    agg = bucketed_group_agg(
+        partials, ["o_custkey"], dict(n_orders=("n_orders", "sum"), total=("total", "sum"))
+    )
+    filtered = agg.map_batches(
+        lambda df: df[df["n_orders"] >= min_orders], batch_format="pandas"
+    )
+    t = _concat(filtered)
+    out = pa.Table.from_arrays(
+        [
+            t.column("o_custkey"),
+            t.column("n_orders").cast(pa.int64()),
+            pc.round(t.column("total"), 4),
+        ],
+        names=["o_custkey", "n_orders", "total"],
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("o_custkey", "ascending")]))
+
+
+CUSTOMER_ORDER_STATS_SQL = """
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+FROM orders GROUP BY 1 HAVING count(*) >= 5
+ORDER BY o_custkey
+"""

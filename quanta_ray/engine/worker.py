@@ -13,12 +13,12 @@ needs is folded into running aggregates at ingest:
   and emitted when ``w_start + size <= wm``. No emitted-dedup set is needed:
   a row that would re-create an emitted window is by definition late and was
   dropped at the source (see oracle.py watermark proof).
-- **sessions**: sorted disjoint interval list ``[start_key, end_key, n]``
-  maintained by interval-merge insertion (gap clustering is incremental: a
-  new point can bridge at most its two neighbor sessions, and any two points
-  of one session are chained by ≤gap steps). Sessions close strictly in
-  start order (disjointness ⇒ earlier sessions close first), so the per-conv
-  ``session_id`` counter matches the oracle's emission order.
+- **sessions**: PARTITION-LEVEL COLUMNAR disjoint intervals
+  (``_SessionState``), merged per epoch by a vectorized segmented sweep
+  (per-code cummax of ends; an interval joins the running group when its
+  start is within ``gap``). Sessions close strictly in start order
+  (disjointness ⇒ earlier sessions close first), so the per-code persistent
+  ``sess_counter`` matches the oracle's per-conv emission order.
 - **join**: per conv a sorted ``assistants`` list of (ts, turn_idx, text)
   and a ``tools`` min-heap keyed by deadline ``ts + bound``. A tool resolves
   at the first pass with ``deadline <= wm``; its match is the minimal
@@ -71,34 +71,27 @@ def _limit_native_threads() -> None:
 
 
 class _ConvState:
-    """Incremental per-conversation CEP state (sessions + join buffers).
+    """Incremental per-conversation JOIN state only.
 
-    Window state is NOT here: with short conversations most (conv, window)
-    groups hold ~1 row per epoch, so per-conv dicts degenerate to one Python
-    dict op per row. Windows live in the partition-level columnar
-    ``_WindowState`` instead (vectorized merge + emission)."""
+    Window AND session state are not here: with short conversations most
+    per-conv groups hold ~1 row per epoch, so per-conv structures cost one
+    Python op per row. Windows live in the columnar ``_WindowState``,
+    sessions in the columnar ``_SessionState``. A _ConvState exists only
+    for conversations with pending join material (assistants/tools)."""
 
-    __slots__ = ("sessions", "session_count", "assistants", "tools")
+    __slots__ = ("assistants", "tools")
 
     def __init__(self) -> None:
-        # sorted disjoint [start_key, end_key, n]; keys are (ts, turn, text)
-        self.sessions: list[list] = []
-        self.session_count = 0
         self.assistants: list[tuple] = []  # sorted (ts, turn_idx, text)
         self.tools: list[tuple] = []  # heap (deadline, ts, turn_idx, tool, text)
 
     def to_payload(self) -> tuple:
-        return (
-            self.sessions,
-            self.session_count,
-            self.assistants,
-            self.tools,
-        )
+        return (self.assistants, self.tools)
 
     @classmethod
     def from_payload(cls, p: tuple) -> "_ConvState":
         st = cls()
-        (st.sessions, st.session_count, st.assistants, st.tools) = p
+        (st.assistants, st.tools) = p
         return st
 
 
@@ -190,6 +183,88 @@ class _WindowState:
         return ws
 
 
+_SS_FIELDS = ("code", "s_ts", "s_turn", "s_text", "e_ts", "e_turn", "e_text", "n")
+
+
+class _SessionState:
+    """Partition-level columnar open-session intervals (gap-merged).
+
+    Parallel arrays of disjoint intervals sorted by (conv code, start key).
+    Merge = concat + lexsort + segmented sweep (an interval joins the
+    running group when its start is within ``gap`` of the group's running
+    max end — per-code cummax via a pandas segmented scan). Emission =
+    ``end + gap < wm`` mask. The per-cluster Python insertion this replaces
+    cost one interpreter pass per (conv, cluster) — ~1 per row on short
+    conversations."""
+
+    __slots__ = _SS_FIELDS
+
+    def __init__(self) -> None:
+        for f in ("code", "s_ts", "s_turn", "e_ts", "e_turn", "n"):
+            setattr(self, f, np.empty(0, np.int64))
+        self.s_text = np.empty(0, object)
+        self.e_text = np.empty(0, object)
+
+    def merge(self, parts: tuple, gap: int) -> None:
+        cols = [
+            np.concatenate([getattr(self, f), p]) if len(getattr(self, f)) else p
+            for f, p in zip(_SS_FIELDS, parts)
+        ]
+        (code, s_ts, s_turn, s_text, e_ts, e_turn, e_text, n) = cols
+        if len(code) == 0:
+            return
+        ord1 = np.lexsort((s_turn, s_ts, code))
+        code, s_ts, s_turn, s_text = code[ord1], s_ts[ord1], s_turn[ord1], s_text[ord1]
+        e_ts, e_turn, e_text, n = e_ts[ord1], e_turn[ord1], e_text[ord1], n[ord1]
+        # segmented sweep-merge: per-code running max end (cummax resets at
+        # code boundaries — pandas does the segmented scan in C)
+        cm = pd.Series(e_ts).groupby(pd.Series(code), sort=False).cummax().to_numpy()
+        prev_cm = np.concatenate(([NEG_INF], cm[:-1]))
+        code_brk = np.concatenate(([True], code[1:] != code[:-1]))
+        new_grp = code_brk | (s_ts > prev_cm + gap)
+        starts = np.flatnonzero(new_grp)
+        if len(starts) == len(code):  # nothing bridges — all disjoint
+            self.code, self.s_ts, self.s_turn, self.s_text = code, s_ts, s_turn, s_text
+            self.e_ts, self.e_turn, self.e_text, self.n = e_ts, e_turn, e_text, n
+            return
+        ends_seg = np.append(starts[1:], len(code)) - 1
+        self.code = code[starts]
+        self.s_ts, self.s_turn, self.s_text = s_ts[starts], s_turn[starts], s_text[starts]
+        gid = np.cumsum(new_grp) - 1
+        ord2 = np.lexsort((e_turn, e_ts, gid))
+        self.e_ts, self.e_turn, self.e_text = (
+            e_ts[ord2][ends_seg], e_turn[ord2][ends_seg], e_text[ord2][ends_seg]
+        )
+        self.n = np.add.reduceat(n, starts)
+
+    def pop_closed(self, gap: int, wm: int) -> tuple | None:
+        """Remove and return all sessions with end + gap < wm, sorted by
+        (code, start) — disjointness ⇒ per-conv close order = start order."""
+        if len(self.code) == 0:
+            return None
+        mask = self.e_ts + gap < wm
+        if not mask.any():
+            return None
+        out = (
+            self.code[mask], self.s_ts[mask], self.s_text[mask],
+            self.e_ts[mask], self.e_text[mask], self.n[mask],
+        )
+        keep = ~mask
+        for f in _SS_FIELDS:
+            setattr(self, f, getattr(self, f)[keep])
+        return out
+
+    def to_payload(self) -> tuple:
+        return tuple(getattr(self, f) for f in _SS_FIELDS)
+
+    @classmethod
+    def from_payload(cls, p: tuple) -> "_SessionState":
+        ss = cls()
+        for f, arr in zip(_SS_FIELDS, p):
+            setattr(ss, f, arr)
+        return ss
+
+
 def _window_partials(
     codes: np.ndarray,
     w: np.ndarray,
@@ -260,14 +335,15 @@ class PartitionWorkerImpl:
         self.out_dir = out_dir
         self.convs: dict[str, _ConvState] = {}
         self.pending: dict[str, int] = {}  # conv -> earliest deadline lower bound
-        # session ids are per-conv monotonic FOREVER (oracle semantics), so
-        # the counter must survive eviction of an idle conv's heavy state
-        self.session_counts: dict[str, int] = {}
-        # conv interning for the columnar window state (grows with convs
-        # seen, like session_counts — an accepted O(seen convs) map)
+        # conv interning for the columnar states (grows with convs seen —
+        # an accepted O(seen convs) map, like the session counter below)
         self.conv_code: dict[str, int] = {}
         self.conv_names: list[str] = []
         self.win = {"tumbling": _WindowState(), "sliding": _WindowState()}
+        self.sess = _SessionState()
+        # session ids are per-conv monotonic FOREVER (oracle semantics):
+        # per-code counter indexed by the interning code
+        self.sess_counter = np.zeros(0, dtype=np.int64)
         self.wm = NEG_INF
         self.last_epoch = -1  # highest epoch folded into state
         self.totals: dict[str, int] = defaultdict(int)
@@ -284,9 +360,10 @@ class PartitionWorkerImpl:
             "totals": dict(self.totals),
             "convs": {c: s.to_payload() for c, s in self.convs.items()},
             "pending": self.pending,
-            "session_counts": self.session_counts,
             "conv_names": list(self.conv_names),
             "win": {k: ws.to_payload() for k, ws in self.win.items()},
+            "sess": self.sess.to_payload(),
+            "sess_counter": self.sess_counter,
         }
 
     def load_state_payload(self, payload: dict) -> None:
@@ -295,10 +372,13 @@ class PartitionWorkerImpl:
         self.last_epoch = payload.get("epoch", -1)
         self.totals = defaultdict(int, payload["totals"])
         self.pending = payload["pending"]
-        self.session_counts = payload.get("session_counts", {})
         self.conv_names = list(payload["conv_names"])
         self.conv_code = {c: i for i, c in enumerate(self.conv_names)}
         self.win = {k: _WindowState.from_payload(p) for k, p in payload["win"].items()}
+        self.sess = _SessionState.from_payload(payload["sess"])
+        # copy: payloads arriving via the object store (migration) are
+        # zero-copy READ-ONLY, and the counter is mutated in place
+        self.sess_counter = np.array(payload["sess_counter"], dtype=np.int64)
         self.convs = {c: _ConvState.from_payload(p) for c, p in payload["convs"].items()}
 
     def checkpoint_blob(self, epoch: int) -> tuple[dict, bytes]:
@@ -346,22 +426,24 @@ class PartitionWorkerImpl:
         self.last_epoch = epoch
 
         t0 = _time.perf_counter()
-        touched = self._ingest(table) if table.num_rows else set()
+        if table.num_rows:
+            self._ingest(table)
         self.wm = max(self.wm, wm)
         t_ingest = _time.perf_counter()
-        out = self._emission_pass(touched)
-        # columnar window emission: mask + filter, no per-conv iteration.
-        # Runs on replay too (state must advance identically).
+        out = self._emission_pass()
+        # columnar window/session emission: mask + filter, no per-conv
+        # iteration. Runs on replay too (state must advance identically).
         win_tables = {
             "tumbling": self._pop_windows_table("tumbling", self.cfg.tumbling_size_us, self.wm),
             "sliding": self._pop_windows_table("sliding", self.cfg.sliding_size_us, self.wm),
         }
+        sess_table = self._pop_sessions_table(self.cfg.session_gap_us, self.wm)
         t_emit = _time.perf_counter()
 
         n_emitted = {
             "tumbling": win_tables["tumbling"].num_rows if win_tables["tumbling"] is not None else 0,
             "sliding": win_tables["sliding"].num_rows if win_tables["sliding"] is not None else 0,
-            "sessions": len(out["sessions"]),
+            "sessions": sess_table.num_rows if sess_table is not None else 0,
             "joins": len(out["joins"]),
         }
         # totals accumulate on replay too, so a resumed run's checkpointed
@@ -379,17 +461,17 @@ class PartitionWorkerImpl:
         # parquet writes run as tasks on the map slots so the stateful
         # worker chain — the scaling-critical path — stays compute-only
         tables = []
-        for stream in ("tumbling", "sliding"):
-            t = win_tables[stream]
+        for stream, t in (
+            ("tumbling", win_tables["tumbling"]),
+            ("sliding", win_tables["sliding"]),
+            ("sessions", sess_table),
+        ):
             if t is not None and t.num_rows:
                 tables.append((stream, self.partition, t))
-        for stream, schema, rows in (
-            ("sessions", SESSION_SCHEMA, out["sessions"]),
-            ("joins", JOIN_SCHEMA, out["joins"]),
-        ):
-            if rows:
-                rows.sort(key=lambda r: (r[0], r[1]))
-                tables.append((stream, self.partition, _rows_to_table(rows, schema)))
+        rows = out["joins"]
+        if rows:
+            rows.sort(key=lambda r: (r[0], r[1]))
+            tables.append(("joins", self.partition, _rows_to_table(rows, JOIN_SCHEMA)))
         t_write = _time.perf_counter()
 
         ckpt = self.checkpoint_blob(epoch) if do_checkpoint else None
@@ -415,7 +497,7 @@ class PartitionWorkerImpl:
 
     # --- ingest (vectorized per batch) ---------------------------------------
 
-    def _ingest(self, table: pa.Table) -> set[str]:
+    def _ingest(self, table: pa.Table) -> None:
         cfg = self.cfg
         tsize, ssize, slide = (
             cfg.tumbling_size_us,
@@ -440,15 +522,9 @@ class PartitionWorkerImpl:
         is_assistant = (role == "assistant").astype(np.int64)
         is_tool = role == "tool"
 
-        touched: set[str] = set(uniques)
-        for c in uniques:
-            if c not in self.convs:
-                st = self.convs[c] = _ConvState()
-                st.session_count = self.session_counts.get(c, 0)
         convs = self.convs
         names = uniques.tolist()
 
-        # ---- windows: columnar partials → vectorized state merge ----
         # map batch-local factorize codes to persistent per-partition codes
         # (one dict op per TOUCHED CONV, not per row/group)
         cc = self.conv_code
@@ -461,6 +537,10 @@ class PartitionWorkerImpl:
                 cc[c] = pc_
                 cn.append(c)
             pmap[i] = pc_
+        if len(cn) > len(self.sess_counter):  # grow the per-conv session counter
+            grown = np.zeros(len(cn), dtype=np.int64)
+            grown[: len(self.sess_counter)] = self.sess_counter
+            self.sess_counter = grown
         pcodes = pmap[codes]
         it = is_tool.astype(np.int64)
 
@@ -495,10 +575,7 @@ class PartitionWorkerImpl:
             *(np.concatenate([sp[i] for sp in shift_parts]) for i in range(12))
         )
 
-        # ---- sessions + join state: vectorized per-conv segments ----
-        # gap-cluster the NEW rows of each conv in numpy (one python op per
-        # cluster, not per row), then interval-merge each cluster into the
-        # session list; assistants/tools touch python only for their rows.
+        # ---- sessions: columnar cluster partials → vectorized state merge ----
         n = len(ts)
         pend = self.pending
         # cluster breaks: same conv AND within gap of previous row
@@ -507,24 +584,17 @@ class PartitionWorkerImpl:
         )
         cl_starts = np.flatnonzero(brk)
         cl_ends = np.append(cl_starts[1:], n) - 1
-        cl_s_list = cl_starts.tolist()
-        cl_e_list = cl_ends.tolist()
-        ts_s, ts_e = ts[cl_starts].tolist(), ts[cl_ends].tolist()
-        turn_s, turn_e = turn[cl_starts].tolist(), turn[cl_ends].tolist()
-        text_s, text_e = text[cl_starts].tolist(), text[cl_ends].tolist()
-        code_s = codes[cl_starts].tolist()
-        for gi in range(len(cl_s_list)):
-            conv = names[code_s[gi]]
-            st = convs[conv]
-            skey = (ts_s[gi], turn_s[gi], text_s[gi])
-            ekey = (ts_e[gi], turn_e[gi], text_e[gi])
-            self._session_insert_cluster(
-                st.sessions, skey, ekey, cl_e_list[gi] - cl_s_list[gi] + 1, gap
-            )
-            cand = ts_s[gi] + gap + 1
-            if cand < pend.get(conv, POS_INF):
-                pend[conv] = cand
+        self.sess.merge(
+            (
+                pcodes[cl_starts],
+                ts[cl_starts], turn[cl_starts].astype(np.int64), text[cl_starts],
+                ts[cl_ends], turn[cl_ends].astype(np.int64), text[cl_ends],
+                (cl_ends - cl_starts + 1).astype(np.int64),
+            ),
+            gap,
+        )
 
+        # ---- join state: per-conv buffers, touched only for join rows ----
         a_idx = np.flatnonzero(is_assistant)
         if len(a_idx):
             a_ts = ts[a_idx].tolist()
@@ -532,7 +602,16 @@ class PartitionWorkerImpl:
             a_text = text[a_idx].tolist()
             a_code = codes[a_idx].tolist()
             for i in range(len(a_ts)):
-                insort(convs[names[a_code[i]]].assistants, (a_ts[i], a_turn[i], a_text[i]))
+                conv = names[a_code[i]]
+                st = convs.get(conv)
+                if st is None:
+                    st = convs[conv] = _ConvState()
+                insort(st.assistants, (a_ts[i], a_turn[i], a_text[i]))
+                # revisit once this assistant becomes prunable, so buffers
+                # of convs that never see a tool are still evicted
+                cand = a_ts[i] + bound + 1
+                if cand < pend.get(conv, POS_INF):
+                    pend[conv] = cand
 
         t_idx = np.flatnonzero(is_tool)
         if len(t_idx):
@@ -543,65 +622,15 @@ class PartitionWorkerImpl:
             t_code = codes[t_idx].tolist()
             for i in range(len(t_ts)):
                 conv = names[t_code[i]]
-                st = convs[conv]
+                st = convs.get(conv)
+                if st is None:
+                    st = convs[conv] = _ConvState()
                 deadline = t_ts[i] + bound
                 heapq.heappush(
                     st.tools, (deadline, t_ts[i], t_turn[i], t_tool[i], t_text[i])
                 )
                 if deadline < pend.get(conv, POS_INF):
                     pend[conv] = deadline
-
-        return touched
-
-    @staticmethod
-    def _session_insert_cluster(
-        sess: list, skey: tuple, ekey: tuple, count: int, gap: int
-    ) -> None:
-        """Interval-merge a pre-clustered run of rows (internal gaps ≤ gap)
-        into the sorted disjoint session list. A cluster can bridge at most
-        one session on its left but arbitrarily many on its right (any
-        session starting within ``cluster_end + gap`` chains through the
-        cluster's ≤gap-spaced points)."""
-        cs, ce = skey[0], ekey[0]
-        lo, hi = 0, len(sess)
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if sess[mid][0] <= skey:
-                lo = mid + 1
-            else:
-                hi = mid
-        i = lo  # sess[i-1].start_key <= skey < sess[i].start_key
-        # absorb right neighbors chained through the cluster
-        j = i
-        while j < len(sess) and sess[j][0][0] - ce <= gap:
-            j += 1
-        merge_left = i > 0 and cs - sess[i - 1][1][0] <= gap
-        if merge_left:
-            tgt = sess[i - 1]
-            if skey < tgt[0]:
-                tgt[0] = skey
-            if ekey > tgt[1]:
-                tgt[1] = ekey
-            tgt[2] += count
-            for k in range(i, j):
-                if sess[k][1] > tgt[1]:
-                    tgt[1] = sess[k][1]
-                tgt[2] += sess[k][2]
-            del sess[i:j]
-        elif j > i:
-            tgt = sess[i]
-            if skey < tgt[0]:
-                tgt[0] = skey
-            if ekey > tgt[1]:
-                tgt[1] = ekey
-            tgt[2] += count
-            for k in range(i + 1, j):
-                if sess[k][1] > tgt[1]:
-                    tgt[1] = sess[k][1]
-                tgt[2] += sess[k][2]
-            del sess[i + 1 : j]
-        else:
-            sess.insert(i, [skey, ekey, count])
 
     # --- emission -------------------------------------------------------------
 
@@ -636,24 +665,21 @@ class PartitionWorkerImpl:
         )
         return tbl.take(idx)
 
-    def _emission_pass(self, touched: set[str]) -> dict[str, list]:
-        """Per-conv emission for sessions + joins (windows are columnar and
-        emitted separately via ``_pop_windows_table``)."""
+    def _emission_pass(self) -> dict[str, list]:
+        """Per-conv emission for joins (windows and sessions are columnar,
+        emitted via ``_pop_windows_table`` / ``_pop_sessions_table``).
+        Deadlines in ``pending`` are exact for tools and lower bounds for
+        assistant pruning — an extra no-op visit is harmless."""
         wm = self.wm
-        out: dict[str, list] = {"sessions": [], "joins": []}
+        out: dict[str, list] = {"joins": []}
         due = [c for c, dl in self.pending.items() if dl <= wm]
-        for conv in due if not touched else set(due) | touched:
+        for conv in due:
             st = self.convs.get(conv)
             if st is None:
                 self.pending.pop(conv, None)
                 continue
-            dl = self.pending.get(conv, POS_INF)
-            if dl > wm:
-                continue  # touched but nothing can emit yet; deadline is a lower bound
             next_dl = self._emit_conv(conv, st, wm, out)
-            if not (st.sessions or st.tools or st.assistants):
-                if st.session_count:
-                    self.session_counts[conv] = st.session_count
+            if not (st.tools or st.assistants):
                 del self.convs[conv]
                 self.pending.pop(conv, None)
             elif next_dl >= POS_INF:
@@ -662,31 +688,42 @@ class PartitionWorkerImpl:
                 self.pending[conv] = next_dl
         return out
 
+    def _pop_sessions_table(self, gap: int, wm: int) -> pa.Table | None:
+        """Emit all closed sessions as a sorted Arrow table; per-conv session
+        ids continue from the persistent per-code counter."""
+        popped = self.sess.pop_closed(gap, wm)
+        if popped is None:
+            return None
+        import pyarrow.compute as pc
+
+        code, s_ts, s_text, e_ts, e_text, n = popped
+        firsts = np.flatnonzero(np.concatenate(([True], code[1:] != code[:-1])))
+        sizes = np.diff(np.append(firsts, len(code)))
+        rank = np.arange(len(code)) - np.repeat(firsts, sizes)
+        sid = self.sess_counter[code] + rank
+        self.sess_counter[code[firsts]] += sizes
+        names = np.array(self.conv_names, dtype=object)[code]
+        us = pa.timestamp("us")
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(names, type=pa.string()),
+                pa.array(sid, type=pa.int64()),
+                pa.array(s_ts, type=pa.int64()).cast(us),
+                pa.array(e_ts, type=pa.int64()).cast(us),
+                pa.array(n, type=pa.int64()),
+                pa.array(s_text, type=pa.string()),
+                pa.array(e_text, type=pa.string()),
+            ],
+            schema=SESSION_SCHEMA,
+        )
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("conv_id", "ascending"), ("session_id", "ascending")]
+        )
+        return tbl.take(idx)
+
     def _emit_conv(self, conv: str, st: _ConvState, wm: int, out: dict) -> int:
         cfg = self.cfg
         next_dl = POS_INF
-
-        # sessions: closable prefix (disjointness ⇒ earlier sessions close first)
-        gap = cfg.session_gap_us
-        sess = st.sessions
-        n_close = 0
-        for s in sess:
-            if s[1][0] + gap < wm:
-                n_close += 1
-            else:
-                break
-        for s in sess[:n_close]:
-            out["sessions"].append(
-                (
-                    conv, st.session_count, s[0][0], s[1][0],
-                    s[2], s[0][2], s[1][2],
-                )
-            )
-            st.session_count += 1
-        if n_close:
-            del sess[:n_close]
-        if sess:
-            next_dl = min(next_dl, sess[0][1][0] + gap + 1)
 
         # joins: resolve tools past deadline (heap order = deadline order =
         # ts order; output re-sorted by (conv, tool_turn_idx) at write)
@@ -733,6 +770,10 @@ class PartitionWorkerImpl:
                 i = bisect_right(assistants, (cut,))
                 if i:
                     del assistants[:i]
+        if assistants:
+            # revisit when the newest assistant becomes prunable, so a conv
+            # that never sees another tool still drains and gets evicted
+            next_dl = min(next_dl, assistants[-1][0] + bound + 1)
 
         return next_dl
 

@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_stream("sessions"),
         "cep_streaming_tumbling": _streaming_stream("tumbling"),
+        "cep_streaming_sliding": _streaming_stream("sliding"),
         "cep_streaming_joins": _streaming_stream("joins"),
         "cep_streaming_turns": _streaming_stream("turns"),
         # --- relational stage library ---
@@ -108,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": text.quality_filter,
         "doc_token_topk": text.token_topk,
         "doc_length_histogram": text.length_histogram,
+        "doc_pii_scrub": text.pii_scrub,
         # --- dedup family ---
         "doc_dedup_exact": dedup.dedup_exact,
         "doc_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -148,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": text.TOKEN_COUNTS_SQL,
         "doc_token_topk": text.TOKEN_TOPK_SQL,
         "doc_length_histogram": text.LENGTH_HISTOGRAM_SQL,
+        "doc_pii_scrub": text.PII_SCRUB_SQL,
         "rel_region_revenue": relational.REGION_REVENUE_SQL,
         "rel_customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
         "doc_quality_scores": text.QUALITY_SCORES_SQL,

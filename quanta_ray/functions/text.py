@@ -361,3 +361,54 @@ SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket,
        round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
 FROM documents GROUP BY 1 ORDER BY bucket
 """
+
+
+# --- PII scrubbing ------------------------------------------------------------
+
+
+class PiiScrubber:
+    """Redact email addresses and long digit runs (phone-ish) from text.
+    Regexes compiled once per actor; patterns chosen to behave identically
+    under Python ``re`` and DuckDB's RE2 (no lookaround, no backrefs)."""
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    PHONE = r"[0-9][0-9 ()+.-]{7,}[0-9]"
+
+    def __init__(self):
+        import re
+
+        self.email = re.compile(self.EMAIL)
+        self.phone = re.compile(self.PHONE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        clean = batch["text"].str.replace(self.email, "<EMAIL>", regex=True)
+        clean = clean.str.replace(self.phone, "<PHONE>", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "text_clean": clean.to_numpy(dtype=object),
+                "n_redactions": (
+                    batch["text"].str.count(self.email)
+                    + batch["text"].str.count(self.phone)
+                ).astype("int64"),
+            }
+        )
+
+
+def pii_scrub(sf_dir: str) -> pa.Table:
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        PiiScrubber, batch_format="pandas", batch_size=8192, concurrency=2
+    )
+    t = _concat(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+PII_SCRUB_SQL = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9][0-9 ()+.-]{7,}[0-9]', '<PHONE>', 'g') AS text_clean,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(text, '[0-9][0-9 ()+.-]{7,}[0-9]')) AS BIGINT) AS n_redactions
+FROM documents ORDER BY doc_id
+"""

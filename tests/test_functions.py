@@ -204,3 +204,47 @@ def test_minhash_batched_signatures_match_per_doc():
     for i, t in enumerate(texts):
         expect = _minhash_sig(_shingle_hashes(t, mh.k), mh.a, mh.b)
         assert np.array_equal(sig[i], expect), f"doc {i}"
+
+
+def test_pii_scrub_planted(ray_session, tmp_path_factory):
+    """Planted emails/phones are redacted, and the Python-regex engine path
+    agrees with the DuckDB RE2 oracle SQL on the same fixture."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("pii_docs")
+    texts = [
+        "contact me at alice.smith+spam@example.co.uk for details",
+        "call 415 555-0199 or (020) 7946 0958 today",
+        "clean text with no pii at all",
+        "mixed bob@test.org and 12345678901 in one line",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["synthetic"] * 4,
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    from quanta_ray.functions.text import PII_SCRUB_SQL, pii_scrub
+
+    got = pii_scrub(str(d)).to_pandas()
+    assert "<EMAIL>" in got.loc[0, "text_clean"] and "alice" not in got.loc[0, "text_clean"]
+    assert got.loc[1, "text_clean"].count("<PHONE>") >= 1
+    assert got.loc[2, "text_clean"] == texts[2] and got.loc[2, "n_redactions"] == 0
+    assert "<EMAIL>" in got.loc[3, "text_clean"] and "<PHONE>" in got.loc[3, "text_clean"]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(PII_SCRUB_SQL).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=True
+    )

@@ -39,7 +39,12 @@ BENCH_QUERIES = [
     "doc_token_counts",
     "doc_dedup_exact",
     "doc_minhash_lsh_pairs",
+    "doc_simhash_near_dups",
+    "doc_token_topk",
+    "doc_pii_scrub",
+    "rel_region_revenue",
     "emb_knn_bruteforce",
+    "emb_near_dup_cosine",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

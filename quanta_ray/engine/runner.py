@@ -59,7 +59,6 @@ from .worker import MultiPartitionWorker, _limit_native_threads
 from ..state.checkpoint import (
     latest_committed_epoch,
     read_manifest,
-    write_json_atomic,
     write_manifest,
 )
 

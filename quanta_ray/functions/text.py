@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -213,7 +212,6 @@ def lang_stats(sf_dir: str) -> pa.Table:
         )
 
     from ray.data.aggregate import Sum
-    import ray.data as _rd
 
     out = (
         _docs(sf_dir, ["doc_id", "lang", "n_chars"])

@@ -226,7 +226,6 @@ def revenue_by_orderpriority(sf_dir: str) -> pa.Table:
 def _bucket_join(left: rd.Dataset, right: rd.Dataset, lkey: str, rkey: str, buckets: int) -> rd.Dataset:
     """Explicit partitioned hash join: tag both sides with hash-bucket, union,
     per-bucket pandas merge inside map_groups."""
-    import numpy as np
     import pandas as pd
 
     def tag(key: str):

@@ -67,6 +67,18 @@ def _media_features(sf_dir: str) -> Any:
     return media_features()
 
 
+def _doc_media_features(sf_dir: str) -> Any:
+    from quanta_ray.functions.multimodal import doc_media_features
+
+    return doc_media_features(sf_dir)
+
+
+def _doc_frame_samples(sf_dir: str) -> Any:
+    from quanta_ray.functions.multimodal import doc_frame_samples
+
+    return doc_frame_samples(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from quanta_ray.functions import dedup, simsearch, text
     from quanta_ray.pipelines import batch_cep, relational
@@ -121,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_cosine": simsearch.near_dup_cosine,
         # --- multimodal plumbing (stubbed decode; rows-only) ---
         "mm_media_features": _media_features,
+        "mm_doc_media_features": _doc_media_features,
+        "mm_doc_frame_samples": _doc_frame_samples,
     }
 
 

@@ -194,6 +194,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "num_cpus": num_cpus,
                 "turns_per_sec": round(headline["turns_per_sec"], 1),
+                "reduce_busy_sec": headline["busy_sec"],
+                "migrations": headline["migrations"],
             }
         )
     )

@@ -148,3 +148,67 @@ def media_features(table: pa.Table | None = None, concurrency: int = 2) -> pa.Ta
     import pyarrow.compute as pc
 
     return res.take(pc.sort_indices(res, sort_keys=[("media_id", "ascending")]))
+
+
+def media_from_documents(sf_dir: str) -> rd.Dataset:
+    """Project the ``documents`` table into the media schema: payload =
+    utf-8 bytes of the text (an opaque blob to every downstream stage),
+    kind round-robin by doc_id, metadata derived deterministically from
+    n_chars. This is how a real ingest would attach typed metadata to
+    opaque media blobs — and it makes the multimodal stages exercise
+    driver data at every scale factor without decode libraries."""
+    import pyarrow.compute as pc
+
+    def project(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        ids = did.to_numpy()
+        kinds = np.array(["image", "audio", "video"], dtype=object)[ids % 3]
+        nchars = batch.column("n_chars").to_numpy()
+        return pa.Table.from_arrays(
+            [
+                did,
+                pa.array(kinds, type=pa.string()),
+                pc.cast(batch.column("text"), pa.binary()),
+                pa.array(["application/octet-stream"] * batch.num_rows),
+                pa.array((nchars % 512 + 16).astype("int32"), type=pa.int32()),
+                pa.array((nchars % 384 + 16).astype("int32"), type=pa.int32()),
+                pa.array((nchars * 37 % 60000 + 100).astype("int32"), type=pa.int32()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ).map_batches(project, batch_format="pyarrow", batch_size=1024)
+
+
+def doc_media_features(sf_dir: str) -> pa.Table:
+    """Feature extraction (fake decode) over document-derived media."""
+    import pyarrow.compute as pc
+
+    out = media_from_documents(sf_dir).map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"mode": "fake"},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    tables = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    res = pa.concat_tables(tables, promote_options="default").combine_chunks()
+    return res.take(pc.sort_indices(res, sort_keys=[("media_id", "ascending")]))
+
+
+def doc_frame_samples(sf_dir: str) -> pa.Table:
+    """Frame-sampling fan-out (1→N) over the 'video' documents."""
+    import pyarrow.compute as pc
+
+    out = media_from_documents(sf_dir).map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    tables = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    res = pa.concat_tables(tables, promote_options="default").combine_chunks()
+    return res.take(
+        pc.sort_indices(
+            res, sort_keys=[("media_id", "ascending"), ("frame_idx", "ascending")]
+        )
+    )

@@ -248,3 +248,18 @@ def test_pii_scrub_planted(ray_session, tmp_path_factory):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=True
     )
+
+
+def test_doc_media_pipeline(ray_session, doc_dir):
+    """Document-derived media: schema projection, deterministic features,
+    frame fan-out only for 'video' rows."""
+    from quanta_ray.functions.multimodal import doc_frame_samples, doc_media_features
+
+    feats = doc_media_features(doc_dir)
+    assert feats.num_rows == 40
+    assert feats.column("features").type.list_size == 16
+    assert feats.equals(doc_media_features(doc_dir))  # deterministic
+    frames = doc_frame_samples(doc_dir)
+    vids = {i for i in range(40) if i % 3 == 2}
+    assert set(frames.column("media_id").to_pylist()) <= vids
+    assert frames.num_rows > 0

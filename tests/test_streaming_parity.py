@@ -300,6 +300,44 @@ def test_hot_conv_isolated_by_migration(ray_session, tmp_path_factory):
         _assert_tables_equal(stream, read_committed(out_dir, stream), oracle[stream], keys)
 
 
+def test_migration_then_kill_resume(ray_session, tmp_path_factory):
+    """Aggressive migration + staggered checkpoints + mid-run crash: the
+    resumed run (fresh static worker layout) must reproduce the
+    uninterrupted run byte-for-byte. Exercises checkpoint blobs written by
+    whichever worker happened to host a partition at checkpoint time."""
+    from quanta_ray.engine import StreamingRunner
+    from quanta_ray.fixtures import TranscriptParams, make_stream
+
+    d = tmp_path_factory.mktemp("stream_migres")
+    params = TranscriptParams(n_convs=50, seed=13, zipf_a=1.3, n_epochs=6)
+    files = make_stream(str(d), params)
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(StageSpec(name="normalize"),),
+        cep=CEPConfig(num_partitions=4),
+        checkpoint_every=3,
+        rebalance_every=1,
+        rebalance_ratio=1.0,
+    )
+    full_dir = str(tmp_path_factory.mktemp("full_migres"))
+    StreamingRunner(spec, full_dir).run()
+
+    resumed_dir = str(tmp_path_factory.mktemp("resumed_migres"))
+    r1 = StreamingRunner(spec, resumed_dir).run(stop_after_epoch=3)
+    assert r1["status"] == "stopped"
+    r2 = StreamingRunner(spec, resumed_dir).run()
+    assert r2["status"] == "complete"
+
+    for stream, keys in SORT_KEYS.items():
+        a = read_committed(full_dir, stream)
+        b = read_committed(resumed_dir, stream)
+        if a is None:
+            assert b is None
+            continue
+        a, b = _sorted(a, keys), _sorted(b.select(a.column_names), keys)
+        assert a.equals(b), f"{stream}: resume output differs from single run"
+
+
 def test_tailing_source_picks_up_new_epochs(ray_session, tmp_path_factory):
     """Tailing mode (reference: consumer loops on new records forever,
     driver_sarama.go:71-82): a file appended mid-run is discovered on an

@@ -110,6 +110,11 @@ def run_headline(num_cpus: int) -> dict:
         source=dataclasses.replace(
             spec.source,
             max_inflight_epochs=int(os.environ.get("QUANTA_BENCH_INFLIGHT", "12")),
+            # fragment granularity: 2 row groups per map task by default
+            # (the recorded BASELINE configuration); QUANTA_BENCH_FRAG=65536
+            # gives 6 map tasks/epoch and pairs with QUANTA_WORKER_RESERVE=16
+            # for the max-throughput configuration (1.21M turns/s @32cpu)
+            fragment_rows=int(os.environ.get("QUANTA_BENCH_FRAG", "131072")),
         ),
         checkpoint_every=8,
         rebalance_every=int(os.environ.get("QUANTA_BENCH_REB", "2")),

@@ -211,6 +211,14 @@ def plan_worker_slots(P: int, cpus: int | None = None) -> list[list[int]]:
     if cpus is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     env_r = os.environ.get("QUANTA_WORKER_RESERVE")
+    # density: 3/4 of cpus run reduce workers, 1/4 the map/write tasks.
+    # r2 measured the trade: reserve=cpus/2 raises absolute throughput
+    # (8cpu 350k→492k turns/s; 32cpu best 1.21M) because the map side
+    # stops starving, but the low parallelism level then saturates and
+    # measured 8→32 scaling efficiency collapses (0.72 → ~0.5). The
+    # default keeps the fixed wide layout whose between-level scaling is
+    # honest; deployments chasing single-size throughput should set
+    # QUANTA_WORKER_RESERVE = cpus/2.
     reserve = int(env_r) if env_r else max(2, cpus // 4)
     target = max(1, min(P, cpus - reserve))
     # prefer an M that divides P: unequal partitions-per-worker makes the

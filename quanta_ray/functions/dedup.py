@@ -341,7 +341,7 @@ def minhash_lsh_pairs(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
         batch_format="pandas",
-        batch_size=1024,
+        batch_size=4096,  # signatures are batch-vectorized — bigger is better
         # autoscaling pool: scales to 8 on the bench cluster, fits the
         # 4-cpu test cluster (a fixed 8 would deadlock actor placement)
         concurrency=(1, 8),

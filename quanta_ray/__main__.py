@@ -3,7 +3,15 @@ read the pipeline spec path from env/args, init logging from env, run).
 
 Usage:
     python -m quanta_ray run <pipeline.json|yml> <out_dir> [--follow N]
+    python -m quanta_ray validate <out_dir>
     python -m quanta_ray bench-stream <out_dir> [n_convs] [n_epochs]
+
+``validate`` checks the exactly-once output's integrity (reference README's
+"Validation results: PASS" analog): the committed manifest chain is
+gap-free, every named data/checkpoint file exists, and parquet row counts
+match the manifest entries. Orphan files NOT named by any manifest are
+reported but are not an error — they are the expected residue of crashed
+epochs and invisible to readers.
 
 ``--follow N`` tails the source directory (reference: the consumer loops on
 new records forever): new epoch files are picked up until N consecutive
@@ -19,6 +27,55 @@ from __future__ import annotations
 import json
 import os
 import sys
+
+
+def validate_output(out_dir: str) -> dict:
+    """Integrity-check a committed exactly-once output directory."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from .state.checkpoint import latest_committed_epoch, read_manifest
+
+    errors: list[str] = []
+    named: set[str] = set()
+    latest = latest_committed_epoch(out_dir)
+    n_rows = 0
+    for e in range(latest + 1):
+        m = read_manifest(out_dir, e)
+        if m is None:
+            errors.append(f"manifest gap at epoch {e}")
+            continue
+        for entry in m["files"]:
+            p = os.path.join(out_dir, entry["path"])
+            named.add(entry["path"])
+            if not os.path.exists(p):
+                errors.append(f"missing data file {entry['path']} (epoch {e})")
+                continue
+            rows = pq.read_metadata(p).num_rows
+            if rows != entry["rows"]:
+                errors.append(
+                    f"{entry['path']}: {rows} rows on disk != {entry['rows']} in manifest"
+                )
+            n_rows += rows
+        for c in m["checkpoints"]:
+            named.add(c["path"])
+            if not os.path.exists(os.path.join(out_dir, c["path"])):
+                errors.append(f"missing checkpoint {c['path']} (epoch {e})")
+    on_disk = {
+        os.path.relpath(p, out_dir)
+        for pat in ("data/*/*.parquet", "checkpoints/*/*.pkl")
+        for p in glob.glob(os.path.join(out_dir, pat))
+    }
+    orphans = sorted(on_disk - named)
+    return {
+        "status": "PASS" if not errors else "FAIL",
+        "committed_epochs": latest + 1,
+        "data_rows": n_rows,
+        "files_checked": len(named),
+        "orphans_ignored": len(orphans),
+        "errors": errors,
+    }
 
 
 def main(argv: list[str]) -> int:
@@ -55,6 +112,12 @@ def main(argv: list[str]) -> int:
         finally:
             ray.shutdown()
         return 0
+
+    if cmd == "validate":
+        out_dir = rest[0]
+        result = validate_output(out_dir)
+        print(json.dumps(result))
+        return 0 if result["status"] == "PASS" else 1
 
     if cmd == "bench-stream":
         out_dir = rest[0] if rest else "/tmp/quanta-stream"

@@ -71,3 +71,42 @@ def test_resume_only_final_flush(ray_session, small_stream, tmp_path_factory):
         sb = b.select(a.column_names)
         sb = sb.take(pc.sort_indices(sb, sort_keys=keys)).combine_chunks()
         assert sa.equals(sb), stream
+
+
+def test_validate_cli_integrity(ray_session, small_stream, tmp_path_factory):
+    """`validate` passes a committed run, ignores crash orphans, and fails
+    on a corrupted (row-count-mismatched) data file."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from quanta_ray.__main__ import validate_output
+    from quanta_ray.config import CEPConfig, PipelineSpec, SourceSpec, StageSpec
+    from quanta_ray.engine import StreamingRunner
+
+    files, _ = small_stream
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(StageSpec(name="normalize"),),
+        cep=CEPConfig(num_partitions=2),
+    )
+    d = str(tmp_path_factory.mktemp("validate_out"))
+    assert StreamingRunner(spec, d).run()["status"] == "complete"
+    r = validate_output(d)
+    assert r["status"] == "PASS" and not r["errors"] and r["data_rows"] > 0
+
+    # an orphan (crash residue) must not fail validation
+    orphan = os.path.join(d, "data", "turns", "part-99999-99999999.parquet")
+    some = glob.glob(os.path.join(d, "data", "turns", "*.parquet"))[0]
+    import shutil
+
+    shutil.copy(some, orphan)
+    r2 = validate_output(d)
+    assert r2["status"] == "PASS" and r2["orphans_ignored"] >= 1
+
+    # truncating a COMMITTED file must fail
+    t = pq.read_table(some)
+    pq.write_table(t.slice(0, max(0, t.num_rows - 1)), some)
+    r3 = validate_output(d)
+    assert r3["status"] == "FAIL" and any("rows on disk" in e for e in r3["errors"])

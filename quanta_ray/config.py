@@ -100,6 +100,10 @@ class SinkSpec:
     # tasks per epoch (partition p → group p % G). Part of the JOB layout —
     # fixed across cluster sizes so output file names stay deterministic
     turns_write_groups: int = 8
+    # rows dropped after retry exhaustion are committed to a "deadletter"
+    # output stream (with _stage/_reason columns) instead of vanishing;
+    # the drop+ack semantics are unchanged — dead rows never flow downstream
+    dead_letter: bool = True
 
 
 @dataclass(frozen=True)
@@ -186,6 +190,7 @@ def load_spec(d: dict[str, Any]) -> PipelineSpec:
             commit_mode=sink.get("commit_mode", "e2e"),
             options=dict(sink.get("options", {})),
             turns_write_groups=int(sink.get("turns_write_groups", 8)),
+            dead_letter=bool(sink.get("dead_letter", True)),
         ),
         cep=cep,
         checkpoint_every=int(d.get("checkpoint_every", 1)),

@@ -132,11 +132,18 @@ def _read_split_impl(
     rg_lo: int = 0,
     rg_hi: int | None = None,
     row_offset: int = 0,
+    out_dir: str | None = None,
+    frag_idx: int = 0,
 ) -> list[Any]:
     """Read ONE FRAGMENT (row groups [rg_lo, rg_hi)) of an epoch file, late-
     filter, run the transform chain, hash-partition. Map parallelism is
     epochs × fragments (``SourceSpec.fragment_rows``), so a large epoch no
-    longer serializes read+transform+partition in one task."""
+    longer serializes read+transform+partition in one task.
+
+    Rows a stage drops after retry exhaustion are written (deterministic,
+    retry-idempotent) to the ``deadletter`` stream when
+    ``SinkSpec.dead_letter``; the entry rides back in ``stats`` and is named
+    by the epoch's manifest."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -149,6 +156,14 @@ def _read_split_impl(
     if rg_hi is None:
         rg_hi = pf.metadata.num_row_groups
     table = pf.read_row_groups(list(range(rg_lo, rg_hi)))
+    missing = {"conv_id", "turn_idx", "role", "text", "tool", "ts"} - set(
+        table.schema.names
+    )
+    if missing:
+        raise ValueError(
+            f"{path}: source is missing transcript columns {sorted(missing)} "
+            f"(input_hint schema: conv_id, turn_idx, role, text, tool, ts)"
+        )
     n_input = table.num_rows
     # lineage columns (CheckpointToken analog): epoch + file-global row offset
     table = table.append_column("_epoch", pa.array(np.full(n_input, epoch), type=pa.int64()))
@@ -165,6 +180,38 @@ def _read_split_impl(
     chain = build_chain(spec.transformers)
     table = apply_chain_batch(chain, table)
     n_out = table.num_rows
+    # dead-letter: rows dropped after retry exhaustion, tagged with the
+    # responsible stage; drop+ack semantics unchanged (the rows do not flow
+    # downstream), but they become a committed, inspectable output stream
+    dead_entry = None
+    if out_dir is not None and spec.sink.dead_letter:
+        dead_parts = []
+        keep_cols = {"conv_id", "turn_idx", "role", "text", "tool", "ts", "_epoch", "_offset"}
+        for stage in chain:
+            for b in stage.dead_batches:
+                sel = b.select([c for c in b.schema.names if c in keep_cols])
+                sel = sel.append_column(
+                    "_stage", pa.array([stage.inner.name] * sel.num_rows, type=pa.string())
+                )
+                sel = sel.append_column(
+                    "_reason",
+                    pa.array(
+                        ["timeout" if stage.timed_out else "retries_exhausted"]
+                        * sel.num_rows,
+                        type=pa.string(),
+                    ),
+                )
+                dead_parts.append(sel)
+        if dead_parts:
+            from ..sinks.exactly_once import write_part_file
+
+            dead_entry = write_part_file(
+                pa.concat_tables(dead_parts, promote_options="default"),
+                out_dir,
+                "deadletter",
+                frag_idx,
+                epoch,
+            )
     # hash partition on conv_id
     conv = np.asarray(table.column("conv_id").to_pandas(), dtype=object)
     part = partition_ids(conv, P)
@@ -179,6 +226,7 @@ def _read_split_impl(
             sum(getattr(s, "dropped_after_retries", 0) for s in chain)
         ),
         "t_read_split": round(_time.perf_counter() - t0, 4),
+        "deadletter": dead_entry if out_dir is not None and spec.sink.dead_letter else None,
     }
     out: list[Any] = [stats]
     for p in range(P):
@@ -381,11 +429,12 @@ class StreamingRunner:
             for e in range(replay_from, latest + 1):
                 wm_prev = wms[e - 1] if e > 0 else NEG_INF
                 frags = plan_fragments(files[e], spec.source.fragment_rows)
+                # replay: deadletter files rewrite idempotently (same bytes)
                 frefs = [
                     _read_split.options(num_returns=P + 1).remote(
-                        files[e], e, wm_prev, spec, lo, hi, off
+                        files[e], e, wm_prev, spec, lo, hi, off, self.out_dir, fi
                     )
-                    for (lo, hi, off) in frags
+                    for fi, (lo, hi, off) in enumerate(frags)
                 ]
                 F = len(frags)
                 ray.get(
@@ -441,7 +490,9 @@ class StreamingRunner:
             stats_refs, meta_refs, write_refs, turns_refs = inflight.pop(epoch)
             frag_stats = ray.get(stats_refs) if stats_refs else []
             stats: dict[str, Any] = {}
+            dead_entries: list[dict] = []
             if frag_stats:
+                dead_entries = [s["deadletter"] for s in frag_stats if s.get("deadletter")]
                 stats = {
                     "epoch": epoch,
                     "n_fragments": len(frag_stats),
@@ -469,7 +520,7 @@ class StreamingRunner:
                 "input": {"file": files[epoch] if epoch < len(files) else None},
                 "watermark": wms[epoch] if epoch < len(files) else POS_INF,
                 "source_stats": stats,
-                "files": turns_entries + stream_files,
+                "files": turns_entries + dead_entries + stream_files,
                 "checkpoints": checkpoints,
                 "last_checkpoint_epoch": last_ckpt_epoch["v"],
                 "metrics": [pm for r in metas for pm in r["metrics"]],
@@ -520,9 +571,9 @@ class StreamingRunner:
             F = len(frags)
             frefs = [
                 _read_split.options(num_returns=P + 1).remote(
-                    files[e], e, wm_prev, spec, lo, hi, off
+                    files[e], e, wm_prev, spec, lo, hi, off, self.out_dir, fi
                 )
-                for (lo, hi, off) in frags
+                for fi, (lo, hi, off) in enumerate(frags)
             ]
             stats_refs = [r[0] for r in frefs]
             # parts[p] = this epoch's fragment tables for partition p, in

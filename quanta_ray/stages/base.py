@@ -121,6 +121,11 @@ class RetryingStage:
         self.timeout_ms = timeout_ms
         self.dropped_after_retries = 0
         self.timed_out = 0
+        # dead-letter: batches dropped after retry exhaustion, as seen at
+        # THIS stage's input — collected by the caller (the reference drops
+        # and acks to avoid deadlocks, CONFIGS.md:95; we additionally keep
+        # the rows for a committed "deadletter" output stream)
+        self.dead_batches: list[pa.Table] = []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.transform_batch(batch)
@@ -139,6 +144,7 @@ class RetryingStage:
             except TransientError:
                 continue
         self.dropped_after_retries += batch.num_rows
+        self.dead_batches.append(batch)
         return batch.schema.empty_table()
 
     def apply_row(self, row: dict) -> list[dict] | None:

@@ -432,3 +432,46 @@ def test_rerun_is_noop(ray_session, small_stream, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("noop"))
     assert StreamingRunner(spec, d).run()["status"] == "complete"
     assert StreamingRunner(spec, d).run()["status"] == "already-complete"
+
+
+def test_dead_letter_stream(ray_session, small_stream, tmp_path_factory):
+    """Rows dropped after retry exhaustion are committed to the deadletter
+    stream (tagged with stage + reason); drop+ack semantics unchanged — no
+    downstream output is produced for them."""
+    from quanta_ray.config import RetryPolicy
+    from quanta_ray.engine import StreamingRunner
+
+    files, _ = small_stream
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(
+            StageSpec(name="normalize"),
+            StageSpec(
+                name="error_then_ok",
+                retry=RetryPolicy(attempts=2),
+                options={"fail_times": 10**9},  # never recovers
+            ),
+        ),
+        cep=CEPConfig(num_partitions=2),
+    )
+    d = str(tmp_path_factory.mktemp("deadletter_out"))
+    assert StreamingRunner(spec, d).run()["status"] == "complete"
+
+    dead = read_committed(d, "deadletter")
+    assert dead is not None and dead.num_rows > 0
+    assert set(dead.column("_stage").to_pylist()) == {"error_then_ok"}
+    assert set(dead.column("_reason").to_pylist()) == {"retries_exhausted"}
+    # every non-late input row is accounted for in the deadletter stream
+    import json, os
+
+    n_in = n_late = 0
+    for e in range(len(files)):
+        with open(os.path.join(d, f"manifest-{e:08d}.json")) as f:
+            ss = json.load(f)["source_stats"]
+        n_in += ss["n_input"]
+        n_late += ss["n_late_dropped"]
+    assert dead.num_rows == n_in - n_late
+    # nothing flowed downstream
+    for stream in ("turns", "tumbling", "sliding", "sessions", "joins"):
+        t = read_committed(d, stream)
+        assert t is None or t.num_rows == 0, stream

@@ -535,6 +535,9 @@ class StreamingRunner:
         last_dispatched = start_epoch - 1
         e = start_epoch
         idle_polls = 0
+        from ..state.checkpoint import CommitThrottle
+
+        idle_throttle = CommitThrottle(interval=max(poll_sleep_s, 0.0))
         while True:
             # tailing: poll the source for new epoch files when caught up
             while e >= len(files) and follow > 0 and idle_polls < follow:
@@ -552,8 +555,10 @@ class StreamingRunner:
                     break
                 idle_polls += 1
                 # durability while waiting: commit finished epochs instead
-                # of holding them until the stream ends
-                if inflight:
+                # of holding them until the stream ends — throttled like the
+                # reference's commit_interval (checkpoint.go:108-135; driver-
+                # side cadence only, never semantics)
+                if inflight and idle_throttle.should_commit(_walltime.monotonic()):
                     commit(min(inflight))
                 if on_idle is not None:
                     on_idle(idle_polls)

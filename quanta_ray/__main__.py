@@ -4,6 +4,7 @@ read the pipeline spec path from env/args, init logging from env, run).
 Usage:
     python -m quanta_ray run <pipeline.json|yml> <out_dir> [--follow N]
     python -m quanta_ray validate <out_dir>
+    python -m quanta_ray export <out_dir> <stream> <dest_dir>
     python -m quanta_ray bench-stream <out_dir> [n_convs] [n_epochs]
 
 ``validate`` checks the exactly-once output's integrity (reference README's
@@ -78,6 +79,25 @@ def validate_output(out_dir: str) -> dict:
     }
 
 
+def export_stream(out_dir: str, stream: str, dest: str) -> int:
+    """Compact a committed output stream into a plain parquet dataset via
+    Ray Data (read only manifest-named files → streaming write). The
+    exactly-once directory stays untouched; the export is how downstream
+    consumers get right-sized files without trusting anything but the
+    manifests."""
+    import ray.data as rd
+
+    from .sinks.exactly_once import committed_files
+
+    files = committed_files(out_dir, stream)
+    if not files:
+        return 0
+    ds = rd.read_parquet(files)
+    n = ds.count()
+    ds.write_parquet(dest, compression="zstd")
+    return n
+
+
 def main(argv: list[str]) -> int:
     from .logging_setup import init_from_env
 
@@ -118,6 +138,19 @@ def main(argv: list[str]) -> int:
         result = validate_output(out_dir)
         print(json.dumps(result))
         return 0 if result["status"] == "PASS" else 1
+
+    if cmd == "export":
+        out_dir, stream, dest = rest[0], rest[1], rest[2]
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        try:
+            n = export_stream(out_dir, stream, dest)
+            print(json.dumps({"stream": stream, "rows": n, "dest": dest}))
+        finally:
+            ray.shutdown()
+        return 0
 
     if cmd == "bench-stream":
         out_dir = rest[0] if rest else "/tmp/quanta-stream"

@@ -50,3 +50,34 @@ def test_salted_preagg_equals_unsalted(ray_session):
         ).combine_chunks()
 
     assert norm(plain).equals(norm(salted))
+
+
+def test_export_stream(ray_session, small_stream, tmp_path_factory):
+    """Export compacts a committed stream via Ray Data; row-for-row equal to
+    read_committed."""
+    import pyarrow.parquet as pq_
+
+    from quanta_ray.__main__ import export_stream
+    from quanta_ray.config import CEPConfig, PipelineSpec, SourceSpec, StageSpec
+    from quanta_ray.engine import StreamingRunner
+    from quanta_ray.sinks.exactly_once import read_committed
+
+    files, _ = small_stream
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(StageSpec(name="normalize"),),
+        cep=CEPConfig(num_partitions=2),
+    )
+    d = str(tmp_path_factory.mktemp("export_src"))
+    assert StreamingRunner(spec, d).run()["status"] == "complete"
+    dest = str(tmp_path_factory.mktemp("export_dst"))
+    n = export_stream(d, "turns", dest)
+    want = read_committed(d, "turns")
+    assert n == want.num_rows
+    got = pq_.read_table(dest)
+    import pyarrow.compute as pc_
+
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    got = got.select(want.column_names).take(pc_.sort_indices(got.select(want.column_names), sort_keys=key))
+    want = want.take(pc_.sort_indices(want, sort_keys=key))
+    assert got.equals(want.combine_chunks()) or got.combine_chunks().to_pydict() == want.combine_chunks().to_pydict()

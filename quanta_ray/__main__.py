@@ -4,6 +4,7 @@ read the pipeline spec path from env/args, init logging from env, run).
 Usage:
     python -m quanta_ray run <pipeline.json|yml> <out_dir> [--follow N]
     python -m quanta_ray validate <out_dir>
+    python -m quanta_ray metrics <out_dir>
     python -m quanta_ray export <out_dir> <stream> <dest_dir>
     python -m quanta_ray bench-stream <out_dir> [n_convs] [n_epochs]
 
@@ -79,6 +80,51 @@ def validate_output(out_dir: str) -> dict:
     }
 
 
+def summarize_metrics(out_dir: str) -> dict:
+    """Aggregate the per-partition operator metrics every manifest carries
+    (reference C4 analog: the metrics surface is the committed manifest
+    chain rather than a live HTTP endpoint — metrics survive the process
+    and travel with the output)."""
+    from collections import defaultdict
+
+    from .state.checkpoint import latest_committed_epoch, read_manifest
+
+    latest = latest_committed_epoch(out_dir)
+    src = defaultdict(int)
+    phases = defaultdict(float)
+    emitted = defaultdict(int)
+    rows_out = defaultdict(int)
+    live_max = 0
+    wm = None
+    for e in range(latest + 1):
+        m = read_manifest(out_dir, e)
+        if m is None:
+            continue
+        ss = m.get("source_stats") or {}
+        for k in ("n_input", "n_late_dropped", "n_after_chain", "n_stage_dropped"):
+            src[k] += ss.get(k, 0)
+        for f in m["files"]:
+            rows_out[f["stream"]] += f["rows"]
+        for pm in m["metrics"]:
+            if "partition" not in pm:
+                continue
+            for k in ("t_ingest", "t_emit", "t_write", "t_ckpt"):
+                phases[k] += pm.get(k, 0.0)
+            for k in ("tumbling", "sliding", "sessions", "joins"):
+                emitted[k] += pm.get(f"{k}_emitted", 0)
+            live_max = max(live_max, pm.get("live_convs", 0))
+            wm = pm.get("wm", wm)
+    return {
+        "committed_epochs": latest + 1,
+        "source": dict(src),
+        "rows_out": dict(rows_out),
+        "emitted": dict(emitted),
+        "phase_seconds": {k: round(v, 2) for k, v in phases.items()},
+        "max_live_convs": live_max,
+        "final_watermark": wm,
+    }
+
+
 def export_stream(out_dir: str, stream: str, dest: str) -> int:
     """Compact a committed output stream into a plain parquet dataset via
     Ray Data (read only manifest-named files → streaming write). The
@@ -138,6 +184,10 @@ def main(argv: list[str]) -> int:
         result = validate_output(out_dir)
         print(json.dumps(result))
         return 0 if result["status"] == "PASS" else 1
+
+    if cmd == "metrics":
+        print(json.dumps(summarize_metrics(rest[0])))
+        return 0
 
     if cmd == "export":
         out_dir, stream, dest = rest[0], rest[1], rest[2]

@@ -81,3 +81,24 @@ def test_export_stream(ray_session, small_stream, tmp_path_factory):
     got = got.select(want.column_names).take(pc_.sort_indices(got.select(want.column_names), sort_keys=key))
     want = want.take(pc_.sort_indices(want, sort_keys=key))
     assert got.equals(want.combine_chunks()) or got.combine_chunks().to_pydict() == want.combine_chunks().to_pydict()
+
+
+def test_metrics_summary(ray_session, small_stream, tmp_path_factory):
+    from quanta_ray.__main__ import summarize_metrics
+    from quanta_ray.config import CEPConfig, PipelineSpec, SourceSpec, StageSpec
+    from quanta_ray.engine import StreamingRunner
+
+    files, _ = small_stream
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(StageSpec(name="normalize"),),
+        cep=CEPConfig(num_partitions=2),
+    )
+    d = str(tmp_path_factory.mktemp("metrics_out"))
+    assert StreamingRunner(spec, d).run()["status"] == "complete"
+    m = summarize_metrics(d)
+    assert m["committed_epochs"] == len(files) + 1  # + final flush
+    assert m["source"]["n_input"] > 0
+    assert m["rows_out"]["turns"] == m["source"]["n_after_chain"]
+    assert m["emitted"]["tumbling"] == m["rows_out"].get("tumbling", 0)
+    assert m["final_watermark"] is not None

@@ -101,59 +101,134 @@ _WS_FIELDS = (
 )
 
 
+_W_SPAN = np.uint64(1) << np.uint64(32)
+_W_HALF = np.int64(1) << np.int64(31)
+
+
+def _wkey(code: np.ndarray, w: np.ndarray, quantum: int) -> np.ndarray:
+    """Composite sortable uint64 key for (conv code, window start).
+
+    Window starts are multiples of ``quantum`` (size for tumbling, slide for
+    sliding), so ``w // quantum`` indexes windows densely; offset by 2^31 to
+    admit negative event time. Packing is order-preserving iff
+    0 <= w_idx < 2^32 and code < 2^31 — ±2^31 windows spans ±245k years of
+    hourly windows, and codes are per-partition conv ranks."""
+    w_idx = w // quantum + _W_HALF
+    return code.astype(np.uint64) * _W_SPAN + w_idx.astype(np.uint64)
+
+
+def _wkey_safe(code: np.ndarray, w: np.ndarray, quantum: int) -> bool:
+    if len(code) == 0:
+        return True
+    w_idx_min = int(w.min()) // quantum + (1 << 31)
+    w_idx_max = int(w.max()) // quantum + (1 << 31)
+    return 0 <= w_idx_min and w_idx_max < (1 << 32) and int(code.max()) < (1 << 31)
+
+
 class _WindowState:
     """Partition-level columnar open-window state (one per window kind).
 
-    Arrays are parallel, keyed by (conv code, w_start) — codes intern conv
-    ids per partition (``PartitionWorkerImpl.conv_code``). Merge is a
-    vectorized concat + lexsort + segment-reduce; emission is a boolean
-    mask. first/last are the (ts, turn_idx)-min/max rows of the window
+    Arrays are parallel, kept SORTED by the composite key (conv code,
+    w_start) — codes intern conv ids per partition
+    (``PartitionWorkerImpl.conv_code``). Merge dedupes+sorts only the
+    PARTIALS (G log G) and folds them into the sorted state with one
+    ``searchsorted`` + masked combine + ``np.insert`` — O(S + G log G).
+    At scale S (open state) ≫ G (one epoch's groups), so re-sorting state
+    every epoch would be the wrong asymptotic. Emission is a boolean mask.
+    first/last are the (ts, turn_idx)-min/max rows of the window
     ((conv, ts, turn_idx) is unique, so text never breaks ties)."""
 
-    __slots__ = _WS_FIELDS
+    __slots__ = _WS_FIELDS + ("key",)
 
     def __init__(self) -> None:
         for f in ("code", "w", "n", "nu", "na", "nt", "f_ts", "f_turn", "l_ts", "l_turn"):
             setattr(self, f, np.empty(0, np.int64))
         self.f_text = np.empty(0, object)
         self.l_text = np.empty(0, object)
+        self.key: np.ndarray | None = None  # lazily (re)derived from code/w
 
-    def merge(self, *partial: np.ndarray) -> None:
-        """Fold partial aggregates (same 12-field layout) into state."""
-        cols = [np.concatenate([getattr(self, f), p]) if len(getattr(self, f)) else p
-                for f, p in zip(_WS_FIELDS, partial)]
-        (code, w, n, nu, na, nt, f_ts, f_turn, f_text, l_ts, l_turn, l_text) = cols
-        if len(code) == 0:
-            return
-        # primary order (code, w); secondary (f_ts, f_turn) → group starts
-        # are the per-group first-key minima
-        ord_f = np.lexsort((f_turn, f_ts, w, code))
-        code_s, w_s = code[ord_f], w[ord_f]
-        brk = np.concatenate(
-            ([True], (code_s[1:] != code_s[:-1]) | (w_s[1:] != w_s[:-1]))
-        )
+    def _dedupe_partials(self, partial: tuple, pkey: np.ndarray) -> tuple:
+        """Sort partials by key and combine duplicate keys (segment reduce).
+        Returns 12 field arrays + the sorted unique key array."""
+        (pcode, pw, pn, pnu, pna, pnt, pf_ts, pf_turn, pf_text, pl_ts, pl_turn, pl_text) = partial
+        ordf = np.lexsort((pf_turn, pf_ts, pkey))
+        key_s = pkey[ordf]
+        brk = np.concatenate(([True], key_s[1:] != key_s[:-1]))
         starts = np.flatnonzero(brk)
-        if len(starts) == len(code_s):  # all keys unique — no combining
-            self.code, self.w = code_s, w_s
-            self.n, self.nu, self.na, self.nt = n[ord_f], nu[ord_f], na[ord_f], nt[ord_f]
-            self.f_ts, self.f_turn, self.f_text = f_ts[ord_f], f_turn[ord_f], f_text[ord_f]
-            self.l_ts, self.l_turn, self.l_text = l_ts[ord_f], l_turn[ord_f], l_text[ord_f]
+        if len(starts) == len(key_s):  # unique keys: f and l come from the same row
+            return tuple(p[ordf] for p in partial) + (key_s,)
+        ends = np.append(starts[1:], len(key_s)) - 1
+        ordl = np.lexsort((pl_turn, pl_ts, pkey))
+        return (
+            pcode[ordf][starts],
+            pw[ordf][starts],
+            np.add.reduceat(pn[ordf], starts),
+            np.add.reduceat(pnu[ordf], starts),
+            np.add.reduceat(pna[ordf], starts),
+            np.add.reduceat(pnt[ordf], starts),
+            pf_ts[ordf][starts],
+            pf_turn[ordf][starts],
+            pf_text[ordf][starts],
+            pl_ts[ordl][ends],
+            pl_turn[ordl][ends],
+            pl_text[ordl][ends],
+            key_s[starts],
+        )
+
+    def merge(self, *partial: np.ndarray, quantum: int) -> None:
+        """Fold partial aggregates (12-field layout) into state."""
+        if len(partial[0]) == 0:
             return
-        ends = np.append(starts[1:], len(code_s)) - 1
-        self.code, self.w = code_s[starts], w_s[starts]
-        self.n = np.add.reduceat(n[ord_f], starts)
-        self.nu = np.add.reduceat(nu[ord_f], starts)
-        self.na = np.add.reduceat(na[ord_f], starts)
-        self.nt = np.add.reduceat(nt[ord_f], starts)
-        self.f_ts, self.f_turn, self.f_text = (
-            f_ts[ord_f][starts], f_turn[ord_f][starts], f_text[ord_f][starts]
-        )
-        # same group segments under the (l_ts, l_turn)-secondary order;
-        # group ends are the per-group last-key maxima
-        ord_l = np.lexsort((l_turn, l_ts, w, code))
-        self.l_ts, self.l_turn, self.l_text = (
-            l_ts[ord_l][ends], l_turn[ord_l][ends], l_text[ord_l][ends]
-        )
+        if not (_wkey_safe(partial[0], partial[1], quantum)
+                and _wkey_safe(self.code, self.w, quantum)):  # pragma: no cover
+            raise OverflowError(
+                "window key packing out of range (code >= 2^31 or |w/quantum| >= 2^31)"
+            )
+        pkey = _wkey(partial[0], partial[1], quantum)
+        deduped = self._dedupe_partials(partial, pkey)
+        parts, key2 = deduped[:-1], deduped[-1]
+        if self.key is None or len(self.key) != len(self.code):
+            self.key = _wkey(self.code, self.w, quantum)  # restore/adopt path
+        skey = self.key
+        if len(skey) == 0:
+            for f, arr in zip(_WS_FIELDS, parts):
+                setattr(self, f, arr)
+            self.key = key2
+            return
+        pos = np.searchsorted(skey, key2)
+        posc = np.minimum(pos, len(skey) - 1)
+        exist = skey[posc] == key2
+        (code2, w2, n2, nu2, na2, nt2, f_ts2, f_turn2, f_text2, l_ts2, l_turn2, l_text2) = parts
+        if exist.any():
+            idx = posc[exist]
+            self.n[idx] += n2[exist]
+            self.nu[idx] += nu2[exist]
+            self.na[idx] += na2[exist]
+            self.nt[idx] += nt2[exist]
+            ef_ts, ef_turn = f_ts2[exist], f_turn2[exist]
+            m = (ef_ts < self.f_ts[idx]) | (
+                (ef_ts == self.f_ts[idx]) & (ef_turn < self.f_turn[idx])
+            )
+            if m.any():
+                ii = idx[m]
+                self.f_ts[ii] = ef_ts[m]
+                self.f_turn[ii] = ef_turn[m]
+                self.f_text[ii] = f_text2[exist][m]
+            el_ts, el_turn = l_ts2[exist], l_turn2[exist]
+            m = (el_ts > self.l_ts[idx]) | (
+                (el_ts == self.l_ts[idx]) & (el_turn > self.l_turn[idx])
+            )
+            if m.any():
+                ii = idx[m]
+                self.l_ts[ii] = el_ts[m]
+                self.l_turn[ii] = el_turn[m]
+                self.l_text[ii] = l_text2[exist][m]
+        new = ~exist
+        if new.any():
+            at = pos[new]
+            self.key = np.insert(skey, at, key2[new])
+            for f, arr in zip(_WS_FIELDS, parts):
+                setattr(self, f, np.insert(getattr(self, f), at, arr[new]))
 
     def pop_closed(self, size: int, wm: int) -> tuple | None:
         """Remove and return all windows with w + size <= wm (vectorized)."""
@@ -170,6 +245,8 @@ class _WindowState:
         keep = ~mask
         for f in _WS_FIELDS:
             setattr(self, f, getattr(self, f)[keep])
+        if self.key is not None:
+            self.key = self.key[keep]
         return out
 
     def to_payload(self) -> tuple:
@@ -179,7 +256,9 @@ class _WindowState:
     def from_payload(cls, p: tuple) -> "_WindowState":
         ws = cls()
         for f, arr in zip(_WS_FIELDS, p):
-            setattr(ws, f, arr)
+            # copy: object-store payloads are zero-copy READ-ONLY and the
+            # sorted-merge mutates counts/first/last in place
+            setattr(ws, f, np.array(arr, copy=True))
         return ws
 
 
@@ -547,7 +626,8 @@ class PartitionWorkerImpl:
         self.win["tumbling"].merge(
             *_window_partials(
                 pcodes, ts // tsize * tsize, ts, turn, text, is_user, is_assistant, it
-            )
+            ),
+            quantum=tsize,
         )
 
         # sliding: k shifted window assignments. Each shift keeps (conv, ts)
@@ -572,7 +652,8 @@ class PartitionWorkerImpl:
                     )
                 )
         self.win["sliding"].merge(
-            *(np.concatenate([sp[i] for sp in shift_parts]) for i in range(12))
+            *(np.concatenate([sp[i] for sp in shift_parts]) for i in range(12)),
+            quantum=slide,
         )
 
         # ---- sessions: columnar cluster partials → vectorized state merge ----

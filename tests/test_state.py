@@ -50,3 +50,76 @@ def test_manifest_atomicity_and_latest(tmp_path):
     assert m["epoch"] == 1 and m["files"][0]["stream"] == "turns"
     # no stray temp files after atomic writes
     assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+
+
+def test_window_state_merge_matches_bruteforce():
+    """The sorted-merge columnar window state must equal a dict-based
+    reference under many randomized merge/pop rounds (counts summed,
+    first/last = (ts, turn)-min/max, watermark pops)."""
+    import numpy as np
+
+    from quanta_ray.engine.worker import _WindowState
+
+    rng = np.random.default_rng(41)
+    ws = _WindowState()
+    ref: dict = {}
+    Q = 10
+    for round_ in range(30):
+        g = int(rng.integers(1, 40))
+        code = rng.integers(0, 12, g)
+        w = rng.integers(-5, 15, g) * Q
+        n = rng.integers(1, 5, g)
+        nu = rng.integers(0, 3, g)
+        na = rng.integers(0, 3, g)
+        nt = rng.integers(0, 3, g)
+        f_ts = rng.integers(0, 1000, g)
+        f_turn = rng.integers(0, 50, g)
+        l_ts = f_ts + rng.integers(0, 100, g)
+        l_turn = rng.integers(0, 50, g)
+        f_text = np.array([f"f{round_}-{i}" for i in range(g)], dtype=object)
+        l_text = np.array([f"l{round_}-{i}" for i in range(g)], dtype=object)
+        ws.merge(code, w, n, nu, na, nt, f_ts, f_turn, f_text, l_ts, l_turn, l_text, quantum=Q)
+        for i in range(g):
+            k = (int(code[i]), int(w[i]))
+            cur = ref.get(k)
+            part = [int(n[i]), int(nu[i]), int(na[i]), int(nt[i]),
+                    (int(f_ts[i]), int(f_turn[i]), f_text[i]),
+                    (int(l_ts[i]), int(l_turn[i]), l_text[i])]
+            if cur is None:
+                ref[k] = part
+            else:
+                cur[0] += part[0]; cur[1] += part[1]; cur[2] += part[2]; cur[3] += part[3]
+                if part[4][:2] < cur[4][:2]:
+                    cur[4] = part[4]
+                if part[5][:2] > cur[5][:2]:
+                    cur[5] = part[5]
+        if round_ % 7 == 3:
+            wm = int(rng.integers(-40, 160))
+            popped = ws.pop_closed(Q, wm)
+            pop_ref = {k: v for k, v in ref.items() if k[1] + Q <= wm}
+            for k in pop_ref:
+                del ref[k]
+            got = {}
+            if popped is not None:
+                pc_, pw_, pn_, pnu_, pna_, pnt_, pf_ts_, pf_text_, pl_ts_, pl_text_ = popped
+                for i in range(len(pc_)):
+                    got[(int(pc_[i]), int(pw_[i]))] = (
+                        int(pn_[i]), int(pnu_[i]), int(pna_[i]), int(pnt_[i]),
+                        int(pf_ts_[i]), pf_text_[i], int(pl_ts_[i]), pl_text_[i],
+                    )
+            want = {k: (v[0], v[1], v[2], v[3], v[4][0], v[4][2], v[5][0], v[5][2])
+                    for k, v in pop_ref.items()}
+            assert got == want, f"round {round_}"
+    # final flush compares remaining state
+    popped = ws.pop_closed(Q, 1 << 40)
+    got = {}
+    if popped is not None:
+        pc_, pw_, pn_, pnu_, pna_, pnt_, pf_ts_, pf_text_, pl_ts_, pl_text_ = popped
+        for i in range(len(pc_)):
+            got[(int(pc_[i]), int(pw_[i]))] = (
+                int(pn_[i]), int(pnu_[i]), int(pna_[i]), int(pnt_[i]),
+                int(pf_ts_[i]), pf_text_[i], int(pl_ts_[i]), pl_text_[i],
+            )
+    want = {k: (v[0], v[1], v[2], v[3], v[4][0], v[4][2], v[5][0], v[5][2])
+            for k, v in ref.items()}
+    assert got == want

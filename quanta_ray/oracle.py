@@ -269,12 +269,23 @@ def run_oracle(
             ("ts", pa.timestamp("us")),
         ]
     )
-    # transformed rows may carry extra columns added by stages
+    # transformed rows may carry extra columns added by stages; infer the
+    # arrow type from the first non-None value (stages emit int64/float64/
+    # string in both paths)
     extra = sorted(
         {k for r in st.turns for k in r} - {f.name for f in turn_schema} - {"_epoch", "_offset"}
     )
     for name in extra:
-        turn_schema = turn_schema.append(pa.field(name, pa.string()))
+        sample = next((r[name] for r in st.turns if r.get(name) is not None), None)
+        if isinstance(sample, bool):
+            typ = pa.bool_()
+        elif isinstance(sample, int):
+            typ = pa.int64()
+        elif isinstance(sample, float):
+            typ = pa.float64()
+        else:
+            typ = pa.string()
+        turn_schema = turn_schema.append(pa.field(name, typ))
     return {
         "turns": _to_table(st.turns, turn_schema, ["conv_id", "turn_idx"]),
         "tumbling": _to_table(st.tumbling, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),

@@ -90,7 +90,7 @@ class FanoutStage(Transformer):
         idx = np.repeat(np.arange(batch.num_rows), self.n)
         out = batch.take(pa.array(idx))
         copy = pa.array(
-            np.tile(np.arange(self.n), batch.num_rows).astype("int32"), type=pa.int32()
+            np.tile(np.arange(self.n), batch.num_rows).astype("int64"), type=pa.int64()
         )
         if "fanout_copy" in out.column_names:
             out = out.drop_columns(["fanout_copy"])

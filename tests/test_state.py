@@ -123,3 +123,66 @@ def test_window_state_merge_matches_bruteforce():
     want = {k: (v[0], v[1], v[2], v[3], v[4][0], v[4][2], v[5][0], v[5][2])
             for k, v in ref.items()}
     assert got == want
+
+
+def test_session_state_merge_matches_bruteforce():
+    """The segmented-sweep session merge must equal a brute-force interval
+    union (gap-bridged, transitive) under randomized rounds."""
+    import numpy as np
+
+    from quanta_ray.engine.worker import _SessionState
+
+    GAP = 10
+    rng = np.random.default_rng(23)
+    ss = _SessionState()
+    ref: dict[int, list] = {}  # code -> list of [s_ts, s_turn, s_text, e_ts, e_turn, e_text, n]
+
+    def ref_insert(code, s_ts, s_turn, s_text, e_ts, e_turn, e_text, n):
+        iv = [s_ts, s_turn, s_text, e_ts, e_turn, e_text, n]
+        lst = ref.setdefault(code, [])
+        lst.append(iv)
+        # re-merge the whole list (brute force): sort by start, sweep
+        lst.sort(key=lambda v: (v[0], v[1]))
+        out = [lst[0]]
+        for v in lst[1:]:
+            cur = out[-1]
+            if v[0] <= cur[3] + GAP:
+                if (v[0], v[1]) < (cur[0], cur[1]):
+                    cur[0], cur[1], cur[2] = v[0], v[1], v[2]
+                if (v[3], v[4]) > (cur[3], cur[4]):
+                    cur[3], cur[4], cur[5] = v[3], v[4], v[5]
+                cur[6] += v[6]
+            else:
+                out.append(v)
+        ref[code] = out
+
+    for round_ in range(40):
+        g = int(rng.integers(1, 25))
+        code = rng.integers(0, 8, g)
+        s_ts = rng.integers(0, 300, g)
+        dur = rng.integers(0, 15, g)
+        e_ts = s_ts + dur
+        # (ts, turn) keys are unique in real transcripts (turn_idx unique per
+        # conv) — unique turns here keep boundary tie-breaks deterministic
+        s_turn = np.arange(g) * 2 + round_ * 1000
+        e_turn = np.arange(g) * 2 + 1 + round_ * 1000
+        n = rng.integers(1, 6, g)
+        s_text = np.array([f"s{round_}-{i}" for i in range(g)], dtype=object)
+        e_text = np.array([f"e{round_}-{i}" for i in range(g)], dtype=object)
+        ss.merge(
+            (code, s_ts, s_turn.astype(np.int64), s_text,
+             e_ts, e_turn.astype(np.int64), e_text, n.astype(np.int64)),
+            GAP,
+        )
+        for i in range(g):
+            ref_insert(int(code[i]), int(s_ts[i]), int(s_turn[i]), s_text[i],
+                       int(e_ts[i]), int(e_turn[i]), e_text[i], int(n[i]))
+        # compare full state every few rounds
+        if round_ % 5 == 4:
+            got = {}
+            for i in range(len(ss.code)):
+                got.setdefault(int(ss.code[i]), []).append(
+                    (int(ss.s_ts[i]), ss.s_text[i], int(ss.e_ts[i]), ss.e_text[i], int(ss.n[i]))
+                )
+            want = {c: [(v[0], v[2], v[3], v[5], v[6]) for v in lst] for c, lst in ref.items()}
+            assert got == want, f"round {round_}"

@@ -475,3 +475,35 @@ def test_dead_letter_stream(ray_session, small_stream, tmp_path_factory):
     for stream in ("turns", "tumbling", "sliding", "sessions", "joins"):
         t = read_committed(d, stream)
         assert t is None or t.num_rows == 0, stream
+
+
+def test_fanout_chain_parity(ray_session, small_stream, tmp_path_factory):
+    """1→2 fan-out ahead of the stateful CEP stage: window/session counts
+    double consistently and duplicate tool rows resolve to ONE join row
+    (the oracle's (conv, turn_idx) dedup — ADVICE r2 fix), engine equal to
+    oracle on every stream."""
+    from quanta_ray.engine import run_pipeline
+    from quanta_ray.stages.transforms import FanoutStage
+
+    files, _ = small_stream
+    cfg = CEPConfig(num_partitions=3)
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(StageSpec(name="normalize"), StageSpec(name="fanout")),
+        cep=cfg,
+    )
+    out_dir = str(tmp_path_factory.mktemp("engine_out_fanout"))
+    assert run_pipeline(spec, out_dir)["status"] == "complete"
+
+    oracle = run_oracle(
+        (pq.read_table(f) for f in files),
+        cfg,
+        stages=[RetryingStage(NormalizeStage()), RetryingStage(FanoutStage())],
+    )
+    for stream, keys in SORT_KEYS.items():
+        got = read_committed(out_dir, stream)
+        want = oracle[stream]
+        if stream == "turns":
+            # fan-out rows share (conv_id, turn_idx); sort on the full row
+            keys = ["conv_id", "turn_idx", "fanout_copy"]
+        _assert_tables_equal(stream, got, want, keys)

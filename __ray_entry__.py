@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_type_hourly_stats": batch_cep.type_hourly_stats,
         "ev_distinct_users": batch_cep.distinct_users_per_type,
         "ev_props_k_stats": batch_cep.props_k_stats,
+        "ev_distinct_users_approx": batch_cep.distinct_users_approx,
+        "ev_consistent_sample": batch_cep.consistent_sample,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_stream("sessions"),
         "cep_streaming_tumbling": _streaming_stream("tumbling"),
@@ -153,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_type_hourly_stats": batch_cep.TYPE_HOURLY_SQL,
         "ev_distinct_users": batch_cep.DISTINCT_USERS_SQL,
         "ev_props_k_stats": batch_cep.PROPS_K_STATS_SQL,
+        "ev_consistent_sample": batch_cep.CONSISTENT_SAMPLE_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
         "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
         "rel_top_parts_by_price": relational.TOP_PARTS_SQL,

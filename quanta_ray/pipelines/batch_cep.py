@@ -606,3 +606,106 @@ SELECT CAST(floor(json_extract(props, '$.k')::BIGINT / 10.0) AS BIGINT) AS k_dec
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1
 """
+
+
+# --- approximate distinct count (HyperLogLog sketch) --------------------------
+
+
+class _HLLPartial:
+    """Per-batch HyperLogLog registers (m=2^p) over a key column.
+
+    The sketch is the canonical at-scale distinct-count: each batch emits a
+    fixed 2^p-byte register vector regardless of row count, and vectors
+    merge by elementwise max — the shuffle moves O(#batches × 2^p) bytes,
+    never keys."""
+
+    def __init__(self, column: str, p: int = 12):
+        self.column = column
+        self.p = p
+        self.m = 1 << p
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(batch[self.column].to_numpy()).astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)  # remaining bits, top-aligned
+        # rank = position of first set bit in the remaining 64-p bits (1-based)
+        nz = rest != 0
+        lz = np.full(len(h), 64 - self.p, dtype=np.int64)
+        r = rest[nz]
+        # count leading zeros via float trick is lossy; use bit scan
+        shift = np.zeros(len(r), dtype=np.int64)
+        cur = r.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            mask = cur < (np.uint64(1) << np.uint64(63 - s + 1))
+            cur[mask] = cur[mask] << np.uint64(s)
+            shift[mask] += s
+        lz[nz] = shift
+        rank = np.minimum(lz + 1, 64 - self.p + 1)
+        regs = np.zeros(self.m, dtype=np.int64)
+        np.maximum.at(regs, idx, rank)
+        return pd.DataFrame({"reg_idx": np.arange(self.m, dtype=np.int64), "rank": regs})
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    if est <= 2.5 * m:  # small-range correction
+        zeros = int((regs == 0).sum())
+        if zeros:
+            est = m * np.log(m / zeros)
+    return float(est)
+
+
+def distinct_users_approx(sf_dir: str, p: int = 12) -> pa.Table:
+    """Approximate COUNT(DISTINCT user_id) via a distributed HyperLogLog:
+    per-batch register partials → elementwise-max reduce (bucketed by
+    register index) → driver estimate. Rows-only oracle (approximate by
+    design; pytest pins <2% relative error on the fixture)."""
+    from ..bucket import bucketed_group_agg
+
+    partials = _events(sf_dir, ["user_id"]).map_batches(
+        _HLLPartial,
+        fn_constructor_kwargs={"column": "user_id", "p": p},
+        batch_format="pandas",
+        batch_size=131072,
+        concurrency=2,
+    )
+    merged = bucketed_group_agg(
+        partials, ["reg_idx"], dict(rank=("rank", "max")), num_buckets=8
+    )
+    df = _concat(merged).to_pandas().sort_values("reg_idx")
+    regs = np.zeros(1 << p, dtype=np.int64)
+    regs[df["reg_idx"].to_numpy()] = df["rank"].to_numpy()
+    est = _hll_estimate(regs)
+    return pa.table({"approx_distinct_users": pa.array([round(est)], type=pa.int64())})
+
+
+# --- consistent (hash-ordered) sampling ---------------------------------------
+
+
+def consistent_sample(sf_dir: str, k: int = 100) -> pa.Table:
+    """Deterministic k-sample of events: the k smallest md5(event_id) keys —
+    the stable "consistent sample" primitive (same rows at any scale-out,
+    resample-free as data grows at the tail). Per-block partial top-k →
+    tiny driver merge; SQL-checkable exactly."""
+    import hashlib
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["event_id"].map(lambda v: hashlib.md5(str(v).encode()).hexdigest())
+        batch = batch.assign(_skey=key)
+        return batch.sort_values("_skey").head(k)
+
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+    df = _concat(ds).to_pandas().sort_values("_skey").head(k)
+    df = df.drop(columns=["_skey"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+CONSISTENT_SAMPLE_SQL = """
+SELECT event_id, user_id, event_type, ts, value
+FROM events
+ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 100
+"""

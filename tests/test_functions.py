@@ -263,3 +263,36 @@ def test_doc_media_pipeline(ray_session, doc_dir):
     vids = {i for i in range(40) if i % 3 == 2}
     assert set(frames.column("media_id").to_pylist()) <= vids
     assert frames.num_rows > 0
+
+
+def test_hll_distinct_accuracy(ray_session):
+    """HLL approximate distinct must land within 2% of exact on the driver
+    events fixture (m=4096 → ~1.6% standard error)."""
+    import duckdb
+
+    from quanta_ray.pipelines.batch_cep import distinct_users_approx
+
+    sf = "/root/testdata/sf0.01"
+    est = distinct_users_approx(sf).column("approx_distinct_users")[0].as_py()
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.02, (est, exact)
+
+
+def test_consistent_sample_matches_sql(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from quanta_ray.pipelines.batch_cep import CONSISTENT_SAMPLE_SQL, consistent_sample
+
+    sf = "/root/testdata/sf0.01"
+    got = consistent_sample(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    want = con.execute(CONSISTENT_SAMPLE_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.sort_values("event_id").reset_index(drop=True),
+        want.sort_values("event_id").reset_index(drop=True),
+        check_dtype=True,
+    )

@@ -11,13 +11,17 @@ The full large-scale dedup family, each expressed shuffle-consciously:
 - **n-gram Jaccard verify**: exact pairwise verification of candidates.
 - **embedding cosine near-dup**: see ``simsearch.near_dup_cosine``.
 
-All candidate generation is per-batch vectorized; pair verification
-re-reads only candidate docs (broadcast of the candidate id set).
+All candidate generation is per-batch vectorized. Pair verification is a
+SHUFFLE JOIN: candidate payloads (shingles / signatures / vectors) are
+semi-joined as a dataset and hash-joined onto the pair dataset — no
+candidate-keyed map is ever built on the driver or broadcast, so the path
+holds at web-corpus dup rates (30–50%) where candidates grow with the corpus.
 """
 
 from __future__ import annotations
 
 import hashlib
+from typing import Any, Callable
 
 import numpy as np
 import pandas as pd
@@ -252,10 +256,13 @@ def _pairs_from_buckets(
     The shuffles move only key/id rows, never payloads. ``max_bucket`` is
     the HOT-BUCKET CAP (standard in production LSH dedup): a bucket larger
     than this means the band carries no discriminating information for that
-    cluster, and emitting its O(n²) pairs would dominate the job — such
-    buckets are skipped; a true near-dup pair is still found through its
-    other bands unless every one of its bands is degenerate. Lazy: callers
-    decide when to ``materialize()``."""
+    cluster, and emitting its O(n²) pairs would dominate the job. Over-cap
+    buckets emit STAR pairs against the bucket's min id instead — O(n) pairs
+    that preserve cluster membership. This matters precisely for exact-dup
+    clusters (identical signatures ⇒ every band bucket is the whole cluster):
+    skipping outright would lose the cluster entirely, because no band of an
+    exact dup is ever discriminating. Lazy: callers decide when to
+    ``materialize()``."""
 
     def add_pkey(batch: pd.DataFrame) -> pd.DataFrame:
         key = batch[bucket_keys[0]].to_numpy().astype(np.uint64)
@@ -270,7 +277,15 @@ def _pairs_from_buckets(
         outs_b: list[np.ndarray] = []
         for _, grp in g.groupby(bucket_keys, sort=False):
             ids = np.unique(grp[id_col].to_numpy())
-            if len(ids) < 2 or len(ids) > max_bucket:
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                # degenerate (hot) bucket: star pairs vs the min id keep the
+                # cluster connected at O(n) cost — exact-dup clusters land
+                # here by construction (every member pairs with the
+                # representative; verify confirms each edge independently)
+                outs_a.append(np.full(len(ids) - 1, ids[0], dtype=ids.dtype))
+                outs_b.append(ids[1:])
                 continue
             ii, jj = np.triu_indices(len(ids), k=1)
             outs_a.append(ids[ii])
@@ -305,13 +320,127 @@ def _pairs_from_buckets(
     )
 
 
-def _candidate_ids(pairs_ds: rd.Dataset) -> frozenset[int]:
-    """Distinct ids of a (small, deduped) candidate-pair dataset."""
-    ids: set[int] = set()
-    for b in pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None):
-        ids.update(b.column("a").to_pylist())
-        ids.update(b.column("b").to_pylist())
-    return frozenset(ids)
+def _need_ids(pairs_ds: rd.Dataset) -> rd.Dataset:
+    """(a, b) pairs → distinct-per-batch ``doc_id`` rows naming every doc a
+    verify stage will need. A *dataset*, never a driver-side set — candidate
+    volume can grow with the corpus (30–50% dup rate on real web data)."""
+
+    def need(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]))
+        return pd.DataFrame({"doc_id": ids.astype(np.int64)})
+
+    return pairs_ds.map_batches(need, batch_format="pandas")
+
+
+def _bucketed_semijoin_payload(
+    need_ds: rd.Dataset,
+    src_ds: rd.Dataset,
+    carry: dict[str, Any],
+    payload_fn: Callable[[pd.DataFrame], pd.Series],
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Distributed semi-join + payload build: keep ``src_ds`` rows whose
+    ``doc_id`` appears in ``need_ds`` (both sides hash-shuffled on doc_id so
+    a key's need rows and src rows meet in one bucket), then compute
+    ``payload_fn`` (vectorized, over the selected src rows) → a
+    ``(doc_id, payload)`` dataset. Replaces the former broadcast-id-set
+    semi-join: nothing is materialized on the driver.
+
+    ``carry`` maps each src column (beyond doc_id) to the PLACEHOLDER value
+    the need side is padded with — both union branches keep identical
+    schemas/dtypes, so payloads shuffle as plain binary/str columns."""
+
+    def tag_need(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
+        for c, fill in carry.items():
+            out[c] = [fill] * len(df) if isinstance(fill, bytes) else fill
+        out["_side"] = np.int64(0)
+        out["_pkey"] = (
+            pd.util.hash_array(out["doc_id"].to_numpy()) % num_buckets
+        ).astype(np.int64)
+        return out
+
+    def tag_src(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id"] + list(carry)].copy()
+        out["_side"] = np.int64(1)
+        out["_pkey"] = (
+            pd.util.hash_array(out["doc_id"].to_numpy()) % num_buckets
+        ).astype(np.int64)
+        return out
+
+    both = need_ds.map_batches(tag_need, batch_format="pandas").union(
+        src_ds.map_batches(tag_src, batch_format="pandas")
+    )
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        needed = g.loc[g["_side"] == 0, "doc_id"].unique()
+        sel = g[(g["_side"] == 1) & g["doc_id"].isin(needed)]
+        if not len(sel):
+            return pd.DataFrame(
+                {"doc_id": np.empty(0, np.int64), "payload": pd.Series([], dtype=object)}
+            )
+        return pd.DataFrame(
+            {"doc_id": sel["doc_id"].to_numpy(), "payload": payload_fn(sel)}
+        )
+
+    return both.groupby("_pkey").map_groups(build, batch_format="pandas")
+
+
+def _attach_payload(
+    pairs_ds: rd.Dataset,
+    payload_ds: rd.Dataset,
+    key_col: str,
+    pair_fill: dict[str, Any],
+    out_col: str,
+    out_fill: Any = b"",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Bucketed hash-join: attach ``payload_ds``'s payload to each pair row
+    on ``pairs[key_col] == payload.doc_id`` as column ``out_col`` (inner
+    semantics; payload rows matching no pair are dropped). This is the
+    shuffle-join verify path: the per-candidate payload moves THROUGH the
+    shuffle to where its pairs are — no candidate-keyed map ever exists on
+    the driver or in a broadcast.
+
+    ``pair_fill`` maps every pair column to the placeholder the payload side
+    is padded with (keeps union schemas identical)."""
+
+    pair_cols = list(pair_fill)
+    all_cols = pair_cols + [out_col]
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[pair_cols].copy()
+        out[out_col] = [out_fill] * len(df) if isinstance(out_fill, bytes) else out_fill
+        out["_side"] = np.int64(0)
+        out["_pkey"] = (
+            pd.util.hash_array(df[key_col].to_numpy()) % num_buckets
+        ).astype(np.int64)
+        return out
+
+    def tag_payload(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(index=range(len(df)))
+        for c in pair_cols:
+            fill = pair_fill[c]
+            out[c] = [fill] * len(df) if isinstance(fill, bytes) else fill
+        # the join key column carries the payload's doc_id
+        out[key_col] = df["doc_id"].to_numpy()
+        out[out_col] = df["payload"].to_numpy()
+        out["_side"] = np.int64(1)
+        out["_pkey"] = (
+            pd.util.hash_array(df["doc_id"].to_numpy()) % num_buckets
+        ).astype(np.int64)
+        return out
+
+    both = pairs_ds.map_batches(tag_pairs, batch_format="pandas").union(
+        payload_ds.map_batches(tag_payload, batch_format="pandas")
+    )
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0].drop(columns=["_side", "_pkey", out_col])
+        rg = g[g["_side"] == 1][[key_col, out_col]]
+        return lg.merge(rg, on=key_col)[all_cols]
+
+    return both.groupby("_pkey").map_groups(join, batch_format="pandas")
 
 
 def minhash_lsh_pairs(
@@ -323,20 +452,22 @@ def minhash_lsh_pairs(
 ) -> pa.Table:
     """MinHash+LSH near-duplicate pairs with exact Jaccard verification.
 
-    Every stage is distributed; the driver materializes only the deduped
-    candidate-pair set (tiny), the broadcast sides, and the verified pairs:
+    Every stage is distributed and the verify is a SHUFFLE JOIN, not a
+    broadcast — nothing driver-side grows with the corpus OR the candidate
+    count:
 
       signature+band explode (actor pool, seeded params in __init__)
-      → groupby (band, band_hash) pair-emit (multi-member buckets only)
+      → groupby (band, band_hash) pair-emit (star pairs for hot buckets)
       → pair-dedup groupby
-      → broadcast candidate-id set → semi-join docs → shingle arrays
-        (the candidate shingle map is the broadcast small side)
-      → distributed exact-Jaccard verify over the pair dataset.
+      → need-ids dataset → bucketed semi-join against docs on doc_id
+        → candidate shingle payloads (bytes), computed where the docs are
+      → attach payload to pairs on a (bucketed hash join), re-key on b,
+        attach the other side
+      → exact-Jaccard verify per batch.
 
-    At 10^9+ docs nothing driver-side grows with the corpus — only with the
-    candidate count. Rows-only oracle (no SQL form)."""
-    import ray
-
+    The one O(corpus) cost is the semi-join shuffle of doc text (moved once);
+    every later shuffle is candidate-proportional and distributed. Rows-only
+    oracle (no SQL form)."""
     bands_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
@@ -357,60 +488,39 @@ def minhash_lsh_pairs(
     if pairs_ds.count() == 0:
         return empty
 
-    ids_ref = ray.put(_candidate_ids(pairs_ds))
+    def shingle_payload(sel: pd.DataFrame) -> list[bytes]:
+        return [_shingle_hashes(t, shingle_k).tobytes() for t in sel["text"]]
 
-    class CandidateShingles:
-        """Semi-join: only candidate docs shingle (broadcast id set)."""
+    payload_ds = _bucketed_semijoin_payload(
+        _need_ids(pairs_ds),
+        _docs(sf_dir, ["doc_id", "text"]),
+        {"text": ""},
+        shingle_payload,
+    ).materialize()  # consumed by two attach joins; candidate-proportional
 
-        def __init__(self, k: int):
-            self.ids = ray.get(ids_ref)
-            self.k = k
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sel = batch[batch["doc_id"].isin(self.ids)]
-            return pd.DataFrame(
-                {
-                    "doc_id": sel["doc_id"].to_numpy(),
-                    "sh": [_shingle_hashes(t, self.k) for t in sel["text"]],
-                }
-            )
-
-    sh_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        CandidateShingles,
-        fn_constructor_kwargs={"k": shingle_k},
-        batch_format="pandas",
-        batch_size=8192,
-        concurrency=2,
+    with_a = _attach_payload(pairs_ds, payload_ds, "a", {"a": -1, "b": -1}, "sh_a")
+    with_ab = _attach_payload(
+        with_a, payload_ds, "b", {"a": -1, "b": -1, "sh_a": b""}, "sh_b"
     )
-    sh_map: dict[int, np.ndarray] = {}
-    for b in sh_ds.iter_batches(batch_format="pandas", batch_size=None):
-        for d, arr in zip(b["doc_id"], b["sh"]):
-            sh_map[int(d)] = np.asarray(arr, dtype=np.uint64)
-    sh_ref = ray.put(sh_map)
 
-    class VerifyJaccard:
-        def __init__(self, threshold: float):
-            self.sh = ray.get(sh_ref)
-            self.threshold = threshold
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(batch))
+        for i, (ba, bb) in enumerate(zip(batch["sh_a"], batch["sh_b"])):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jac[i] = 1.0 if union == 0 else inter / union
+        out = pd.DataFrame(
+            {
+                "a": batch["a"].to_numpy(),
+                "b": batch["b"].to_numpy(),
+                "jaccard": np.round(jac, 6),
+            }
+        )
+        return out[out["jaccard"] >= jaccard_threshold]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            jac = np.empty(len(batch))
-            for i, (a, b) in enumerate(zip(batch["a"], batch["b"])):
-                sa, sb = self.sh[int(a)], self.sh[int(b)]
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                union = sa.size + sb.size - inter
-                jac[i] = 1.0 if union == 0 else inter / union
-            out = batch.copy()
-            out["jaccard"] = np.round(jac, 6)
-            return out[out["jaccard"] >= self.threshold]
-
-    verified = pairs_ds.map_batches(
-        VerifyJaccard,
-        fn_constructor_kwargs={"threshold": jaccard_threshold},
-        batch_format="pandas",
-        batch_size=8192,
-        concurrency=2,
-    )
+    verified = with_ab.map_batches(verify, batch_format="pandas", batch_size=8192)
     t = _concat(verified)  # only verified pairs ever reach the driver
     if t.num_rows == 0:
         return empty
@@ -522,12 +632,11 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
       signatures (actor pool) → materialize (8 B/doc, reused twice)
       → band explode → bucket groupby pair-emit → pair-dedup groupby
-      → hamming verify with the broadcast CANDIDATE signature map
-        (semi-joined, so the broadcast scales with candidates, not corpus).
+      → hamming verify via SHUFFLE JOIN: candidate signatures semi-joined
+        as a dataset, attached to pairs on a then on b — no candidate-keyed
+        map on the driver or in a broadcast.
 
     Rows-only oracle."""
-    import ray
-
     sig_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         SimHasher, batch_format="pandas", batch_size=4096, concurrency=2
     ).materialize()
@@ -554,46 +663,36 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     if pairs_ds.count() == 0:
         return empty
 
-    ids_ref = ray.put(_candidate_ids(pairs_ds))
+    payload_ds = _bucketed_semijoin_payload(
+        _need_ids(pairs_ds),
+        sig_ds,
+        {"simhash": ""},
+        lambda sel: sel["simhash"].to_numpy(),
+    ).materialize()
 
-    class CandidateSigs:
-        def __init__(self):
-            self.ids = ray.get(ids_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["doc_id"].isin(self.ids)]
-
-    cand_sigs = sig_ds.map_batches(
-        CandidateSigs, batch_format="pandas", batch_size=8192, concurrency=2
+    with_a = _attach_payload(
+        pairs_ds, payload_ds, "a", {"a": -1, "b": -1}, "sig_a", out_fill=""
     )
-    sig_map: dict[int, int] = {}
-    for b in cand_sigs.iter_batches(batch_format="pandas", batch_size=None):
-        for d, h in zip(b["doc_id"], b["simhash"]):
-            sig_map[int(d)] = int(h, 16)
-    sig_ref = ray.put(sig_map)
+    with_ab = _attach_payload(
+        with_a, payload_ds, "b", {"a": -1, "b": -1, "sig_a": ""}, "sig_b", out_fill=""
+    )
 
-    class VerifyHamming:
-        def __init__(self, max_h: int):
-            self.sig = ray.get(sig_ref)
-            self.max_h = max_h
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sa = batch["a"].map(self.sig).to_numpy(dtype=np.uint64)
-            sb = batch["b"].map(self.sig).to_numpy(dtype=np.uint64)
-            x = (sa ^ sb).view(np.uint8).reshape(len(batch), 8)
-            ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
-            out = pd.DataFrame(
-                {"a": batch["a"].to_numpy(), "b": batch["b"].to_numpy(), "hamming": ham}
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+                 "hamming": np.empty(0, np.int64)}
             )
-            return out[out["hamming"] <= self.max_h]
+        sa = np.array([int(h, 16) for h in batch["sig_a"]], dtype=np.uint64)
+        sb = np.array([int(h, 16) for h in batch["sig_b"]], dtype=np.uint64)
+        x = (sa ^ sb).view(np.uint8).reshape(len(batch), 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+        out = pd.DataFrame(
+            {"a": batch["a"].to_numpy(), "b": batch["b"].to_numpy(), "hamming": ham}
+        )
+        return out[out["hamming"] <= max_hamming]
 
-    verified = pairs_ds.map_batches(
-        VerifyHamming,
-        fn_constructor_kwargs={"max_h": max_hamming},
-        batch_format="pandas",
-        batch_size=8192,
-        concurrency=2,
-    )
+    verified = with_ab.map_batches(verify, batch_format="pandas", batch_size=8192)
     t = _concat(verified)
     if t.num_rows == 0:
         return empty

@@ -223,6 +223,7 @@ def near_dup_cosine(
     n_planes: int = 8,
     n_bands: int = 32,
     seed: int = 13,
+    max_bg_candidate_rate: float = 0.25,
 ) -> pa.Table:
     """Embedding near-dup pairs (cosine ≥ threshold) — fully distributed.
 
@@ -232,8 +233,9 @@ def near_dup_cosine(
 
       band signatures (map_batches; planes re-derived from the seed in each
       actor __init__ — no broadcast) → bucket groupby pair-emit → pair-dedup
-      groupby → exact-cosine verify with the broadcast CANDIDATE vectors
-      (semi-joined, so the broadcast scales with candidates, not corpus).
+      groupby → exact-cosine verify via SHUFFLE JOIN: candidate vectors
+      semi-joined as a (vec_id, bytes) dataset and hash-joined onto the
+      pairs on a, then on b — no candidate vector matrix on the driver.
 
     Default threshold 0.4: the synthetic embeddings are near-orthogonal
     (max off-diagonal cosine ≈0.5–0.6 at sf0.01/sf0.1), so the classic 0.95
@@ -243,13 +245,33 @@ def near_dup_cosine(
     far-candidate rate (~12% of all pairs instead of ~65% with wide bands)
     — on genuinely near-dup data (cos ≥ 0.9, per-plane p ≥ 0.85) the same
     bands give ~99% recall. Approximate recall by design → rows-only
-    oracle."""
-    from .dedup import _candidate_ids, _pairs_from_buckets
+    oracle.
+
+    OPERATING ENVELOPE: the background candidate rate for uncorrelated
+    vectors is 1-(1-2^-n_planes)^n_bands (~11.8% at 8×32). The function
+    computes this, logs it with the realized candidate-pair count, and warns
+    when the configuration implies a background rate above
+    ``max_bg_candidate_rate`` — a threshold/band combination past that bound
+    is O(n²) pair emission wearing an LSH costume (the hot-bucket cap in
+    ``_pairs_from_buckets`` bounds the damage but not the intent)."""
+    import logging
+
+    from .dedup import _attach_payload, _bucketed_semijoin_payload, _need_ids, _pairs_from_buckets
 
     dim_probe = _concat(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet").limit(1)
     )
     dim = len(dim_probe.column("embedding")[0].as_py())
+
+    log = logging.getLogger("quanta_ray.simsearch")
+    bg_rate = 1.0 - (1.0 - 0.5 ** n_planes) ** n_bands
+    if bg_rate > max_bg_candidate_rate:
+        log.warning(
+            "near_dup_cosine bands %dx%d imply a %.1f%% background candidate "
+            "rate on uncorrelated vectors (> %.0f%% bound) — narrow the bands "
+            "(more planes) or raise the threshold",
+            n_bands, n_planes, 100 * bg_rate, 100 * max_bg_candidate_rate,
+        )
 
     class BandSignatures:
         def __init__(self):
@@ -278,54 +300,50 @@ def near_dup_cosine(
          "cosine": pa.array([], pa.float64())}
     )
     pairs_ds = _pairs_from_buckets(bands_ds, ["band", "bval"], "vec_id").materialize()
-    if pairs_ds.count() == 0:
+    n_candidates = pairs_ds.count()
+    log.info(
+        "near_dup_cosine: %d candidate pairs (background rate %.1f%%)",
+        n_candidates, 100 * bg_rate,
+    )
+    if n_candidates == 0:
         return empty
 
-    ids_ref = ray.put(_candidate_ids(pairs_ds))
-
-    class CandidateVecs:
-        def __init__(self):
-            self.ids = ray.get(ids_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return batch.filter(
-                pc.is_in(batch.column("vec_id"), pa.array(sorted(self.ids)))
-            )
-
-    cand = _concat(
-        _emb(sf_dir).map_batches(
-            CandidateVecs, batch_format="pyarrow", batch_size=8192, concurrency=2
+    # (vec_id, normalized-vector bytes) — vectorized per batch; the semi-join
+    # then keeps only candidate rows, all off-driver
+    def vec_bytes(batch: pa.Table) -> pd.DataFrame:
+        ids, mat = _batch_matrix(batch)
+        return pd.DataFrame(
+            {"doc_id": ids.astype(np.int64), "vb": [r.tobytes() for r in mat]}
         )
+
+    vb_ds = _emb(sf_dir).map_batches(vec_bytes, batch_format="pyarrow", batch_size=4096)
+    payload_ds = _bucketed_semijoin_payload(
+        _need_ids(pairs_ds),
+        vb_ds,
+        {"vb": b""},
+        lambda sel: sel["vb"].to_numpy(),
+    ).materialize()
+
+    with_a = _attach_payload(pairs_ds, payload_ds, "a", {"a": -1, "b": -1}, "va")
+    with_ab = _attach_payload(
+        with_a, payload_ds, "b", {"a": -1, "b": -1, "va": b""}, "vb"
     )
-    c_ids, c_mat = _batch_matrix(cand)
-    vref = ray.put((
-        {int(v): i for i, v in enumerate(c_ids)},
-        c_mat,
-    ))
 
-    class VerifyCosine:
-        def __init__(self, thr: float):
-            self.pos, self.mat = ray.get(vref)
-            self.thr = thr
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            ia = np.array([self.pos[int(v)] for v in batch["a"]], dtype=np.int64)
-            ib = np.array([self.pos[int(v)] for v in batch["b"]], dtype=np.int64)
-            cos = np.round((self.mat[ia] * self.mat[ib]).sum(axis=1), 4)
-            out = pd.DataFrame(
-                {"a": batch["a"].to_numpy(), "b": batch["b"].to_numpy(), "cosine": cos}
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+                 "cosine": np.empty(0, np.float64)}
             )
-            return out[out["cosine"] >= self.thr]
+        ma = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["va"]])
+        mb = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["vb"]])
+        cos = np.round((ma * mb).sum(axis=1), 4)
+        out = pd.DataFrame(
+            {"a": batch["a"].to_numpy(), "b": batch["b"].to_numpy(), "cosine": cos}
+        )
+        return out[out["cosine"] >= threshold]
 
-    verified = pairs_ds.map_batches(
-        VerifyCosine,
-        fn_constructor_kwargs={"thr": threshold},
-        batch_format="pandas",
-        batch_size=8192,
-        concurrency=2,
-    )
+    verified = with_ab.map_batches(verify, batch_format="pandas", batch_size=8192)
     t = _concat(verified)
     if t.num_rows == 0:
         return empty

@@ -103,6 +103,66 @@ def test_near_dup_cosine_finds_planted(ray_session, emb_dir):
     assert (5, 20) in got
 
 
+def test_near_dup_cosine_high_threshold(ray_session, emb_dir):
+    """The classic 0.9 near-dup bar (not just the fixture-tuned 0.4): the
+    planted near-identical pair must still be found, and nothing else in this
+    near-orthogonal fixture clears 0.9 — exercising the envelope documented
+    in the docstring (per-plane p ≈ 0.9 at cos 0.95 → ~100% band recall)."""
+    from quanta_ray.functions.simsearch import near_dup_cosine
+
+    d, _ = emb_dir
+    pairs = near_dup_cosine(d, threshold=0.9)
+    got = {(a, b) for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist())}
+    assert got == {(5, 20)}
+
+
+def test_hot_bucket_star_pairs_keep_exact_cluster(ray_session, tmp_path_factory):
+    """An exact-dup cluster LARGER than the hot-bucket cap must survive
+    dedup: every band bucket is the whole cluster (identical signatures), so
+    pre-fix the cap silently skipped it. Star pairs vs the representative
+    keep membership at O(n)."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.functions.dedup import minhash_lsh_pairs, ngram_jaccard_dedup
+
+    d = tmp_path_factory.mktemp("hotdocs")
+    rng = np.random.default_rng(9)
+    vocab = np.array("alpha beta gamma delta epsilon zeta eta theta".split())
+    base = " ".join(rng.choice(vocab, size=30))
+    n_cluster = 20  # > max_bucket=8 below
+    texts = [base] * n_cluster + [
+        " ".join(rng.choice(vocab, size=30)) for _ in range(10)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": texts,
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    import quanta_ray.functions.dedup as dd
+
+    orig = dd._pairs_from_buckets
+
+    def capped(*args, **kw):
+        kw["max_bucket"] = 8
+        return orig(*args, **kw)
+
+    dd._pairs_from_buckets = capped
+    try:
+        pairs = minhash_lsh_pairs(str(d), jaccard_threshold=0.9)
+        got = {(a, b) for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist())}
+        # every cluster member pairs with representative 0 at jaccard 1.0
+        assert {(0, i) for i in range(1, n_cluster)} <= got
+        survivors = ngram_jaccard_dedup(str(d), threshold=0.9)
+        ids = survivors.column("doc_id").to_pylist()
+        assert 0 in ids
+        assert not any(i in ids for i in range(1, n_cluster))
+    finally:
+        dd._pairs_from_buckets = orig
+
+
 def test_media_plumbing(ray_session):
     from quanta_ray.functions.multimodal import (
         FrameSampler,

@@ -87,6 +87,18 @@ class SourceSpec:
     # ceil(rows / fragment_rows) parallel tasks split on row-group
     # boundaries, so map parallelism is epochs × fragments, not epochs
     fragment_rows: int = 131072
+    # out-of-order completion window. False (default): the in-flight cap
+    # bounds UNCOMMITTED epochs, so one straggler epoch head-of-line-blocks
+    # dispatch once the window fills. True: the cap bounds INCOMPLETE epochs
+    # (completion = every task of the epoch finished), manifests still commit
+    # strictly contiguously via ``LowWatermarkTracker`` — the reference's
+    # exact semantics: acks tracked out of order, contiguous prefix committed
+    # (``/root/reference/source/kafka/checkpoint.go:11-62``) while capacity
+    # returns on ack, not on commit (``backpressure.go:9-85``).
+    ooo_commit: bool = False
+    # safety bound on the completed-but-uncommitted backlog in ooo mode
+    # (0 → 4 × max_inflight_epochs)
+    max_uncommitted_epochs: int = 0
 
 
 @dataclass(frozen=True)
@@ -182,6 +194,8 @@ def load_spec(d: dict[str, Any]) -> PipelineSpec:
             paths=tuple(src.get("paths", ())),
             max_inflight_epochs=int(src.get("max_inflight_epochs", 2)),
             fragment_rows=int(src.get("fragment_rows", 131072)),
+            ooo_commit=bool(src.get("ooo_commit", False)),
+            max_uncommitted_epochs=int(src.get("max_uncommitted_epochs", 0)),
         ),
         transformers=tuple(stages),
         sink=SinkSpec(

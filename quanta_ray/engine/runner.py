@@ -78,19 +78,30 @@ def partition_ids(conv_ids: np.ndarray, num_partitions: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def _write_turns_impl(out_dir: str, epoch: int, group: int, *parts: pa.Table) -> dict | None:
+def _write_turns_impl(
+    out_dir: str, epoch: int, group: int, slow_s: float, *parts: pa.Table
+) -> dict | None:
     """Write one partition-group's slice of the pass-through "turns" stream.
 
     Per epoch the turns stream is written by ``turns_write_groups`` parallel
     tasks (partition p → group p % G, G fixed by the spec so file names stay
     deterministic across cluster sizes), each sorted by (conv_id, turn_idx).
     Separate tasks so the (compressing) writes overlap with the stateful
-    actors instead of delaying their dispatch."""
+    actors instead of delaying their dispatch.
+
+    ``slow_s`` is fault injection (sink option ``debug_slow_write_epoch``):
+    a scripted straggler WRITE — the realistic out-of-order-completion case
+    (an overloaded storage node), since stateful worker chains are
+    epoch-ordered by construction and can never invert."""
     import pyarrow.compute as pc
 
     from ..sinks.exactly_once import write_part_file
 
     _limit_native_threads()
+    if slow_s > 0:
+        import time as _t
+
+        _t.sleep(slow_s)
     nonempty = [p for p in parts if p.num_rows]
     if not nonempty:  # a group's slice can be entirely late-dropped
         return None
@@ -384,6 +395,21 @@ class StreamingRunner:
         latest = latest_committed_epoch(self.out_dir)
         if latest >= final_epoch:
             return {"status": "already-complete", "epochs": latest}
+        if latest >= 0:
+            m0 = read_manifest(self.out_dir, latest)
+            if m0 is not None and m0.get("input", {}).get("file") is None:
+                # the newest committed manifest is a FINAL FLUSH (input=None,
+                # wm=+inf) yet the source now has more files: the stream
+                # already ended and flushed — silently replaying the new
+                # files as committed epochs would drop their rows (their
+                # turns are never committed). Growth after flush is
+                # non-resumable by contract; fail loudly instead.
+                raise ValueError(
+                    f"source grew to {len(files)} files after the final-flush "
+                    f"manifest (epoch {latest}) was committed; a flushed "
+                    "stream is final — write new files to a fresh pipeline "
+                    "output dir (or tail with follow>0 BEFORE the flush)"
+                )
         start_epoch = latest + 1
         ckpt_every = max(1, spec.checkpoint_every)
 
@@ -449,6 +475,47 @@ class StreamingRunner:
 
         inflight: dict[int, tuple[Any, list[Any]]] = {}
         max_inflight = max(1, spec.source.max_inflight_epochs)
+        # --- out-of-order completion window (F2/F3 wired; reference:
+        # contiguous-ack tracker + capacity-returns-on-ack semantics) ---
+        ooo = spec.source.ooo_commit
+        from ..state.checkpoint import LowWatermarkTracker
+
+        tracker = LowWatermarkTracker()  # seq i ⇔ epoch start_epoch + i
+        epoch_refs: dict[int, list[Any]] = {}  # incomplete epochs → waiting refs
+        completion_order: list[int] = []
+        max_uncommitted = spec.source.max_uncommitted_epochs or 4 * max_inflight
+        max_uncommitted_seen = 0
+
+        def ooo_poll() -> None:
+            """Mark epochs whose tasks all finished as resolved; commit the
+            contiguous prefix (manifests stay strictly ordered)."""
+            for ei in list(epoch_refs):
+                refs = epoch_refs[ei]
+                _done, rem = ray.wait(
+                    refs, num_returns=len(refs), timeout=0, fetch_local=False
+                )
+                if rem:
+                    epoch_refs[ei] = rem
+                else:
+                    del epoch_refs[ei]
+                    completion_order.append(ei)
+                    tracker.resolve(ei - start_epoch)
+            while inflight and (min(inflight) - start_epoch) <= tracker.highest():
+                commit(min(inflight))
+
+        def ooo_backpressure() -> None:
+            """Block dispatch only while ≥ max_inflight epochs are INCOMPLETE
+            — a completed-but-uncommitted straggler backlog does not consume
+            window (bounded separately by ``max_uncommitted``)."""
+            nonlocal max_uncommitted_seen
+            ooo_poll()
+            while len(epoch_refs) >= max_inflight:
+                allr = [r for refs in epoch_refs.values() for r in refs]
+                ray.wait(allr, num_returns=1, fetch_local=False)
+                ooo_poll()
+            max_uncommitted_seen = max(max_uncommitted_seen, len(inflight))
+            while len(inflight) > max_uncommitted:
+                commit(min(inflight))
         summary_metrics: list[dict] = []
         # per-partition compute-cost EMA drives between-epoch work stealing.
         # Metas are harvested EAGERLY (ray.wait, zero timeout) as workers
@@ -559,7 +626,10 @@ class StreamingRunner:
                 # reference's commit_interval (checkpoint.go:108-135; driver-
                 # side cadence only, never semantics)
                 if inflight and idle_throttle.should_commit(_walltime.monotonic()):
-                    commit(min(inflight))
+                    if ooo:
+                        ooo_poll()  # commit what's contiguous; never block on a straggler
+                    else:
+                        commit(min(inflight))
                 if on_idle is not None:
                     on_idle(idle_polls)
                 if poll_sleep_s:
@@ -584,9 +654,15 @@ class StreamingRunner:
             # parts[p] = this epoch's fragment tables for partition p, in
             # arrival (fragment) order
             parts = [[frefs[fi][1 + p] for fi in range(F)] for p in range(P)]
+            slow_s = (
+                float(spec.sink.options.get("debug_slow_write_s", 0.0))
+                if spec.sink.options.get("debug_slow_write_epoch") == e
+                else 0.0
+            )
             turns_refs = [
                 _write_turns.remote(
-                    self.out_dir, e, g, *[t for p in range(g, P, G) for t in parts[p]]
+                    self.out_dir, e, g, slow_s,
+                    *[t for p in range(g, P, G) for t in parts[p]],
                 )
                 for g in range(G)
             ]
@@ -615,8 +691,13 @@ class StreamingRunner:
             unharvested.extend(meta_refs)
             inflight[e] = (stats_refs, meta_refs, write_refs, turns_refs)
             last_dispatched = e
-            while len(inflight) >= max_inflight:
-                commit(min(inflight))
+            if ooo:
+                tracker.track()  # dispatch order ⇒ seq == e - start_epoch
+                epoch_refs[e] = [*stats_refs, *meta_refs, *write_refs, *turns_refs]
+                ooo_backpressure()
+            else:
+                while len(inflight) >= max_inflight:
+                    commit(min(inflight))
             if stop_after_epoch is not None and e >= stop_after_epoch:
                 break
             e += 1
@@ -640,12 +721,16 @@ class StreamingRunner:
             write_refs.append(_write_outputs.remote(self.out_dir, final_epoch, tables_ref))
         inflight[final_epoch] = ([], meta_refs, write_refs, [])
         commit(final_epoch)
-        return {
+        out = {
             "status": "complete",
             "epochs": len(files),
             "metrics": summary_metrics,
             "migrations": migrations,
         }
+        if ooo:
+            out["ooo_completion_order"] = completion_order
+            out["max_uncommitted"] = max_uncommitted_seen
+        return out
 
 
 def run_pipeline(spec: PipelineSpec, out_dir: str, **kw: Any) -> dict[str, Any]:

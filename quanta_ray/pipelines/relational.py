@@ -32,6 +32,20 @@ def _concat(ds: rd.Dataset) -> pa.Table:
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
 
 
+def _broadcast_limit() -> int:
+    """Max rows a 'dimension' side may have and still be broadcast.
+
+    `customer` is only a dimension at small SF — at 100 TB-equivalent scale
+    it is a 1.5 B-row fact table, and broadcasting a custkey-keyed map would
+    ship tens of GB to every task. Joins below count the dimension side
+    first (parquet metadata count, no data read) and fall back to the
+    explicit hash-bucket shuffle join past this limit. Env-overridable for
+    tests and deployment tuning."""
+    import os
+
+    return int(os.environ.get("QUANTA_BROADCAST_ROW_LIMIT", 2_000_000))
+
+
 # --- TPC-H Q1-style pricing summary ------------------------------------------
 
 
@@ -123,34 +137,74 @@ GROUP BY 1, 2
 def revenue_by_nation(sf_dir: str) -> pa.Table:
     """Total order value per customer nation.
 
-    customer+nation are small → broadcast once via ``ray.put``; each orders
-    batch does an in-memory merge. No shuffle on the big side until the final
-    (tiny) groupby of partials."""
-    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    When customer is genuinely small (≤ ``_broadcast_limit()``, counted from
+    parquet metadata): broadcast once via ``ray.put``; each orders batch does
+    an in-memory merge — no shuffle on the big side until the final (tiny)
+    groupby of partials. Past the limit customer is fact-scale, and the join
+    falls back to the explicit hash-bucket shuffle join (nation — 25 rows —
+    stays broadcast onto customer batches either way)."""
+    from ray.data.aggregate import Sum
+
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_nation = customer.merge(
-        nation, left_on="c_nationkey", right_on="n_nationkey"
-    )[["c_custkey", "n_name"]]
-    ref = ray.put(cust_nation)
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    if n_cust <= _broadcast_limit():
+        customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        cust_nation = customer.merge(
+            nation, left_on="c_nationkey", right_on="n_nationkey"
+        )[["c_custkey", "n_name"]]
+        ref = ray.put(cust_nation)
 
-    class JoinAgg:
-        def __init__(self):
-            # broadcast side fetched once per actor, indexed once
-            self.lookup = ray.get(ref).set_index("c_custkey")["n_name"]
+        class JoinAgg:
+            def __init__(self):
+                # broadcast side fetched once per actor, indexed once
+                self.lookup = ray.get(ref).set_index("c_custkey")["n_name"]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch["n_name"] = batch["o_custkey"].map(self.lookup)
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                batch["n_name"] = batch["o_custkey"].map(self.lookup)
+                g = batch.groupby("n_name", as_index=False)["o_totalprice"].sum()
+                return g.rename(columns={"o_totalprice": "revenue"})
+
+        out = (
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(JoinAgg, batch_format="pandas", batch_size=131072, concurrency=(1, 4))
+            .groupby("n_name")
+            .aggregate(Sum("revenue", alias_name="revenue"))
+        )
+    else:
+        nref = ray.put(nation.set_index("n_nationkey")["n_name"])
+
+        class CustNation:
+            def __init__(self):
+                self.lookup = ray.get(nref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {
+                        "c_custkey": batch["c_custkey"].to_numpy(),
+                        "n_name": batch["c_nationkey"].map(self.lookup),
+                    }
+                )
+
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            CustNation, batch_format="pandas", batch_size=131072, concurrency=(1, 2)
+        )
+        joined = _bucket_join(
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+            cust_ds,
+            "o_custkey",
+            "c_custkey",
+            16,
+        )
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
             g = batch.groupby("n_name", as_index=False)["o_totalprice"].sum()
             return g.rename(columns={"o_totalprice": "revenue"})
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(JoinAgg, batch_format="pandas", batch_size=131072, concurrency=4)
-        .groupby("n_name")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-    )
+        out = (
+            joined.map_batches(partial, batch_format="pandas", batch_size=262144)
+            .groupby("n_name")
+            .aggregate(Sum("revenue", alias_name="revenue"))
+        )
     t = _concat(out)
     return pa.Table.from_arrays(
         [t.column("n_name"), pc.round(t.column("revenue"), 4)],
@@ -230,10 +284,17 @@ def _bucket_join(left: rd.Dataset, right: rd.Dataset, lkey: str, rkey: str, buck
 
     def tag(key: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch["_bucket"] = (
-                pd.util.hash_array(batch[key].to_numpy()) % buckets
-            ).astype("int64")
-            batch["_side"] = 0 if key == lkey else 1
+            # nullable Int64 so the union's schema alignment pads missing
+            # columns with NA instead of upcasting int64 → float64 (which
+            # silently degrades join keys/ids in the output)
+            for c in batch.columns:
+                if pd.api.types.is_integer_dtype(batch[c].dtype):
+                    batch[c] = batch[c].astype("Int64")
+            batch["_bucket"] = pd.array(
+                pd.util.hash_array(batch[key].to_numpy(dtype="int64")) % buckets,
+                dtype="Int64",
+            )
+            batch["_side"] = pd.array([0 if key == lkey else 1] * len(batch), dtype="Int64")
             return batch
 
         return fn
@@ -263,21 +324,38 @@ GROUP BY 1
 
 
 def orders_of_top_customers(sf_dir: str, min_acctbal: float = 5000.0) -> pa.Table:
-    """Semi-join via broadcast key set (Bloom-filter pattern at scale)."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
-    keys = frozenset(cust.loc[cust["c_acctbal"] > min_acctbal, "c_custkey"])
-    ref = ray.put(keys)
+    """Semi-join: broadcast key set while customer is small (Bloom-filter
+    pattern at scale); hash-bucket shuffle semi-join past the broadcast
+    limit (key rows shuffle, orders never broadcast)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    if _read(sf_dir, "customer", ["c_custkey"]).count() <= _broadcast_limit():
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
+        keys = frozenset(cust.loc[cust["c_acctbal"] > min_acctbal, "c_custkey"])
+        ref = ray.put(keys)
 
-    class SemiFilter:
-        def __init__(self):
-            self.keys = ray.get(ref)
+        class SemiFilter:
+            def __init__(self):
+                self.keys = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["o_custkey"].isin(self.keys)]
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                return batch[batch["o_custkey"].isin(self.keys)]
 
-    out = _read(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
-    ).map_batches(SemiFilter, batch_format="pandas", batch_size=131072, concurrency=2)
+        out = orders.map_batches(
+            SemiFilter, batch_format="pandas", batch_size=131072, concurrency=(1, 2)
+        )
+    else:
+        import pyarrow.dataset as pads
+
+        keys_ds = rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey"],
+            filter=(pads.field("c_acctbal") > pads.scalar(min_acctbal)),
+        )
+        joined = _bucket_join(orders, keys_ds, "o_custkey", "c_custkey", 16)
+        out = joined.map_batches(
+            lambda df: df[["o_orderkey", "o_custkey", "o_totalprice"]],
+            batch_format="pandas",
+        )
     t = _concat(out)
     idx = pc.sort_indices(t, sort_keys=[("o_orderkey", "ascending")])
     return t.take(idx)
@@ -394,37 +472,76 @@ FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15
 
 def region_revenue(sf_dir: str) -> pa.Table:
     """Revenue per region: a 4-way star join (orders ⋈ customer ⋈ nation ⋈
-    region) where every dimension is small — the three lookups COMPOSE into
-    one broadcast custkey→region map on the driver, so the fact table does
-    zero shuffles before the (5-row) final aggregate."""
-    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    region). While customer is genuinely small the three lookups COMPOSE
+    into one broadcast custkey→region map on the driver, so the fact table
+    does zero shuffles before the (5-row) final aggregate; past the
+    broadcast limit, customer (fact-scale at real SF) goes through the
+    hash-bucket shuffle join — only nation⋈region (≤ 25 rows) stays
+    broadcast."""
+    from ray.data.aggregate import Sum
+
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    lookup = (
-        customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
-        .set_index("c_custkey")["r_name"]
-    )
-    ref = ray.put(lookup)
+    nat_region = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    ).set_index("n_nationkey")["r_name"]
+    if _read(sf_dir, "customer", ["c_custkey"]).count() <= _broadcast_limit():
+        customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        lookup = customer.set_index("c_custkey")["c_nationkey"].map(nat_region)
+        ref = ray.put(lookup)
 
-    class JoinAgg:
-        def __init__(self):
-            self.lookup = ray.get(ref)
+        class JoinAgg:
+            def __init__(self):
+                self.lookup = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch["r_name"] = batch["o_custkey"].map(self.lookup)
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                batch["r_name"] = batch["o_custkey"].map(self.lookup)
+                return batch.groupby("r_name", as_index=False).agg(
+                    revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+                )
+
+        out = (
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(JoinAgg, batch_format="pandas", batch_size=131072, concurrency=(1, 4))
+            .groupby("r_name")
+            .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+        )
+    else:
+        nref = ray.put(nat_region)
+
+        class CustRegion:
+            def __init__(self):
+                self.lookup = ray.get(nref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {
+                        "c_custkey": batch["c_custkey"].to_numpy(),
+                        "r_name": batch["c_nationkey"].map(self.lookup),
+                    }
+                )
+
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            CustRegion, batch_format="pandas", batch_size=131072, concurrency=(1, 2)
+        )
+        joined = _bucket_join(
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+            cust_ds,
+            "o_custkey",
+            "c_custkey",
+            16,
+        )
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
             return batch.groupby("r_name", as_index=False).agg(
                 revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
             )
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(JoinAgg, batch_format="pandas", batch_size=131072, concurrency=4)
-        .groupby("r_name")
-        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
-    )
+        out = (
+            joined.map_batches(partial, batch_format="pandas", batch_size=262144)
+            .groupby("r_name")
+            .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+        )
     t = _concat(out)
     return pa.Table.from_arrays(
         [

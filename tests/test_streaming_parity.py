@@ -507,3 +507,126 @@ def test_fanout_chain_parity(ray_session, small_stream, tmp_path_factory):
             # fan-out rows share (conv_id, turn_idx); sort on the full row
             keys = ["conv_id", "turn_idx", "fanout_copy"]
         _assert_tables_equal(stream, got, want, keys)
+
+
+def test_ooo_commit_straggler_does_not_block_dispatch(
+    ray_session, small_stream, tmp_path_factory
+):
+    """F2/F3 wired into the runner: with ``ooo_commit`` a straggler epoch
+    must not head-of-line-block dispatch. The straggler is a scripted SLOW
+    WRITE (5 s) in epoch 1 — the realistic inversion case: stateful worker
+    chains are epoch-ordered by actor construction, but write tasks run on
+    independent slots, so later epochs fully complete while epoch 1's write
+    drags. Completion order shows a later epoch resolving before epoch 1,
+    the uncommitted backlog exceeds the in-flight window (dispatch ran
+    ahead), manifests still commit strictly contiguously
+    (LowWatermarkTracker), and output is byte-identical to the in-order
+    run."""
+    from quanta_ray.engine import StreamingRunner
+
+    files, _ = small_stream
+    cfg = CEPConfig(num_partitions=3)
+
+    def mk_spec(ooo: bool) -> PipelineSpec:
+        return PipelineSpec(
+            source=SourceSpec(
+                paths=tuple(files), max_inflight_epochs=2, ooo_commit=ooo
+            ),
+            transformers=(StageSpec(name="normalize"),),
+            sink=SinkSpec(
+                options={"debug_slow_write_epoch": 1, "debug_slow_write_s": 5.0}
+            ),
+            cep=cfg,
+        )
+
+    inorder_dir = str(tmp_path_factory.mktemp("inorder_run"))
+    StreamingRunner(mk_spec(False), inorder_dir).run()
+
+    ooo_dir = str(tmp_path_factory.mktemp("ooo_run"))
+    res = StreamingRunner(mk_spec(True), ooo_dir).run()
+    assert res["status"] == "complete"
+    co = res["ooo_completion_order"]
+    # later epochs resolved while the straggler write dragged; epoch 1 either
+    # resolved after them or was still pending when the loop drained
+    assert 2 in co and 3 in co, co
+    assert 1 not in co or co.index(2) < co.index(1), co
+    # dispatch ran ahead: more epochs sat uncommitted than the window allows
+    assert res["max_uncommitted"] > 2, res
+
+    # committed manifests are a contiguous prefix ending at the flush epoch
+    import glob, os
+
+    epochs = sorted(
+        int(os.path.basename(p)[len("manifest-") : -len(".json")])
+        for p in glob.glob(os.path.join(ooo_dir, "manifest-*.json"))
+    )
+    assert epochs == list(range(len(files) + 1))
+
+    for stream, keys in SORT_KEYS.items():
+        a = read_committed(inorder_dir, stream)
+        b = read_committed(ooo_dir, stream)
+        if a is None:
+            assert b is None
+            continue
+        a, b = _sorted(a, keys), _sorted(b.select(a.column_names), keys)
+        assert a.equals(b), f"{stream}: ooo output differs from in-order run"
+
+
+def test_ooo_commit_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
+    """Kill/resume under ooo_commit stays byte-identical (the commit frontier
+    is contiguous, so resume semantics are unchanged)."""
+    from quanta_ray.engine import StreamingRunner
+
+    files, _ = small_stream
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files), max_inflight_epochs=2, ooo_commit=True),
+        transformers=(StageSpec(name="normalize"),),
+        cep=CEPConfig(num_partitions=3),
+        checkpoint_every=2,
+    )
+    full_dir = str(tmp_path_factory.mktemp("ooo_full"))
+    StreamingRunner(spec, full_dir).run()
+    resumed_dir = str(tmp_path_factory.mktemp("ooo_resumed"))
+    assert StreamingRunner(spec, resumed_dir).run(stop_after_epoch=2)["status"] == "stopped"
+    assert StreamingRunner(spec, resumed_dir).run()["status"] == "complete"
+    for stream, keys in SORT_KEYS.items():
+        a = read_committed(full_dir, stream)
+        b = read_committed(resumed_dir, stream)
+        if a is None:
+            assert b is None
+            continue
+        a, b = _sorted(a, keys), _sorted(b.select(a.column_names), keys)
+        assert a.equals(b), f"{stream}: ooo resume output differs"
+
+
+def test_resume_after_flush_with_grown_source_raises(
+    ray_session, small_stream, tmp_path_factory
+):
+    """ADVICE r2: a completed (final-flushed) run whose source directory
+    later grew must fail loudly on re-run instead of silently replaying the
+    new file as an already-committed epoch (its rows would never commit)."""
+    import os
+    import shutil
+
+    from quanta_ray.engine import StreamingRunner
+
+    files, _ = small_stream
+    d = str(tmp_path_factory.mktemp("grown_src"))
+    local = []
+    for f in files:
+        dst = os.path.join(d, os.path.basename(f))
+        shutil.copy(f, dst)
+        local.append(dst)
+    spec = PipelineSpec(
+        source=SourceSpec(paths=(d,)),
+        transformers=(StageSpec(name="normalize"),),
+        cep=CEPConfig(num_partitions=3),
+    )
+    out_dir = str(tmp_path_factory.mktemp("grown_out"))
+    assert StreamingRunner(spec, out_dir).run()["status"] == "complete"
+    # rerun without growth stays a no-op
+    assert StreamingRunner(spec, out_dir).run()["status"] == "already-complete"
+    # grow the source AFTER the final flush → must raise, not lose data
+    shutil.copy(files[0], os.path.join(d, "zz-late-arrival.parquet"))
+    with pytest.raises(ValueError, match="final-flush"):
+        StreamingRunner(spec, out_dir).run()

@@ -123,8 +123,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_topk": text.token_topk,
         "doc_length_histogram": text.length_histogram,
         "doc_pii_scrub": text.pii_scrub,
+        "doc_script_stats": text.script_stats,
         # --- dedup family ---
         "doc_dedup_exact": dedup.dedup_exact,
+        "doc_dedup_exact_fast": dedup.dedup_exact_fast,
         "doc_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "doc_simhash_signatures": dedup.simhash_signatures,
         "doc_simhash_near_dups": dedup.simhash_near_dups,
@@ -174,6 +176,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_stats": text.LANG_STATS_SQL,
         "doc_quality_filter": text.QUALITY_FILTER_SQL,
         "doc_dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "doc_dedup_exact_fast": dedup.DEDUP_EXACT_FAST_SQL,
+        "doc_script_stats": text.SCRIPT_STATS_SQL,
         "emb_knn_bruteforce": simsearch_knn_sql(),
     }
 

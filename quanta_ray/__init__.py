@@ -36,3 +36,25 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _filter_ray_schema_hash_noise() -> None:
+    """Silence Ray Data's cosmetic 'Failed to hash the schemas (for
+    deduplication): unhashable type' warning: pa.Table.from_pandas attaches
+    pandas metadata that makes pa.Schema unhashable, so Ray's early-exit
+    schema dedup (transform_pyarrow.py) logs a warning and falls through to
+    the full (correct) unify path. Purely cosmetic — filtered at the emitting
+    logger; installed on package import, which happens in both the driver
+    and (via cloudpickled stage closures) every map worker."""
+    import logging
+
+    class _Drop(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_Drop())
+
+
+_filter_ray_schema_hash_noise()

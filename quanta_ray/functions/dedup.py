@@ -75,6 +75,63 @@ ORDER BY doc_id
 """
 
 
+def _text_hash(texts: pd.Series) -> np.ndarray:
+    """Vectorized 64-bit content hash (the dedup fast path's key)."""
+    return pd.util.hash_array(texts.to_numpy(dtype=object))
+
+
+def dedup_exact_fast(sf_dir: str, _hash_fn: Callable | None = None) -> pa.Table:
+    """Exact dedup keyed on a VECTORIZED 64-bit hash instead of per-row
+    Python md5 — the hot path when the output needs survivors, not
+    SQL-checkable fingerprints (``dedup_exact`` keeps md5 for the oracle's
+    md5 column; this one's survivor set is itself SQL-checkable via
+    GROUP BY text).
+
+    64-bit collisions are REAL at 10^10 docs (~3/billion-pairs birthday
+    rate), so the reduce disambiguates by text equality: each per-batch
+    partial carries one representative (min-doc_id) text per distinct hash,
+    and the bucket groups by (hash, text) — two different texts that collide
+    keep separate survivors. Shuffle volume = one (hash, doc_id, text) row
+    per distinct-per-batch hash (≤ corpus; shrinks with dup rate).
+
+    ``_hash_fn`` is test injection (a constant hash forces the collision
+    branch)."""
+    hash_fn = _hash_fn or _text_hash
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "h": hash_fn(batch["text"]).astype(np.uint64),
+                "doc_id": batch["doc_id"].to_numpy(),
+                "text": batch["text"].to_numpy(),
+            }
+        )
+        # one survivor (min doc_id) per DISTINCT TEXT per batch (grouping on
+        # the hash alone would merge colliding non-duplicates already here)
+        return df.groupby(["h", "text"], as_index=False)["doc_id"].min()
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # text equality separates true duplicates from hash collisions
+        out = g.groupby(["h", "text"], as_index=False)["doc_id"].min()
+        return out[["doc_id"]]
+
+    from ..bucket import bucketed_apply
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+    t = _concat(bucketed_apply(partials, ["h"], resolve))
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+DEDUP_EXACT_FAST_SQL = """
+SELECT min(doc_id) AS doc_id
+FROM documents
+GROUP BY text
+ORDER BY doc_id
+"""
+
+
 # --- minhash machinery (shared with LSH) --------------------------------------
 
 

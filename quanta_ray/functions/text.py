@@ -237,6 +237,56 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+class ScriptStats:
+    """Codepoint-range script classification — the SQL-checkable form of
+    ``LangId``'s script-detection branch: 'cjk' if any CJK-unified char,
+    else 'latin' if any ascii letter, else 'other'. Patterns compiled once
+    per actor; classification via vectorized ``.str.contains``; per-batch
+    partial aggregation."""
+
+    def __init__(self):
+        import re
+
+        self.cjk = re.compile("[一-鿿]")
+        self.latin = re.compile("[A-Za-z]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        is_cjk = batch["text"].str.contains(self.cjk).to_numpy()
+        is_latin = batch["text"].str.contains(self.latin).to_numpy()
+        batch = batch.assign(
+            script=np.where(is_cjk, "cjk", np.where(is_latin, "latin", "other"))
+        )
+        return batch.groupby("script", as_index=False).agg(n_docs=("text", "size"))
+
+
+def script_stats(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    out = (
+        _docs(sf_dir, ["text"])
+        .map_batches(ScriptStats, batch_format="pandas", batch_size=8192, concurrency=(1, 2))
+        .groupby("script")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    t = _concat(out)
+    res = pa.Table.from_arrays(
+        [t.column("script"), t.column("n_docs").cast(pa.int64())],
+        names=["script", "n_docs"],
+    )
+    return res.take(pc.sort_indices(res, sort_keys=[("script", "ascending")]))
+
+
+SCRIPT_STATS_SQL = """
+SELECT CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'cjk'
+            WHEN regexp_matches(text, '[A-Za-z]') THEN 'latin'
+            ELSE 'other' END AS script,
+       count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY script
+"""
+
+
 def quality_filter(sf_dir: str, min_tokens: int = 50, min_ttr: float = 0.3) -> pa.Table:
     """Quality-gated corpus: docs passing token-count + type-token-ratio
     thresholds (the canonical training-data quality filter), vectorized."""

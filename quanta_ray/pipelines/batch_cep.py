@@ -281,7 +281,7 @@ def next_event_join(
                 "user_id": pd.array([], dtype="int64"),
                 "left_id": pd.array([], dtype="int64"),
                 "left_ts": pd.array([], dtype="datetime64[us]"),
-                "right_id": pd.array([], dtype="float64"),
+                "right_id": pd.array([], dtype="Int64"),
                 "right_ts": pd.array([], dtype="datetime64[us]"),
             }
         )
@@ -304,10 +304,12 @@ def next_event_join(
             pos = np.searchsorted(rt, lt, side="left")
             rsel = np.minimum(pos, n_r - 1)
             ok = (pos < n_r) & (rt[rsel] <= lt + bound_us)
-        # float64 + NaN: matches what DuckDB's nullable-BIGINT left join
-        # becomes in pandas, so the driver value-hash agrees bit-for-bit
-        right_id = rid[rsel].astype(np.float64)
-        right_id[~ok] = np.nan
+        # nullable Int64 preserves event_id fidelity past 2^53 (ADVICE r2);
+        # both sides of the driver compare degrade identically (arrow
+        # int64+null / pandas Int64 -> the same NaN form DuckDB's nullable
+        # BIGINT takes), so the value-hash still agrees
+        right_id = pd.array(rid[rsel], dtype="Int64")
+        right_id[~ok] = pd.NA
         right_ts = pd.Series(pd.to_datetime(rt[rsel], unit="us")).where(ok, pd.NaT)
         return pd.DataFrame(
             {

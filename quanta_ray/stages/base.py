@@ -38,6 +38,18 @@ class Status(enum.IntEnum):  # transformer.proto:79-84
     ERROR = 3
 
 
+#: Optional per-row status column a stage may attach to its batch output.
+#: Rows marked OK flow on (column stripped); DROP rows are discarded and
+#: counted (intentional drop — still acked, never dead-lettered); RETRY/ERROR
+#: rows are re-submitted to the SAME stage instance up to ``attempts`` times,
+#: then drop+ack into the dead-letter stream. This is the reference's
+#: per-record status granularity (``transformer.proto:30-35,79-84`` — a
+#: plugin can fail individual records) expressed in the vectorized batch
+#: contract; a stage that marks rows RETRY must return those rows 1→1 (same
+#: schema as its input) so they can be re-presented.
+STATUS_COL = "_status"
+
+
 class TransientError(RuntimeError):
     """Stage-raised transient failure → retried, then dropped (T3)."""
 
@@ -73,13 +85,36 @@ class StageTimeout(TransientError):
     path)."""
 
 
+#: Abandoned-watchdog cap per process: a timed-out call's thread keeps
+#: running (see below); past this many still-alive abandoned threads further
+#: timeout attempts fail fast to STOP burning a core per retry on a
+#: CPU-bound stall.
+_MAX_ABANDONED_THREADS = 8
+_abandoned_threads: list = []
+
+
 def _call_with_timeout(fn, batch: pa.Table, timeout_ms: int) -> pa.Table:
     """Run ``fn(batch)`` under a watchdog thread with a deadline.
 
     A timed-out call's thread is abandoned (daemon), mirroring the
     reference's cancelled-context semantics — the in-flight plugin call is
-    walked away from, never killed."""
+    walked away from, never killed. CONTRACT: ``timeout_ms > 0`` therefore
+    requires the stage to be STATELESS or thread-safe — the abandoned call
+    may still be mutating the transformer object while the retry attempt
+    runs on the caller thread (a stateful stage would race itself). The
+    in-tree stateful stages (per-row counters) are only used with
+    ``timeout_ms = 0``. Abandoned-but-alive threads are capped per process
+    (``_MAX_ABANDONED_THREADS``): past the cap, timed-out calls stop
+    spawning watchdogs and fail straight to the retry/drop path, so a
+    CPU-bound stall cannot pile up a core per retry."""
     import threading
+
+    _abandoned_threads[:] = [t for t in _abandoned_threads if t.is_alive()]
+    if len(_abandoned_threads) >= _MAX_ABANDONED_THREADS:
+        raise StageTimeout(
+            f"{len(_abandoned_threads)} abandoned stage calls still running; "
+            "failing fast instead of spawning another watchdog"
+        )
 
     box: list = []
 
@@ -93,6 +128,7 @@ def _call_with_timeout(fn, batch: pa.Table, timeout_ms: int) -> pa.Table:
     t.start()
     t.join(timeout_ms / 1000.0)
     if not box:
+        _abandoned_threads.append(t)
         raise StageTimeout(f"stage call exceeded {timeout_ms} ms")
     kind, val = box[0]
     if kind == "err":
@@ -120,6 +156,7 @@ class RetryingStage:
         self.policy = policy or RetryPolicy()
         self.timeout_ms = timeout_ms
         self.dropped_after_retries = 0
+        self.dropped_by_status = 0  # intentional per-row DROPs (status col)
         self.timed_out = 0
         # dead-letter: batches dropped after retry exhaustion, as seen at
         # THIS stage's input — collected by the caller (the reference drops
@@ -130,22 +167,52 @@ class RetryingStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.transform_batch(batch)
 
+    def _attempt(self, batch: pa.Table) -> pa.Table:
+        if self.timeout_ms > 0:
+            return _call_with_timeout(self.inner.transform_batch, batch, self.timeout_ms)
+        return self.inner.transform_batch(batch)
+
     def transform_batch(self, batch: pa.Table) -> pa.Table:
-        for _attempt in range(max(1, self.policy.attempts)):
+        import pyarrow.compute as pc
+
+        attempts = max(1, self.policy.attempts)
+        pending = batch
+        ok_parts: list[pa.Table] = []
+        for _attempt in range(attempts):
             try:
-                if self.timeout_ms > 0:
-                    return _call_with_timeout(
-                        self.inner.transform_batch, batch, self.timeout_ms
-                    )
-                return self.inner.transform_batch(batch)
+                out = self._attempt(pending)
             except StageTimeout:
                 self.timed_out += 1
-                continue
+                continue  # whole-batch retry (pending unchanged)
             except TransientError:
                 continue
-        self.dropped_after_retries += batch.num_rows
-        self.dead_batches.append(batch)
-        return batch.schema.empty_table()
+            if STATUS_COL not in out.column_names:
+                ok_parts.append(out)
+                pending = None
+                break
+            # per-row status granularity: split OK / DROP / RETRY+ERROR
+            st = out.column(STATUS_COL)
+            ok_parts.append(
+                out.filter(pc.equal(st, int(Status.OK))).drop_columns([STATUS_COL])
+            )
+            self.dropped_by_status += pc.sum(
+                pc.cast(pc.equal(st, int(Status.DROP)), pa.int64())
+            ).as_py() or 0
+            pending = out.filter(
+                pc.greater_equal(st, int(Status.RETRY))
+            ).drop_columns([STATUS_COL])
+            if pending.num_rows == 0:
+                pending = None
+                break
+        if pending is not None and pending.num_rows:
+            # retries exhausted for the remaining rows (or the whole batch)
+            self.dropped_after_retries += pending.num_rows
+            self.dead_batches.append(pending)
+        if not ok_parts:
+            return batch.schema.empty_table()
+        if len(ok_parts) == 1:
+            return ok_parts[0]
+        return pa.concat_tables(ok_parts, promote_options="default")
 
     def apply_row(self, row: dict) -> list[dict] | None:
         for _attempt in range(max(1, self.policy.attempts)):

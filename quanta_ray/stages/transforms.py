@@ -148,6 +148,61 @@ class HangStage(Transformer):
         return [dict(row)]
 
 
+class RetryOddStage(Transformer):
+    """Scripted per-row status: marks rows with odd ``turn_idx`` RETRY for
+    their first ``fail_times`` presentations (per-row attempt counters held
+    by the stage instance), OK afterwards; optionally marks rows with
+    ``turn_idx % drop_mod == 0`` DROP (intentional, acked, never
+    dead-lettered). Exercises the per-record Status granularity of the
+    reference plugin contract (``transformer.proto:30-35,79-84``) through
+    the vectorized batch path; the oracle row path mirrors it with
+    per-row TransientError / None."""
+
+    name = "retry_odd"
+
+    def __init__(self, fail_times: int = 1, drop_mod: int = 0):
+        self.fail_times = fail_times
+        self.drop_mod = drop_mod
+        self._row_attempts: dict = {}
+
+    def _should_fail(self, conv_id, turn_idx: int) -> bool:
+        if turn_idx % 2 != 1:
+            return False
+        k = (conv_id, turn_idx)
+        n = self._row_attempts.get(k, 0)
+        if n < self.fail_times:
+            self._row_attempts[k] = n + 1
+            return True
+        return False
+
+    def _is_drop(self, turn_idx: int) -> bool:
+        return self.drop_mod > 0 and turn_idx % self.drop_mod == 0
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .base import STATUS_COL, Status
+
+        tid = batch.column("turn_idx").to_numpy()
+        conv = batch.column("conv_id").to_pylist()
+        status = np.zeros(len(tid), dtype=np.int8)
+        for i, (c, t) in enumerate(zip(conv, tid)):
+            t = int(t)
+            if self._is_drop(t):
+                status[i] = int(Status.DROP)
+            elif self._should_fail(c, t):
+                status[i] = int(Status.RETRY)
+        return batch.append_column(STATUS_COL, pa.array(status, type=pa.int8()))
+
+    def apply_row(self, row: dict) -> list[dict] | None:
+        t = int(row["turn_idx"])
+        if self._is_drop(t):
+            return None
+        if self._should_fail(row["conv_id"], t):
+            raise TransientError("scripted per-row retry")
+        return [dict(row)]
+
+
 TRANSFORM_REGISTRY = {
     "normalize": NormalizeStage,
     "uppercase": UppercaseStage,
@@ -155,4 +210,5 @@ TRANSFORM_REGISTRY = {
     "fanout": FanoutStage,
     "error_then_ok": ErrorThenOKStage,
     "hang": HangStage,
+    "retry_odd": RetryOddStage,
 }

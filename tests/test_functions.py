@@ -356,3 +356,39 @@ def test_consistent_sample_matches_sql(ray_session):
         want.sort_values("event_id").reset_index(drop=True),
         check_dtype=True,
     )
+
+
+def test_dedup_exact_fast_collision_branch(ray_session, doc_dir):
+    """The vectorized-hash fast path must equal md5 dedup, including under
+    FORCED total hash collision (constant hash fn) — text equality inside
+    the bucket separates colliding non-duplicates."""
+    from quanta_ray.functions.dedup import dedup_exact, dedup_exact_fast
+
+    want = dedup_exact(doc_dir).column("doc_id").to_pylist()
+    got = dedup_exact_fast(doc_dir).column("doc_id").to_pylist()
+    assert got == want
+
+    def constant_hash(texts):
+        return np.zeros(len(texts), dtype=np.uint64)
+
+    collided = dedup_exact_fast(doc_dir, _hash_fn=constant_hash).column("doc_id").to_pylist()
+    assert collided == want
+
+
+def test_script_stats_planted(ray_session, tmp_path_factory):
+    """Codepoint-range classification: planted cjk / latin / other docs land
+    in the right groups (the synthetic corpus is all-latin, so the branch
+    logic is pinned here)."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.functions.text import script_stats
+
+    d = tmp_path_factory.mktemp("script_docs")
+    texts = ["hello world", "the quick fox", "你好世界", "mixed 文本 here", "12345 !!!", ""]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = script_stats(str(d))
+    got = dict(zip(out.column("script").to_pylist(), out.column("n_docs").to_pylist()))
+    assert got == {"cjk": 2, "latin": 2, "other": 2}

@@ -163,3 +163,57 @@ def test_timeout_zero_disables_watchdog():
     stage = RetryingStage(NormalizeStage(), timeout_ms=0)
     out = stage.transform_batch(pa.table({"text": ["x"]}))
     assert out.column("text_norm").to_pylist() == ["X"]
+
+
+def test_per_row_status_retry_then_ok():
+    """Per-row RETRY granularity (transformer.proto:30-35): only the rows
+    marked RETRY are re-presented; after the scripted failures clear, every
+    row flows — nothing whole-batch-retried, nothing dropped."""
+    from quanta_ray.stages.transforms import RetryOddStage
+
+    st = RetryingStage(RetryOddStage(fail_times=1), RetryPolicy(attempts=3))
+    out = st.transform_batch(_batch())
+    assert out.num_rows == 3
+    assert "_status" not in out.column_names
+    assert sorted(out.column("turn_idx").to_pylist()) == [0, 0, 1]
+    assert st.dropped_after_retries == 0
+    assert st.dropped_by_status == 0
+
+
+def test_per_row_status_retries_exhausted_dead_letters_subset():
+    """Rows that keep returning RETRY exhaust attempts and dead-letter —
+    but ONLY those rows; OK rows of the same batch still flow."""
+    from quanta_ray.stages.transforms import RetryOddStage
+
+    st = RetryingStage(RetryOddStage(fail_times=99), RetryPolicy(attempts=2))
+    out = st.transform_batch(_batch())
+    assert out.column("turn_idx").to_pylist() == [0, 0]  # odd row gone
+    assert st.dropped_after_retries == 1
+    assert len(st.dead_batches) == 1
+    assert st.dead_batches[0].column("turn_idx").to_pylist() == [1]
+
+
+def test_per_row_status_drop_counted_not_dead_lettered():
+    from quanta_ray.stages.transforms import RetryOddStage
+
+    # drop_mod=2 → even turn_idx rows DROP; odd row retried once then OK
+    st = RetryingStage(RetryOddStage(fail_times=1, drop_mod=2), RetryPolicy(attempts=3))
+    out = st.transform_batch(_batch())
+    assert out.column("turn_idx").to_pylist() == [1]
+    assert st.dropped_by_status == 2
+    assert st.dropped_after_retries == 0
+    assert not st.dead_batches
+
+
+def test_per_row_status_batch_and_row_paths_agree():
+    from quanta_ray.stages.transforms import RetryOddStage
+
+    batch_stage = RetryingStage(RetryOddStage(fail_times=1, drop_mod=4), RetryPolicy())
+    batch_out = batch_stage.transform_batch(_batch())
+    row_stage = RetryingStage(RetryOddStage(fail_times=1, drop_mod=4), RetryPolicy())
+    row_out = []
+    for r in _rows(_batch()):
+        got = row_stage.apply_row(r)
+        if got:
+            row_out.extend(got)
+    assert batch_out.to_pylist() == row_out

@@ -514,7 +514,7 @@ def test_ooo_commit_straggler_does_not_block_dispatch(
 ):
     """F2/F3 wired into the runner: with ``ooo_commit`` a straggler epoch
     must not head-of-line-block dispatch. The straggler is a scripted SLOW
-    WRITE (5 s) in epoch 1 — the realistic inversion case: stateful worker
+    WRITE (10 s, decisive vs host-load epoch times) in epoch 1 — the realistic inversion case: stateful worker
     chains are epoch-ordered by actor construction, but write tasks run on
     independent slots, so later epochs fully complete while epoch 1's write
     drags. Completion order shows a later epoch resolving before epoch 1,
@@ -533,8 +533,12 @@ def test_ooo_commit_straggler_does_not_block_dispatch(
                 paths=tuple(files), max_inflight_epochs=2, ooo_commit=ooo
             ),
             transformers=(StageSpec(name="normalize"),),
+            # straggler injected only in the ooo run (a slow write changes
+            # timing, never bytes — the in-order baseline needn't pay it)
             sink=SinkSpec(
-                options={"debug_slow_write_epoch": 1, "debug_slow_write_s": 5.0}
+                options={"debug_slow_write_epoch": 1, "debug_slow_write_s": 10.0}
+                if ooo
+                else {}
             ),
             cep=cfg,
         )
@@ -630,3 +634,36 @@ def test_resume_after_flush_with_grown_source_raises(
     shutil.copy(files[0], os.path.join(d, "zz-late-arrival.parquet"))
     with pytest.raises(ValueError, match="final-flush"):
         StreamingRunner(spec, out_dir).run()
+
+
+def test_per_row_status_chain_parity(ray_session, small_stream, tmp_path_factory):
+    """A chain containing the per-row-status scripted stage (odd turn_idx
+    rows RETRY once, every 5th turn DROP) runs through the full streaming
+    engine and equals the oracle on every stream — per-row status is
+    semantics-preserving under fragmentation, partitioning and retry."""
+    from quanta_ray.engine import run_pipeline
+    from quanta_ray.stages.transforms import RetryOddStage
+
+    files, _ = small_stream
+    cfg = CEPConfig(num_partitions=3)
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(
+            StageSpec(name="normalize"),
+            StageSpec(name="retry_odd", options={"fail_times": 1, "drop_mod": 5}),
+        ),
+        cep=cfg,
+    )
+    out_dir = str(tmp_path_factory.mktemp("engine_out_status"))
+    assert run_pipeline(spec, out_dir)["status"] == "complete"
+
+    oracle = run_oracle(
+        (pq.read_table(f) for f in files),
+        cfg,
+        stages=[
+            RetryingStage(NormalizeStage()),
+            RetryingStage(RetryOddStage(fail_times=1, drop_mod=5)),
+        ],
+    )
+    for stream, keys in SORT_KEYS.items():
+        _assert_tables_equal(stream, read_committed(out_dir, stream), oracle[stream], keys)

@@ -222,8 +222,22 @@ def main() -> None:
 def scaling() -> None:
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"]
+        # CPU-affinity-pin each level to exactly `ncpu` physical cores — the
+        # faithful emulation of an N-node vs 4N-node cluster, where the
+        # smaller cluster has exactly N×cores of HARDWARE. Unpinned, the
+        # "8-cpu" job's ~8 worker processes spread across all 32 physical
+        # cores (private caches, full memory bandwidth, idle cores for the
+        # raylet/plasma/writer threads), inflating T(8) and deflating
+        # measured efficiency — r2 measured the same deterministic work
+        # costing 1.35-1.41x more CPU-seconds at the wide level purely from
+        # sharing. Pinning also collapses run-to-run host-steal variance
+        # (walls 20.6/20.4 s pinned vs 56/40 s unpinned in the same hour).
+        total = os.cpu_count() or ncpu
+        if ncpu < total and shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

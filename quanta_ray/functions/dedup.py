@@ -175,6 +175,50 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.unique(_roll_grams(wh, k))
 
 
+def _shingle_hashes_batch(texts: pd.Series, k: int = 3) -> list[np.ndarray]:
+    """Batch-vectorized ``_shingle_hashes``: one explode + one hash_array +
+    one rolling-gram pass for the whole frame, split per doc at the end —
+    identical output (sorted unique gram hashes per doc), no per-doc Python
+    in the payload hot path."""
+    texts = texts.reset_index(drop=True)
+    n = len(texts)
+    empty = np.empty(0, dtype=np.uint64)
+    out: list[np.ndarray] = [empty] * n
+    words = texts.str.split().explode().dropna()
+    if len(words) == 0:
+        return out
+    doc = words.index.to_numpy()
+    wh = pd.util.hash_array(words.to_numpy(dtype=object))
+    if len(wh) >= k:
+        g = np.zeros(len(wh) - k + 1, dtype=np.uint64)
+        coef = _gram_coeffs(k)
+        for i in range(k):
+            g += wh[i : i + len(g)] * coef[i]
+        valid = doc[: len(g)] == doc[k - 1 :]
+        g, gd = g[valid], doc[: len(g)][valid]
+    else:
+        g = np.empty(0, dtype=np.uint64)
+        gd = np.empty(0, dtype=np.int64)
+    lens = np.bincount(doc, minlength=n)
+    short = np.flatnonzero((lens > 0) & (lens < k))
+    if len(short):
+        starts_w = np.searchsorted(doc, short)
+        sg = [_roll_grams(wh[s : s + lens[d]], k)[0] for s, d in zip(starts_w, short)]
+        g = np.concatenate([g, np.asarray(sg, dtype=np.uint64)])
+        gd = np.concatenate([gd, short])
+    if len(g) == 0:
+        return out
+    order = np.lexsort((g, gd))
+    g, gd = g[order], gd[order]
+    keep = np.concatenate(([True], (gd[1:] != gd[:-1]) | (g[1:] != g[:-1])))
+    g, gd = g[keep], gd[keep]
+    starts = np.flatnonzero(np.concatenate(([True], gd[1:] != gd[:-1])))
+    ends = np.append(starts[1:], len(gd))
+    for s, e in zip(starts, ends):
+        out[gd[s]] = g[s:e]
+    return out
+
+
 def _shingles(text: str, k: int = 3) -> set[int]:
     return set(_shingle_hashes(text, k).tolist())
 
@@ -296,6 +340,7 @@ def _pairs_from_buckets(
     id_col: str,
     num_partitions: int = 32,
     max_bucket: int = 256,
+    global_dedup: bool = True,
 ) -> rd.Dataset:
     """(bucket, id) rows → deduped candidate (a, b) pairs, fully distributed.
 
@@ -370,6 +415,13 @@ def _pairs_from_buckets(
         .groupby("_pkey")
         .map_groups(emit_partition, batch_format="pandas")
     )
+    if not global_dedup:
+        # caller's next shuffle keys on `a`, which co-locates every copy of a
+        # pair (same (a,b) from several bands), so the global dedup can fold
+        # into that stage (`_attach_payload(dedup_pair_cols=...)`) — one
+        # fewer all-to-all. Pair rows carry only two int64s; the ≤ #bands
+        # duplication factor in the interim dataset is cheap.
+        return pairs
     return (
         pairs.map_batches(add_pair_pkey, batch_format="pandas")
         .groupby("_pkey")
@@ -451,6 +503,7 @@ def _attach_payload(
     out_col: str,
     out_fill: Any = b"",
     num_buckets: int = 32,
+    dedup_pair_cols: list[str] | None = None,
 ) -> rd.Dataset:
     """Bucketed hash-join: attach ``payload_ds``'s payload to each pair row
     on ``pairs[key_col] == payload.doc_id`` as column ``out_col`` (inner
@@ -494,6 +547,10 @@ def _attach_payload(
 
     def join(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0].drop(columns=["_side", "_pkey", out_col])
+        if dedup_pair_cols:
+            # every copy of a pair shares key_col → same bucket: the global
+            # pair dedup folds into this join (saves a dedicated shuffle)
+            lg = lg.drop_duplicates(dedup_pair_cols)
         rg = g[g["_side"] == 1][[key_col, out_col]]
         return lg.merge(rg, on=key_col)[all_cols]
 
@@ -540,13 +597,16 @@ def minhash_lsh_pairs(
          "jaccard": pa.array([], pa.float64())}
     )
     # materialize the pair set (object store, not driver): it is consumed
-    # twice (id collection + verify) and must not recompute the band stage
-    pairs_ds = _pairs_from_buckets(bands_ds, ["band", "band_hash"], "doc_id").materialize()
+    # twice (need-ids + attach) and must not recompute the band stage.
+    # global_dedup folds into the first attach join (same-key co-location)
+    pairs_ds = _pairs_from_buckets(
+        bands_ds, ["band", "band_hash"], "doc_id", global_dedup=False
+    ).materialize()
     if pairs_ds.count() == 0:
         return empty
 
     def shingle_payload(sel: pd.DataFrame) -> list[bytes]:
-        return [_shingle_hashes(t, shingle_k).tobytes() for t in sel["text"]]
+        return [a.tobytes() for a in _shingle_hashes_batch(sel["text"], shingle_k)]
 
     payload_ds = _bucketed_semijoin_payload(
         _need_ids(pairs_ds),
@@ -555,7 +615,10 @@ def minhash_lsh_pairs(
         shingle_payload,
     ).materialize()  # consumed by two attach joins; candidate-proportional
 
-    with_a = _attach_payload(pairs_ds, payload_ds, "a", {"a": -1, "b": -1}, "sh_a")
+    with_a = _attach_payload(
+        pairs_ds, payload_ds, "a", {"a": -1, "b": -1}, "sh_a",
+        dedup_pair_cols=["a", "b"],
+    )
     with_ab = _attach_payload(
         with_a, payload_ds, "b", {"a": -1, "b": -1, "sh_a": b""}, "sh_b"
     )
@@ -716,7 +779,9 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
          "hamming": pa.array([], pa.int64())}
     )
-    pairs_ds = _pairs_from_buckets(bands_ds, ["band", "bval"], "doc_id").materialize()
+    pairs_ds = _pairs_from_buckets(
+        bands_ds, ["band", "bval"], "doc_id", global_dedup=False
+    ).materialize()
     if pairs_ds.count() == 0:
         return empty
 
@@ -728,7 +793,8 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     ).materialize()
 
     with_a = _attach_payload(
-        pairs_ds, payload_ds, "a", {"a": -1, "b": -1}, "sig_a", out_fill=""
+        pairs_ds, payload_ds, "a", {"a": -1, "b": -1}, "sig_a", out_fill="",
+        dedup_pair_cols=["a", "b"],
     )
     with_ab = _attach_payload(
         with_a, payload_ds, "b", {"a": -1, "b": -1, "sig_a": ""}, "sig_b", out_fill=""

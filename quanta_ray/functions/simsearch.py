@@ -299,10 +299,12 @@ def near_dup_cosine(
         {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
          "cosine": pa.array([], pa.float64())}
     )
-    pairs_ds = _pairs_from_buckets(bands_ds, ["band", "bval"], "vec_id").materialize()
-    n_candidates = pairs_ds.count()
+    pairs_ds = _pairs_from_buckets(
+        bands_ds, ["band", "bval"], "vec_id", global_dedup=False
+    ).materialize()
+    n_candidates = pairs_ds.count()  # pre-dedup band hits (≤ n_bands × pairs)
     log.info(
-        "near_dup_cosine: %d candidate pairs (background rate %.1f%%)",
+        "near_dup_cosine: %d candidate band-hit rows (background rate %.1f%%)",
         n_candidates, 100 * bg_rate,
     )
     if n_candidates == 0:
@@ -324,7 +326,10 @@ def near_dup_cosine(
         lambda sel: sel["vb"].to_numpy(),
     ).materialize()
 
-    with_a = _attach_payload(pairs_ds, payload_ds, "a", {"a": -1, "b": -1}, "va")
+    with_a = _attach_payload(
+        pairs_ds, payload_ds, "a", {"a": -1, "b": -1}, "va",
+        dedup_pair_cols=["a", "b"],
+    )
     with_ab = _attach_payload(
         with_a, payload_ds, "b", {"a": -1, "b": -1, "va": b""}, "vb"
     )

@@ -392,3 +392,18 @@ def test_script_stats_planted(ray_session, tmp_path_factory):
     out = script_stats(str(d))
     got = dict(zip(out.column("script").to_pylist(), out.column("n_docs").to_pylist()))
     assert got == {"cjk": 2, "latin": 2, "other": 2}
+
+
+def test_shingle_batch_matches_per_doc():
+    import pandas as pd
+
+    from quanta_ray.functions.dedup import _shingle_hashes, _shingle_hashes_batch
+
+    rng = np.random.default_rng(17)
+    vocab = "a bb ccc dddd ee fff g hh".split()
+    texts = ["", "one", "one two", " ".join(rng.choice(vocab, size=rng.integers(1, 40))) ]
+    for _ in range(20):
+        texts.append(" ".join(rng.choice(vocab, size=rng.integers(1, 60))))
+    got = _shingle_hashes_batch(pd.Series(texts), 3)
+    for t, g in zip(texts, got):
+        assert np.array_equal(g, _shingle_hashes(t, 3)), t

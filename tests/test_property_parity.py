@@ -44,6 +44,9 @@ def _sorted(t: pa.Table, keys):
     gap_s=st.sampled_from([120, 600]),
     bound_s=st.sampled_from([300, 3600]),
     p_late=st.sampled_from([0.0, 0.05]),
+    ooo=st.booleans(),
+    chain=st.sampled_from(["normalize", "retry_odd", "fanout"]),
+    fragment_rows=st.sampled_from([500, 131072]),
 )
 def test_random_stream_matches_oracle(
     ray_session,
@@ -57,8 +60,12 @@ def test_random_stream_matches_oracle(
     gap_s,
     bound_s,
     p_late,
+    ooo,
+    chain,
+    fragment_rows,
 ):
     from quanta_ray.engine import StreamingRunner
+    from quanta_ray.stages.transforms import FanoutStage, RetryOddStage
 
     params = TranscriptParams(
         n_convs=n_convs, seed=seed, n_epochs=n_epochs, p_late=p_late, max_turns=60
@@ -76,18 +83,34 @@ def test_random_stream_matches_oracle(
     table = generate_transcripts(params)
     files = write_stream(table, str(d / "stream"), n_epochs)
 
+    stage_specs = [StageSpec(name="normalize")]
+    oracle_stages = [RetryingStage(NormalizeStage())]
+    if chain == "retry_odd":
+        stage_specs.append(
+            StageSpec(name="retry_odd", options={"fail_times": 1, "drop_mod": 7})
+        )
+        oracle_stages.append(RetryingStage(RetryOddStage(fail_times=1, drop_mod=7)))
+    elif chain == "fanout":
+        stage_specs.append(StageSpec(name="fanout"))
+        oracle_stages.append(RetryingStage(FanoutStage()))
+
     spec = PipelineSpec(
-        source=SourceSpec(paths=tuple(files)),
-        transformers=(StageSpec(name="normalize"),),
+        source=SourceSpec(
+            paths=tuple(files), ooo_commit=ooo, fragment_rows=fragment_rows
+        ),
+        transformers=tuple(stage_specs),
         cep=cfg,
     )
     out_dir = str(d / "out")
     assert StreamingRunner(spec, out_dir).run()["status"] == "complete"
 
     oracle = run_oracle(
-        (pq.read_table(f) for f in files), cfg, stages=[RetryingStage(NormalizeStage())]
+        (pq.read_table(f) for f in files), cfg, stages=oracle_stages
     )
     for stream, keys in SORT_KEYS.items():
+        if chain == "fanout" and stream == "turns":
+            # fan-out rows share (conv_id, turn_idx); disambiguate the sort
+            keys = keys + ["fanout_copy"]
         want = oracle[stream]
         got = read_committed(out_dir, stream)
         if want.num_rows == 0:

@@ -12,15 +12,17 @@ The full large-scale dedup family, each expressed shuffle-consciously:
 - **embedding cosine near-dup**: see ``simsearch.near_dup_cosine``.
 
 All candidate generation is per-batch vectorized. Pair verification is a
-SHUFFLE JOIN: candidate payloads (shingles / signatures / vectors) are
-semi-joined as a dataset and hash-joined onto the pair dataset — no
-candidate-keyed map is ever built on the driver or broadcast, so the path
-holds at web-corpus dup rates (30–50%) where candidates grow with the corpus.
+fused SHUFFLE JOIN (``_route_verify``): candidate payloads (shingles /
+signatures / vectors) are computed where the docs hash and routed to
+per-pair verify buckets — two all-to-alls total, and no candidate-keyed map
+is ever built on the driver or broadcast, so the path holds at web-corpus
+dup rates (30–50%) where candidates grow with the corpus.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Any, Callable
 
 import numpy as np
@@ -429,132 +431,218 @@ def _pairs_from_buckets(
     )
 
 
-def _need_ids(pairs_ds: rd.Dataset) -> rd.Dataset:
-    """(a, b) pairs → distinct-per-batch ``doc_id`` rows naming every doc a
-    verify stage will need. A *dataset*, never a driver-side set — candidate
-    volume can grow with the corpus (30–50% dup rate on real web data)."""
-
-    def need(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]))
-        return pd.DataFrame({"doc_id": ids.astype(np.int64)})
-
-    return pairs_ds.map_batches(need, batch_format="pandas")
+def _pair_vbucket(a: np.ndarray, b: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic verify-bucket id for a pair — computed identically where
+    demand rows are emitted and where pair rows are tagged, so both meet."""
+    key = a.astype(np.uint64) * np.uint64(2_654_435_761) + b.astype(np.uint64)
+    return (pd.util.hash_array(key) % num_buckets).astype(np.int64)
 
 
-def _bucketed_semijoin_payload(
-    need_ds: rd.Dataset,
+def _route_verify(
+    pairs_ds: rd.Dataset,
     src_ds: rd.Dataset,
     carry: dict[str, Any],
-    payload_fn: Callable[[pd.DataFrame], pd.Series],
+    payload_fn: Callable[[pd.DataFrame], Any],
+    verify_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    payload_fill: Any = b"",
     num_buckets: int = 32,
 ) -> rd.Dataset:
-    """Distributed semi-join + payload build: keep ``src_ds`` rows whose
-    ``doc_id`` appears in ``need_ds`` (both sides hash-shuffled on doc_id so
-    a key's need rows and src rows meet in one bucket), then compute
-    ``payload_fn`` (vectorized, over the selected src rows) → a
-    ``(doc_id, payload)`` dataset. Replaces the former broadcast-id-set
-    semi-join: nothing is materialized on the driver.
+    """Fused shuffle-join verify — TWO all-to-alls, the structural minimum
+    for "co-locate each candidate pair with both members' payloads".
 
-    ``carry`` maps each src column (beyond doc_id) to the PLACEHOLDER value
-    the need side is padded with — both union branches keep identical
-    schemas/dtypes, so payloads shuffle as plain binary/str columns."""
+    Replaces the former 3-shuffle chain (doc-id semi-join → attach payload
+    on ``a`` → attach on ``b``):
 
-    def tag_need(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
+      stage R (keyed by doc_id): each pair emits two DEMAND rows
+        ``(doc, verify_bucket)`` (deduped per batch); ``src_ds`` rows meet
+        them in the doc's hash bucket; payloads are computed ONCE per doc
+        (``payload_fn``, vectorized over the selected src rows) and routed —
+        one copy per distinct (doc, verify_bucket) — to where their pairs
+        will be verified.
+      stage V (keyed by pair hash): every copy of a pair lands in one bucket
+        (global pair dedup folds in here — no dedicated dedup exchange), both
+        payloads arrive by construction, and ``verify_fn`` runs vectorized
+        per group on columns ``a, b, _pay_a, _pay_b``.
+
+    Nothing driver-side grows with the corpus OR the candidate count; the
+    shuffled payload volume is one copy per pair side, same as the unfused
+    chain, minus the dedicated pair-dedup and semi-join exchanges.
+
+    ``carry`` maps each ``src_ds`` column ``payload_fn`` needs (beyond
+    doc_id) to the placeholder the demand side is padded with — union
+    branches must keep identical schemas/dtypes. ``verify_fn`` must handle
+    the empty frame (fixed output columns)."""
+
+    cols_r = ["doc_id", "_vb"] + list(carry) + ["_side", "_pkey"]
+
+    def tag_demand(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy().astype(np.int64)
+        b = df["b"].to_numpy().astype(np.int64)
+        vb = _pair_vbucket(a, b, num_buckets)
+        out = pd.DataFrame(
+            {"doc_id": np.concatenate([a, b]), "_vb": np.concatenate([vb, vb])}
+        ).drop_duplicates()
         for c, fill in carry.items():
-            out[c] = [fill] * len(df) if isinstance(fill, bytes) else fill
+            out[c] = [fill] * len(out) if isinstance(fill, bytes) else fill
         out["_side"] = np.int64(0)
         out["_pkey"] = (
             pd.util.hash_array(out["doc_id"].to_numpy()) % num_buckets
         ).astype(np.int64)
-        return out
+        return out[cols_r]
 
     def tag_src(df: pd.DataFrame) -> pd.DataFrame:
         out = df[["doc_id"] + list(carry)].copy()
+        out["_vb"] = np.int64(-1)
         out["_side"] = np.int64(1)
         out["_pkey"] = (
             pd.util.hash_array(out["doc_id"].to_numpy()) % num_buckets
         ).astype(np.int64)
-        return out
+        return out[cols_r]
 
-    both = need_ds.map_batches(tag_need, batch_format="pandas").union(
-        src_ds.map_batches(tag_src, batch_format="pandas")
-    )
-
-    def build(g: pd.DataFrame) -> pd.DataFrame:
-        needed = g.loc[g["_side"] == 0, "doc_id"].unique()
-        sel = g[(g["_side"] == 1) & g["doc_id"].isin(needed)]
-        if not len(sel):
+    def route(g: pd.DataFrame) -> pd.DataFrame:
+        dem = g.loc[g["_side"] == 0, ["doc_id", "_vb"]].drop_duplicates()
+        sel = g[(g["_side"] == 1) & g["doc_id"].isin(dem["doc_id"].unique())]
+        if not len(sel) or not len(dem):
             return pd.DataFrame(
-                {"doc_id": np.empty(0, np.int64), "payload": pd.Series([], dtype=object)}
+                {"_vb": np.empty(0, np.int64), "doc_id": np.empty(0, np.int64),
+                 "_pay": pd.Series([], dtype=object)}
             )
-        return pd.DataFrame(
-            {"doc_id": sel["doc_id"].to_numpy(), "payload": payload_fn(sel)}
+        pay = pd.DataFrame(
+            {"doc_id": sel["doc_id"].to_numpy(), "_pay": payload_fn(sel)}
         )
+        out = dem.merge(pay, on="doc_id")
+        return out[["_vb", "doc_id", "_pay"]]
 
-    return both.groupby("_pkey").map_groups(build, batch_format="pandas")
-
-
-def _attach_payload(
-    pairs_ds: rd.Dataset,
-    payload_ds: rd.Dataset,
-    key_col: str,
-    pair_fill: dict[str, Any],
-    out_col: str,
-    out_fill: Any = b"",
-    num_buckets: int = 32,
-    dedup_pair_cols: list[str] | None = None,
-) -> rd.Dataset:
-    """Bucketed hash-join: attach ``payload_ds``'s payload to each pair row
-    on ``pairs[key_col] == payload.doc_id`` as column ``out_col`` (inner
-    semantics; payload rows matching no pair are dropped). This is the
-    shuffle-join verify path: the per-candidate payload moves THROUGH the
-    shuffle to where its pairs are — no candidate-keyed map ever exists on
-    the driver or in a broadcast.
-
-    ``pair_fill`` maps every pair column to the placeholder the payload side
-    is padded with (keeps union schemas identical)."""
-
-    pair_cols = list(pair_fill)
-    all_cols = pair_cols + [out_col]
+    routed = (
+        pairs_ds.map_batches(tag_demand, batch_format="pandas")
+        .union(src_ds.map_batches(tag_src, batch_format="pandas"))
+        .groupby("_pkey")
+        .map_groups(route, batch_format="pandas")
+    )
 
     def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[pair_cols].copy()
-        out[out_col] = [out_fill] * len(df) if isinstance(out_fill, bytes) else out_fill
+        a = df["a"].to_numpy().astype(np.int64)
+        b = df["b"].to_numpy().astype(np.int64)
+        out = pd.DataFrame({"a": a, "b": b})
+        out["doc_id"] = np.int64(-1)
+        out["_pay"] = (
+            [payload_fill] * len(df) if isinstance(payload_fill, bytes) else payload_fill
+        )
         out["_side"] = np.int64(0)
-        out["_pkey"] = (
-            pd.util.hash_array(df[key_col].to_numpy()) % num_buckets
-        ).astype(np.int64)
+        out["_pkey"] = _pair_vbucket(a, b, num_buckets)
         return out
 
-    def tag_payload(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(index=range(len(df)))
-        for c in pair_cols:
-            fill = pair_fill[c]
-            out[c] = [fill] * len(df) if isinstance(fill, bytes) else fill
-        # the join key column carries the payload's doc_id
-        out[key_col] = df["doc_id"].to_numpy()
-        out[out_col] = df["payload"].to_numpy()
+    def tag_routed(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "a": np.full(len(df), -1, dtype=np.int64),
+                "b": np.full(len(df), -1, dtype=np.int64),
+                "doc_id": df["doc_id"].to_numpy(),
+                "_pay": df["_pay"].to_numpy(),
+            }
+        )
         out["_side"] = np.int64(1)
-        out["_pkey"] = (
-            pd.util.hash_array(df["doc_id"].to_numpy()) % num_buckets
-        ).astype(np.int64)
+        out["_pkey"] = df["_vb"].to_numpy()
         return out
 
-    both = pairs_ds.map_batches(tag_pairs, batch_format="pandas").union(
-        payload_ds.map_batches(tag_payload, batch_format="pandas")
+    def join_verify(g: pd.DataFrame) -> pd.DataFrame:
+        pg = g.loc[g["_side"] == 0, ["a", "b"]].drop_duplicates()
+        pl = g.loc[g["_side"] == 1, ["doc_id", "_pay"]]
+        m = pg.merge(
+            pl.rename(columns={"doc_id": "a", "_pay": "_pay_a"}), on="a"
+        ).merge(pl.rename(columns={"doc_id": "b", "_pay": "_pay_b"}), on="b")
+        return verify_fn(m)
+
+    return (
+        pairs_ds.map_batches(tag_pairs, batch_format="pandas")
+        .union(routed.map_batches(tag_routed, batch_format="pandas"))
+        .groupby("_pkey")
+        .map_groups(join_verify, batch_format="pandas")
     )
 
-    def join(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == 0].drop(columns=["_side", "_pkey", out_col])
-        if dedup_pair_cols:
-            # every copy of a pair shares key_col → same bucket: the global
-            # pair dedup folds into this join (saves a dedicated shuffle)
-            lg = lg.drop_duplicates(dedup_pair_cols)
-        rg = g[g["_side"] == 1][[key_col, out_col]]
-        return lg.merge(rg, on=key_col)[all_cols]
 
-    return both.groupby("_pkey").map_groups(join, batch_format="pandas")
+_EMPTY_JACCARD = pa.table(
+    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+     "jaccard": pa.array([], pa.float64())}
+)
+
+# verified-candidate cache: the expensive part of the pipeline (signatures,
+# pair-emit, route, exact-Jaccard verify) is THRESHOLD-INDEPENDENT, and two
+# public operators consume it (pair listing + near-dup removal, possibly at
+# different thresholds). Keyed on source-file identity (path, mtime, size) +
+# LSH params; holds small verified tables (one row per candidate pair).
+_VERIFIED_CACHE: dict[tuple, pa.Table] = {}
+_VERIFIED_CACHE_MAX = 8
+
+
+def _source_key(sf_dir: str, table: str, *params: Any) -> tuple:
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(p)
+    return (os.path.abspath(p), st.st_mtime_ns, st.st_size) + params
+
+
+def _cache_put(key: tuple, t: pa.Table) -> None:
+    _VERIFIED_CACHE[key] = t
+    while len(_VERIFIED_CACHE) > _VERIFIED_CACHE_MAX:
+        _VERIFIED_CACHE.pop(next(iter(_VERIFIED_CACHE)))
+
+
+def _minhash_verified(
+    sf_dir: str, num_perm: int, bands: int, shingle_k: int
+) -> pa.Table:
+    """All LSH candidate pairs with their EXACT Jaccard (no threshold filter)
+    — every stage distributed, verify via the fused 2-shuffle route join."""
+    bands_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
+        batch_format="pandas",
+        batch_size=4096,  # signatures are batch-vectorized — bigger is better
+        # autoscaling pool: scales to 8 on the bench cluster, fits the
+        # 4-cpu test cluster (a fixed 8 would deadlock actor placement)
+        concurrency=(1, 8),
+    )
+
+    # materialize the pair set (object store, not driver): it is consumed
+    # twice (demand rows + verify input) and must not recompute the band
+    # stage. Global pair dedup folds into the verify bucket (co-location).
+    pairs_ds = _pairs_from_buckets(
+        bands_ds, ["band", "band_hash"], "doc_id", global_dedup=False
+    ).materialize()
+    if pairs_ds.count() == 0:
+        return _EMPTY_JACCARD
+
+    def shingle_payload(sel: pd.DataFrame) -> list[bytes]:
+        return [a.tobytes() for a in _shingle_hashes_batch(sel["text"], shingle_k)]
+
+    def verify(m: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(m))
+        for i, (ba, bb) in enumerate(zip(m["_pay_a"], m["_pay_b"])):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jac[i] = 1.0 if union == 0 else inter / union
+        return pd.DataFrame(
+            {
+                "a": m["a"].to_numpy(dtype=np.int64),
+                "b": m["b"].to_numpy(dtype=np.int64),
+                "jaccard": np.round(jac, 6),
+            }
+        )
+
+    verified = _route_verify(
+        pairs_ds,
+        _docs(sf_dir, ["doc_id", "text"]),
+        {"text": ""},
+        shingle_payload,
+        verify,
+    )
+    t = _concat(verified)  # one row per candidate pair reaches the driver
+    if t.num_rows == 0:
+        return _EMPTY_JACCARD
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    ).combine_chunks()
 
 
 def minhash_lsh_pairs(
@@ -572,80 +660,23 @@ def minhash_lsh_pairs(
 
       signature+band explode (actor pool, seeded params in __init__)
       → groupby (band, band_hash) pair-emit (star pairs for hot buckets)
-      → pair-dedup groupby
-      → need-ids dataset → bucketed semi-join against docs on doc_id
-        → candidate shingle payloads (bytes), computed where the docs are
-      → attach payload to pairs on a (bucketed hash join), re-key on b,
-        attach the other side
-      → exact-Jaccard verify per batch.
+      → fused route/verify (``_route_verify``): payloads shuffled to the
+        docs' hash buckets, computed once per doc, routed to per-pair verify
+        buckets — 2 all-to-alls, global pair dedup folded in
+      → exact-Jaccard per pair, vectorized per verify bucket.
 
-    The one O(corpus) cost is the semi-join shuffle of doc text (moved once);
-    every later shuffle is candidate-proportional and distributed. Rows-only
-    oracle (no SQL form)."""
-    bands_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
-        batch_format="pandas",
-        batch_size=4096,  # signatures are batch-vectorized — bigger is better
-        # autoscaling pool: scales to 8 on the bench cluster, fits the
-        # 4-cpu test cluster (a fixed 8 would deadlock actor placement)
-        concurrency=(1, 8),
-    )
-
-    empty = pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-         "jaccard": pa.array([], pa.float64())}
-    )
-    # materialize the pair set (object store, not driver): it is consumed
-    # twice (need-ids + attach) and must not recompute the band stage.
-    # global_dedup folds into the first attach join (same-key co-location)
-    pairs_ds = _pairs_from_buckets(
-        bands_ds, ["band", "band_hash"], "doc_id", global_dedup=False
-    ).materialize()
-    if pairs_ds.count() == 0:
-        return empty
-
-    def shingle_payload(sel: pd.DataFrame) -> list[bytes]:
-        return [a.tobytes() for a in _shingle_hashes_batch(sel["text"], shingle_k)]
-
-    payload_ds = _bucketed_semijoin_payload(
-        _need_ids(pairs_ds),
-        _docs(sf_dir, ["doc_id", "text"]),
-        {"text": ""},
-        shingle_payload,
-    ).materialize()  # consumed by two attach joins; candidate-proportional
-
-    with_a = _attach_payload(
-        pairs_ds, payload_ds, "a", {"a": -1, "b": -1}, "sh_a",
-        dedup_pair_cols=["a", "b"],
-    )
-    with_ab = _attach_payload(
-        with_a, payload_ds, "b", {"a": -1, "b": -1, "sh_a": b""}, "sh_b"
-    )
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        jac = np.empty(len(batch))
-        for i, (ba, bb) in enumerate(zip(batch["sh_a"], batch["sh_b"])):
-            sa = np.frombuffer(ba, dtype=np.uint64)
-            sb = np.frombuffer(bb, dtype=np.uint64)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            jac[i] = 1.0 if union == 0 else inter / union
-        out = pd.DataFrame(
-            {
-                "a": batch["a"].to_numpy(),
-                "b": batch["b"].to_numpy(),
-                "jaccard": np.round(jac, 6),
-            }
-        )
-        return out[out["jaccard"] >= jaccard_threshold]
-
-    verified = with_ab.map_batches(verify, batch_format="pandas", batch_size=8192)
-    t = _concat(verified)  # only verified pairs ever reach the driver
-    if t.num_rows == 0:
-        return empty
-    return t.take(
-        pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    The one O(corpus) cost is the doc-keyed payload shuffle (text moved
+    once); every later exchange is candidate-proportional and distributed.
+    The verified candidate table (threshold-independent) is cached per
+    source-file identity, so pair listing and near-dup removal at different
+    thresholds share one computation. Rows-only oracle (no SQL form)."""
+    key = _source_key(sf_dir, "documents", "minhash", num_perm, bands, shingle_k)
+    t = _VERIFIED_CACHE.get(key)
+    if t is None:
+        t = _minhash_verified(sf_dir, num_perm, bands, shingle_k)
+        _cache_put(key, t)
+    return t.filter(
+        pc.greater_equal(t.column("jaccard"), pa.scalar(float(jaccard_threshold)))
     ).combine_chunks()
 
 
@@ -751,9 +782,10 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     possible pairs.
 
       signatures (actor pool) → materialize (8 B/doc, reused twice)
-      → band explode → bucket groupby pair-emit → pair-dedup groupby
-      → hamming verify via SHUFFLE JOIN: candidate signatures semi-joined
-        as a dataset, attached to pairs on a then on b — no candidate-keyed
+      → band explode → bucket groupby pair-emit
+      → fused route/verify (``_route_verify``): candidate signatures
+        shuffled by doc_id, routed to per-pair verify buckets, hamming
+        computed vectorized per bucket — 2 all-to-alls, no candidate-keyed
         map on the driver or in a broadcast.
 
     Rows-only oracle."""
@@ -785,37 +817,30 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     if pairs_ds.count() == 0:
         return empty
 
-    payload_ds = _bucketed_semijoin_payload(
-        _need_ids(pairs_ds),
-        sig_ds,
-        {"simhash": ""},
-        lambda sel: sel["simhash"].to_numpy(),
-    ).materialize()
-
-    with_a = _attach_payload(
-        pairs_ds, payload_ds, "a", {"a": -1, "b": -1}, "sig_a", out_fill="",
-        dedup_pair_cols=["a", "b"],
-    )
-    with_ab = _attach_payload(
-        with_a, payload_ds, "b", {"a": -1, "b": -1, "sig_a": ""}, "sig_b", out_fill=""
-    )
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
+    def verify(m: pd.DataFrame) -> pd.DataFrame:
+        if not len(m):
             return pd.DataFrame(
                 {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
                  "hamming": np.empty(0, np.int64)}
             )
-        sa = np.array([int(h, 16) for h in batch["sig_a"]], dtype=np.uint64)
-        sb = np.array([int(h, 16) for h in batch["sig_b"]], dtype=np.uint64)
-        x = (sa ^ sb).view(np.uint8).reshape(len(batch), 8)
+        sa = np.array([int(h, 16) for h in m["_pay_a"]], dtype=np.uint64)
+        sb = np.array([int(h, 16) for h in m["_pay_b"]], dtype=np.uint64)
+        x = (sa ^ sb).view(np.uint8).reshape(len(m), 8)
         ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
         out = pd.DataFrame(
-            {"a": batch["a"].to_numpy(), "b": batch["b"].to_numpy(), "hamming": ham}
+            {"a": m["a"].to_numpy(dtype=np.int64), "b": m["b"].to_numpy(dtype=np.int64),
+             "hamming": ham}
         )
         return out[out["hamming"] <= max_hamming]
 
-    verified = with_ab.map_batches(verify, batch_format="pandas", batch_size=8192)
+    verified = _route_verify(
+        pairs_ds,
+        sig_ds,
+        {"simhash": ""},
+        lambda sel: sel["simhash"].to_numpy(),
+        verify,
+        payload_fill="",
+    )
     t = _concat(verified)
     if t.num_rows == 0:
         return empty

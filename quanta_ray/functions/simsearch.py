@@ -232,10 +232,10 @@ def near_dup_cosine(
     ANY band — recall ≈ 1-(1-p^n_planes)^n_bands, p = 1-θ/π):
 
       band signatures (map_batches; planes re-derived from the seed in each
-      actor __init__ — no broadcast) → bucket groupby pair-emit → pair-dedup
-      groupby → exact-cosine verify via SHUFFLE JOIN: candidate vectors
-      semi-joined as a (vec_id, bytes) dataset and hash-joined onto the
-      pairs on a, then on b — no candidate vector matrix on the driver.
+      actor __init__ — no broadcast) → bucket groupby pair-emit → fused
+      route/verify (``dedup._route_verify``): candidate vectors shuffled by
+      vec_id, routed to per-pair verify buckets, exact cosine vectorized per
+      bucket (2 all-to-alls) — no candidate vector matrix on the driver.
 
     Default threshold 0.4: the synthetic embeddings are near-orthogonal
     (max off-diagonal cosine ≈0.5–0.6 at sf0.01/sf0.1), so the classic 0.95
@@ -256,7 +256,7 @@ def near_dup_cosine(
     ``_pairs_from_buckets`` bounds the damage but not the intent)."""
     import logging
 
-    from .dedup import _attach_payload, _bucketed_semijoin_payload, _need_ids, _pairs_from_buckets
+    from .dedup import _pairs_from_buckets, _route_verify
 
     dim_probe = _concat(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet").limit(1)
@@ -310,8 +310,8 @@ def near_dup_cosine(
     if n_candidates == 0:
         return empty
 
-    # (vec_id, normalized-vector bytes) — vectorized per batch; the semi-join
-    # then keeps only candidate rows, all off-driver
+    # (vec_id, normalized-vector bytes) — vectorized per batch; the fused
+    # route/verify then ships only candidate vectors, all off-driver
     def vec_bytes(batch: pa.Table) -> pd.DataFrame:
         ids, mat = _batch_matrix(batch)
         return pd.DataFrame(
@@ -319,36 +319,29 @@ def near_dup_cosine(
         )
 
     vb_ds = _emb(sf_dir).map_batches(vec_bytes, batch_format="pyarrow", batch_size=4096)
-    payload_ds = _bucketed_semijoin_payload(
-        _need_ids(pairs_ds),
-        vb_ds,
-        {"vb": b""},
-        lambda sel: sel["vb"].to_numpy(),
-    ).materialize()
 
-    with_a = _attach_payload(
-        pairs_ds, payload_ds, "a", {"a": -1, "b": -1}, "va",
-        dedup_pair_cols=["a", "b"],
-    )
-    with_ab = _attach_payload(
-        with_a, payload_ds, "b", {"a": -1, "b": -1, "va": b""}, "vb"
-    )
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
+    def verify(m: pd.DataFrame) -> pd.DataFrame:
+        if not len(m):
             return pd.DataFrame(
                 {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
                  "cosine": np.empty(0, np.float64)}
             )
-        ma = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["va"]])
-        mb = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["vb"]])
+        ma = np.stack([np.frombuffer(v, dtype=np.float64) for v in m["_pay_a"]])
+        mb = np.stack([np.frombuffer(v, dtype=np.float64) for v in m["_pay_b"]])
         cos = np.round((ma * mb).sum(axis=1), 4)
         out = pd.DataFrame(
-            {"a": batch["a"].to_numpy(), "b": batch["b"].to_numpy(), "cosine": cos}
+            {"a": m["a"].to_numpy(dtype=np.int64), "b": m["b"].to_numpy(dtype=np.int64),
+             "cosine": cos}
         )
         return out[out["cosine"] >= threshold]
 
-    verified = with_ab.map_batches(verify, batch_format="pandas", batch_size=8192)
+    verified = _route_verify(
+        pairs_ds,
+        vb_ds,
+        {"vb": b""},
+        lambda sel: sel["vb"].to_numpy(),
+        verify,
+    )
     t = _concat(verified)
     if t.num_rows == 0:
         return empty

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -34,6 +35,29 @@ def _concat(ds: rd.Dataset) -> pa.Table:
 # --- token counting -----------------------------------------------------------
 
 
+def _token_stats(toks: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-doc (n_tokens, n_unique_tokens, total_token_len) from a
+    Series of token lists: one explode + hash_array + lexsort dedupe for the
+    whole batch — no per-row ``set()``/``sum()`` lambdas in the hot path."""
+    toks = toks.reset_index(drop=True)
+    n_docs = len(toks)
+    n = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+    ex = toks.explode().dropna()
+    if not len(ex):
+        z = np.zeros(n_docs, dtype=np.int64)
+        return n, z, z
+    doc = ex.index.to_numpy()
+    total_len = np.bincount(
+        doc, weights=ex.str.len().to_numpy(dtype=np.float64), minlength=n_docs
+    ).astype(np.int64)
+    wh = pd.util.hash_array(ex.to_numpy(dtype=object))
+    order = np.lexsort((wh, doc))
+    d, h = doc[order], wh[order]
+    first = np.concatenate(([True], (d[1:] != d[:-1]) | (h[1:] != h[:-1])))
+    uniq = np.bincount(d[first], minlength=n_docs).astype(np.int64)
+    return n, uniq, total_len
+
+
 class TokenCounter:
     """Word-token counts per document. Regex compiled once per actor
     (reference pattern: stateful setup in __init__, work per batch)."""
@@ -44,10 +68,14 @@ class TokenCounter:
         self.word = re.compile(r"[A-Za-z0-9]+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.findall(self.word)
-        batch["n_tokens"] = toks.str.len().astype("int64")
-        batch["n_unique_tokens"] = toks.map(lambda ws: len(set(ws))).astype("int64")
-        return batch[["doc_id", "n_tokens", "n_unique_tokens"]]
+        n, uniq, _ = _token_stats(batch["text"].str.findall(self.word))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_tokens": n,
+                "n_unique_tokens": uniq,
+            }
+        )
 
 
 def token_counts(sf_dir: str) -> pa.Table:
@@ -81,17 +109,15 @@ def quality_scores(sf_dir: str) -> pa.Table:
             self.word = re.compile(r"[A-Za-z0-9]+")
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            toks = batch["text"].str.findall(self.word)
-            n = toks.str.len().astype("int64")
-            uniq = toks.map(lambda ws: len(set(ws))).astype("int64")
-            total_len = toks.map(lambda ws: sum(map(len, ws))).astype("int64")
+            n, uniq, total_len = _token_stats(batch["text"].str.findall(self.word))
+            n_safe = np.maximum(n, 1)
             out = pd.DataFrame(
                 {
-                    "doc_id": batch["doc_id"],
-                    "n_chars_text": batch["text"].str.len().astype("int64"),
+                    "doc_id": batch["doc_id"].to_numpy(),
+                    "n_chars_text": batch["text"].str.len().to_numpy(dtype=np.int64),
                     "n_tokens": n,
-                    "ttr": (uniq / n.clip(lower=1)).round(6),
-                    "mean_token_len": (total_len / n.clip(lower=1)).round(6),
+                    "ttr": np.round(uniq / n_safe, 6),
+                    "mean_token_len": np.round(total_len / n_safe, 6),
                 }
             )
             return out
@@ -129,7 +155,7 @@ def fingerprints(sf_dir: str) -> pa.Table:
         batch["md5"] = batch["text"].map(
             lambda s: hashlib.md5(s.encode()).hexdigest()
         )
-        batch["rhash"] = batch["text"].map(_rolling_hash_py).astype("uint64")
+        batch["rhash"] = _rolling_hash_batch(batch["text"])
         return batch[["doc_id", "md5", "rhash"]]
 
     out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -140,9 +166,45 @@ def fingerprints(sf_dir: str) -> pa.Table:
 
 
 def _rolling_hash_py(s: str, base: int = 1000003, mod: int = (1 << 61) - 1) -> int:
+    """Reference form (per-char Python): kept as the parity pin for the
+    vectorized ``_rolling_hash_batch``."""
     h = 0
     for ch in s.encode():
         h = (h * base + ch) % mod
+    return h
+
+
+def _rolling_hash_batch(texts: pd.Series, base: int = 1000003) -> np.ndarray:
+    """Vectorized ``_rolling_hash_py`` over a batch: Horner's rule walks CHAR
+    POSITIONS (≈ max doc length iterations), each step a handful of uint64
+    vector ops across ALL docs — no per-char Python. Identical values.
+
+    Modular arithmetic stays inside uint64 by splitting h = h1·2³¹ + h0 and
+    reducing h1·base·2³¹ with the Mersenne identity 2⁶¹ ≡ 1 (mod 2⁶¹−1)."""
+    P = np.uint64((1 << 61) - 1)
+    enc = [s.encode() for s in texts]
+    n = len(enc)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, b in enumerate(enc):
+        buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.zeros(n, dtype=np.uint64)
+    base_u = np.uint64(base)
+    m30, m31, s30, s31, s61 = (
+        np.uint64((1 << 30) - 1), np.uint64((1 << 31) - 1),
+        np.uint64(30), np.uint64(31), np.uint64(61),
+    )
+    for j in range(maxlen):
+        h1 = h >> s31                       # < 2^30
+        t = h1 * base_u                     # < 2^50
+        t = ((t & m30) << s31) + (t >> s30)  # t·2^31 mod P, < 2^61 + 2^20
+        nh = t + (h & m31) * base_u + buf[:, j].astype(np.uint64)  # < 2^62
+        nh = (nh & P) + (nh >> s61)
+        nh = np.where(nh >= P, nh - P, nh)
+        h = np.where(j < lens, nh, h)
     return h
 
 

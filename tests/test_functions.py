@@ -407,3 +407,33 @@ def test_shingle_batch_matches_per_doc():
     got = _shingle_hashes_batch(pd.Series(texts), 3)
     for t, g in zip(texts, got):
         assert np.array_equal(g, _shingle_hashes(t, 3)), t
+
+
+def test_vectorized_text_kernels_match_reference():
+    """The batch-vectorized rolling hash and token stats must equal their
+    per-row reference forms (hot-path rewrites; values are load-bearing —
+    rhash feeds dedup, token stats feed the SQL-checked quality queries)."""
+    import re
+
+    import pandas as pd
+
+    from quanta_ray.functions.text import (
+        _rolling_hash_batch,
+        _rolling_hash_py,
+        _token_stats,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = "alpha beta Gamma delta42 x 7 éé".split()
+    texts = ["", "a", "\x00", "ünïcödé tèxt", "x" * 2500]
+    for _ in range(40):
+        texts.append(" ".join(rng.choice(vocab, size=rng.integers(0, 80))))
+    s = pd.Series(texts)
+    got = _rolling_hash_batch(s)
+    assert (got == np.array([_rolling_hash_py(t) for t in texts], dtype=np.uint64)).all()
+    toks = s.str.findall(re.compile(r"[A-Za-z0-9]+"))
+    n, uniq, tot = _token_stats(toks)
+    for i, ws in enumerate(toks):
+        assert n[i] == len(ws)
+        assert uniq[i] == len(set(ws))
+        assert tot[i] == sum(map(len, ws))

@@ -79,6 +79,12 @@ def _doc_frame_samples(sf_dir: str) -> Any:
     return doc_frame_samples(sf_dir)
 
 
+def _emb_kmeans(sf_dir: str) -> Any:
+    from quanta_ray.functions.cluster import kmeans_embeddings
+
+    return kmeans_embeddings(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from quanta_ray.functions import dedup, simsearch, text
     from quanta_ray.pipelines import batch_cep, relational
@@ -113,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_parts_by_price": relational.top_parts_by_price,
         "rel_region_revenue": relational.region_revenue,
         "rel_customer_order_stats": relational.customer_order_stats,
+        "rel_asof_latest_order": relational.asof_latest_order,
         # --- text analysis ---
         "doc_token_counts": text.token_counts,
         "doc_quality_scores": text.quality_scores,
@@ -124,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": text.length_histogram,
         "doc_pii_scrub": text.pii_scrub,
         "doc_script_stats": text.script_stats,
+        "doc_length_quantiles": text.length_quantiles,
         # --- dedup family ---
         "doc_dedup_exact": dedup.dedup_exact,
         "doc_dedup_exact_fast": dedup.dedup_exact_fast,
@@ -135,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_bruteforce": simsearch.knn_bruteforce,
         "emb_knn_ivf": simsearch.knn_ivf,
         "emb_near_dup_cosine": simsearch.near_dup_cosine,
+        "emb_kmeans": _emb_kmeans,
         # --- multimodal plumbing (stubbed decode; rows-only) ---
         "mm_media_features": _media_features,
         "mm_doc_media_features": _doc_media_features,
@@ -171,6 +180,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": text.PII_SCRUB_SQL,
         "rel_region_revenue": relational.REGION_REVENUE_SQL,
         "rel_customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
+        "rel_asof_latest_order": relational.ASOF_LATEST_ORDER_SQL,
+        "doc_length_quantiles": text.LENGTH_QUANTILES_SQL,
         "doc_quality_scores": text.QUALITY_SCORES_SQL,
         "doc_fingerprint_md5": text.FINGERPRINTS_MD5_SQL,
         "doc_lang_stats": text.LANG_STATS_SQL,

@@ -1,0 +1,105 @@
+"""Embedding clustering — spherical k-means, iterative Lloyd over Ray Data.
+
+The canonical iterative-ML-at-scale pattern on this engine:
+
+- per iteration, the k×d centroid matrix is broadcast ONCE via ``ray.put``
+  (every map task reads it zero-copy from the object store — never
+  re-shipped per batch);
+- ``map_batches`` computes per-batch PARTIAL sums/counts per centroid
+  (vectorized: one matmul + per-dimension ``bincount``);
+- a bucketed reduce collapses the partials to k rows (shuffle volume =
+  k × #batches rows, never the corpus), and the driver touches only k×d
+  floats per iteration;
+- assignment is a final stateless map.
+
+Deterministic: seeded sample init + fixed iteration count → rows-only
+check (iterative refinement has no SQL form); pinned by a planted-cluster
+pytest. Dimensions are carried as ``s0..s{d-1}`` float columns through the
+reduce — fine for embedding dims up to a few thousand; a fixed-size-list
+Arrow sum kernel is the swap-in past that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .simsearch import _batch_matrix, _concat, _emb
+
+
+def _partials_fn(cref, k: int, d: int):
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, mat = _batch_matrix(batch)
+        c = ray.get(cref)  # zero-copy object-store read, once per task call
+        if len(mat) == 0:
+            return pd.DataFrame(
+                {"cluster": np.empty(0, np.int64), "cnt": np.empty(0, np.int64),
+                 **{f"s{j}": np.empty(0, np.float64) for j in range(d)}}
+            )
+        a = np.argmax(mat @ c.T, axis=1)
+        cnt = np.bincount(a, minlength=k)
+        cols = {
+            "cluster": np.arange(k, dtype=np.int64),
+            "cnt": cnt.astype(np.int64),
+        }
+        for j in range(d):
+            cols[f"s{j}"] = np.bincount(a, weights=mat[:, j], minlength=k)
+        return pd.DataFrame(cols)
+
+    return partial
+
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = 8, iters: int = 5, seed: int = 11
+) -> pa.Table:
+    """(vec_id, cluster) assignment after ``iters`` Lloyd iterations of
+    spherical k-means (unit-normalized vectors, cosine assignment)."""
+    from ..bucket import bucketed_group_agg
+
+    sample = _concat(_emb(sf_dir).limit(2048))
+    _, mat0 = _batch_matrix(sample)
+    if len(mat0) == 0:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+        )
+    d = mat0.shape[1]
+    k = min(k, len(mat0))
+    rng = np.random.default_rng(seed)
+    centroids = mat0[rng.choice(len(mat0), size=k, replace=False)].copy()
+
+    agg_spec = {"cnt": ("cnt", "sum"), **{f"s{j}": (f"s{j}", "sum") for j in range(d)}}
+    for _ in range(iters):
+        cref = ray.put(centroids)
+        parts = _emb(sf_dir).map_batches(
+            _partials_fn(cref, k, d), batch_format="pyarrow", batch_size=4096
+        )
+        red = _concat(bucketed_group_agg(parts, ["cluster"], agg_spec, num_buckets=8))
+        df = red.to_pandas().set_index("cluster").sort_index()
+        sums = df[[f"s{j}" for j in range(d)]].to_numpy()
+        cnt = df["cnt"].to_numpy()
+        new = centroids.copy()
+        nz = cnt > 0
+        new[df.index.to_numpy()[nz]] = sums[nz] / cnt[nz, None]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        centroids = new / norms
+
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        ids, mat = _batch_matrix(batch)
+        c = ray.get(cref)
+        a = (
+            np.argmax(mat @ c.T, axis=1)
+            if len(mat)
+            else np.empty(0, np.int64)
+        )
+        return pd.DataFrame(
+            {"vec_id": ids.astype(np.int64), "cluster": a.astype(np.int64)}
+        )
+
+    out = _concat(_emb(sf_dir).map_batches(assign, batch_format="pyarrow", batch_size=4096))
+    return out.take(pc.sort_indices(out, sort_keys=[("vec_id", "ascending")]))

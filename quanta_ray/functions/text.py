@@ -522,3 +522,63 @@ SELECT doc_id,
             + len(regexp_extract_all(text, '[0-9][0-9 ()+.-]{7,}[0-9]')) AS BIGINT) AS n_redactions
 FROM documents ORDER BY doc_id
 """
+
+
+# --- exact distributed percentiles --------------------------------------------
+
+
+def length_quantiles(sf_dir: str, qs: tuple[int, ...] = (50, 90, 99)) -> pa.Table:
+    """EXACT distributed percentiles of document length (``n_chars``) —
+    the value-domain counting form that stays exact at any corpus size:
+
+      per-batch value counts (pandas groupby, vectorized partial)
+      → bucketed count reduction keyed by VALUE (shuffle volume = number of
+        distinct lengths, never the corpus)
+      → driver cumsum over the tiny distinct-value table; the q-th
+        percentile is the smallest value v with count(<= v) * 100 >= q * n
+        (integer arithmetic on both engine and oracle side, so float
+        rounding can never flip the comparison).
+
+    ``qs`` are integer percents. SQL-checkable via a window-function oracle
+    with the same integer inequality."""
+    from ..bucket import bucketed_group_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("n_chars", as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    parts = _docs(sf_dir, ["n_chars"]).map_batches(
+        partial, batch_format="pandas", batch_size=16384
+    )
+    agg = _concat(bucketed_group_agg(parts, ["n_chars"], dict(cnt=("cnt", "sum"))))
+    df = agg.to_pandas().sort_values("n_chars").reset_index(drop=True)
+    vals = df["n_chars"].to_numpy(dtype=np.int64)
+    cum = df["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_v = []
+    for q in qs:
+        if n == 0:
+            out_v.append(0)
+            continue
+        idx = int(np.searchsorted(cum * 100, q * n, side="left"))
+        out_v.append(int(vals[min(idx, len(vals) - 1)]))
+    return pa.table(
+        {
+            "q": pa.array([int(q) for q in qs], pa.int64()),
+            "n_chars": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+LENGTH_QUANTILES_SQL = """
+SELECT q, min(v) AS n_chars
+FROM (
+  SELECT n_chars AS v,
+         count(*) OVER (ORDER BY n_chars) AS c,
+         (SELECT count(*) FROM documents) AS n
+  FROM documents
+) CROSS JOIN (VALUES (50), (90), (99)) t(q)
+WHERE c * 100 >= q * n
+GROUP BY q
+ORDER BY q
+"""

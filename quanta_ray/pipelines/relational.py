@@ -603,3 +603,143 @@ SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
 FROM orders GROUP BY 1 HAVING count(*) >= 5
 ORDER BY o_custkey
 """
+
+
+# --- AS-OF join: events ⋈ latest prior order ---------------------------------
+
+
+def asof_latest_order(sf_dir: str, buckets: int = 32) -> pa.Table:
+    """AS-OF join — the time-series point-in-time lookup Ray Data lacks
+    natively: each event ⋈ the latest order of the same user with
+    o_orderdate <= event ts (tie on o_orderdate broken by max o_orderkey,
+    making the result deterministic where SQL ASOF would be ambiguous).
+
+    Distributed shape: hash-bucket BOTH sides on the user key (one
+    all-to-all moving only pruned columns), then per bucket one vectorized
+    ``pd.merge_asof`` (per-key via ``by=``) over bucket-locally time-sorted
+    frames. Partitioning assumption: every row of one user lands in one
+    bucket; no global sort is needed. Left-outer semantics: events with no
+    prior order keep nulls."""
+    import numpy as np
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def tag_ev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("Int64"),
+                "ts": b["ts"].astype("datetime64[us]"),
+                "user_id": b["user_id"].astype("Int64"),
+                "o_orderkey": pd.array([pd.NA] * len(b), dtype="Int64"),
+                "o_orderdate": pd.Series(
+                    pd.NaT, index=b.index, dtype="datetime64[us]"
+                ),
+                "o_totalprice": np.nan,
+                "_side": np.int64(0),
+                "_bucket": (
+                    pd.util.hash_array(b["user_id"].to_numpy(dtype=np.int64)) % buckets
+                ).astype(np.int64),
+            }
+        )
+
+    def tag_od(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": pd.array([pd.NA] * len(b), dtype="Int64"),
+                "ts": pd.Series(pd.NaT, index=b.index, dtype="datetime64[us]"),
+                "user_id": b["o_custkey"].astype("Int64"),
+                "o_orderkey": b["o_orderkey"].astype("Int64"),
+                "o_orderdate": b["o_orderdate"].astype("datetime64[us]"),
+                "o_totalprice": b["o_totalprice"].astype(np.float64),
+                "_side": np.int64(1),
+                "_bucket": (
+                    pd.util.hash_array(b["o_custkey"].to_numpy(dtype=np.int64)) % buckets
+                ).astype(np.int64),
+            }
+        )
+
+    both = events.map_batches(tag_ev, batch_format="pandas").union(
+        orders.map_batches(tag_od, batch_format="pandas")
+    )
+
+    out_cols = ["event_id", "user_id", "last_orderkey", "last_orderdate", "last_totalprice"]
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["_side"] == 0]
+        if not len(ev):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], dtype="Int64"),
+                    "user_id": pd.array([], dtype="Int64"),
+                    "last_orderkey": pd.array([], dtype="Int64"),
+                    "last_orderdate": pd.Series([], dtype="datetime64[us]"),
+                    "last_totalprice": pd.Series([], dtype="float64"),
+                }
+            )
+        ev = (
+            pd.DataFrame(
+                {
+                    "event_id": ev["event_id"].astype("int64"),
+                    "ts": ev["ts"],
+                    "user_id": ev["user_id"].astype("int64"),
+                }
+            )
+            .sort_values("ts", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        od = g[g["_side"] == 1]
+        od = (
+            pd.DataFrame(
+                {
+                    "user_id": od["user_id"].astype("int64"),
+                    "o_orderdate": od["o_orderdate"],
+                    "o_orderkey": od["o_orderkey"].astype("int64"),
+                    "o_totalprice": od["o_totalprice"].astype("float64"),
+                }
+            )
+            # merge_asof keeps the LAST right row among equal on-keys, so
+            # sorting by (date, orderkey) realizes the max-orderkey tiebreak
+            .sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        m = pd.merge_asof(
+            ev,
+            od,
+            left_on="ts",
+            right_on="o_orderdate",
+            by="user_id",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("Int64"),
+                "user_id": m["user_id"].astype("Int64"),
+                "last_orderkey": pd.array(m["o_orderkey"], dtype="Int64"),
+                "last_orderdate": m["o_orderdate"].astype("datetime64[us]"),
+                "last_totalprice": m["o_totalprice"],
+            }
+        )
+
+    out = both.groupby("_bucket").map_groups(asof, batch_format="pandas")
+    t = _concat(out).select(out_cols)
+    return t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
+
+
+ASOF_LATEST_ORDER_SQL = """
+SELECT e.event_id, e.user_id,
+       o.o_orderkey   AS last_orderkey,
+       o.o_orderdate  AS last_orderdate,
+       o.o_totalprice AS last_totalprice
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_orderdate, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 1
+) o ON true
+ORDER BY event_id
+"""

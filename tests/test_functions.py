@@ -2,6 +2,7 @@
 search vs a numpy ground truth, multimodal plumbing."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -437,3 +438,78 @@ def test_vectorized_text_kernels_match_reference():
         assert n[i] == len(ws)
         assert uniq[i] == len(set(ws))
         assert tot[i] == sum(map(len, ws))
+
+
+def test_kmeans_recovers_planted_clusters(ray_session, tmp_path_factory):
+    """Three well-separated planted clusters must come back as three pure
+    clusters (spherical k-means is deterministic: seeded init, fixed
+    iterations)."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.functions.cluster import kmeans_embeddings
+
+    d = tmp_path_factory.mktemp("kmeans_emb")
+    rng = np.random.default_rng(3)
+    centers = np.eye(3, 8) * 10.0
+    mat = np.vstack(
+        [centers[i] + 0.05 * rng.standard_normal((20, 8)) for i in range(3)]
+    ).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(60), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], type=pa.list_(pa.float32())),
+            "label": pa.array([i // 20 for i in range(60)], type=pa.int32()),
+        }
+    )
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    out = kmeans_embeddings(str(d), k=3, iters=5)
+    cl = out.column("cluster").to_pylist()
+    groups = [set(cl[0:20]), set(cl[20:40]), set(cl[40:60])]
+    assert all(len(g) == 1 for g in groups)  # each planted cluster is pure
+    assert len(set().union(*groups)) == 3    # and they are distinct
+    assert out.equals(kmeans_embeddings(str(d), k=3, iters=5))  # deterministic
+
+
+def test_asof_join_nulls_and_ties(ray_session, tmp_path_factory):
+    """AS-OF semantics pinned: backward lookup, max-orderkey tiebreak on
+    equal dates, and left-outer nulls for users with no prior order."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.pipelines.relational import asof_latest_order
+
+    d = tmp_path_factory.mktemp("asof")
+    ts = lambda s: pd.Timestamp(s)
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "ts": pa.array(
+                [ts("2024-01-10"), ts("2024-01-02"), ts("2024-01-10"), ts("2024-01-10")],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7, 7, 8, 9], type=pa.int64()),
+            "event_type": ["a"] * 4,
+            "value": [0.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    od = pa.table(
+        {
+            "o_orderkey": pa.array([100, 101, 102, 200], type=pa.int64()),
+            "o_custkey": pa.array([7, 7, 7, 8], type=pa.int64()),
+            "o_orderstatus": ["O"] * 4,
+            "o_totalprice": pa.array([10.0, 11.0, 12.0, 20.0], type=pa.float64()),
+            "o_orderdate": pa.array(
+                # 101 and 102 tie on the date; 102 has the higher key
+                [ts("2024-01-01"), ts("2024-01-05"), ts("2024-01-05"), ts("2024-01-20")],
+                type=pa.timestamp("us"),
+            ),
+            "o_orderpriority": ["1"] * 4,
+        }
+    )
+    pq.write_table(ev, str(d / "events.parquet"))
+    pq.write_table(od, str(d / "orders.parquet"))
+    out = asof_latest_order(str(d)).to_pandas().set_index("event_id")
+    assert out.loc[1, "last_orderkey"] == 102  # tie -> max orderkey
+    assert out.loc[2, "last_orderkey"] == 100  # backward from 01-02
+    assert pd.isna(out.loc[3, "last_orderkey"])  # user 8's order is in the future
+    assert pd.isna(out.loc[4, "last_orderkey"])  # user 9 has no orders at all

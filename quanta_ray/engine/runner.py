@@ -79,7 +79,8 @@ def partition_ids(conv_ids: np.ndarray, num_partitions: int) -> np.ndarray:
 
 
 def _write_turns_impl(
-    out_dir: str, epoch: int, group: int, slow_s: float, *parts: pa.Table
+    out_dir: str, epoch: int, group: int, slow_s: float, barrier_epoch: int,
+    *parts: pa.Table
 ) -> dict | None:
     """Write one partition-group's slice of the pass-through "turns" stream.
 
@@ -102,6 +103,18 @@ def _write_turns_impl(
         import time as _t
 
         _t.sleep(slow_s)
+    if barrier_epoch >= 0:
+        # deterministic straggler (fault injection): hold this write until a
+        # LATER epoch's turns data files exist on disk, so an out-of-order
+        # completion is guaranteed regardless of host speed. Bounded poll —
+        # on timeout the write proceeds (test then fails visibly, no hang).
+        import glob as _glob
+        import time as _t
+
+        deadline = _t.monotonic() + 120.0
+        pat = os.path.join(out_dir, "data", "turns", f"part-*-{barrier_epoch:08d}.parquet")
+        while _t.monotonic() < deadline and not _glob.glob(pat):
+            _t.sleep(0.05)
     nonempty = [p for p in parts if p.num_rows]
     if not nonempty:  # a group's slice can be entirely late-dropped
         return None
@@ -489,6 +502,10 @@ class StreamingRunner:
         def ooo_poll() -> None:
             """Mark epochs whose tasks all finished as resolved; commit the
             contiguous prefix (manifests stay strictly ordered)."""
+            nonlocal max_uncommitted_seen
+            # high-water mark BEFORE draining commits: records how far
+            # dispatch ran ahead of the commit frontier at this instant
+            max_uncommitted_seen = max(max_uncommitted_seen, len(inflight))
             for ei in list(epoch_refs):
                 refs = epoch_refs[ei]
                 _done, rem = ray.wait(
@@ -654,14 +671,23 @@ class StreamingRunner:
             # parts[p] = this epoch's fragment tables for partition p, in
             # arrival (fragment) order
             parts = [[frefs[fi][1 + p] for fi in range(F)] for p in range(P)]
+            straggle = spec.sink.options.get("debug_slow_write_epoch") == e
             slow_s = (
                 float(spec.sink.options.get("debug_slow_write_s", 0.0))
-                if spec.sink.options.get("debug_slow_write_epoch") == e
+                if straggle
                 else 0.0
+            )
+            barrier = (
+                int(spec.sink.options.get("debug_write_barrier_until_epoch", -1))
+                if straggle
+                else -1
             )
             turns_refs = [
                 _write_turns.remote(
                     self.out_dir, e, g, slow_s,
+                    # barrier on one group only: enough to hold the epoch's
+                    # completion, without occupying G task slots polling
+                    barrier if g == 0 else -1,
                     *[t for p in range(g, P, G) for t in parts[p]],
                 )
                 for g in range(G)

@@ -31,11 +31,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..schema import read_parquet_clean as _read_pq
+
 MERSENNE = (1 << 61) - 1
 
 
 def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return _read_pq(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _concat(ds: rd.Dataset) -> pa.Table:

@@ -25,6 +25,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from ..schema import read_parquet_clean as _read_pq
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -177,7 +179,7 @@ def media_from_documents(sf_dir: str) -> rd.Dataset:
             schema=MEDIA_SCHEMA,
         )
 
-    return rd.read_parquet(
+    return _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
     ).map_batches(project, batch_format="pyarrow", batch_size=1024)
 

@@ -19,9 +19,11 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..schema import from_pandas as _from_pandas, read_parquet_clean as _read_pq
+
 
 def _emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _read_pq(f"{sf_dir}/embeddings.parquet")
 
 
 def _concat(ds: rd.Dataset) -> pa.Table:
@@ -60,7 +62,7 @@ def knn_bruteforce(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: in
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
-    qt = rd.read_parquet(
+    qt = _read_pq(
         f"{sf_dir}/embeddings.parquet",
         filter=pads.field("vec_id").isin(list(query_ids)),
     )
@@ -108,10 +110,7 @@ def knn_bruteforce(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: in
     df = df.groupby("query_id", as_index=False).head(k)
     df["rank"] = df.groupby("query_id").cumcount() + 1
     df["cosine"] = df["cosine"].round(4)
-    return pa.Table.from_pandas(
-        df[["query_id", "rank", "neighbor_id", "cosine"]].reset_index(drop=True),
-        preserve_index=False,
-    )
+    return _from_pandas(df[["query_id", "rank", "neighbor_id", "cosine"]].reset_index(drop=True))
 
 
 KNN_BRUTEFORCE_SQL = """
@@ -167,7 +166,7 @@ def knn_ivf(
     import pyarrow.dataset as pads
 
     q_tbl = _concat(
-        rd.read_parquet(
+        _read_pq(
             f"{sf_dir}/embeddings.parquet",
             filter=pads.field("vec_id").isin(list(query_ids)),
         )
@@ -211,10 +210,7 @@ def knn_ivf(
     df = df.groupby("query_id", as_index=False).head(k)
     df["rank"] = df.groupby("query_id").cumcount() + 1
     df["cosine"] = df["cosine"].round(4)
-    return pa.Table.from_pandas(
-        df[["query_id", "rank", "neighbor_id", "cosine"]].reset_index(drop=True),
-        preserve_index=False,
-    )
+    return _from_pandas(df[["query_id", "rank", "neighbor_id", "cosine"]].reset_index(drop=True))
 
 
 def near_dup_cosine(
@@ -259,7 +255,7 @@ def near_dup_cosine(
     from .dedup import _pairs_from_buckets, _route_verify
 
     dim_probe = _concat(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet").limit(1)
+        _read_pq(f"{sf_dir}/embeddings.parquet").limit(1)
     )
     dim = len(dim_probe.column("embedding")[0].as_py())
 

@@ -20,9 +20,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..schema import from_pandas as _from_pandas, read_parquet_clean as _read_pq
+
 
 def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return _read_pq(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _concat(ds: rd.Dataset) -> pa.Table:
@@ -411,7 +413,7 @@ def token_topk(sf_dir: str, k: int = 50) -> pa.Table:
     )
     df = _concat(local).to_pandas()
     df = df.sort_values(["n", "token"], ascending=[False, True]).head(k)
-    t = pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    t = _from_pandas(df.reset_index(drop=True))
     return pa.Table.from_arrays(
         [t.column("token"), t.column("n").cast(pa.int64())], names=["token", "n"]
     )

@@ -25,12 +25,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..schema import from_pandas as _from_pandas, read_parquet_clean as _read_pq
+
 US = 1_000_000
 HOUR_US = 3600 * US
 
 
 def _events(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return _read_pq(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def _w_start_us(ts_us: np.ndarray, size_us: int) -> np.ndarray:
@@ -77,7 +79,7 @@ def tumbling_agg(sf_dir: str, size_us: int = HOUR_US, salt: int = 0) -> pa.Table
             min_ts_us=("ts_us", "min"),
             max_ts_us=("ts_us", "max"),
         )
-        return pa.Table.from_pandas(g.drop(columns=["_salt"] if salt else []), preserve_index=False)
+        return _from_pandas(g.drop(columns=["_salt"] if salt else []))
 
     from ..bucket import bucketed_group_agg
 
@@ -155,7 +157,7 @@ def sliding_agg(
         g = df.groupby(["user_id", "w_start_us"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     from ..bucket import bucketed_group_agg
 
@@ -396,7 +398,7 @@ def topk_users(sf_dir: str, k: int = 10) -> pa.Table:
             }
         )
         g = df.groupby("user_id", as_index=False)["value"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     from ..bucket import bucketed_group_agg
 
@@ -413,7 +415,7 @@ def topk_users(sf_dir: str, k: int = 10) -> pa.Table:
     )
     df = _concat(local).to_pandas()
     df = df.sort_values(["total_value", "user_id"], ascending=[False, True]).head(k)
-    t = pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    t = _from_pandas(df.reset_index(drop=True))
     return pa.Table.from_arrays(
         [t.column("user_id"), pc.round(t.column("total_value"), 6)],
         names=["user_id", "total_value"],
@@ -487,7 +489,7 @@ def type_hourly_stats(sf_dir: str) -> pa.Table:
             min_value=("value", "min"),
             max_value=("value", "max"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     from ..bucket import bucketed_group_agg
 
@@ -703,7 +705,7 @@ def consistent_sample(sf_dir: str, k: int = 100) -> pa.Table:
     )
     df = _concat(ds).to_pandas().sort_values("_skey").head(k)
     df = df.drop(columns=["_skey"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _from_pandas(df)
 
 
 CONSISTENT_SAMPLE_SQL = """

@@ -20,9 +20,11 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..schema import from_pandas as _from_pandas, read_parquet_clean as _read_pq
+
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return _read_pq(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 def _concat(ds: rd.Dataset) -> pa.Table:
@@ -80,7 +82,7 @@ def pricing_summary(sf_dir: str) -> pa.Table:
             sum_charge=("charge", "sum"),
             count_order=("qty", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -346,11 +348,13 @@ def orders_of_top_customers(sf_dir: str, min_acctbal: float = 5000.0) -> pa.Tabl
     else:
         import pyarrow.dataset as pads
 
-        keys_ds = rd.read_parquet(
+        # the filter column must be in the read schema for the scanner to
+        # bind it; project it away immediately after the filtered read
+        keys_ds = _read_pq(
             f"{sf_dir}/customer.parquet",
-            columns=["c_custkey"],
+            columns=["c_custkey", "c_acctbal"],
             filter=(pads.field("c_acctbal") > pads.scalar(min_acctbal)),
-        )
+        ).select_columns(["c_custkey"])
         joined = _bucket_join(orders, keys_ds, "o_custkey", "c_custkey", 16)
         out = joined.map_batches(
             lambda df: df[["o_orderkey", "o_custkey", "o_totalprice"]],
@@ -418,7 +422,7 @@ def shipped_qty_by_flag(sf_dir: str, before: str = "1997-01-01") -> pa.Table:
     """Filter (predicate pushed to the parquet read) + grouped aggregate."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_shipdate"],
         filter=(pads.field("l_shipdate") < pads.scalar(pd.Timestamp(before))),

@@ -86,3 +86,32 @@ JOIN_SCHEMA = pa.schema(
         ("matched", pa.bool_()),
     ]
 )
+
+
+def from_pandas(df) -> pa.Table:
+    """``pa.Table.from_pandas`` minus the auto-attached pandas schema
+    metadata. The metadata dict makes the resulting ``pa.Schema`` unhashable,
+    which defeats Ray Data's schema-dedup early exit when unifying output
+    blocks (it logs 'Failed to hash the schemas' and falls through to the
+    slow unify path in every map worker). Stripping is metadata-only —
+    zero-copy on the column buffers."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def read_parquet_clean(paths, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with the file's embedded pandas metadata
+    stripped via an explicit ``schema=``. Parquet written by pandas embeds a
+    'pandas' metadata dict in the file schema; blocks read from such files
+    carry it into every downstream schema-unify, where the unhashable dict
+    defeats Ray Data's schema-dedup early exit ('Failed to hash the
+    schemas' in every coalescing worker). One footer read on the driver;
+    column projection still prunes at the scan."""
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+
+    first = paths[0] if isinstance(paths, (list, tuple)) else paths
+    schema = _pq.read_schema(first).remove_metadata()
+    if columns is not None:
+        # Ray expects schema to describe the PROJECTED columns
+        schema = pa.schema([schema.field(c) for c in columns])
+    return _rd.read_parquet(paths, columns=columns, schema=schema, **kwargs)

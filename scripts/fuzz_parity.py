@@ -1,0 +1,171 @@
+"""Engine-vs-oracle soak fuzz: random streams × random CEP configs ×
+random execution geometry, full-stream parity on all five output streams.
+
+Dimensions randomized per trial (the recorded fuzz config):
+  stream geometry   n_convs, n_epochs, p_late, seed, row_group_size
+  CEP config        lateness, tumbling, sliding, session gap, join bound
+  partitioning      P ∈ {2,3,5}, fragment_rows ∈ {100, 131072}
+  migration         rebalance_every ∈ {0,1,2} (cost-EMA partition moves)
+  checkpointing     checkpoint_every ∈ {1,2,4}
+  commit mode       ooo_commit ∈ {False, True}  (out-of-order completion
+                    window + contiguous-prefix commit)
+  transformer chain normalize | normalize+fanout (1→2) | drop_role+normalize
+                    | normalize+retry_odd (per-row RETRY/DROP status col)
+
+Usage: python scripts/fuzz_parity.py [n_trials] [master_seed]
+Prints one line per trial and a final ``FAILS: n``.
+"""
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+if not ray.is_initialized():
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+
+from quanta_ray.config import CEPConfig, PipelineSpec, SourceSpec, StageSpec, US
+from quanta_ray.engine import StreamingRunner
+from quanta_ray.fixtures import TranscriptParams, generate_transcripts, write_stream
+from quanta_ray.oracle import run_oracle
+from quanta_ray.sinks.exactly_once import read_committed
+from quanta_ray.stages import NormalizeStage, RetryingStage
+from quanta_ray.stages.transforms import DropRoleStage, FanoutStage, RetryOddStage
+
+SORT_KEYS = {
+    "turns": ["conv_id", "turn_idx"],
+    "tumbling": ["conv_id", "w_start"],
+    "sliding": ["conv_id", "w_start"],
+    "sessions": ["conv_id", "session_id"],
+    "joins": ["conv_id", "tool_turn_idx"],
+}
+
+
+def srt(t, keys):
+    idx = pa.compute.sort_indices(t, sort_keys=[(k, "ascending") for k in keys])
+    return t.take(idx).combine_chunks()
+
+
+def main() -> int:
+    n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    master = int(sys.argv[2]) if len(sys.argv) > 2 else 4242
+    rng = np.random.default_rng(master)
+    fails = 0
+    for trial in range(n_trials):
+        seed = int(rng.integers(0, 100000))
+        n_convs = int(rng.integers(3, 40))
+        n_epochs = int(rng.integers(2, 7))
+        lateness = int(rng.choice([60, 300, 900, 1800]))
+        tum = int(rng.choice([600, 1800, 3600]))
+        slide = int(rng.choice([300, 900]))
+        gap = int(rng.choice([120, 600, 1200]))
+        bound = int(rng.choice([300, 1800, 3600]))
+        p_late = float(rng.choice([0.0, 0.02, 0.1]))
+        reb = int(rng.choice([0, 1, 2]))
+        ckpt_every = int(rng.choice([1, 2, 4]))
+        P = int(rng.choice([2, 3, 5]))
+        ooo = bool(rng.integers(0, 2))
+        params = TranscriptParams(
+            n_convs=n_convs, seed=seed, n_epochs=n_epochs, p_late=p_late
+        )
+        cfg = CEPConfig(
+            num_partitions=P,
+            allowed_lateness_us=lateness * US,
+            tumbling_size_us=tum * US,
+            sliding_size_us=(slide * 4) * US,
+            sliding_slide_us=slide * US,
+            session_gap_us=gap * US,
+            join_bound_us=bound * US,
+        )
+        d = tempfile.mkdtemp(dir="/tmp", prefix="fuzz-")
+        try:
+            files = write_stream(
+                generate_transcripts(params), d + "/s", n_epochs,
+                row_group_size=int(rng.choice([50, 65536])),
+            )
+            chain_kind = int(rng.integers(0, 4))
+            if chain_kind == 0:
+                tf = (StageSpec(name="normalize"),)
+                stages = [RetryingStage(NormalizeStage())]
+            elif chain_kind == 1:
+                tf = (StageSpec(name="normalize"), StageSpec(name="fanout"))
+                stages = [RetryingStage(NormalizeStage()), RetryingStage(FanoutStage())]
+            elif chain_kind == 2:
+                tf = (StageSpec(name="drop_role", options={"role": "user"}),
+                      StageSpec(name="normalize"))
+                stages = [RetryingStage(DropRoleStage(role="user")),
+                          RetryingStage(NormalizeStage())]
+            else:
+                # per-row status granularity: odd turn_idx RETRY once,
+                # every 7th DROP — oracle mirrors via apply_row
+                tf = (StageSpec(name="normalize"),
+                      StageSpec(name="retry_odd",
+                                options={"fail_times": 1, "drop_mod": 7}))
+                stages = [RetryingStage(NormalizeStage()),
+                          RetryingStage(RetryOddStage(fail_times=1, drop_mod=7))]
+            spec = PipelineSpec(
+                source=SourceSpec(
+                    paths=tuple(files),
+                    fragment_rows=int(rng.choice([100, 131072])),
+                    ooo_commit=ooo,
+                ),
+                transformers=tf,
+                cep=cfg,
+                checkpoint_every=ckpt_every,
+                rebalance_every=reb,
+                rebalance_ratio=1.0,
+            )
+            out = d + "/out"
+            s = StreamingRunner(spec, out).run()
+            assert s["status"] == "complete"
+            oracle = run_oracle((pq.read_table(f) for f in files), cfg, stages=stages)
+            ok = True
+            for stream, keys in SORT_KEYS.items():
+                got = read_committed(out, stream)
+                want = oracle[stream]
+                if want.num_rows == 0:
+                    if got is not None and got.num_rows:
+                        ok = False
+                        print(f"trial {trial}: {stream} expected empty", flush=True)
+                    continue
+                if got is None:
+                    ok = False
+                    print(f"trial {trial}: {stream} missing", flush=True)
+                    continue
+                if stream == "turns" and chain_kind == 1:
+                    keys = ["conv_id", "turn_idx", "fanout_copy"]
+                g = srt(got.select(want.column_names), keys)
+                w = srt(want, keys)
+                if not g.equals(w):
+                    ok = False
+                    print(
+                        f"trial {trial} FAIL {stream}: seed={seed} convs={n_convs} "
+                        f"ep={n_epochs} late={lateness} tum={tum} slide={slide} "
+                        f"gap={gap} bound={bound} p_late={p_late} reb={reb} "
+                        f"ck={ckpt_every} P={P} ooo={ooo} chain={chain_kind}",
+                        flush=True,
+                    )
+            if not ok:
+                fails += 1
+            else:
+                print(
+                    f"trial {trial} ok (seed={seed} P={P} reb={reb} ooo={int(ooo)} "
+                    f"chain={chain_kind} migs={len(s.get('migrations', []))})",
+                    flush=True,
+                )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    print("FAILS:", fails, flush=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    rc = main()
+    ray.shutdown()
+    sys.exit(rc)

@@ -513,15 +513,16 @@ def test_ooo_commit_straggler_does_not_block_dispatch(
     ray_session, small_stream, tmp_path_factory
 ):
     """F2/F3 wired into the runner: with ``ooo_commit`` a straggler epoch
-    must not head-of-line-block dispatch. The straggler is a scripted SLOW
-    WRITE (10 s, decisive vs host-load epoch times) in epoch 1 — the realistic inversion case: stateful worker
-    chains are epoch-ordered by actor construction, but write tasks run on
-    independent slots, so later epochs fully complete while epoch 1's write
-    drags. Completion order shows a later epoch resolving before epoch 1,
-    the uncommitted backlog exceeds the in-flight window (dispatch ran
-    ahead), manifests still commit strictly contiguously
-    (LowWatermarkTracker), and output is byte-identical to the in-order
-    run."""
+    must not head-of-line-block dispatch. The straggler is a scripted write
+    BARRIER in epoch 1 — its write task holds until epoch 2's turns files
+    exist on disk, so the inversion is deterministic at any host speed —
+    the realistic inversion case: stateful worker chains are epoch-ordered
+    by actor construction, but write tasks run on independent slots, so
+    later epochs fully complete while epoch 1's write drags. Completion
+    order shows a later epoch resolving before epoch 1, the uncommitted
+    backlog exceeds the in-flight window (dispatch ran ahead), manifests
+    still commit strictly contiguously (LowWatermarkTracker), and output is
+    byte-identical to the in-order run."""
     from quanta_ray.engine import StreamingRunner
 
     files, _ = small_stream
@@ -533,10 +534,13 @@ def test_ooo_commit_straggler_does_not_block_dispatch(
                 paths=tuple(files), max_inflight_epochs=2, ooo_commit=ooo
             ),
             transformers=(StageSpec(name="normalize"),),
-            # straggler injected only in the ooo run (a slow write changes
+            # straggler injected only in the ooo run (a held write changes
             # timing, never bytes — the in-order baseline needn't pay it)
             sink=SinkSpec(
-                options={"debug_slow_write_epoch": 1, "debug_slow_write_s": 10.0}
+                options={
+                    "debug_slow_write_epoch": 1,
+                    "debug_write_barrier_until_epoch": 3,
+                }
                 if ooo
                 else {}
             ),

@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "rel_region_revenue",
     "emb_knn_bruteforce",
     "emb_near_dup_cosine",
+    "rel_asof_latest_order",
+    "doc_length_quantiles",
+    "emb_kmeans",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

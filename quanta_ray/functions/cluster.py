@@ -56,11 +56,34 @@ def kmeans_embeddings(
     sf_dir: str, k: int = 8, iters: int = 5, seed: int = 11
 ) -> pa.Table:
     """(vec_id, cluster) assignment after ``iters`` Lloyd iterations of
-    spherical k-means (unit-normalized vectors, cosine assignment)."""
+    spherical k-means (unit-normalized vectors, cosine assignment).
+
+    The pruned (vec_id, embedding) working set is materialized ONCE into the
+    object store and every iteration maps over the cached blocks — the
+    canonical iterative-ML pattern (re-scanning parquet per iteration would
+    read the corpus ``iters+1`` times; the object store spills if the pruned
+    table exceeds memory). Per-iteration partials are k rows per block; they
+    are combined on the driver while k x #blocks stays small and via the
+    bucketed shuffle reduce beyond that."""
     from ..bucket import bucketed_group_agg
 
-    sample = _concat(_emb(sf_dir).limit(2048))
-    _, mat0 = _batch_matrix(sample)
+    ds = _emb(sf_dir).select_columns(["vec_id", "embedding"]).materialize()
+    # Seeded init sample: first 2048 rows read straight off the parquet file
+    # on the driver — ``Dataset.limit`` over materialized blocks returns rows
+    # in nondeterministic order, which would permute the seeded centroid
+    # choice run-to-run. One tiny scale-independent driver read.
+    import pyarrow.parquet as _pq
+
+    rbs, n = [], 0
+    for rb in _pq.ParquetFile(f"{sf_dir}/embeddings.parquet").iter_batches(
+        batch_size=2048, columns=["vec_id", "embedding"]
+    ):
+        rbs.append(rb)
+        n += len(rb)
+        if n >= 2048:
+            break
+    sample = pa.Table.from_batches(rbs).slice(0, 2048) if rbs else pa.table({})
+    _, mat0 = _batch_matrix(sample) if rbs else (None, np.empty((0, 0)))
     if len(mat0) == 0:
         return pa.table(
             {"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
@@ -71,13 +94,28 @@ def kmeans_embeddings(
     centroids = mat0[rng.choice(len(mat0), size=k, replace=False)].copy()
 
     agg_spec = {"cnt": ("cnt", "sum"), **{f"s{j}": (f"s{j}", "sum") for j in range(d)}}
+    # k rows per block x (d+2) float64 cols: combine on the driver while that
+    # stays under ~64 MB; the bucketed shuffle reduce is the 100-TB path.
+    small_partials = k * ds.num_blocks() * (d + 2) * 8 < 64 * 1024 * 1024
     for _ in range(iters):
         cref = ray.put(centroids)
-        parts = _emb(sf_dir).map_batches(
+        parts = ds.map_batches(
             _partials_fn(cref, k, d), batch_format="pyarrow", batch_size=4096
         )
-        red = _concat(bucketed_group_agg(parts, ["cluster"], agg_spec, num_buckets=8))
-        df = red.to_pandas().set_index("cluster").sort_index()
+        if small_partials:
+            red = _concat(parts)
+            # sort before summing: block ARRIVAL order is nondeterministic,
+            # and float addition order must not be
+            df = (
+                red.to_pandas()
+                .sort_values(["cluster", "cnt", "s0"], kind="mergesort")
+                .groupby("cluster", as_index=True)
+                .sum()
+                .sort_index()
+            )
+        else:
+            red = _concat(bucketed_group_agg(parts, ["cluster"], agg_spec, num_buckets=8))
+            df = red.to_pandas().set_index("cluster").sort_index()
         sums = df[[f"s{j}" for j in range(d)]].to_numpy()
         cnt = df["cnt"].to_numpy()
         new = centroids.copy()
@@ -101,5 +139,5 @@ def kmeans_embeddings(
             {"vec_id": ids.astype(np.int64), "cluster": a.astype(np.int64)}
         )
 
-    out = _concat(_emb(sf_dir).map_batches(assign, batch_format="pyarrow", batch_size=4096))
+    out = _concat(ds.map_batches(assign, batch_format="pyarrow", batch_size=4096))
     return out.take(pc.sort_indices(out, sort_keys=[("vec_id", "ascending")]))

@@ -105,7 +105,20 @@ def read_parquet_clean(paths, columns=None, **kwargs):
     carry it into every downstream schema-unify, where the unhashable dict
     defeats Ray Data's schema-dedup early exit ('Failed to hash the
     schemas' in every coalescing worker). One footer read on the driver;
-    column projection still prunes at the scan."""
+    column projection still prunes at the scan.
+
+    Also sizes blocks to the DATA, not the CPU count: Ray's default
+    parallelism splits even a 2 MB file into 2x num_cpus blocks, and on
+    multi-stage pipelines the fixed per-task cost of those empty-ish blocks
+    dominates wall time (measured 2-9x per query at sf0.1). Policy:
+    ``max(8, ceil(file_bytes / 32 MB))`` — ~32 MB compressed per block
+    (~128 MB in memory, Ray's target block size) for large inputs, a floor
+    of 8 so small inputs still parallelize fused CPU work. Callers that pass
+    ``override_num_blocks`` keep their setting; multi-file reads keep Ray's
+    per-fragment planning."""
+    import math as _math
+    import os as _os
+
     import pyarrow.parquet as _pq
     import ray.data as _rd
 
@@ -114,4 +127,12 @@ def read_parquet_clean(paths, columns=None, **kwargs):
     if columns is not None:
         # Ray expects schema to describe the PROJECTED columns
         schema = pa.schema([schema.field(c) for c in columns])
+    if (
+        "override_num_blocks" not in kwargs
+        and not isinstance(paths, (list, tuple))
+        and _os.path.isfile(first)
+    ):
+        kwargs["override_num_blocks"] = max(
+            8, _math.ceil(_os.path.getsize(first) / (32 * 1024 * 1024))
+        )
     return _rd.read_parquet(paths, columns=columns, schema=schema, **kwargs)

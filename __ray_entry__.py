@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_props_k_stats": batch_cep.props_k_stats,
         "ev_distinct_users_approx": batch_cep.distinct_users_approx,
         "ev_consistent_sample": batch_cep.consistent_sample,
+        "ev_latest_per_user": batch_cep.latest_events_per_user,
+        "ev_heavy_hitters_approx": batch_cep.heavy_hitters_users,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_stream("sessions"),
         "cep_streaming_tumbling": _streaming_stream("tumbling"),
@@ -120,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_region_revenue": relational.region_revenue,
         "rel_customer_order_stats": relational.customer_order_stats,
         "rel_asof_latest_order": relational.asof_latest_order,
+        "rel_customers_without_orders": relational.customers_without_orders,
+        "ev_followup_range_join": batch_cep.followup_range_join,
         # --- text analysis ---
         "doc_token_counts": text.token_counts,
         "doc_quality_scores": text.quality_scores,
@@ -132,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": text.pii_scrub,
         "doc_script_stats": text.script_stats,
         "doc_length_quantiles": text.length_quantiles,
+        "doc_grouped_length_quantiles": text.grouped_length_quantiles,
         # --- dedup family ---
         "doc_dedup_exact": dedup.dedup_exact,
         "doc_dedup_exact_fast": dedup.dedup_exact_fast,
@@ -167,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_distinct_users": batch_cep.DISTINCT_USERS_SQL,
         "ev_props_k_stats": batch_cep.PROPS_K_STATS_SQL,
         "ev_consistent_sample": batch_cep.CONSISTENT_SAMPLE_SQL,
+        "ev_latest_per_user": batch_cep.LATEST_EVENTS_PER_USER_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
         "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
         "rel_top_parts_by_price": relational.TOP_PARTS_SQL,
@@ -181,7 +187,10 @@ def oracle_sql() -> dict[str, str]:
         "rel_region_revenue": relational.REGION_REVENUE_SQL,
         "rel_customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
         "rel_asof_latest_order": relational.ASOF_LATEST_ORDER_SQL,
+        "rel_customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "ev_followup_range_join": batch_cep.FOLLOWUP_RANGE_JOIN_SQL,
         "doc_length_quantiles": text.LENGTH_QUANTILES_SQL,
+        "doc_grouped_length_quantiles": text.GROUPED_LENGTH_QUANTILES_SQL,
         "doc_quality_scores": text.QUALITY_SCORES_SQL,
         "doc_fingerprint_md5": text.FINGERPRINTS_MD5_SQL,
         "doc_lang_stats": text.LANG_STATS_SQL,

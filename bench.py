@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "rel_asof_latest_order",
     "doc_length_quantiles",
     "emb_kmeans",
+    "rel_customers_without_orders",
+    "ev_followup_range_join",
+    "ev_latest_per_user",
+    "ev_heavy_hitters_approx",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

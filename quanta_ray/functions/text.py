@@ -584,3 +584,63 @@ WHERE c * 100 >= q * n
 GROUP BY q
 ORDER BY q
 """
+
+
+def grouped_length_quantiles(sf_dir: str, qs: tuple[int, ...] = (50, 90)) -> pa.Table:
+    """EXACT per-group percentiles of document length, partitioned by
+    ``lang`` — the grouped form of ``length_quantiles`` (same value-domain
+    counting trick, keyed by (lang, n_chars)):
+
+      per-batch (lang, n_chars) counts → bucketed count reduction (shuffle
+      volume = distinct (lang, length) pairs, never the corpus) → per-lang
+      cumsum on the tiny distinct table; percentile q is the smallest v
+      with count(<= v) * 100 >= q * n_lang (integer arithmetic both sides).
+    """
+    from ..bucket import bucketed_group_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["lang", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    parts = _docs(sf_dir, ["lang", "n_chars"]).map_batches(
+        partial, batch_format="pandas", batch_size=16384
+    )
+    agg = _concat(
+        bucketed_group_agg(parts, ["lang", "n_chars"], dict(cnt=("cnt", "sum")))
+    )
+    df = (
+        agg.to_pandas()
+        .sort_values(["lang", "n_chars"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out_lang, out_q, out_v = [], [], []
+    for lang, g in df.groupby("lang", sort=True):
+        vals = g["n_chars"].to_numpy(dtype=np.int64)
+        cum = g["cnt"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        for q in qs:
+            idx = int(np.searchsorted(cum * 100, q * n, side="left"))
+            out_lang.append(lang)
+            out_q.append(int(q))
+            out_v.append(int(vals[min(idx, len(vals) - 1)]))
+    return pa.table(
+        {
+            "lang": pa.array(out_lang, pa.string()),
+            "q": pa.array(out_q, pa.int64()),
+            "n_chars": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+GROUPED_LENGTH_QUANTILES_SQL = """
+SELECT lang, q, min(v) AS n_chars
+FROM (
+  SELECT lang, n_chars AS v,
+         count(*) OVER (PARTITION BY lang ORDER BY n_chars) AS c,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+) CROSS JOIN (VALUES (50), (90)) t(q)
+WHERE c * 100 >= q * n
+GROUP BY lang, q
+ORDER BY lang, q
+"""

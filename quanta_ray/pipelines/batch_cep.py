@@ -713,3 +713,200 @@ SELECT event_id, user_id, event_type, ts, value
 FROM events
 ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 100
 """
+
+
+# --- SQL-window parity: top-N most recent events per user --------------------
+
+
+def latest_events_per_user(sf_dir: str, n: int = 3, buckets: int = 32) -> pa.Table:
+    """Ranked top-N per group — the ``row_number() OVER (PARTITION BY ...)``
+    window form Ray Data has no native operator for.
+
+    Shape: hash-bucket on the partition key (``bucketed_apply``), then one
+    vectorized sort + ``groupby.cumcount`` per bucket — every row of a user
+    is in exactly one bucket, so ranks are exact; no global sort. Ordering:
+    ts DESC, event_id DESC tiebreak (total order -> deterministic)."""
+    from ..bucket import bucketed_apply
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "ts", "event_id"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        rn = g.groupby("user_id").cumcount().to_numpy() + 1
+        g = g.assign(rn=rn.astype(np.int64))
+        return g[g["rn"] <= n][["user_id", "event_id", "ts", "rn"]]
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+    out = bucketed_apply(ds, ["user_id"], bucket_fn, num_buckets=buckets)
+    t = _concat(out)
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("user_id", "ascending"), ("rn", "ascending")])
+    )
+
+
+LATEST_EVENTS_PER_USER_SQL = """
+SELECT user_id, event_id, ts, rn FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 3
+ORDER BY user_id, rn
+"""
+
+
+# --- approximate heavy hitters (mergeable truncated-counts sketch) -----------
+
+
+def heavy_hitters_users(sf_dir: str, k: int = 10, m: int = 256) -> pa.Table:
+    """Approximate top-k users by event COUNT via a mergeable
+    truncated-counts sketch (SpaceSaving-family): each block keeps only its
+    local top-``m`` (user, count) rows plus the mass it dropped, partials
+    reduce by user, and the result reports each survivor's count lower
+    bound and the global upper-bound slack (max undercount = sum over
+    blocks of that block's dropped tail's max count).
+
+    Guarantee: any key whose true count exceeds the reported ``max_slack``
+    is present, and reported counts are exact for keys that made every
+    block's top-m. Shuffle volume is O(m x #blocks), never the key
+    cardinality — this is the 100-TB path where exact ``topk_users`` would
+    shuffle every distinct key. Approximate by design -> rows-only oracle;
+    pinned by a planted-skew pytest against the exact answer."""
+    from ..bucket import bucketed_group_agg
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        u = batch.column("user_id").to_numpy()
+        vals, cnts = np.unique(u, return_counts=True)
+        if len(vals) > m:
+            order = np.argsort(-cnts, kind="stable")
+            keep, drop = order[:m], order[m:]
+            slack = int(cnts[drop].max())
+            vals, cnts = vals[keep], cnts[keep]
+        else:
+            slack = 0
+        return pd.DataFrame(
+            {
+                "user_id": np.concatenate([vals.astype(np.int64), [-1]]),
+                "cnt": np.concatenate([cnts.astype(np.int64), [slack]]),
+            }
+        )
+
+    parts = _events(sf_dir, ["user_id"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    )
+    agg = bucketed_group_agg(parts, ["user_id"], dict(cnt=("cnt", "sum")))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # the slack sentinel must survive the local prune regardless of rank
+        sent = df[df["user_id"] == -1]
+        real = df[df["user_id"] != -1]
+        return pd.concat(
+            [sent, real.sort_values(["cnt", "user_id"], ascending=[False, True]).head(k)]
+        )
+
+    local = agg.map_batches(local_topk, batch_format="pandas")
+    df = _concat(local).to_pandas()
+    slack = int(df.loc[df["user_id"] == -1, "cnt"].sum())
+    df = df[df["user_id"] != -1]
+    df = df.sort_values(["cnt", "user_id"], ascending=[False, True]).head(k)
+    return pa.table(
+        {
+            "user_id": pa.array(df["user_id"].to_numpy(dtype=np.int64), pa.int64()),
+            "cnt_lower": pa.array(df["cnt"].to_numpy(dtype=np.int64), pa.int64()),
+            "max_slack": pa.array(np.full(len(df), slack, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+# --- bounded range join: follow-up events within a time window ---------------
+
+
+def followup_range_join(
+    sf_dir: str,
+    first: str = "click",
+    then: str = "purchase",
+    minutes: int = 30,
+    buckets: int = 32,
+) -> pa.Table:
+    """Bounded RANGE join — for each ``first`` event, the same user's
+    ``then`` events with ``ts`` in ``(first.ts, first.ts + minutes]``
+    (half-open, so an exactly-simultaneous pair does not match). A join
+    Ray Data lacks natively; the CEP "A followed by B within w" pattern in
+    batch form.
+
+    Shape: both sides' event-type predicate is pushed down to the parquet
+    scan, both sides hash-bucket on the user key (one all-to-all of pruned
+    columns), and each bucket does an equality merge on user plus a
+    vectorized interval mask. Partitioning assumption: per-key fan-in
+    (A_u x B_u) is bounded — true for per-user activity; an unbounded-key
+    variant would sub-bucket by coarse time range."""
+    import pyarrow.dataset as pads
+
+    def side(ev_type: str, sid: int) -> rd.Dataset:
+        ds = _read_pq(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+            filter=(pads.field("event_type") == pads.scalar(ev_type)),
+        ).select_columns(["event_id", "ts", "user_id"])
+
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            k = b["user_id"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "user_id": k,
+                    "ts": b["ts"].astype("datetime64[us]"),
+                    "event_id": b["event_id"].astype(np.int64),
+                    "_side": np.int64(sid),
+                    "_bucket": (pd.util.hash_array(k) % buckets).astype(np.int64),
+                }
+            )
+
+        return ds.map_batches(tag, batch_format="pandas")
+
+    both = side(first, 0).union(side(then, 1))
+    span = pd.Timedelta(minutes=minutes)
+
+    def rjoin(g: pd.DataFrame) -> pa.Table:
+        a = g[g["_side"] == 0][["user_id", "ts", "event_id"]].rename(
+            columns={"ts": "a_ts", "event_id": "a_event_id"}
+        )
+        b = g[g["_side"] == 1][["user_id", "ts", "event_id"]].rename(
+            columns={"ts": "b_ts", "event_id": "b_event_id"}
+        )
+        m = a.merge(b, on="user_id")
+        m = m[(m["b_ts"] > m["a_ts"]) & (m["b_ts"] <= m["a_ts"] + span)]
+        return pa.table(
+            {
+                "a_event_id": pa.array(m["a_event_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "b_event_id": pa.array(m["b_event_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "user_id": pa.array(m["user_id"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    out = both.groupby("_bucket").map_groups(rjoin, batch_format="pandas")
+    t = _concat(out)
+    if t.num_rows == 0:
+        t = pa.table(
+            {
+                "a_event_id": pa.array([], pa.int64()),
+                "b_event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+            }
+        )
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("a_event_id", "ascending"), ("b_event_id", "ascending")]
+        )
+    )
+
+
+FOLLOWUP_RANGE_JOIN_SQL = """
+SELECT a.event_id AS a_event_id, b.event_id AS b_event_id, a.user_id
+FROM events a
+JOIN events b
+  ON b.user_id = a.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+ORDER BY a_event_id, b_event_id
+"""

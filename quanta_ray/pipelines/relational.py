@@ -732,6 +732,106 @@ def asof_latest_order(sf_dir: str, buckets: int = 32) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
 
 
+# --- anti-join: customers with no orders -------------------------------------
+
+
+def customers_without_orders(
+    sf_dir: str, since: str = "2000-01-01", buckets: int = 16
+) -> pa.Table:
+    """Distributed ANTI-join (NOT EXISTS): customers with no order on or
+    after ``since``.
+
+    Shape: the probe side's predicate is pushed down to the parquet scan
+    (only qualifying order rows leave storage), then ships only its
+    DISTINCT keys per batch (a partial dedup inside ``map_batches``, so the
+    shuffle carries distinct custkeys per block, never order rows), both
+    sides hash-bucket on the key, and each bucket does one vectorized
+    ``isin`` negation. Every row of a key lands in one bucket, so the anti
+    test is exact with no global build side and no broadcast."""
+    import datetime as _dt
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    okeys = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=(
+            pads.field("o_orderdate")
+            >= pads.scalar(_dt.datetime.fromisoformat(since))
+        ),
+    ).select_columns(["o_custkey"])
+
+    def tag_c(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "key": k,
+                "c_name": b["c_name"].astype(str),
+                "c_acctbal": b["c_acctbal"].astype(np.float64),
+                "_side": np.int64(0),
+                "_bucket": (pd.util.hash_array(k) % buckets).astype(np.int64),
+            }
+        )
+
+    def tag_o(b: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(b["o_custkey"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "key": k,
+                "c_name": "",
+                "c_acctbal": np.nan,
+                "_side": np.int64(1),
+                "_bucket": (pd.util.hash_array(k) % buckets).astype(np.int64),
+            }
+        )
+
+    both = cust.map_batches(tag_c, batch_format="pandas").union(
+        okeys.map_batches(tag_o, batch_format="pandas")
+    )
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        c = g[g["_side"] == 0]
+        have = g.loc[g["_side"] == 1, "key"].to_numpy(dtype=np.int64)
+        keep = c[~c["key"].isin(have)]
+        # explicit-schema Arrow output: a bucket whose customers ALL have
+        # orders yields 0 rows, and the schema must survive that
+        return pa.table(
+            {
+                "c_custkey": pa.array(keep["key"].to_numpy(dtype=np.int64), pa.int64()),
+                "c_name": pa.array(keep["c_name"].astype(str), pa.string()),
+                "c_acctbal": pa.array(
+                    np.round(keep["c_acctbal"].to_numpy(dtype=np.float64), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    out = both.groupby("_bucket").map_groups(anti, batch_format="pandas")
+    t = _concat(out)
+    if t.num_rows == 0:
+        t = pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "c_acctbal": pa.array([], pa.float64()),
+            }
+        )
+    return t.take(pc.sort_indices(t, sort_keys=[("c_custkey", "ascending")]))
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= DATE '2000-01-01'
+)
+ORDER BY c_custkey
+"""
+
+
 ASOF_LATEST_ORDER_SQL = """
 SELECT e.event_id, e.user_id,
        o.o_orderkey   AS last_orderkey,

@@ -513,3 +513,195 @@ def test_asof_join_nulls_and_ties(ray_session, tmp_path_factory):
     assert out.loc[2, "last_orderkey"] == 100  # backward from 01-02
     assert pd.isna(out.loc[3, "last_orderkey"])  # user 8's order is in the future
     assert pd.isna(out.loc[4, "last_orderkey"])  # user 9 has no orders at all
+
+
+def test_anti_join_respects_date_predicate(ray_session, tmp_path_factory):
+    """Anti-join semantics pinned: a customer with only PRE-cutoff orders
+    counts as order-less; one qualifying order removes the customer."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.pipelines.relational import customers_without_orders
+
+    d = tmp_path_factory.mktemp("anti")
+    ts = lambda s: pd.Timestamp(s)
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+            "c_name": ["a", "b", "c"],
+            "c_nationkey": pa.array([0, 0, 0], type=pa.int64()),
+            "c_acctbal": pa.array([1.0, 2.0, 3.0], type=pa.float64()),
+            "c_mktsegment": ["M"] * 3,
+        }
+    )
+    od = pa.table(
+        {
+            "o_orderkey": pa.array([10, 11], type=pa.int64()),
+            "o_custkey": pa.array([1, 2], type=pa.int64()),
+            "o_orderstatus": ["O"] * 2,
+            "o_totalprice": pa.array([5.0, 6.0], type=pa.float64()),
+            # customer 1: post-cutoff order (excluded from result);
+            # customer 2: pre-cutoff only (kept); customer 3: none (kept)
+            "o_orderdate": pa.array(
+                [ts("2001-06-01"), ts("1999-12-31")], type=pa.timestamp("us")
+            ),
+            "o_orderpriority": ["1"] * 2,
+        }
+    )
+    pq.write_table(cust, str(d / "customer.parquet"))
+    pq.write_table(od, str(d / "orders.parquet"))
+    out = customers_without_orders(str(d))
+    assert out.column("c_custkey").to_pylist() == [2, 3]
+
+
+def test_followup_range_join_boundaries(ray_session, tmp_path_factory):
+    """Range-join interval semantics pinned: (a_ts, a_ts + w] half-open —
+    simultaneous pair excluded, exactly-at-window-end included; type and
+    user mismatches never pair."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.pipelines.batch_cep import followup_range_join
+
+    d = tmp_path_factory.mktemp("rangejoin")
+    ts = lambda s: pd.Timestamp(s)
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "ts": pa.array(
+                [
+                    ts("2024-01-01 10:00:00"),  # click, user 7
+                    ts("2024-01-01 10:00:00"),  # purchase same instant -> no
+                    ts("2024-01-01 10:30:00"),  # purchase at exactly +30m -> yes
+                    ts("2024-01-01 10:30:01"),  # purchase 1s past window -> no
+                    ts("2024-01-01 10:10:00"),  # purchase, but user 8 -> no
+                    ts("2024-01-01 10:05:00"),  # view (wrong type) -> no
+                ],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7, 7, 7, 7, 8, 7], type=pa.int64()),
+            "event_type": ["click", "purchase", "purchase", "purchase", "purchase", "view"],
+            "value": pa.array([0.0] * 6, type=pa.float64()),
+            "props": ["{}"] * 6,
+        }
+    )
+    pq.write_table(ev, str(d / "events.parquet"))
+    out = followup_range_join(str(d))
+    assert out.to_pydict() == {"a_event_id": [1], "b_event_id": [3], "user_id": [7]}
+
+
+def test_latest_per_user_rank_and_ties(ray_session, tmp_path_factory):
+    """row_number-per-partition pinned: ts DESC with event_id DESC tiebreak,
+    capped at n; a user with fewer than n events keeps them all."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.pipelines.batch_cep import latest_events_per_user
+
+    d = tmp_path_factory.mktemp("rank")
+    ts = lambda s: pd.Timestamp(s)
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "ts": pa.array(
+                [
+                    ts("2024-01-01 10:00:00"),
+                    ts("2024-01-01 11:00:00"),
+                    ts("2024-01-01 11:00:00"),  # tie with 2 -> higher id first
+                    ts("2024-01-01 09:00:00"),
+                    ts("2024-01-02 00:00:00"),  # user 8's only event
+                ],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7, 7, 7, 7, 8], type=pa.int64()),
+            "event_type": ["click"] * 5,
+            "value": pa.array([0.0] * 5, type=pa.float64()),
+            "props": ["{}"] * 5,
+        }
+    )
+    pq.write_table(ev, str(d / "events.parquet"))
+    out = latest_events_per_user(str(d), n=3).to_pandas()
+    u7 = out[out["user_id"] == 7]
+    assert u7["event_id"].tolist() == [3, 2, 1]  # ties by id desc; 4 cut by n=3
+    assert u7["rn"].tolist() == [1, 2, 3]
+    assert out[out["user_id"] == 8]["event_id"].tolist() == [5]
+
+
+def test_grouped_quantiles_match_bruteforce(ray_session, tmp_path_factory):
+    """Per-group integer-percentile counting form vs a direct per-group
+    computation of 'smallest v with count(<=v)*100 >= q*n'."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.functions.text import grouped_length_quantiles
+
+    d = tmp_path_factory.mktemp("gq")
+    rng = np.random.default_rng(5)
+    langs = np.repeat(["en", "de", "fr"], 40)
+    n_chars = rng.integers(10, 500, size=120)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(120), type=pa.int64()),
+            "text": ["x"] * 120,
+            "lang": pa.array(langs),
+            "source": ["s"] * 120,
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = grouped_length_quantiles(str(d), qs=(50, 90)).to_pandas()
+    for lang in ["de", "en", "fr"]:
+        vals = np.sort(n_chars[langs == lang])
+        n = len(vals)
+        for q in (50, 90):
+            expect = vals[np.searchsorted(np.arange(1, n + 1) * 100, q * n, side="left")]
+            got = out[(out["lang"] == lang) & (out["q"] == q)]["n_chars"].iloc[0]
+            assert got == expect, (lang, q, got, expect)
+
+
+def test_heavy_hitters_planted_skew(ray_session, tmp_path_factory):
+    """Approximate heavy hitters on planted skew: the true heavy keys are
+    reported with EXACT counts (they make every block's top-m) and the
+    slack bound is honest (>= any undercount; here the tail fits in m so
+    slack collapses to 0)."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.pipelines.batch_cep import heavy_hitters_users
+
+    d = tmp_path_factory.mktemp("hh")
+    # 3 heavy users (1000, 600, 300 events) over a 50-user uniform tail
+    users = np.concatenate(
+        [
+            np.full(1000, 1),
+            np.full(600, 2),
+            np.full(300, 3),
+            np.tile(np.arange(100, 150), 4),
+        ]
+    )
+    rng = np.random.default_rng(7)
+    rng.shuffle(users)
+    n = len(users)
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime("2024-01-01") + pd.to_timedelta(range(n), unit="s")
+            ),
+            "user_id": pa.array(users, type=pa.int64()),
+            "event_type": ["click"] * n,
+            "value": pa.array([0.0] * n, type=pa.float64()),
+            "props": ["{}"] * n,
+        }
+    )
+    pq.write_table(ev, str(d / "events.parquet"))
+    out = heavy_hitters_users(str(d), k=3, m=256).to_pandas()
+    assert out["user_id"].tolist() == [1, 2, 3]
+    assert out["cnt_lower"].tolist() == [1000, 600, 300]  # exact: m covers tail
+    assert (out["max_slack"] == 0).all()
+    # tiny m: the guarantee is "any key with true count > max_slack is
+    # present, and reported counts never exceed the truth"
+    out2 = heavy_hitters_users(str(d), k=3, m=2).to_pandas()
+    slack = int(out2["max_slack"].iloc[0])
+    assert slack > 0
+    true_counts = {1: 1000, 2: 600, 3: 300}
+    for uid, cnt in true_counts.items():
+        if cnt > slack:
+            assert uid in set(out2["user_id"])
+    for _, row in out2.iterrows():
+        assert row["cnt_lower"] <= true_counts.get(row["user_id"], 4)

@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_consistent_sample": batch_cep.consistent_sample,
         "ev_latest_per_user": batch_cep.latest_events_per_user,
         "ev_heavy_hitters_approx": batch_cep.heavy_hitters_users,
+        "ev_type_hourly_pivot": batch_cep.type_hourly_pivot,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_stream("sessions"),
         "cep_streaming_tumbling": _streaming_stream("tumbling"),
@@ -137,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_script_stats": text.script_stats,
         "doc_length_quantiles": text.length_quantiles,
         "doc_grouped_length_quantiles": text.grouped_length_quantiles,
+        "doc_stratified_sample": text.stratified_sample,
         # --- dedup family ---
         "doc_dedup_exact": dedup.dedup_exact,
         "doc_dedup_exact_fast": dedup.dedup_exact_fast,
@@ -173,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_props_k_stats": batch_cep.PROPS_K_STATS_SQL,
         "ev_consistent_sample": batch_cep.CONSISTENT_SAMPLE_SQL,
         "ev_latest_per_user": batch_cep.LATEST_EVENTS_PER_USER_SQL,
+        "ev_type_hourly_pivot": batch_cep.TYPE_HOURLY_PIVOT_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
         "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
         "rel_top_parts_by_price": relational.TOP_PARTS_SQL,
@@ -191,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_followup_range_join": batch_cep.FOLLOWUP_RANGE_JOIN_SQL,
         "doc_length_quantiles": text.LENGTH_QUANTILES_SQL,
         "doc_grouped_length_quantiles": text.GROUPED_LENGTH_QUANTILES_SQL,
+        "doc_stratified_sample": text.STRATIFIED_SAMPLE_SQL,
         "doc_quality_scores": text.QUALITY_SCORES_SQL,
         "doc_fingerprint_md5": text.FINGERPRINTS_MD5_SQL,
         "doc_lang_stats": text.LANG_STATS_SQL,

@@ -644,3 +644,54 @@ WHERE c * 100 >= q * n
 GROUP BY lang, q
 ORDER BY lang, q
 """
+
+
+def stratified_sample(sf_dir: str, per_group: int = 20) -> pa.Table:
+    """Deterministic per-group (per-``lang``) sample of ``per_group`` docs —
+    the balanced-mixture sampling step of a training-data pipeline (equal
+    doc counts per language regardless of corpus skew), made reproducible
+    and SQL-checkable by hash ORDER instead of an RNG: each group keeps the
+    ``per_group`` smallest md5(doc_id) values.
+
+    Distributed as a per-group top-k: per-batch partial top-k per lang
+    (each batch ships at most langs x k rows) → one bucketed shuffle on
+    lang → final per-group top-k. md5-per-row is a Python-loop kernel kept
+    for DuckDB parity (same trade as ``consistent_sample``); swap in
+    ``pd.util.hash_array`` where parity is not needed."""
+    import hashlib as _hl
+
+    from ..bucket import bucketed_apply
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+            .groupby("lang")
+            .head(per_group)
+        )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["doc_id"].map(lambda i: _hl.md5(str(i).encode()).hexdigest())
+        return topk(pd.DataFrame({"lang": b["lang"], "doc_id": b["doc_id"], "h": h}))
+
+    parts = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        partial, batch_format="pandas", batch_size=16384
+    )
+    out = _concat(bucketed_apply(parts, ["lang"], topk, num_buckets=8))
+    t = out.select(["lang", "doc_id"])
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("lang", "ascending"), ("doc_id", "ascending")]
+        )
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+ORDER BY lang, doc_id
+"""

@@ -910,3 +910,58 @@ JOIN events b
  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
 ORDER BY a_event_id, b_event_id
 """
+
+
+# --- pivot: hourly counts, one column per event type -------------------------
+
+
+def type_hourly_pivot(
+    sf_dir: str,
+    types: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> pa.Table:
+    """Long→wide PIVOT: events per (hour, event_type) as one row per hour
+    with a count column per type. Like every pivot, the category set must
+    be declared up front (columns cannot be discovered mid-stream);
+    undeclared types are ignored.
+
+    Shape: per-batch crosstab partial (groupby + unstack, vectorized) so
+    each batch ships at most #hours rows; bucketed sum reduce on the hour."""
+    from ..bucket import bucketed_group_agg
+
+    cols = [f"n_{t}" for t in types]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {"h": ts // HOUR_US * HOUR_US, "et": batch.column("event_type").to_numpy()}
+        )
+        g = df.groupby(["h", "et"]).size().unstack(fill_value=0)
+        g = g.reindex(columns=list(types), fill_value=0)
+        g.columns = cols
+        return g.reset_index()
+
+    parts = _events(sf_dir, ["ts", "event_type"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    )
+    agg = bucketed_group_agg(parts, ["h"], {c: (c, "sum") for c in cols})
+    t = _concat(agg)
+    out = pa.table(
+        {
+            "hour": t.column("h").cast(pa.int64()).cast(pa.timestamp("us")),
+            **{c: t.column(c).cast(pa.int64()) for c in cols},
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("hour", "ascending")]))
+
+
+TYPE_HOURLY_PIVOT_SQL = """
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+FROM events
+GROUP BY 1
+ORDER BY hour
+"""

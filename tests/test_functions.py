@@ -705,3 +705,29 @@ def test_heavy_hitters_planted_skew(ray_session, tmp_path_factory):
             assert uid in set(out2["user_id"])
     for _, row in out2.iterrows():
         assert row["cnt_lower"] <= true_counts.get(row["user_id"], 4)
+
+
+def test_stratified_sample_balanced_and_deterministic(ray_session, tmp_path_factory):
+    """Per-group sample: each lang yields min(per_group, group_size) docs,
+    identical across runs (hash order, no RNG)."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.functions.text import stratified_sample
+
+    d = tmp_path_factory.mktemp("strat")
+    langs = ["en"] * 50 + ["de"] * 30 + ["zh"] * 3  # zh smaller than per_group
+    n = len(langs)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": ["x"] * n,
+            "lang": pa.array(langs),
+            "source": ["s"] * n,
+            "n_chars": pa.array([1] * n, type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = stratified_sample(str(d), per_group=10).to_pandas()
+    assert out.groupby("lang").size().to_dict() == {"de": 10, "en": 10, "zh": 3}
+    again = stratified_sample(str(d), per_group=10).to_pandas()
+    assert out.equals(again)

@@ -7,6 +7,13 @@ Usage:
     python -m quanta_ray metrics <out_dir>
     python -m quanta_ray export <out_dir> <stream> <dest_dir>
     python -m quanta_ray bench-stream <out_dir> [n_convs] [n_epochs]
+    python -m quanta_ray query list
+    python -m quanta_ray query <name> [sf_dir] [--out DIR [--key COL] [--buckets N]]
+
+``query`` runs any registered operator (``query list``; ``*`` = has a
+DuckDB oracle) over an sf-style data directory. With ``--out`` the result
+is written as resumable hash-partitioned parquet (per-partition ``_DONE``
+markers; rerunning skips committed partitions).
 
 ``validate`` checks the exactly-once output's integrity (reference README's
 "Validation results: PASS" analog): the committed manifest chain is
@@ -198,6 +205,56 @@ def main(argv: list[str]) -> int:
         try:
             n = export_stream(out_dir, stream, dest)
             print(json.dumps({"stream": stream, "rows": n, "dest": dest}))
+        finally:
+            ray.shutdown()
+        return 0
+
+    if cmd == "query":
+        # query <name|list> [sf_dir] [--out DIR [--key COL] [--buckets N]]
+        name = rest[0] if rest else "list"
+        from . import registry
+
+        qs = registry.queries()
+        if name == "list":
+            oracled = set(registry.oracle_sql())
+            for k in sorted(qs):
+                print(f"{k}{' *' if k in oracled else ''}")
+            return 0
+        if name not in qs:
+            print(f"unknown query {name!r}; `query list` shows all")
+            return 2
+        sf_dir = rest[1] if len(rest) > 1 and not rest[1].startswith("--") else "/root/testdata/sf0.001"
+        out = key = None
+        buckets = 32
+        if "--out" in rest:
+            out = rest[rest.index("--out") + 1]
+        if "--key" in rest:
+            key = rest[rest.index("--key") + 1]
+        if "--buckets" in rest:
+            buckets = int(rest[rest.index("--buckets") + 1])
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        try:
+            res = qs[name](sf_dir)
+            import pandas as pd
+            import pyarrow as pa
+
+            t = pa.Table.from_pandas(res) if isinstance(res, pd.DataFrame) else res
+            if out:
+                import ray.data as rd
+
+                from .sinks.batch_write import write_partitioned
+
+                ds = rd.from_arrow(t)
+                part_key = key or t.column_names[0]
+                r = write_partitioned(ds, out, part_key, num_buckets=buckets)
+                print(json.dumps({"query": name, "rows": t.num_rows, "out": out,
+                                  "key": part_key, **r}))
+            else:
+                print(json.dumps({"query": name, "rows": t.num_rows,
+                                  "columns": t.column_names}))
         finally:
             ray.shutdown()
         return 0

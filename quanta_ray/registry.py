@@ -1,0 +1,189 @@
+"""Query registry — every implemented batch/streaming operator as a named
+callable over an sf-style data directory, plus the DuckDB-checkable SQL
+oracle for the exactly-SQL-expressible subset.
+
+This is the library-side home of the surface `__ray_entry__.py` exposes to
+the external driver (that module delegates here) and what
+``python -m quanta_ray query <name>`` runs. Nothing here calls
+``ray.init()``; callers own the Ray session.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from collections.abc import Callable
+from typing import Any
+
+_CEP_CACHE: dict[str, dict] = {}
+
+
+def _streaming_outputs(sf_dir: str) -> dict:
+    """Run the full streaming engine once per sf_dir per process and cache
+    ALL committed output streams (each queries() entry returns one)."""
+    if sf_dir not in _CEP_CACHE:
+        from .pipelines import flagship
+
+        work = tempfile.mkdtemp(prefix="quanta-cep-", dir="/tmp")
+        try:
+            res = flagship.run_flagship_on_events(sf_dir, work)
+            _CEP_CACHE[sf_dir] = flagship.flagship_outputs(res["out_dir"])
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    return _CEP_CACHE[sf_dir]
+
+
+def _streaming_stream(stream: str):
+    """Rows-only checks: watermark late-drop + exactly-once commit are not
+    SQL-expressible; each stream is pinned by the oracle-diff pytest suite."""
+
+    def q(sf_dir: str) -> Any:
+        t = _streaming_outputs(sf_dir)[stream]
+        return t.to_pandas() if t is not None else __import__("pandas").DataFrame()
+
+    return q
+
+
+def _media_features(sf_dir: str) -> Any:
+    from .functions.multimodal import media_features
+
+    return media_features()
+
+
+def _doc_media_features(sf_dir: str) -> Any:
+    from .functions.multimodal import doc_media_features
+
+    return doc_media_features(sf_dir)
+
+
+def _doc_frame_samples(sf_dir: str) -> Any:
+    from .functions.multimodal import doc_frame_samples
+
+    return doc_frame_samples(sf_dir)
+
+
+def _emb_kmeans(sf_dir: str) -> Any:
+    from .functions.cluster import kmeans_embeddings
+
+    return kmeans_embeddings(sf_dir)
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    from .functions import dedup, simsearch, text
+    from .pipelines import batch_cep, relational
+
+    return {
+        # --- windowed CEP (batch form; N5-N8) ---
+        "ev_tumbling": batch_cep.tumbling_agg,
+        "ev_sliding": batch_cep.sliding_agg,
+        "ev_session": batch_cep.session_agg,
+        "ev_next_event_join": batch_cep.next_event_join,
+        "ev_dedup_exact": batch_cep.dedup_exact,
+        "ev_topk_users": batch_cep.topk_users,
+        "ev_filter_project_upper": batch_cep.filter_project_upper,
+        "ev_type_hourly_stats": batch_cep.type_hourly_stats,
+        "ev_distinct_users": batch_cep.distinct_users_per_type,
+        "ev_props_k_stats": batch_cep.props_k_stats,
+        "ev_distinct_users_approx": batch_cep.distinct_users_approx,
+        "ev_consistent_sample": batch_cep.consistent_sample,
+        "ev_latest_per_user": batch_cep.latest_events_per_user,
+        "ev_heavy_hitters_approx": batch_cep.heavy_hitters_users,
+        "ev_type_hourly_pivot": batch_cep.type_hourly_pivot,
+        "ev_followup_range_join": batch_cep.followup_range_join,
+        # --- streaming engine end-to-end (rows-only) ---
+        "cep_streaming_sessions": _streaming_stream("sessions"),
+        "cep_streaming_tumbling": _streaming_stream("tumbling"),
+        "cep_streaming_sliding": _streaming_stream("sliding"),
+        "cep_streaming_joins": _streaming_stream("joins"),
+        "cep_streaming_turns": _streaming_stream("turns"),
+        # --- relational stage library ---
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_revenue_by_nation": relational.revenue_by_nation,
+        "rel_revenue_by_orderpriority": relational.revenue_by_orderpriority,
+        "rel_orders_of_top_customers": relational.orders_of_top_customers,
+        "rel_orders_by_month": relational.orders_by_month,
+        "rel_shipped_qty_by_flag": relational.shipped_qty_by_flag,
+        "rel_top_parts_by_price": relational.top_parts_by_price,
+        "rel_region_revenue": relational.region_revenue,
+        "rel_customer_order_stats": relational.customer_order_stats,
+        "rel_asof_latest_order": relational.asof_latest_order,
+        "rel_customers_without_orders": relational.customers_without_orders,
+        # --- text analysis ---
+        "doc_token_counts": text.token_counts,
+        "doc_quality_scores": text.quality_scores,
+        "doc_fingerprint_md5": text.fingerprints_md5,
+        "doc_lang_id": text.lang_id,
+        "doc_lang_stats": text.lang_stats,
+        "doc_quality_filter": text.quality_filter,
+        "doc_token_topk": text.token_topk,
+        "doc_length_histogram": text.length_histogram,
+        "doc_pii_scrub": text.pii_scrub,
+        "doc_script_stats": text.script_stats,
+        "doc_length_quantiles": text.length_quantiles,
+        "doc_grouped_length_quantiles": text.grouped_length_quantiles,
+        "doc_stratified_sample": text.stratified_sample,
+        # --- dedup family ---
+        "doc_dedup_exact": dedup.dedup_exact,
+        "doc_dedup_exact_fast": dedup.dedup_exact_fast,
+        "doc_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "doc_simhash_signatures": dedup.simhash_signatures,
+        "doc_simhash_near_dups": dedup.simhash_near_dups,
+        "doc_ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        # --- similarity search + clustering ---
+        "emb_knn_bruteforce": simsearch.knn_bruteforce,
+        "emb_knn_ivf": simsearch.knn_ivf,
+        "emb_near_dup_cosine": simsearch.near_dup_cosine,
+        "emb_kmeans": _emb_kmeans,
+        # --- multimodal plumbing (stubbed decode; rows-only) ---
+        "mm_media_features": _media_features,
+        "mm_doc_media_features": _doc_media_features,
+        "mm_doc_frame_samples": _doc_frame_samples,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    from .functions import dedup, simsearch, text
+    from .pipelines import batch_cep, relational
+
+    return {
+        "ev_tumbling": batch_cep.TUMBLING_SQL,
+        "ev_sliding": batch_cep.SLIDING_SQL,
+        "ev_session": batch_cep.SESSION_SQL,
+        "ev_next_event_join": batch_cep.NEXT_EVENT_JOIN_SQL,
+        "ev_dedup_exact": batch_cep.DEDUP_EXACT_SQL,
+        "ev_topk_users": batch_cep.TOPK_USERS_SQL,
+        "ev_filter_project_upper": batch_cep.FILTER_PROJECT_SQL,
+        "ev_type_hourly_stats": batch_cep.TYPE_HOURLY_SQL,
+        "ev_distinct_users": batch_cep.DISTINCT_USERS_SQL,
+        "ev_props_k_stats": batch_cep.PROPS_K_STATS_SQL,
+        "ev_consistent_sample": batch_cep.CONSISTENT_SAMPLE_SQL,
+        "ev_latest_per_user": batch_cep.LATEST_EVENTS_PER_USER_SQL,
+        "ev_type_hourly_pivot": batch_cep.TYPE_HOURLY_PIVOT_SQL,
+        "ev_followup_range_join": batch_cep.FOLLOWUP_RANGE_JOIN_SQL,
+        "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
+        "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
+        "rel_top_parts_by_price": relational.TOP_PARTS_SQL,
+        "rel_pricing_summary": relational.PRICING_SUMMARY_SQL,
+        "rel_revenue_by_nation": relational.REVENUE_BY_NATION_SQL,
+        "rel_revenue_by_orderpriority": relational.REVENUE_BY_ORDERPRIORITY_SQL,
+        "rel_orders_of_top_customers": relational.ORDERS_OF_TOP_CUSTOMERS_SQL,
+        "rel_region_revenue": relational.REGION_REVENUE_SQL,
+        "rel_customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
+        "rel_asof_latest_order": relational.ASOF_LATEST_ORDER_SQL,
+        "rel_customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "doc_token_counts": text.TOKEN_COUNTS_SQL,
+        "doc_token_topk": text.TOKEN_TOPK_SQL,
+        "doc_length_histogram": text.LENGTH_HISTOGRAM_SQL,
+        "doc_pii_scrub": text.PII_SCRUB_SQL,
+        "doc_length_quantiles": text.LENGTH_QUANTILES_SQL,
+        "doc_grouped_length_quantiles": text.GROUPED_LENGTH_QUANTILES_SQL,
+        "doc_stratified_sample": text.STRATIFIED_SAMPLE_SQL,
+        "doc_quality_scores": text.QUALITY_SCORES_SQL,
+        "doc_fingerprint_md5": text.FINGERPRINTS_MD5_SQL,
+        "doc_lang_stats": text.LANG_STATS_SQL,
+        "doc_quality_filter": text.QUALITY_FILTER_SQL,
+        "doc_dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "doc_dedup_exact_fast": dedup.DEDUP_EXACT_FAST_SQL,
+        "doc_script_stats": text.SCRIPT_STATS_SQL,
+        "emb_knn_bruteforce": simsearch.KNN_BRUTEFORCE_SQL,
+    }

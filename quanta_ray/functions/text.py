@@ -695,3 +695,73 @@ SELECT lang, doc_id FROM (
 ) WHERE rn <= 20
 ORDER BY lang, doc_id
 """
+
+
+def token_topk_by_lang(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k most frequent tokens PER LANGUAGE — the grouped form of
+    ``token_topk`` (per-language vocab stats for mixture curation).
+
+    Per-batch (lang, token) value_counts partials → hash-bucketed global
+    sum keyed by (lang, token) → per-bucket per-lang local top-k (a bucket
+    holds complete (lang, token) keys but a lang spans buckets, so local
+    winners are super-set candidates) → tiny driver merge re-ranking per
+    lang. Shuffle moves (lang, token, count) partials only, never text."""
+    from ..bucket import bucketed_group_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch.set_index("lang")["text"].str.split(" ").explode().dropna()
+        toks = toks[toks != ""]
+        vc = toks.groupby(level=0).value_counts()
+        idx = vc.index
+        return pd.DataFrame(
+            {
+                "lang": idx.get_level_values(0).to_numpy(dtype=object),
+                "token": idx.get_level_values(1).to_numpy(dtype=object),
+                "n": vc.to_numpy(),
+            }
+        )
+
+    partials = _docs(sf_dir, ["lang", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+    agg = bucketed_group_agg(partials, ["lang", "token"], dict(n=("n", "sum")))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["lang", "n", "token"], ascending=[True, False, True])
+            .groupby("lang")
+            .head(k)
+        )
+
+    df = _concat(agg.map_batches(local_topk, batch_format="pandas")).to_pandas()
+    df = (
+        df.sort_values(["lang", "n", "token"], ascending=[True, False, True])
+        .groupby("lang")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    df["rn"] = df.groupby("lang").cumcount() + 1
+    t = _from_pandas(df)
+    return pa.Table.from_arrays(
+        [
+            t.column("lang"),
+            t.column("rn").cast(pa.int64()),
+            t.column("token"),
+            t.column("n").cast(pa.int64()),
+        ],
+        names=["lang", "rn", "token", "n"],
+    )
+
+
+TOKEN_TOPK_BY_LANG_SQL = """
+SELECT lang, rn, token, n FROM (
+  SELECT lang, token, count(*) AS n,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY count(*) DESC, token
+         ) AS rn
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY lang, token
+) WHERE rn <= 10
+ORDER BY lang, rn
+"""

@@ -472,20 +472,31 @@ def _concat(ds: rd.Dataset) -> pa.Table:
 
 def type_hourly_stats(sf_dir: str) -> pa.Table:
     """Per (event_type, hour): count + avg/min/max value — the windowed
-    aggregate shape over a low-cardinality key (pre-aggregated partials)."""
+    aggregate shape over a low-cardinality key (pre-aggregated partials).
+
+    The avg numerator is summed in integer MICRO-UNITS (round(value*1e6) as
+    int64): float summation order differs between a distributed partial-sum
+    tree and any sequential oracle, and a last-ulp difference flips
+    round(avg, 6) exactly at a rounding boundary (observed: 1 of 900 groups
+    at sf0.1). Integer summation is order-free, so engine and oracle agree
+    bit-for-bit at every scale. Envelope: |value| ≤ ~1e3 → ≤1e9 units/row →
+    int64 safe to ~9e9 rows per (type, hour) group; past that, widen the
+    unit. min/max are order-free in float already."""
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        val = batch.column("value").to_numpy()
         df = pd.DataFrame(
             {
                 "event_type": batch.column("event_type").to_numpy(),
                 "w_start_us": _w_start_us(ts, HOUR_US),
-                "value": batch.column("value").to_numpy(),
+                "value_u": np.round(val * 1e6).astype(np.int64),
+                "value": val,
             }
         )
         g = df.groupby(["event_type", "w_start_us"], as_index=False).agg(
             n=("value", "size"),
-            sum_value=("value", "sum"),
+            sum_value=("value_u", "sum"),
             min_value=("value", "min"),
             max_value=("value", "max"),
         )
@@ -508,7 +519,18 @@ def type_hourly_stats(sf_dir: str) -> pa.Table:
         num_buckets=16,
     )
     t = _concat(out)
-    avg = pc.round(pc.divide(t.column("sum_value"), pc.cast(t.column("n"), pa.float64())), 6)
+    # The rounded average is computed ENTIRELY in integer micro-units —
+    # avg_u = (2*sum_u + n) // (2n), i.e. round-half-up of sum_u/n for
+    # non-negative values — then divided by 1e6 once. Any float rounding of
+    # a distributed average diverges from an oracle in the last ulp (both
+    # tie-breaking at exact .5 boundaries AND the rounded double's
+    # representation differ between pyarrow and DuckDB; observed at sf0.1).
+    # Identical integers / identical single division -> bit-identical
+    # doubles at every scale.
+    su = t.column("sum_value").cast(pa.int64()).to_numpy()
+    n = t.column("n").cast(pa.int64()).to_numpy()
+    avg_u = (2 * su + n) // (2 * n)
+    avg = pa.array(avg_u / 1e6, pa.float64())
     return pa.Table.from_arrays(
         [
             t.column("event_type"),
@@ -526,7 +548,8 @@ TYPE_HOURLY_SQL = """
 SELECT event_type,
        make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start,
        count(*) AS n,
-       round(sum(value) / count(*), 6) AS avg_value,
+       ((2 * sum(CAST(round(value * 1000000) AS BIGINT)) + count(*))
+        // (2 * count(*))) / 1000000.0 AS avg_value,
        round(min(value), 6) AS min_value,
        round(max(value), 6) AS max_value
 FROM events GROUP BY 1, 2

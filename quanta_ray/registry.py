@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": text.length_quantiles,
         "doc_grouped_length_quantiles": text.grouped_length_quantiles,
         "doc_stratified_sample": text.stratified_sample,
+        "doc_token_topk_by_lang": text.token_topk_by_lang,
         # --- dedup family ---
         "doc_dedup_exact": dedup.dedup_exact,
         "doc_dedup_exact_fast": dedup.dedup_exact_fast,
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles": text.LENGTH_QUANTILES_SQL,
         "doc_grouped_length_quantiles": text.GROUPED_LENGTH_QUANTILES_SQL,
         "doc_stratified_sample": text.STRATIFIED_SAMPLE_SQL,
+        "doc_token_topk_by_lang": text.TOKEN_TOPK_BY_LANG_SQL,
         "doc_quality_scores": text.QUALITY_SCORES_SQL,
         "doc_fingerprint_md5": text.FINGERPRINTS_MD5_SQL,
         "doc_lang_stats": text.LANG_STATS_SQL,

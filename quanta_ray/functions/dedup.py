@@ -849,3 +849,210 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     return t.take(
         pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")])
     ).combine_chunks()
+
+
+# --- connected-components cluster assignment ----------------------------------
+
+
+def dedup_clusters(
+    sf_dir: str, max_rounds: int = 16, num_buckets: int = 32
+) -> pa.Table:
+    """Assign every document a duplicate-CLUSTER id = min doc_id of its
+    connected component in the duplicate graph — the step between pair
+    emission (minhash/simhash/exact) and keep-one-per-cluster that a real
+    dedup pipeline needs, since near-dup relations are not transitive and
+    pairs chain (A~B, B~C but not A~C).
+
+    Edges here come from exact-dup groups as CHAINS (consecutive doc_ids
+    within each identical-text group), the worst multi-hop case: min-label
+    information must propagate the full chain length, so this genuinely
+    exercises distributed connected components (a star graph would converge
+    in one round) while staying SQL-checkable (component == md5 group ==
+    ``min(doc_id) OVER (PARTITION BY md5(text))``). The same propagation
+    accepts any (a, b) pair set, e.g. ``minhash_lsh_pairs`` output.
+
+    Algorithm: hash-to-min label propagation with pointer-jumping.
+    labels(v) <- v; each round routes every node's current label along all
+    static edges (both directions) AND along the (v -> label(v)) pointer
+    edges (both directions — this contracts label chains, giving O(log
+    diameter) rounds instead of O(diameter)); new label = min received.
+    Each round = one bucketed route + one bucketed min-groupby (2
+    all-to-alls over (node, label) int pairs — never text). Convergence is
+    detected by the (monotonically non-increasing) global label sum —
+    unchanged sum == fixpoint; ``max_rounds`` caps runaway graphs."""
+    from ..bucket import bucketed_apply, bucketed_group_agg
+
+    def hash_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "md5": batch["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest()),
+                "doc_id": batch["doc_id"].to_numpy(),
+            }
+        )
+
+    def chain_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["md5", "doc_id"], kind="mergesort")
+        d = g["doc_id"].to_numpy()
+        same = g["md5"].to_numpy()[1:] == g["md5"].to_numpy()[:-1]
+        return pd.DataFrame({"src": d[:-1][same], "dst": d[1:][same]})
+
+    hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        hash_partial, batch_format="pandas", batch_size=8192
+    )
+    edges = bucketed_apply(hashed, ["md5"], chain_edges, num_buckets=num_buckets)
+    edges = edges.materialize()  # static across rounds; int pairs only
+
+    labels = _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["doc_id"].to_numpy(), "label": b["doc_id"].to_numpy()}
+        ),
+        batch_format="pandas",
+    )
+
+    def route(g: pd.DataFrame) -> pd.DataFrame:
+        """Bucket keyed by src: label rows resolve L(src); edge rows emit
+        the src's label to dst. Both edge orientations and both pointer
+        orientations are materialized into the union upstream, so one
+        directed route covers hash-to-min + pointer jumping."""
+        is_lab = g["dst"].to_numpy() < 0
+        lab = g.loc[is_lab].drop_duplicates("src").set_index("src")["label"]
+        e = g.loc[~is_lab]
+        out_lab = pd.DataFrame(
+            {"node": lab.index.to_numpy(), "label": lab.to_numpy()}
+        )
+        sent = e["src"].map(lab).to_numpy()
+        out_edge = pd.DataFrame({"node": e["dst"].to_numpy(), "label": sent})
+        out = pd.concat([out_lab, out_edge], ignore_index=True)
+        return out.dropna().astype({"node": np.int64, "label": np.int64})
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        lab_rows = labels.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    # directed union: label row (src=node, dst=-1) + pointer
+                    # edges node<->label (pointer-jumping contraction)
+                    "src": np.concatenate(
+                        [b["node"].to_numpy(), b["node"].to_numpy(), b["label"].to_numpy()]
+                    ),
+                    "dst": np.concatenate(
+                        [
+                            np.full(len(b), -1, np.int64),
+                            b["label"].to_numpy(),
+                            b["node"].to_numpy(),
+                        ]
+                    ),
+                    "label": np.concatenate(
+                        [b["label"].to_numpy(), np.full(2 * len(b), -1, np.int64)]
+                    ),
+                }
+            ),
+            batch_format="pandas",
+        )
+        edge_rows = edges.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "src": np.concatenate([b["src"].to_numpy(), b["dst"].to_numpy()]),
+                    "dst": np.concatenate([b["dst"].to_numpy(), b["src"].to_numpy()]),
+                    "label": np.full(2 * len(b), -1, np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        routed = bucketed_apply(
+            lab_rows.union(edge_rows), ["src"], route, num_buckets=num_buckets
+        )
+        labels = bucketed_group_agg(
+            routed, ["node"], dict(label=("label", "min")), num_buckets=num_buckets
+        ).materialize()
+        s = int(labels.map_batches(
+            lambda b: pd.DataFrame({"s": [int(b["label"].sum())]}),
+            batch_format="pandas",
+        ).sum("s"))
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    t = _concat(labels)
+    t = pa.Table.from_arrays(
+        [t.column("node").cast(pa.int64()), t.column("label").cast(pa.int64())],
+        names=["doc_id", "cluster_id"],
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+DEDUP_CLUSTERS_SQL = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- incremental (shard-vs-corpus) dedup --------------------------------------
+
+
+def dedup_incremental(sf_dir: str, num_buckets: int = 32) -> pa.Table:
+    """Dedup a NEW shard against an EXISTING corpus in one shuffle: keep
+    each new document only if its content never occurs in the existing
+    corpus, and keep one survivor (min doc_id) among new-internal dups —
+    the day-2 operation of every rolling web crawl (yesterday's corpus is
+    immutable; today's shard must be deduped against it without re-reading
+    it into the driver).
+
+    The deterministic existing/new split here is doc_id parity (even =
+    existing, odd = new) so the oracle is pure SQL; in production the two
+    sides are two parquet directories unioned the same way.
+
+    Shape: one pass, per-batch partial = one row per distinct md5 per
+    batch carrying (min odd doc_id or NULL, any-even flag) -> hash-bucket
+    by md5 -> per-group resolve (anti-join semantics: any even member
+    kills the group). Shuffle volume <= one int+flag row per distinct
+    content per batch; text never shuffles."""
+    from ..bucket import bucketed_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "md5": batch["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest()),
+                "doc_id": batch["doc_id"].to_numpy(),
+            }
+        )
+        df["odd"] = df["doc_id"] % 2 == 1
+        out = pd.DataFrame(
+            {
+                "min_odd": df["doc_id"].where(df["odd"]).groupby(df["md5"]).min(),
+                "has_even": (~df["odd"]).groupby(df["md5"]).any(),
+            }
+        )
+        out.index.name = "md5"
+        return out.reset_index()
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("md5").agg(
+            min_odd=("min_odd", "min"), has_even=("has_even", "any")
+        )
+        keep = agg[~agg["has_even"] & agg["min_odd"].notna()]
+        return pd.DataFrame(
+            {
+                "doc_id": keep["min_odd"].to_numpy(dtype=np.int64),
+                "md5": keep.index.to_numpy(dtype=object),
+            }
+        )
+
+    parts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+    t = _concat(bucketed_apply(parts, ["md5"], resolve, num_buckets=num_buckets))
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+DEDUP_INCREMENTAL_SQL = """
+SELECT min(doc_id) AS doc_id, md5(text) AS md5
+FROM documents d
+WHERE doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM documents e WHERE e.doc_id % 2 = 0 AND e.text = d.text
+  )
+GROUP BY text
+ORDER BY doc_id
+"""

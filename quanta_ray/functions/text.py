@@ -765,3 +765,123 @@ SELECT lang, rn, token, n FROM (
 ) WHERE rn <= 10
 ORDER BY lang, rn
 """
+
+
+def tfidf_topk(sf_dir: str, k: int = 5, num_buckets: int = 32) -> pa.Table:
+    """Top-k TF-IDF terms per document — the two-sided global/local term
+    statistic every curation pipeline needs (rare-term extraction, topic
+    keying).
+
+    Distributed shape (a SHUFFLE JOIN, no vocabulary broadcast):
+    - pass 1 (map): per-batch token explode -> exact per-doc term counts
+      (a document's text lives in one row, so tf is exact per batch) plus
+      per-batch document-frequency partials (token, df_partial);
+    - the tf rows AND df partials are unioned and hash-bucketed by TOKEN —
+      a bucket holds every tf row and every df partial of its tokens, so
+      df-sum + idf attach happen vectorized inside the bucket with no
+      driver-side vocabulary map (vocab grows with the corpus; a broadcast
+      here is the classic scale-killer);
+    - re-bucket by DOC for the per-doc top-k (sort + head per group).
+
+    The score is computed in integer micro-units
+    (tf * round(ln(N/df)*1e6)) so the engine and any oracle rank and emit
+    bit-identical doubles — float tf*idf differs in the last ulp between
+    evaluation orders and flips ranks at ties (same protocol as
+    ``type_hourly_stats``)."""
+    from ..bucket import bucketed_apply
+
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+
+    class TermPartials:
+        """(doc_id, token, tf) rows + (token, dfp) partials, one fused map."""
+
+        def __init__(self):
+            import re
+
+            self.word = re.compile(r"[a-z0-9]+")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["text"].str.lower().str.findall(self.word)
+            toks.index = batch["doc_id"].to_numpy()
+            ex = toks.explode().dropna()
+            tf = ex.groupby([ex.index, ex]).size()
+            idx = tf.index
+            doc = idx.get_level_values(0).to_numpy(dtype=np.int64)
+            tok = idx.get_level_values(1).to_numpy(dtype=object)
+            tfv = tf.to_numpy(dtype=np.int64)
+            # df partial: each (doc, token) appears once above
+            dfp = pd.Series(tok).value_counts()
+            return pd.DataFrame(
+                {
+                    "token": np.concatenate([tok, dfp.index.to_numpy(dtype=object)]),
+                    "doc_id": np.concatenate([doc, np.full(len(dfp), -1, np.int64)]),
+                    "n": np.concatenate([tfv, dfp.to_numpy(dtype=np.int64)]),
+                }
+            )
+
+    def attach_idf(g: pd.DataFrame) -> pd.DataFrame:
+        is_df = g["doc_id"].to_numpy() < 0
+        df_tot = g.loc[is_df].groupby("token")["n"].sum()
+        tf = g.loc[~is_df]
+        dfv = tf["token"].map(df_tot).to_numpy(dtype=np.float64)
+        idf_u = np.round(np.log(float(n_docs) / dfv) * 1e6).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": tf["doc_id"].to_numpy(),
+                "token": tf["token"].to_numpy(),
+                "score_u": tf["n"].to_numpy(dtype=np.int64) * idf_u,
+            }
+        )
+
+    def per_doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "score_u", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rn = g.groupby("doc_id").cumcount().to_numpy() + 1
+        g = g.assign(rn=rn.astype(np.int64))
+        return g[g["rn"] <= k]
+
+    parts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        TermPartials, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+    scored = bucketed_apply(parts, ["token"], attach_idf, num_buckets=num_buckets)
+    top = bucketed_apply(scored, ["doc_id"], per_doc_topk, num_buckets=num_buckets)
+    df = _concat(top).to_pandas()
+    df["tfidf"] = df["score_u"].to_numpy() / 1e6
+    df = df.sort_values(["doc_id", "rn"]).reset_index(drop=True)
+    t = _from_pandas(df)
+    return pa.Table.from_arrays(
+        [
+            t.column("doc_id").cast(pa.int64()),
+            t.column("rn").cast(pa.int64()),
+            t.column("token"),
+            t.column("tfidf").cast(pa.float64()),
+        ],
+        names=["doc_id", "rn", "token", "tfidf"],
+    )
+
+
+TFIDF_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, rn, token, tfidf FROM (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / df.df) * 1000000)
+                      AS BIGINT) / 1000000.0 AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / df.df) * 1000000)
+                                 AS BIGINT) DESC, tf.token
+         ) AS rn
+  FROM tf JOIN df USING (token) CROSS JOIN n
+) WHERE rn <= 5
+ORDER BY doc_id, rn
+"""

@@ -988,3 +988,194 @@ FROM events
 GROUP BY 1
 ORDER BY hour
 """
+
+
+# --- staged funnel analysis ---------------------------------------------------
+
+
+def funnel(
+    sf_dir: str, stages: tuple[str, ...] = ("view", "click", "purchase")
+) -> pa.Table:
+    """Per-user ordered funnel: how many users reached stage i, where a user
+    reaches stage i when an event of type ``stages[i]`` occurs strictly
+    AFTER the user's earliest completion of stage i-1 (the classic
+    min-timestamp funnel, e.g. view -> click -> purchase).
+
+    Shape: ONE hash shuffle on user_id (``bucketed_apply``); inside each
+    bucket the staged min-after recurrence is a per-stage vectorized
+    groupby-min over the (complete) user groups — no cross-bucket state, no
+    second shuffle for the final count (the per-bucket partial counts are a
+    ≤ num_buckets x len(stages) frame reduced on the driver)."""
+    from ..bucket import bucketed_apply
+
+    stage_list = list(stages)
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64")
+        # reach[u] = min ts of stages[0] per user
+        reach = ts[g["event_type"] == stage_list[0]].groupby(g["user_id"]).min()
+        counts = [len(reach)]
+        for st in stage_list[1:]:
+            m = g["event_type"] == st
+            cand = pd.DataFrame({"u": g.loc[m, "user_id"], "t": ts[m]})
+            cand["prev"] = cand["u"].map(reach)
+            cand = cand[cand["t"] > cand["prev"]]  # NaN prev -> False
+            reach = cand.groupby("u")["t"].min()
+            counts.append(len(reach))
+        return pd.DataFrame(
+            {
+                "stage_idx": np.arange(len(stage_list), dtype=np.int64),
+                "stage": stage_list,
+                "n_users": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+    parts = _concat(bucketed_apply(ds, ["user_id"], bucket_fn)).to_pandas()
+    out = (
+        parts.groupby(["stage_idx", "stage"], as_index=False)["n_users"]
+        .sum()
+        .sort_values("stage_idx")
+    )
+    t = _from_pandas(out.reset_index(drop=True))
+    return pa.Table.from_arrays(
+        [
+            t.column("stage_idx").cast(pa.int64()),
+            t.column("stage"),
+            t.column("n_users").cast(pa.int64()),
+        ],
+        names=["stage_idx", "stage", "n_users"],
+    )
+
+
+FUNNEL_SQL = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id
+)
+SELECT 0 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s0) AS n_users
+UNION ALL
+SELECT 1, 'click', (SELECT count(*) FROM s1)
+UNION ALL
+SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+ORDER BY stage_idx
+"""
+
+
+# --- per-user running (cumulative) aggregate ----------------------------------
+
+
+def user_running_sum(sf_dir: str, buckets: int = 32) -> pa.Table:
+    """Running SUM(value) per user ordered by (ts, event_id) — the
+    ``SUM() OVER (PARTITION BY ... ORDER BY ...)`` cumulative-window form.
+
+    Shape: one hash shuffle on user_id; inside each bucket one mergesort +
+    ``groupby.cumsum``, vectorized over all that bucket's users at once.
+    The sum runs in integer MICRO-UNITS (round(value*1e6) as int64): integer
+    addition is association-free, so the engine's per-bucket cumsum and any
+    oracle's window-frame tree agree bit-for-bit (same micro-unit protocol
+    as ``type_hourly_stats``; int64 overflows only past ~9e12 value-units
+    per user)."""
+    from ..bucket import bucketed_apply
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        vu = np.round(g["value"].to_numpy() * 1e6).astype(np.int64)
+        run = pd.Series(vu).groupby(g["user_id"].to_numpy()).cumsum().to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_id": g["event_id"].to_numpy(),
+                "ts": g["ts"].to_numpy(),
+                "running_value": run / 1e6,
+            }
+        )
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    t = _concat(bucketed_apply(ds, ["user_id"], bucket_fn, num_buckets=buckets))
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]
+        )
+    )
+
+
+USER_RUNNING_SUM_SQL = """
+SELECT user_id, event_id, ts,
+       sum(CAST(round(value * 1000000) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) / 1000000.0
+         AS running_value
+FROM events
+ORDER BY user_id, ts, event_id
+"""
+
+
+# --- cohort retention ---------------------------------------------------------
+
+
+def user_retention(sf_dir: str) -> pa.Table:
+    """Day-grain cohort retention: users are cohorted by the day of their
+    FIRST event; for each (cohort_day, day_offset) count the distinct users
+    active that day.
+
+    Shape: one hash shuffle on user_id (``bucketed_apply``) emits each
+    user's distinct (cohort_day, active_day) pairs — ≤ #days per user, far
+    smaller than the event stream — then a tiny bucketed count-sum over
+    (cohort_day, offset). No driver-side pass over events."""
+    from ..bucket import bucketed_apply, bucketed_group_agg
+
+    DAY_US = 24 * HOUR_US
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["ts"].astype("int64").to_numpy() // DAY_US * DAY_US
+        df = pd.DataFrame({"u": g["user_id"].to_numpy(), "day": day})
+        df = df.drop_duplicates()
+        cohort = df.groupby("u")["day"].transform("min")
+        return pd.DataFrame(
+            {
+                "cohort_day": cohort.to_numpy(),
+                "day_offset": ((df["day"].to_numpy() - cohort.to_numpy()) // DAY_US),
+                "n": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+    pairs = bucketed_apply(ds, ["user_id"], bucket_fn)
+    agg = bucketed_group_agg(pairs, ["cohort_day", "day_offset"], dict(n=("n", "sum")))
+    t = _concat(agg)
+    out = pa.table(
+        {
+            "cohort_day": t.column("cohort_day").cast(pa.int64()).cast(pa.timestamp("us")),
+            "day_offset": t.column("day_offset").cast(pa.int64()),
+            "n_users": t.column("n").cast(pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("cohort_day", "ascending"), ("day_offset", "ascending")],
+        )
+    )
+
+
+USER_RETENTION_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS day
+  FROM events
+), cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM active GROUP BY user_id
+)
+SELECT c.cohort_day,
+       CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM active a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_day, day_offset
+"""

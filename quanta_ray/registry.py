@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_heavy_hitters_approx": batch_cep.heavy_hitters_users,
         "ev_type_hourly_pivot": batch_cep.type_hourly_pivot,
         "ev_followup_range_join": batch_cep.followup_range_join,
+        "ev_funnel": batch_cep.funnel,
+        "ev_user_running_sum": batch_cep.user_running_sum,
+        "ev_user_retention": batch_cep.user_retention,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_stream("sessions"),
         "cep_streaming_tumbling": _streaming_stream("tumbling"),
@@ -130,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_signatures": dedup.simhash_signatures,
         "doc_simhash_near_dups": dedup.simhash_near_dups,
         "doc_ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        "doc_dedup_clusters": dedup.dedup_clusters,
+        "doc_dedup_incremental": dedup.dedup_incremental,
+        "doc_tfidf_topk": text.tfidf_topk,
         # --- similarity search + clustering ---
         "emb_knn_bruteforce": simsearch.knn_bruteforce,
         "emb_knn_ivf": simsearch.knn_ivf,
@@ -161,6 +167,9 @@ def oracle_sql() -> dict[str, str]:
         "ev_latest_per_user": batch_cep.LATEST_EVENTS_PER_USER_SQL,
         "ev_type_hourly_pivot": batch_cep.TYPE_HOURLY_PIVOT_SQL,
         "ev_followup_range_join": batch_cep.FOLLOWUP_RANGE_JOIN_SQL,
+        "ev_funnel": batch_cep.FUNNEL_SQL,
+        "ev_user_running_sum": batch_cep.USER_RUNNING_SUM_SQL,
+        "ev_user_retention": batch_cep.USER_RETENTION_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
         "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
         "rel_top_parts_by_price": relational.TOP_PARTS_SQL,
@@ -186,6 +195,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_filter": text.QUALITY_FILTER_SQL,
         "doc_dedup_exact": dedup.DEDUP_EXACT_SQL,
         "doc_dedup_exact_fast": dedup.DEDUP_EXACT_FAST_SQL,
+        "doc_dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
+        "doc_dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
+        "doc_tfidf_topk": text.TFIDF_TOPK_SQL,
         "doc_script_stats": text.SCRIPT_STATS_SQL,
         "emb_knn_bruteforce": simsearch.KNN_BRUTEFORCE_SQL,
     }

@@ -731,3 +731,120 @@ def test_stratified_sample_balanced_and_deterministic(ray_session, tmp_path_fact
     assert out.groupby("lang").size().to_dict() == {"de": 10, "en": 10, "zh": 3}
     again = stratified_sample(str(d), per_group=10).to_pandas()
     assert out.equals(again)
+
+
+def test_dedup_clusters_long_chain(ray_session, tmp_path_factory):
+    """Pointer-jumping CC must close a LONG chain (24 identical docs =>
+    23-edge chain) well inside max_rounds, and leave singletons alone."""
+    from quanta_ray.functions.dedup import dedup_clusters
+
+    d = tmp_path_factory.mktemp("chain_docs")
+    texts = ["dup dup dup"] * 24 + [f"unique text {i}" for i in range(6)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(30), type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 30,
+            "source": ["synthetic"] * 30,
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = dedup_clusters(str(d), max_rounds=8).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert len(got) == 30
+    for i in range(24):
+        assert got[i] == 0, f"doc {i} not folded into chain cluster: {got[i]}"
+    for i in range(24, 30):
+        assert got[i] == i
+
+
+def test_dedup_incremental_planted(ray_session, tmp_path_factory):
+    """Even ids = existing corpus, odd = new shard: odd dups of existing
+    content are dropped, new-internal dups keep one, fresh content kept."""
+    from quanta_ray.functions.dedup import dedup_incremental
+
+    d = tmp_path_factory.mktemp("incr_docs")
+    texts = {
+        0: "already in corpus",
+        1: "already in corpus",      # dup of existing -> dropped
+        2: "other existing",
+        3: "brand new text b",       # new-internal dup group {3, 5} -> keep 3
+        5: "brand new text b",
+        7: "fresh and unique",       # kept
+        9: "already in corpus",      # dup of existing -> dropped
+    }
+    ids = sorted(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": [texts[i] for i in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["synthetic"] * len(ids),
+            "n_chars": pa.array([len(texts[i]) for i in ids], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = dedup_incremental(str(d))
+    assert out.column("doc_id").to_pylist() == [3, 7]
+
+
+def test_tfidf_rare_token_ranks_first(ray_session, tmp_path_factory):
+    """A token unique to one doc must out-rank corpus-wide stopwords."""
+    from quanta_ray.functions.text import tfidf_topk
+
+    d = tmp_path_factory.mktemp("tfidf_docs")
+    common = "the quick brown fox jumps over the lazy dog"
+    texts = [common] * 9 + [common + " zyzzyva"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(10), type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 10,
+            "source": ["synthetic"] * 10,
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = tfidf_topk(str(d), k=3).to_pandas()
+    top1 = out[(out["doc_id"] == 9) & (out["rn"] == 1)]
+    assert top1["token"].iloc[0] == "zyzzyva"
+    assert top1["tfidf"].iloc[0] > 0
+    # stopword-only docs: every token everywhere -> idf 0 -> tfidf 0
+    assert (out[out["doc_id"] == 0]["tfidf"] == 0).all()
+
+
+def test_funnel_staged_ordering(ray_session, tmp_path_factory):
+    """Stage i counts only users whose stage-i event falls strictly after
+    their earliest stage-(i-1) completion."""
+    from quanta_ray.pipelines.batch_cep import funnel
+
+    d = tmp_path_factory.mktemp("funnel_events")
+    TS = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: full ordered funnel
+        (1, TS + pd.Timedelta(minutes=1), "view"),
+        (1, TS + pd.Timedelta(minutes=2), "click"),
+        (1, TS + pd.Timedelta(minutes=3), "purchase"),
+        # user 2: click BEFORE first view -> never reaches click stage
+        (2, TS + pd.Timedelta(minutes=1), "click"),
+        (2, TS + pd.Timedelta(minutes=5), "view"),
+        (2, TS + pd.Timedelta(minutes=6), "purchase"),
+        # user 3: view only
+        (3, TS + pd.Timedelta(minutes=1), "view"),
+        # user 4: no view at all -> not even stage 0
+        (4, TS + pd.Timedelta(minutes=1), "purchase"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": [r[2] for r in rows],
+            "value": pa.array([1.0] * len(rows)),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(t, str(d / "events.parquet"))
+    out = funnel(str(d)).to_pandas()
+    assert out["n_users"].tolist() == [3, 1, 1]

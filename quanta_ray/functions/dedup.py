@@ -854,60 +854,29 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 # --- connected-components cluster assignment ----------------------------------
 
 
-def dedup_clusters(
-    sf_dir: str, max_rounds: int = 16, num_buckets: int = 32
-) -> pa.Table:
-    """Assign every document a duplicate-CLUSTER id = min doc_id of its
-    connected component in the duplicate graph — the step between pair
-    emission (minhash/simhash/exact) and keep-one-per-cluster that a real
-    dedup pipeline needs, since near-dup relations are not transitive and
-    pairs chain (A~B, B~C but not A~C).
+def cc_labels(
+    edges: rd.Dataset,
+    labels: rd.Dataset,
+    max_rounds: int = 16,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Distributed connected components: min-label propagation with
+    pointer-jumping over an ``edges`` Dataset (int columns ``src``/``dst``)
+    and a ``labels`` Dataset (int columns ``node``/``label``, one row per
+    node, initially label=node). Returns the converged labels Dataset.
 
-    Edges here come from exact-dup groups as CHAINS (consecutive doc_ids
-    within each identical-text group), the worst multi-hop case: min-label
-    information must propagate the full chain length, so this genuinely
-    exercises distributed connected components (a star graph would converge
-    in one round) while staying SQL-checkable (component == md5 group ==
-    ``min(doc_id) OVER (PARTITION BY md5(text))``). The same propagation
-    accepts any (a, b) pair set, e.g. ``minhash_lsh_pairs`` output.
-
-    Algorithm: hash-to-min label propagation with pointer-jumping.
-    labels(v) <- v; each round routes every node's current label along all
-    static edges (both directions) AND along the (v -> label(v)) pointer
-    edges (both directions — this contracts label chains, giving O(log
-    diameter) rounds instead of O(diameter)); new label = min received.
-    Each round = one bucketed route + one bucketed min-groupby (2
-    all-to-alls over (node, label) int pairs — never text). Convergence is
-    detected by the (monotonically non-increasing) global label sum —
-    unchanged sum == fixpoint; ``max_rounds`` caps runaway graphs."""
+    Each round routes every node's current label along all static edges
+    (both directions) AND along the (v -> label(v)) pointer edges (both
+    directions — contracting label chains, so rounds grow with LOG of the
+    component diameter, not the diameter); new label = min received. One
+    round = one bucketed route + one bucketed min-groupby — 2 all-to-alls
+    over (node, label) int pairs, never payload data. Convergence is the
+    (monotonically non-increasing) global label sum going unchanged;
+    ``max_rounds`` caps adversarial graphs. Node ids must be >= 0 (-1 is
+    the internal label-row marker)."""
     from ..bucket import bucketed_apply, bucketed_group_agg
 
-    def hash_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "md5": batch["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest()),
-                "doc_id": batch["doc_id"].to_numpy(),
-            }
-        )
-
-    def chain_edges(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["md5", "doc_id"], kind="mergesort")
-        d = g["doc_id"].to_numpy()
-        same = g["md5"].to_numpy()[1:] == g["md5"].to_numpy()[:-1]
-        return pd.DataFrame({"src": d[:-1][same], "dst": d[1:][same]})
-
-    hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        hash_partial, batch_format="pandas", batch_size=8192
-    )
-    edges = bucketed_apply(hashed, ["md5"], chain_edges, num_buckets=num_buckets)
     edges = edges.materialize()  # static across rounds; int pairs only
-
-    labels = _docs(sf_dir, ["doc_id"]).map_batches(
-        lambda b: pd.DataFrame(
-            {"node": b["doc_id"].to_numpy(), "label": b["doc_id"].to_numpy()}
-        ),
-        batch_format="pandas",
-    )
 
     def route(g: pd.DataFrame) -> pd.DataFrame:
         """Bucket keyed by src: label rows resolve L(src); edge rows emit
@@ -972,7 +941,60 @@ def dedup_clusters(
         if s == prev_sum:
             break
         prev_sum = s
+    return labels
 
+
+def _doc_id_labels(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["doc_id"].to_numpy(), "label": b["doc_id"].to_numpy()}
+        ),
+        batch_format="pandas",
+    )
+
+
+def dedup_clusters(
+    sf_dir: str, max_rounds: int = 16, num_buckets: int = 32
+) -> pa.Table:
+    """Assign every document a duplicate-CLUSTER id = min doc_id of its
+    connected component in the duplicate graph — the step between pair
+    emission (minhash/simhash/exact) and keep-one-per-cluster that a real
+    dedup pipeline needs, since near-dup relations are not transitive and
+    pairs chain (A~B, B~C but not A~C).
+
+    Edges here come from exact-dup groups as CHAINS (consecutive doc_ids
+    within each identical-text group), the worst multi-hop case: min-label
+    information must propagate the full chain length, so this genuinely
+    exercises distributed connected components (a star graph would converge
+    in one round) while staying SQL-checkable (component == md5 group ==
+    ``min(doc_id) OVER (PARTITION BY md5(text))``). The same propagation
+    accepts any (a, b) pair set, e.g. ``minhash_lsh_pairs`` output.
+
+    Propagation is ``cc_labels`` (hash-to-min + pointer-jumping; see its
+    docstring for the round structure and convergence rule)."""
+    from ..bucket import bucketed_apply
+
+    def hash_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "md5": batch["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest()),
+                "doc_id": batch["doc_id"].to_numpy(),
+            }
+        )
+
+    def chain_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["md5", "doc_id"], kind="mergesort")
+        d = g["doc_id"].to_numpy()
+        same = g["md5"].to_numpy()[1:] == g["md5"].to_numpy()[:-1]
+        return pd.DataFrame({"src": d[:-1][same], "dst": d[1:][same]})
+
+    hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        hash_partial, batch_format="pandas", batch_size=8192
+    )
+    edges = bucketed_apply(hashed, ["md5"], chain_edges, num_buckets=num_buckets)
+    labels = cc_labels(
+        edges, _doc_id_labels(sf_dir), max_rounds=max_rounds, num_buckets=num_buckets
+    )
     t = _concat(labels)
     t = pa.Table.from_arrays(
         [t.column("node").cast(pa.int64()), t.column("label").cast(pa.int64())],
@@ -986,6 +1008,42 @@ SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
 FROM documents
 ORDER BY doc_id
 """
+
+
+def near_dup_clusters(
+    sf_dir: str,
+    jaccard_threshold: float = 0.7,
+    max_rounds: int = 16,
+    num_buckets: int = 32,
+) -> pa.Table:
+    """The end-to-end NEAR-dup pipeline composition: MinHash+LSH verified
+    pairs -> distributed connected components -> per-doc (cluster_id, keep).
+
+    Near-dup relations are NOT transitive (A~B, B~C need not imply A~C), so
+    pairwise drop-the-higher-id (``ngram_jaccard_dedup``) and
+    keep-one-per-component answer different questions; this one is the
+    component form: every doc in a connected chain of near-dups collapses
+    to one survivor (the component's min doc_id), which is what corpus
+    curation usually wants (MinHashLSH dedup as in the Gopher/RefinedWeb
+    pipelines). Approximate by LSH recall -> rows-only oracle; transitive
+    folding pinned by a planted A~B~C chain test."""
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold)
+    edges = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pairs.column("a").cast(pa.int64()), pairs.column("b").cast(pa.int64())],
+            names=["src", "dst"],
+        )
+    )
+    labels = cc_labels(
+        edges, _doc_id_labels(sf_dir), max_rounds=max_rounds, num_buckets=num_buckets
+    )
+    t = _concat(labels)
+    doc = t.column("node").cast(pa.int64())
+    lab = t.column("label").cast(pa.int64())
+    t = pa.Table.from_arrays(
+        [doc, lab, pc.equal(doc, lab)], names=["doc_id", "cluster_id", "keep"]
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
 
 
 # --- incremental (shard-vs-corpus) dedup --------------------------------------

@@ -885,3 +885,77 @@ SELECT doc_id, rn, token, tfidf FROM (
 ) WHERE rn <= 5
 ORDER BY doc_id, rn
 """
+
+
+def bigram_topk(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k most frequent word BIGRAMS corpus-wide — n-gram statistics
+    for contamination screening and boilerplate detection.
+
+    Per-batch vectorized bigram counts (token explode + same-doc adjacency
+    mask; no per-row loops) -> hash-bucketed global sum keyed by bigram ->
+    per-bucket local top-k -> tiny driver re-rank. Shuffle moves (bigram,
+    count) partials only; ranking ties break on the bigram string, so
+    the integer ordering is deterministic on both sides."""
+    from ..bucket import bucketed_group_agg
+
+    class BigramPartial:
+        def __init__(self):
+            import re
+
+            self.word = re.compile(r"[a-z0-9]+")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["text"].str.lower().str.findall(self.word)
+            toks = toks.reset_index(drop=True)
+            ex = toks.explode().dropna()
+            if len(ex) < 2:
+                return pd.DataFrame({"bigram": pd.array([], dtype=object),
+                                     "n": pd.array([], dtype=np.int64)})
+            doc = ex.index.to_numpy()
+            w = ex.to_numpy(dtype=object)
+            same = doc[1:] == doc[:-1]
+            lhs, rhs = w[:-1][same], w[1:][same]
+            bg = pd.Series(lhs) + " " + pd.Series(rhs)
+            vc = bg.value_counts()
+            return pd.DataFrame(
+                {"bigram": vc.index.to_numpy(dtype=object),
+                 "n": vc.to_numpy(dtype=np.int64)}
+            )
+
+    parts = _docs(sf_dir, ["text"]).map_batches(
+        BigramPartial, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+    agg = bucketed_group_agg(parts, ["bigram"], dict(n=("n", "sum")))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+
+    df = _concat(agg.map_batches(local_topk, batch_format="pandas")).to_pandas()
+    df = (
+        df.sort_values(["n", "bigram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    df["rn"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    t = _from_pandas(df)
+    return pa.Table.from_arrays(
+        [t.column("rn").cast(pa.int64()), t.column("bigram"),
+         t.column("n").cast(pa.int64())],
+        names=["rn", "bigram", "n"],
+    )
+
+
+BIGRAM_TOPK_SQL = """
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t
+)
+SELECT row_number() OVER (ORDER BY count(*) DESC, bigram) AS rn,
+       bigram, count(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+"""

@@ -135,7 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "doc_dedup_clusters": dedup.dedup_clusters,
         "doc_dedup_incremental": dedup.dedup_incremental,
+        "doc_near_dup_clusters": dedup.near_dup_clusters,
         "doc_tfidf_topk": text.tfidf_topk,
+        "doc_bigram_topk": text.bigram_topk,
         # --- similarity search + clustering ---
         "emb_knn_bruteforce": simsearch.knn_bruteforce,
         "emb_knn_ivf": simsearch.knn_ivf,
@@ -198,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "doc_dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "doc_tfidf_topk": text.TFIDF_TOPK_SQL,
+        "doc_bigram_topk": text.BIGRAM_TOPK_SQL,
         "doc_script_stats": text.SCRIPT_STATS_SQL,
         "emb_knn_bruteforce": simsearch.KNN_BRUTEFORCE_SQL,
     }

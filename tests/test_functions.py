@@ -848,3 +848,37 @@ def test_funnel_staged_ordering(ray_session, tmp_path_factory):
     pq.write_table(t, str(d / "events.parquet"))
     out = funnel(str(d)).to_pandas()
     assert out["n_users"].tolist() == [3, 1, 1]
+
+
+def test_near_dup_clusters_transitive_chain(ray_session, tmp_path_factory):
+    """A~B and B~C near-dup (but A,C farther apart) must fold into ONE
+    cluster via connected components — the non-transitivity case pairwise
+    drop logic cannot represent."""
+    from quanta_ray.functions.dedup import near_dup_clusters
+
+    d = tmp_path_factory.mktemp("chain_near_docs")
+    rng = np.random.default_rng(11)
+    vocab = np.array("alpha beta gamma delta epsilon zeta eta theta".split())
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(20)]
+    base = texts[2].split()
+    mid = list(base)
+    mid[7] = "CHANGED7"          # B: 1 of 40 words differs from A
+    far = list(mid)
+    far[23] = "CHANGED23"        # C: differs from B by 1, from A by 2
+    texts[5], texts[9] = " ".join(mid), " ".join(far)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(20), type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 20,
+            "source": ["synthetic"] * 20,
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = near_dup_clusters(str(d), jaccard_threshold=0.7).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got[2] == 2 and got[5] == 2 and got[9] == 2, got
+    keep = dict(zip(out["doc_id"], out["keep"]))
+    assert keep[2] and not keep[5] and not keep[9]
+    assert sum(not v for v in keep.values()) == 2  # only the planted chain folds

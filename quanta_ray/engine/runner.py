@@ -729,7 +729,17 @@ class StreamingRunner:
             e += 1
 
         while inflight:
-            commit(min(inflight))
+            if ooo and epoch_refs:
+                # keep recording completions through the final drain —
+                # committing directly here would skip ooo_poll and drop
+                # late-resolving epochs from completion_order (observed as a
+                # load-dependent gap: an epoch that resolved after the last
+                # dispatch-loop poll committed unrecorded)
+                allr = [r for refs in epoch_refs.values() for r in refs]
+                ray.wait(allr, num_returns=1, fetch_local=False)
+                ooo_poll()
+            else:
+                commit(min(inflight))
 
         final_epoch = len(files)  # the stream may have grown while tailing
         if stop_after_epoch is not None and stop_after_epoch < final_epoch:

@@ -1,0 +1,274 @@
+"""Corpus-curation operators: the final assembly steps of a training-data
+pipeline — deterministic global shuffle into shards and weighted per-source
+mixture sampling.
+
+Both are keyed on md5-of-id "consistent hash" order (the idiom
+``consistent_sample`` pins): deterministic at any parallelism, stable under
+corpus growth (new docs land at hash positions without reshuffling old
+ones), and exactly SQL-expressible so the driver's DuckDB gate value-checks
+them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..schema import read_parquet_clean as _read_pq
+
+
+def _docs(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return _read_pq(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _concat(ds: rd.Dataset) -> pa.Table:
+    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
+def _md5_keys(ids: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(hex key, first-8-hex-digits-as-int) per id — the shared consistent
+    order/placement key. Per-row hashlib, same bounded cost as the md5
+    fingerprint ops (needed for SQL parity; a non-oracle variant would key
+    on ``pd.util.hash_array``)."""
+    hexs = ids.map(lambda v: hashlib.md5(str(v).encode()).hexdigest()).to_numpy(
+        dtype=object
+    )
+    pre = np.fromiter(
+        (int(h[:8], 16) for h in hexs), dtype=np.int64, count=len(hexs)
+    )
+    return hexs, pre
+
+
+def shuffle_shards(sf_dir: str, n_shards: int = 8) -> pa.Table:
+    """Deterministic GLOBAL SHUFFLE into ``n_shards`` output shards with a
+    stable position within each shard — what a training run consumes
+    (shard files read sequentially = a reproducible random permutation of
+    the corpus).
+
+    shard = md5-prefix(doc_id) mod n_shards; position = rank of the full
+    md5 key within the shard. ONE hash shuffle keyed by shard (every row
+    of a shard meets in one bucket), then a vectorized per-shard sort +
+    cumcount — no global sort, no driver-side pass. At 100 TB, n_shards
+    is set to a multiple of writer parallelism and each bucket streams
+    straight into ``sinks/batch_write``-style committed shard files."""
+    from ..bucket import bucketed_apply
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        hexs, pre = _md5_keys(batch["doc_id"])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "shard": pre % n_shards,
+                "_k": hexs,
+            }
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shard", "_k", "doc_id"], kind="mergesort")
+        pos = g.groupby("shard").cumcount().to_numpy() + 1
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "shard": g["shard"].to_numpy(),
+                "pos": pos.astype(np.int64),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pandas", batch_size=8192
+    )
+    t = _concat(bucketed_apply(ds, ["shard"], rank))
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("shard", "ascending"), ("pos", "ascending")])
+    )
+
+
+SHUFFLE_SHARDS_SQL = """
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+            AS BIGINT) AS pos
+FROM (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS k,
+         CAST(('0x' || left(md5(CAST(doc_id AS VARCHAR)), 8)) AS BIGINT) % 8
+           AS shard
+  FROM documents
+)
+ORDER BY shard, pos
+"""
+
+
+def mixture_sample(sf_dir: str) -> pa.Table:
+    """Weighted per-SOURCE mixture sampling — reweighting a multi-source
+    corpus to target mixture proportions, the step that turns raw crawl
+    into a training mix.
+
+    Each source gets a keep-rate (here a deterministic function of the
+    source name so the oracle is closed-form: rate = (src_index mod 4 + 1)
+    x 0.2); a doc survives iff its md5-prefix fraction < rate. Pure
+    per-batch map — no shuffle at all, embarrassingly parallel, and the
+    SAME docs survive at any parallelism or corpus growth (consistent
+    hashing), so reruns and incremental extensions agree."""
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        _, pre = _md5_keys(batch["doc_id"])
+        frac = pre / float(1 << 32)
+        idx = batch["source"].str.slice(3).astype(np.int64).to_numpy()
+        rate = (idx % 4 + 1) * 0.2
+        keep = frac < rate
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[keep],
+                "source": batch["source"].to_numpy()[keep],
+            }
+        )
+
+    t = _concat(
+        _docs(sf_dir, ["doc_id", "source"]).map_batches(
+            sample, batch_format="pandas", batch_size=8192
+        )
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+MIXTURE_SAMPLE_SQL = """
+SELECT doc_id, source
+FROM documents
+WHERE CAST(('0x' || left(md5(CAST(doc_id AS VARCHAR)), 8)) AS BIGINT)
+      / 4294967296.0
+      < (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 0.2
+ORDER BY doc_id
+"""
+
+
+def curate_e2e(
+    sf_dir: str,
+    min_tokens: int = 50,
+    min_ttr: float = 0.3,
+    n_shards: int = 8,
+) -> pa.Table:
+    """The END-TO-END corpus curation pipeline, composed as ONE lazy Ray
+    Data pipeline: quality filter -> exact dedup -> mixture sample ->
+    shuffle into training shards. Every doc-shaped intermediate streams
+    block-to-block with backpressure — nothing materializes on the driver
+    between stages, so the composition holds at 100 TB exactly like its
+    component operators.
+
+    Stage shapes (2 all-to-alls total for 4 logical stages):
+    - quality filter: vectorized per-batch map (token count + TTR gates),
+      fused by Ray into the read;
+    - exact dedup: md5 computed per batch, TEXT DROPPED before the
+      shuffle — only (md5, doc_id, source) rows move; bucketed min per
+      content (survivor keeps its source);
+    - mixture sample: consistent-hash Bernoulli per source stratum, pure
+      map on the (already tiny) survivor stream;
+    - shard assignment: md5-consistent shard + in-shard rank, the second
+      and last shuffle, keyed by shard.
+
+    Fully SQL-expressible, so the whole composition is value-checked by
+    the driver's DuckDB gate — the compositional analog of the individual
+    green oracles."""
+    from ..bucket import bucketed_apply
+
+    class QualityHash:
+        """Filter + hash in one fused stage; drops text before shuffle."""
+
+        def __init__(self):
+            import re
+
+            self.word = re.compile(r"[A-Za-z0-9]+")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["text"].str.findall(self.word)
+            n = toks.str.len().astype("int64")
+            uniq = toks.map(lambda ws: len(set(ws))).astype("int64")
+            keep = (n >= min_tokens) & (uniq / n.clip(lower=1) >= min_ttr)
+            kept = batch.loc[keep]
+            return pd.DataFrame(
+                {
+                    "md5": kept["text"].map(
+                        lambda s: hashlib.md5(s.encode()).hexdigest()
+                    ),
+                    "doc_id": kept["doc_id"].to_numpy(),
+                    "source": kept["source"].to_numpy(),
+                }
+            ).sort_values(["md5", "doc_id"]).groupby("md5", as_index=False).first()
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["md5", "doc_id"], kind="mergesort")
+        return g.groupby("md5", as_index=False).first()[["doc_id", "source"]]
+
+    def mixture(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        _, pre = _md5_keys(batch["doc_id"])
+        idx = batch["source"].str.slice(3).astype(np.int64).to_numpy()
+        keep = pre / float(1 << 32) < (idx % 4 + 1) * 0.2
+        return batch.loc[keep]
+
+    def shard_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shard", "_k", "doc_id"], kind="mergesort")
+        pos = g.groupby("shard").cumcount().to_numpy() + 1
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "source": g["source"].to_numpy(),
+                "shard": g["shard"].to_numpy(),
+                "pos": pos.astype(np.int64),
+            }
+        )
+
+    def assign_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch.assign(shard=[], _k=[])
+        hexs, pre = _md5_keys(batch["doc_id"])
+        return batch.assign(shard=pre % n_shards, _k=hexs)
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        QualityHash, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+    survivors = bucketed_apply(ds, ["md5"], dedup_bucket)
+    sampled = survivors.map_batches(mixture, batch_format="pandas").map_batches(
+        assign_shard, batch_format="pandas"
+    )
+    t = _concat(bucketed_apply(sampled, ["shard"], shard_rank))
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("shard", "ascending"), ("pos", "ascending")])
+    )
+
+
+CURATE_E2E_SQL = """
+WITH q AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE len(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 50
+    AND len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+'))) * 1.0
+        / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) >= 0.3
+), d AS (
+  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+), dd AS (
+  SELECT q.doc_id, q.source FROM q JOIN d USING (doc_id)
+), m AS (
+  SELECT doc_id, source FROM dd
+  WHERE CAST(('0x' || left(md5(CAST(doc_id AS VARCHAR)), 8)) AS BIGINT)
+        / 4294967296.0
+        < (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 0.2
+)
+SELECT doc_id, source, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+            AS BIGINT) AS pos
+FROM (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS k,
+         CAST(('0x' || left(md5(CAST(doc_id AS VARCHAR)), 8)) AS BIGINT) % 8
+           AS shard
+  FROM m
+)
+ORDER BY shard, pos
+"""

@@ -69,7 +69,7 @@ def _emb_kmeans(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from .functions import dedup, simsearch, text
+    from .functions import curation, dedup, simsearch, text
     from .pipelines import batch_cep, relational
 
     return {
@@ -138,6 +138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_near_dup_clusters": dedup.near_dup_clusters,
         "doc_tfidf_topk": text.tfidf_topk,
         "doc_bigram_topk": text.bigram_topk,
+        # --- corpus curation (training-mix assembly) ---
+        "doc_shuffle_shards": curation.shuffle_shards,
+        "doc_mixture_sample": curation.mixture_sample,
+        "doc_curate_e2e": curation.curate_e2e,
         # --- similarity search + clustering ---
         "emb_knn_bruteforce": simsearch.knn_bruteforce,
         "emb_knn_ivf": simsearch.knn_ivf,
@@ -151,7 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from .functions import dedup, simsearch, text
+    from .functions import curation, dedup, simsearch, text
     from .pipelines import batch_cep, relational
 
     return {
@@ -201,6 +205,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "doc_tfidf_topk": text.TFIDF_TOPK_SQL,
         "doc_bigram_topk": text.BIGRAM_TOPK_SQL,
+        "doc_shuffle_shards": curation.SHUFFLE_SHARDS_SQL,
+        "doc_mixture_sample": curation.MIXTURE_SAMPLE_SQL,
+        "doc_curate_e2e": curation.CURATE_E2E_SQL,
         "doc_script_stats": text.SCRIPT_STATS_SQL,
         "emb_knn_bruteforce": simsearch.KNN_BRUTEFORCE_SQL,
     }

@@ -62,6 +62,18 @@ def _doc_frame_samples(sf_dir: str) -> Any:
     return doc_frame_samples(sf_dir)
 
 
+def _doc_wav_features(sf_dir: str) -> Any:
+    from .functions.multimodal import doc_wav_features
+
+    return doc_wav_features(sf_dir)
+
+
+def _doc_bmp_features(sf_dir: str) -> Any:
+    from .functions.multimodal import doc_bmp_features
+
+    return doc_bmp_features(sf_dir)
+
+
 def _emb_kmeans(sf_dir: str) -> Any:
     from .functions.cluster import kmeans_embeddings
 
@@ -151,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_media_features": _media_features,
         "mm_doc_media_features": _doc_media_features,
         "mm_doc_frame_samples": _doc_frame_samples,
+        "mm_doc_wav_features": _doc_wav_features,
+        "mm_doc_bmp_features": _doc_bmp_features,
     }
 
 

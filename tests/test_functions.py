@@ -882,3 +882,63 @@ def test_near_dup_clusters_transitive_chain(ray_session, tmp_path_factory):
     keep = dict(zip(out["doc_id"], out["keep"]))
     assert keep[2] and not keep[5] and not keep[9]
     assert sum(not v for v in keep.values()) == 2  # only the planted chain folds
+
+
+def test_media_codecs_roundtrip_and_physics():
+    """Pure-numpy WAV/BMP codecs: byte-exact round trips and signal
+    physics recovered from decoded features (the 'decode is real' pin)."""
+    from quanta_ray.functions.media_codec import (
+        bmp_features, block_resize, read_bmp, read_wav, wav_features,
+        write_bmp, write_wav)
+
+    # WAV: round trip + sine physics (440 Hz -> zcr 880/s, centroid 440 Hz)
+    sr, f = 16000, 440.0
+    t = np.arange(sr) / sr
+    s = (10000 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+    buf = write_wav(s, sr)
+    sr2, s2 = read_wav(buf)
+    assert sr2 == sr and np.array_equal(s, s2)
+    ft = wav_features(buf)
+    assert abs(ft["zcr"] - 2 * f) < 5
+    assert abs(ft["centroid_hz"] - f) < 2
+    assert abs(ft["rms"] - 10000 / 32768 / np.sqrt(2)) < 1e-3
+
+    # BMP: round trip through the padded-row path (odd width), solid stats
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(33, 45, 3), dtype=np.uint8)
+    assert np.array_equal(read_bmp(write_bmp(img)), img)
+    solid = np.full((8, 8, 3), [200, 100, 50], dtype=np.uint8)
+    bf = bmp_features(write_bmp(solid))
+    assert (bf["mean_r"], bf["mean_g"], bf["mean_b"]) == (200.0, 100.0, 50.0)
+    assert bf["std_lum"] < 1e-9
+    assert block_resize(img, 4, 4).shape == (4, 4, 3)
+
+
+def test_real_decode_pipeline_recovers_planted_tone(ray_session):
+    """End-to-end actor-pool REAL decode: the per-doc planted tone
+    frequency comes back out of the WAV spectral centroid, and BMP
+    dimensions/channel stats match the synthesized gradients."""
+    from quanta_ray.functions.multimodal import doc_bmp_features, doc_wav_features
+
+    w = doc_wav_features("/root/testdata/sf0.001").to_pandas()
+    assert len(w) == 500
+    for did in (0, 7, 123):
+        feats = np.asarray(w.loc[w["media_id"] == did, "features"].iloc[0])
+        expect = 100.0 + (did % 40) * 20.0
+        assert abs(feats[4] - expect) < 3, (did, feats[4])   # centroid_hz
+        assert abs(feats[3] - 2 * expect) < 12, (did, feats[3])  # zcr
+
+    b = doc_bmp_features("/root/testdata/sf0.001").to_pandas()
+    assert len(b) == 500
+    f0 = np.asarray(b.loc[b["media_id"] == 0, "features"].iloc[0])
+    # gradient image: mean_r == mean of linspace(0,255) rounded to uint8,
+    # blue channel == doc_id % 256 == 0
+    assert abs(f0[2] - 127.5) < 1.0 and f0[4] == 0.0
+
+
+def test_real_decode_rejects_compressed_mime():
+    from quanta_ray.functions.multimodal import MediaFeatureExtractor
+
+    ex = MediaFeatureExtractor(mode="real")
+    with pytest.raises(NotImplementedError):
+        ex._real_vec(b"\xff\xd8\xff", "image/jpeg")

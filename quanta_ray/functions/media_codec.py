@@ -1,5 +1,6 @@
 """Pure-numpy codecs for UNCOMPRESSED media containers (PCM WAV audio,
-24-bit BMP images) — real decode without external libraries.
+24-bit BMP images, YUV4MPEG2/C420 video) — real decode without external
+libraries.
 
 The multimodal stage family treats payloads as opaque binary columns
 (reference: ``Frame.value: bytes``, ``api/proto/v1/frame.proto:37``); the
@@ -162,3 +163,87 @@ def bmp_features(buf: bytes, thumb: int = 4) -> dict:
         mean_lum=float(lum.mean()),
         thumbnail=tb.reshape(-1).astype(np.float32),  # thumb*thumb*3
     )
+
+
+# --- Y4M (YUV4MPEG2, C420) ----------------------------------------------------
+
+
+def write_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """YUV4MPEG2 C420 container from (N, H, W, 3) uint8 RGB frames.
+
+    RGB -> BT.601 full-range YUV; U/V subsampled 2x2 by area average
+    (H and W must be even, the C420 constraint)."""
+    n, h, w, _ = frames.shape
+    if h % 2 or w % 2:
+        raise ValueError("C420 requires even dimensions")
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()
+    out = [hdr]
+    f = frames.astype(np.float64)
+    y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    u = 128.0 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2]
+    v = 128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(np.clip(np.round(y[i]), 0, 255).astype(np.uint8).tobytes())
+        for plane in (u[i], v[i]):
+            sub = plane.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            out.append(np.clip(np.round(sub), 0, 255).astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def read_y4m(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """(width, height, fps, Y planes as (N, H, W) uint8) from a YUV4MPEG2
+    C420 buffer. Returns luma only (what frame features need); chroma
+    planes are skipped by stride. Frame access is O(1) per frame —
+    ``np.frombuffer`` views, no copy of the whole stream."""
+    nl = buf.index(b"\n")
+    head = buf[:nl].decode()
+    if not head.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 buffer")
+    w = h = fps = None
+    colorspace = "C420"
+    for tok in head.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fps = int(tok[1:].split(":")[0])
+        elif tok[0] == "C":
+            colorspace = tok
+    if not colorspace.startswith("C420"):
+        raise ValueError(f"only C420 supported, got {colorspace}")
+    if w is None or h is None:
+        raise ValueError("missing W/H in stream header")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frame_sz = ysz + 2 * csz
+    pos, lumas = nl + 1, []
+    marker = b"FRAME"
+    while pos < len(buf):
+        fnl = buf.index(b"\n", pos)
+        if buf[pos : pos + 5] != marker:
+            raise ValueError(f"bad frame marker at {pos}")
+        pos = fnl + 1
+        lumas.append(
+            np.frombuffer(buf, dtype=np.uint8, count=ysz, offset=pos).reshape(h, w)
+        )
+        pos += frame_sz
+    return w, h, fps or 25, np.stack(lumas) if lumas else np.empty((0, h, w), np.uint8)
+
+
+def y4m_frame_features(buf: bytes, every: int = 1) -> list[dict]:
+    """Per-sampled-frame luma descriptors: mean/std luminance and mean
+    absolute difference vs the previous sampled frame (the scene-change /
+    motion signal a real frame sampler keys on)."""
+    w, h, fps, lum = read_y4m(buf)
+    out = []
+    prev = None
+    for i in range(0, len(lum), max(1, every)):
+        f = lum[i].astype(np.float64)
+        d = float(np.abs(f - prev).mean()) if prev is not None else 0.0
+        out.append(
+            dict(frame_idx=i, offset_ms=int(1000 * i / fps),
+                 mean_lum=float(f.mean()), std_lum=float(f.std()), motion=d)
+        )
+        prev = f
+    return out

@@ -74,6 +74,12 @@ def _doc_bmp_features(sf_dir: str) -> Any:
     return doc_bmp_features(sf_dir)
 
 
+def _doc_y4m_frames(sf_dir: str) -> Any:
+    from .functions.multimodal import doc_y4m_frames
+
+    return doc_y4m_frames(sf_dir)
+
+
 def _emb_kmeans(sf_dir: str) -> Any:
     from .functions.cluster import kmeans_embeddings
 
@@ -165,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_doc_frame_samples": _doc_frame_samples,
         "mm_doc_wav_features": _doc_wav_features,
         "mm_doc_bmp_features": _doc_bmp_features,
+        "mm_doc_y4m_frames": _doc_y4m_frames,
     }
 
 

@@ -942,3 +942,27 @@ def test_real_decode_rejects_compressed_mime():
     ex = MediaFeatureExtractor(mode="real")
     with pytest.raises(NotImplementedError):
         ex._real_vec(b"\xff\xd8\xff", "image/jpeg")
+
+
+def test_y4m_codec_and_planted_scene_change(ray_session):
+    """Y4M codec: luma parity with BT.601, and the end-to-end real video
+    frame pipeline recovers each doc's PLANTED scene-change frame as the
+    motion-feature argmax."""
+    from quanta_ray.functions.media_codec import read_y4m, write_y4m
+    from quanta_ray.functions.multimodal import doc_y4m_frames
+
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, size=(6, 24, 32, 3), dtype=np.uint8)
+    w, h, fps, lum = read_y4m(write_y4m(frames, fps=10))
+    assert (w, h, fps) == (32, 24, 10) and lum.shape == (6, 24, 32)
+    y0 = (0.299 * frames[0, :, :, 0] + 0.587 * frames[0, :, :, 1]
+          + 0.114 * frames[0, :, :, 2])
+    assert np.abs(lum[0].astype(float) - y0).max() <= 1.0
+
+    out = doc_y4m_frames("/root/testdata/sf0.001").to_pandas()
+    assert out["media_id"].nunique() == 500
+    for did in (0, 3, 42):
+        g = out[out["media_id"] == did].sort_values("frame_idx")
+        n_frames = len(g)
+        planted = 1 + did % (n_frames - 1)
+        assert int(g.loc[g["motion"].idxmax(), "frame_idx"]) == planted, did

@@ -272,3 +272,87 @@ FROM (
 )
 ORDER BY shard, pos
 """
+
+
+def pack_sequences(sf_dir: str, budget: int = 96, n_shards: int = 8) -> pa.Table:
+    """SEQUENCE PACKING: assign documents to fixed-token-budget training
+    sequences (next-fit in deterministic shuffle order) — the step between
+    a curated corpus and a token-stream dataloader.
+
+    Deterministic at any parallelism: docs are ordered by (shard,
+    md5(doc_id), doc_id) — the same consistent-shuffle key the shard op
+    uses — and packed NEXT-FIT per shard: a doc opens a new sequence iff it
+    would overflow the budget (an over-budget doc sits alone in its own
+    sequence). ONE shard-keyed shuffle moves (doc_id, n_tokens) pairs, never
+    text; the per-shard scan is the sequential pass every packer has
+    (parallelism comes from shards). The DuckDB oracle replays the same
+    recurrence as a recursive CTE, so the assignment is value-checked."""
+    from ..bucket import bucketed_apply
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        hexs, _ = _md5_keys(batch["doc_id"])
+        # len(string_split(text, ' ')) semantics: k spaces -> k+1 pieces
+        n_tokens = batch["text"].str.count(" ").to_numpy(dtype=np.int64) + 1
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "shard": batch["doc_id"].to_numpy() % n_shards,
+                "n_tokens": n_tokens,
+                "_k": hexs,
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shard", "_k", "doc_id"], kind="mergesort")
+        shard = g["shard"].to_numpy()
+        ntok = g["n_tokens"].to_numpy()
+        seq = np.empty(len(g), dtype=np.int64)
+        cur_shard, cur_seq, fill = -1, 0, 0
+        for i in range(len(g)):
+            if shard[i] != cur_shard:
+                cur_shard, cur_seq, fill = shard[i], 0, ntok[i]
+            elif fill + ntok[i] <= budget:
+                fill += ntok[i]
+            else:
+                cur_seq += 1
+                fill = ntok[i]
+            seq[i] = cur_seq
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "shard": shard,
+                "seq": seq,
+                "n_tokens": ntok,
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        project, batch_format="pandas", batch_size=8192
+    )
+    t = _concat(bucketed_apply(ds, ["shard"], pack))
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+PACK_SEQUENCES_SQL = """
+WITH RECURSIVE ordered AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(string_split(text, ' ')) AS n_tokens,
+         row_number() OVER (
+           PARTITION BY doc_id % 8
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS seq,
+         n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.fill + o.n_tokens <= 96 THEN p.seq ELSE p.seq + 1 END,
+         CASE WHEN p.fill + o.n_tokens <= 96
+              THEN p.fill + o.n_tokens ELSE o.n_tokens END
+  FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard, seq, n_tokens FROM packed ORDER BY doc_id
+"""

@@ -959,3 +959,77 @@ FROM bg GROUP BY bigram
 ORDER BY n DESC, bigram
 LIMIT 20
 """
+
+
+def repetition_stats(sf_dir: str) -> pa.Table:
+    """Per-document REPETITION signals (Gopher-style quality rules):
+    duplicate-bigram fraction and top-bigram fraction — high values flag
+    boilerplate/spam for downstream quality filtering.
+
+    Pure per-batch map (a document's bigrams live in its own row — no
+    shuffle at all): token explode + same-doc adjacency mask builds every
+    bigram in two vectorized passes, then ONE hash groupby per batch counts
+    (doc, bigram) occurrences and a level-0 groupby folds them to per-doc
+    sum/nunique/max. Exact string keys (no hash-collision risk), matching
+    the DuckDB oracle bit-for-bit."""
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ").reset_index(drop=True)
+        doc_ids = batch["doc_id"].to_numpy()
+        n = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+        ex = toks.explode()
+        doc = ex.index.to_numpy()
+        w = ex.to_numpy(dtype=object)
+        same = doc[1:] == doc[:-1] if len(doc) else np.zeros(0, dtype=bool)
+        if not same.any():
+            return pd.DataFrame(
+                {"doc_id": pd.array([], dtype=np.int64),
+                 "n_bigrams": pd.array([], dtype=np.int64),
+                 "n_distinct_bigrams": pd.array([], dtype=np.int64),
+                 "dup_bigram_frac": pd.array([], dtype=np.float64),
+                 "top_bigram_frac": pd.array([], dtype=np.float64)}
+            )
+        d = doc[:-1][same]
+        bg = pd.Series(w[:-1][same]) + " " + pd.Series(w[1:][same])
+        cnt = (
+            pd.DataFrame({"d": d, "bg": bg.to_numpy(dtype=object)})
+            .groupby(["d", "bg"], sort=False)
+            .size()
+        )
+        per_doc = cnt.groupby(level=0).agg(["sum", "count", "max"])
+        rows = per_doc.index.to_numpy()
+        total = per_doc["sum"].to_numpy(dtype=np.int64)
+        distinct = per_doc["count"].to_numpy(dtype=np.int64)
+        top = per_doc["max"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids[rows],
+                "n_bigrams": total,
+                "n_distinct_bigrams": distinct,
+                "dup_bigram_frac": np.round(1.0 - distinct / total, 6),
+                "top_bigram_frac": np.round(top / total, 6),
+            }
+        )
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas", batch_size=4096
+    )
+    t = _concat(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+REPETITION_STATS_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM toks WHERE len(w) >= 2
+),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+       round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_bigram_frac,
+       round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+FROM cnt GROUP BY doc_id ORDER BY doc_id
+"""

@@ -87,7 +87,7 @@ def _emb_kmeans(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from .functions import curation, dedup, simsearch, text
+    from .functions import contamination, curation, dedup, simsearch, text
     from .pipelines import batch_cep, relational
 
     return {
@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_grouped_length_quantiles": text.grouped_length_quantiles,
         "doc_stratified_sample": text.stratified_sample,
         "doc_token_topk_by_lang": text.token_topk_by_lang,
+        "doc_repetition_stats": text.repetition_stats,
         # --- dedup family ---
         "doc_dedup_exact": dedup.dedup_exact,
         "doc_dedup_exact_fast": dedup.dedup_exact_fast,
@@ -160,6 +161,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_shards": curation.shuffle_shards,
         "doc_mixture_sample": curation.mixture_sample,
         "doc_curate_e2e": curation.curate_e2e,
+        "doc_pack_sequences": curation.pack_sequences,
+        # --- decontamination / blocklist ---
+        "doc_decontaminate": contamination.decontaminate,
+        "doc_blocklist_filter": contamination.blocklist_filter,
         # --- similarity search + clustering ---
         "emb_knn_bruteforce": simsearch.knn_bruteforce,
         "emb_knn_ivf": simsearch.knn_ivf,
@@ -176,7 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from .functions import curation, dedup, simsearch, text
+    from .functions import contamination, curation, dedup, simsearch, text
     from .pipelines import batch_cep, relational
 
     return {
@@ -229,6 +234,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_shuffle_shards": curation.SHUFFLE_SHARDS_SQL,
         "doc_mixture_sample": curation.MIXTURE_SAMPLE_SQL,
         "doc_curate_e2e": curation.CURATE_E2E_SQL,
+        "doc_pack_sequences": curation.PACK_SEQUENCES_SQL,
+        "doc_repetition_stats": text.REPETITION_STATS_SQL,
+        "doc_decontaminate": contamination.DECONTAMINATE_SQL,
+        "doc_blocklist_filter": contamination.BLOCKLIST_FILTER_SQL,
         "doc_script_stats": text.SCRIPT_STATS_SQL,
         "emb_knn_bruteforce": simsearch.KNN_BRUTEFORCE_SQL,
     }

@@ -183,9 +183,15 @@ def test_media_plumbing(ray_session):
     frames = FrameSampler()(t)
     kinds = t.column("kind").to_pylist()
     assert (frames.num_rows > 0) == ("video" in kinds)
-    # real decode mode is an explicit stub
+    # real decode is genuine for uncompressed containers and an explicit
+    # honest gate for compressed mimes (codec libs absent in this env)
+    compressed = t.slice(0, 1).set_column(
+        t.schema.get_field_index("mime"),
+        "mime",
+        pa.array(["image/jpeg"]),
+    )
     with pytest.raises(NotImplementedError):
-        MediaFeatureExtractor(mode="real")
+        MediaFeatureExtractor(mode="real")(compressed)
 
 
 def test_knn_ivf_finds_planted_neighbor(ray_session, emb_dir):
@@ -966,3 +972,105 @@ def test_y4m_codec_and_planted_scene_change(ray_session):
         n_frames = len(g)
         planted = 1 + did % (n_frames - 1)
         assert int(g.loc[g["motion"].idxmax(), "frame_idx"]) == planted, did
+
+
+def test_repetition_stats_brute_force(ray_session, doc_dir):
+    """Per-doc bigram repetition fractions match a Counter reference, and a
+    maximally repetitive planted doc scores high (Gopher-rule behavior)."""
+    from collections import Counter
+
+    from quanta_ray.functions.text import repetition_stats
+
+    out = repetition_stats(doc_dir).to_pandas().set_index("doc_id")
+    texts = pq.read_table(doc_dir + "/documents.parquet").to_pandas()
+    for _, row in texts.iterrows():
+        w = row["text"].split(" ")
+        c = Counter(zip(w[:-1], w[1:]))
+        got = out.loc[row["doc_id"]]
+        assert got["n_bigrams"] == sum(c.values())
+        assert got["n_distinct_bigrams"] == len(c)
+        assert got["top_bigram_frac"] == pytest.approx(
+            max(c.values()) / sum(c.values()), abs=1e-6
+        )
+
+
+def test_repetition_stats_flags_boilerplate(ray_session, tmp_path):
+    from quanta_ray.functions.text import repetition_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": ["spam ham " * 50 + "spam", "a b c d e f g h i j"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": pa.array([0, 0], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = repetition_stats(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "dup_bigram_frac"] > 0.9  # boilerplate
+    assert out.loc[1, "dup_bigram_frac"] == 0.0  # all-unique
+
+
+def test_decontaminate_removes_planted_overlap(ray_session, doc_dir):
+    """Benchmark = doc 0 (every=997); its exact dup doc 10 contains the
+    phrase and must be removed too; everything else survives."""
+    from quanta_ray.functions.contamination import decontaminate
+
+    kept = set(decontaminate(doc_dir).column("doc_id").to_pylist())
+    assert 0 not in kept and 10 not in kept
+    assert kept == set(range(40)) - {0, 10}
+
+
+def test_blocklist_filter_exact_vs_naive(ray_session, doc_dir):
+    """Bloom-prefiltered anti-join returns EXACTLY the naive blocklist
+    semantics (no false negatives; positives exact-verified)."""
+    import hashlib
+
+    from quanta_ray.functions.contamination import blocklist_filter
+
+    docs = pq.read_table(doc_dir + "/documents.parquet").to_pandas()
+    blocked = {
+        hashlib.md5(t.encode()).hexdigest()
+        for t in docs.loc[docs.doc_id % 101 == 0, "text"]
+    }
+    expect = sorted(
+        int(r.doc_id)
+        for r in docs.itertuples()
+        if hashlib.md5(r.text.encode()).hexdigest() not in blocked
+    )
+    got = blocklist_filter(doc_dir).column("doc_id").to_pylist()
+    assert got == expect
+    assert 0 not in got and 10 not in got  # doc 10 is an exact dup of blocked doc 0
+
+
+def test_pack_sequences_next_fit_reference(ray_session, doc_dir):
+    """Packing matches a brute-force next-fit replay: every doc packed
+    exactly once, no sequence exceeds the budget (unless a single doc does),
+    and sequence ids are dense per shard in consistent-hash order."""
+    import hashlib
+
+    from quanta_ray.functions.curation import pack_sequences
+
+    budget = 96
+    out = pack_sequences(doc_dir, budget=budget).to_pandas()
+    docs = pq.read_table(doc_dir + "/documents.parquet").to_pandas()
+    assert sorted(out.doc_id) == sorted(docs.doc_id)  # each doc exactly once
+
+    docs["n_tokens"] = docs["text"].str.count(" ") + 1
+    docs["shard"] = docs["doc_id"] % 8
+    docs["k"] = docs["doc_id"].map(lambda v: hashlib.md5(str(v).encode()).hexdigest())
+    expect = {}
+    for shard, g in docs.sort_values(["k", "doc_id"]).groupby("shard"):
+        seq, fill = 0, 0
+        for r in g.itertuples():
+            if fill and fill + r.n_tokens > budget:
+                seq, fill = seq + 1, r.n_tokens
+            else:
+                fill += r.n_tokens
+            expect[r.doc_id] = (shard, seq)
+    got = {r.doc_id: (r.shard, r.seq) for r in out.itertuples()}
+    assert got == expect
+    # budget respected for every multi-doc sequence
+    per_seq = out.groupby(["shard", "seq"]).n_tokens.agg(["sum", "count"])
+    assert (per_seq.loc[per_seq["count"] > 1, "sum"] <= budget).all()

@@ -346,3 +346,65 @@ def near_dup_cosine(
     return t.take(
         pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")])
     ).combine_chunks()
+
+
+def norm_stats(sf_dir: str) -> pa.Table:
+    """Per-label embedding diagnostics (count, mean L2 norm, mean first
+    component) — the sanity pass before any vector pipeline (catches
+    un-normalized or collapsed embeddings).
+
+    Per-batch numpy partials (count / sum-of-norms / sum-of-dim0 per label)
+    → tiny label-keyed sum — the shuffle carries one row per (batch, label),
+    never vectors. Value-checked by a DuckDB list-kernel oracle."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("label").to_numpy()
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pd.DataFrame(
+                {"label": pd.array([], dtype=np.int32),
+                 "n": pd.array([], dtype=np.int64),
+                 "s_norm": pd.array([], dtype=np.float64),
+                 "s_dim0": pd.array([], dtype=np.float64)}
+            )
+        mat = flat.astype(np.float64).reshape(len(ids), -1)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        labels, inv = np.unique(ids, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "label": labels,
+                "n": np.bincount(inv).astype(np.int64),
+                "s_norm": np.bincount(inv, weights=norms),
+                "s_dim0": np.bincount(inv, weights=mat[:, 0]),
+            }
+        )
+
+    from ..bucket import bucketed_group_agg
+
+    parts = _emb(sf_dir).map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    agg = bucketed_group_agg(
+        parts, ["label"], dict(n=("n", "sum"), s_norm=("s_norm", "sum"),
+                               s_dim0=("s_dim0", "sum"))
+    )
+    df = _concat(agg).to_pandas().sort_values("label").reset_index(drop=True)
+    out = pd.DataFrame(
+        {
+            "label": df["label"].astype(np.int32),
+            "n": df["n"].astype(np.int64),
+            "mean_norm": np.round(df["s_norm"] / df["n"], 6),
+            "mean_dim0": np.round(df["s_dim0"] / df["n"], 6),
+        }
+    )
+    return _from_pandas(out)
+
+
+NORM_STATS_SQL = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS mean_norm,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS mean_dim0
+FROM embeddings GROUP BY label ORDER BY label
+"""

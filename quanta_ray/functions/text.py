@@ -1033,3 +1033,85 @@ SELECT doc_id,
        round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
 FROM cnt GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def model_score(sf_dir: str, dim: int = 1024) -> pa.Table:
+    """Batched MODEL INFERENCE over the corpus: a hashed-bag-of-words linear
+    scorer (fastText-style hashing trick) — the shape of every quality /
+    toxicity classifier pass in a training-data pipeline.
+
+    The "model" is a weight table over ``dim`` hash buckets; a real
+    checkpoint would be ``ray.put`` once and fetched per actor (the
+    ``knn_bruteforce`` broadcast pattern) — here the weights are a
+    closed-form function of the bucket id so the DuckDB oracle can re-derive
+    them and value-check the inference. Integer milli-unit scores make the
+    distributed sum association-free (bit-identical at any parallelism).
+
+    Per actor: an md5→bucket memo dict (vocabulary-sized, like a real
+    tokenizer's cache); per batch: one explode + unique + vectorized
+    bincount — no per-token Python beyond first-seen hashing."""
+
+    class Scorer:
+        def __init__(self):
+            import re
+
+            self.word = re.compile(r"[a-z0-9]+")
+            self.w_milli = (
+                np.arange(dim, dtype=np.int64) * 2654435761 % 1000 - 500
+            )
+            self.memo: dict[str, int] = {}
+
+        def _bucket(self, tok: str) -> int:
+            b = self.memo.get(tok)
+            if b is None:
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+                self.memo[tok] = b
+            return b
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["text"].str.lower().str.findall(self.word)
+            toks = toks.reset_index(drop=True)
+            ex = toks.explode().dropna()
+            n_docs = len(batch)
+            if not len(ex):
+                return pd.DataFrame(
+                    {"doc_id": pd.array([], dtype=np.int64),
+                     "score_milli": pd.array([], dtype=np.int64)}
+                )
+            doc = ex.index.to_numpy()
+            uniq, inv = np.unique(ex.to_numpy(dtype=object), return_inverse=True)
+            buckets = np.fromiter(
+                (self._bucket(t) for t in uniq), dtype=np.int64, count=len(uniq)
+            )
+            w = self.w_milli[buckets[inv]]
+            score = np.bincount(doc, weights=w, minlength=n_docs).astype(np.int64)
+            # docs with zero tokens are absent from the oracle's GROUP BY too
+            has_tok = np.zeros(n_docs, dtype=bool)
+            has_tok[doc] = True
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy()[has_tok],
+                    "score_milli": score[has_tok],
+                }
+            )
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Scorer, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+    t = _concat(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+MODEL_SCORE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id, (CAST(('0x' || left(md5(w), 8)) AS BIGINT) % 1024) AS b
+  FROM tok
+)
+SELECT doc_id,
+       CAST(sum((b * 2654435761) % 1000 - 500) AS BIGINT) AS score_milli
+FROM h GROUP BY doc_id ORDER BY doc_id
+"""

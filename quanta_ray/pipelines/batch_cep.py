@@ -1179,3 +1179,60 @@ FROM active a JOIN cohort c USING (user_id)
 GROUP BY 1, 2
 ORDER BY cohort_day, day_offset
 """
+
+
+# --- per-user inter-event gap statistics (LAG window form) ---------------------
+
+
+def user_gap_stats(sf_dir: str, buckets: int = 32) -> pa.Table:
+    """Per-user inter-event GAP statistics — the ``LAG() OVER (PARTITION BY
+    user ORDER BY ts)`` window family (session-gap tuning, bot detection).
+
+    One hash shuffle on user_id (projected to 3 columns at the read);
+    inside each bucket one mergesort + vectorized diff masked at user
+    boundaries. Gap sums are int64 microseconds — association-free, so the
+    distributed result is bit-identical to any window-frame oracle."""
+    from ..bucket import bucketed_apply
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.diff(ts)
+        same = uid[1:] == uid[:-1]
+        d = uid[1:][same]
+        gaps = gap[same]
+        labels, inv = np.unique(d, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "user_id": labels,
+                "n_gaps": np.bincount(inv).astype(np.int64),
+                "total_gap_us": np.bincount(inv, weights=gaps).astype(np.int64),
+                "max_gap_us": np.maximum.reduceat(
+                    gaps[np.argsort(inv, kind="stable")],
+                    np.searchsorted(np.sort(inv), np.arange(len(labels))),
+                ).astype(np.int64),
+            }
+        )
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+    t = _concat(bucketed_apply(ds, ["user_id"], bucket_fn, num_buckets=buckets))
+    return t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+
+
+USER_GAP_STATS_SQL = """
+WITH d AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+)
+SELECT user_id, count(gap_us) AS n_gaps,
+       CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM d
+GROUP BY user_id
+HAVING count(gap_us) > 0
+ORDER BY user_id
+"""

@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_followup_range_join": batch_cep.followup_range_join,
         "ev_funnel": batch_cep.funnel,
         "ev_user_running_sum": batch_cep.user_running_sum,
+        "ev_user_gap_stats": batch_cep.user_gap_stats,
         "ev_user_retention": batch_cep.user_retention,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_stream("sessions"),
@@ -145,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": text.stratified_sample,
         "doc_token_topk_by_lang": text.token_topk_by_lang,
         "doc_repetition_stats": text.repetition_stats,
+        "doc_model_score": text.model_score,
         # --- dedup family ---
         "doc_dedup_exact": dedup.dedup_exact,
         "doc_dedup_exact_fast": dedup.dedup_exact_fast,
@@ -170,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": simsearch.knn_ivf,
         "emb_near_dup_cosine": simsearch.near_dup_cosine,
         "emb_kmeans": _emb_kmeans,
+        "emb_norm_stats": simsearch.norm_stats,
         # --- multimodal plumbing (stubbed decode; rows-only) ---
         "mm_media_features": _media_features,
         "mm_doc_media_features": _doc_media_features,
@@ -201,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_followup_range_join": batch_cep.FOLLOWUP_RANGE_JOIN_SQL,
         "ev_funnel": batch_cep.FUNNEL_SQL,
         "ev_user_running_sum": batch_cep.USER_RUNNING_SUM_SQL,
+        "ev_user_gap_stats": batch_cep.USER_GAP_STATS_SQL,
         "ev_user_retention": batch_cep.USER_RETENTION_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
         "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
@@ -236,6 +240,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_curate_e2e": curation.CURATE_E2E_SQL,
         "doc_pack_sequences": curation.PACK_SEQUENCES_SQL,
         "doc_repetition_stats": text.REPETITION_STATS_SQL,
+        "doc_model_score": text.MODEL_SCORE_SQL,
+        "emb_norm_stats": simsearch.NORM_STATS_SQL,
         "doc_decontaminate": contamination.DECONTAMINATE_SQL,
         "doc_blocklist_filter": contamination.BLOCKLIST_FILTER_SQL,
         "doc_script_stats": text.SCRIPT_STATS_SQL,

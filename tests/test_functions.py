@@ -1074,3 +1074,68 @@ def test_pack_sequences_next_fit_reference(ray_session, doc_dir):
     # budget respected for every multi-doc sequence
     per_seq = out.groupby(["shard", "seq"]).n_tokens.agg(["sum", "count"])
     assert (per_seq.loc[per_seq["count"] > 1, "sum"] <= budget).all()
+
+
+def test_model_score_matches_reference(ray_session, doc_dir):
+    """Hashed-linear scorer matches a direct Python replay of the hashing
+    trick + weight table (integer milli-units: association-free)."""
+    import hashlib
+    import re
+
+    from quanta_ray.functions.text import model_score
+
+    out = model_score(doc_dir).to_pandas().set_index("doc_id")
+    docs = pq.read_table(doc_dir + "/documents.parquet").to_pandas()
+    word = re.compile(r"[a-z0-9]+")
+    for r in docs.itertuples():
+        expect = sum(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1024)
+            * 2654435761 % 1000 - 500
+            for t in word.findall(r.text.lower())
+        )
+        assert out.loc[r.doc_id, "score_milli"] == expect
+
+
+def test_norm_stats_matches_numpy(ray_session, emb_dir):
+    from quanta_ray.functions.simsearch import norm_stats
+
+    d, mat = emb_dir
+    out = norm_stats(d).to_pandas().set_index("label")
+    labels = pq.read_table(d + "/embeddings.parquet").column("label").to_numpy()
+    m = mat.astype(np.float64)
+    for lb in np.unique(labels):
+        sel = labels == lb
+        assert out.loc[lb, "n"] == sel.sum()
+        assert out.loc[lb, "mean_norm"] == pytest.approx(
+            np.linalg.norm(m[sel], axis=1).mean(), abs=1e-5
+        )
+        assert out.loc[lb, "mean_dim0"] == pytest.approx(
+            m[sel, 0].mean(), abs=1e-5
+        )
+
+
+def test_user_gap_stats_single_event_user_excluded(ray_session, tmp_path):
+    """A user with one event has no gap and must be absent; multi-event
+    users get exact integer-microsecond gap sums and maxima."""
+    from quanta_ray.pipelines.batch_cep import user_gap_stats
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:01", "2024-01-01 00:00:04",
+         "2024-01-01 12:00:00"]
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7, 9], type=pa.int64()),
+            "event_type": ["view"] * 4,
+            "value": pa.array([0.0] * 4, type=pa.float64()),
+            "props": ["{}"] * 4,
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = user_gap_stats(str(tmp_path)).to_pandas().set_index("user_id")
+    assert 9 not in out.index
+    assert out.loc[7, "n_gaps"] == 2
+    assert out.loc[7, "total_gap_us"] == 4_000_000
+    assert out.loc[7, "max_gap_us"] == 3_000_000

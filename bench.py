@@ -52,6 +52,13 @@ BENCH_QUERIES = [
     "ev_followup_range_join",
     "ev_latest_per_user",
     "ev_heavy_hitters_approx",
+    "ev_user_gap_stats",
+    "doc_curate_e2e",
+    "doc_blocklist_filter",
+    "doc_decontaminate",
+    "doc_pack_sequences",
+    "doc_repetition_stats",
+    "doc_model_score",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

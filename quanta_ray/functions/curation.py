@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from ..schema import read_parquet_clean as _read_pq
@@ -355,4 +356,202 @@ packed AS (
   FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
 )
 SELECT doc_id, shard, seq, n_tokens FROM packed ORDER BY doc_id
+"""
+
+
+def curate_train_ready(
+    sf_dir: str,
+    min_tokens: int = 50,
+    min_ttr: float = 0.3,
+    n_shards: int = 8,
+    budget: int = 96,
+) -> pa.Table:
+    """The FULL training-data assembly line, composed as ONE lazy Ray Data
+    pipeline: benchmark decontamination → blocklist filter → quality
+    filter → exact dedup → mixture sample → sequence packing. The output is
+    what a dataloader consumes: (doc_id, source, shard, seq) — which
+    training sequence of which shard each surviving document lands in.
+
+    Scale shape: the two removal SPECS (benchmark phrases, blocked hashes)
+    are spec-sized broadcasts fetched once per actor (`ray.put`); all three
+    filters + the md5 fuse into ONE streaming pass over the corpus that
+    drops text before any shuffle; then the same 2 all-to-alls as
+    ``curate_e2e`` (content-keyed dedup, shard-keyed pack). Nothing
+    driver-side or broadcast grows with the corpus.
+
+    Fully SQL-expressible (the packing recurrence via a recursive CTE), so
+    the driver's DuckDB gate value-checks the whole composition."""
+    import re
+
+    from ..bucket import bucketed_apply
+    from .contamination import _bench_phrases
+
+    phrases_ref = ray.put(_bench_phrases(sf_dir, 997, 64))
+
+    def project_blk(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch["doc_id"].to_numpy() % 101 == 0
+        return pd.DataFrame(
+            {
+                "md5": batch["text"][sel].map(
+                    lambda s: hashlib.md5(s.encode()).hexdigest()
+                )
+            }
+        )
+
+    blk = _concat(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            project_blk, batch_format="pandas", batch_size=8192
+        )
+    )
+    blk_ref = ray.put(frozenset(blk.column("md5").to_pylist()))
+
+    class CleanQualityHash:
+        """Decontaminate + blocklist + quality + md5 + token count, fused:
+        one streaming pass, text dropped before the first shuffle."""
+
+        def __init__(self, phrases_ref, blk_ref):
+            phrases = ray.get(phrases_ref)
+            self.rx = (
+                re.compile("|".join(re.escape(p) for p in phrases))
+                if phrases
+                else None
+            )
+            self.blocked = ray.get(blk_ref)
+            self.word = re.compile(r"[A-Za-z0-9]+")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.rx is not None:
+                batch = batch.loc[
+                    ~batch["text"].str.contains(self.rx, regex=True)
+                ]
+            md5s = batch["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+            batch = batch.loc[~md5s.isin(self.blocked)]
+            md5s = md5s.loc[batch.index]
+            toks = batch["text"].str.findall(self.word)
+            n = toks.str.len().astype("int64")
+            uniq = toks.map(lambda ws: len(set(ws))).astype("int64")
+            keep = (n >= min_tokens) & (uniq / n.clip(lower=1) >= min_ttr)
+            kept = batch.loc[keep]
+            return (
+                pd.DataFrame(
+                    {
+                        "md5": md5s.loc[keep].to_numpy(),
+                        "doc_id": kept["doc_id"].to_numpy(),
+                        "source": kept["source"].to_numpy(),
+                        "n_tokens": kept["text"].str.count(" ").to_numpy(
+                            dtype=np.int64
+                        )
+                        + 1,
+                    }
+                )
+                .sort_values(["md5", "doc_id"])
+                .groupby("md5", as_index=False)
+                .first()
+            )
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["md5", "doc_id"], kind="mergesort")
+        return g.groupby("md5", as_index=False).first()[
+            ["doc_id", "source", "n_tokens"]
+        ]
+
+    def mixture(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        _, pre = _md5_keys(batch["doc_id"])
+        idx = batch["source"].str.slice(3).astype(np.int64).to_numpy()
+        keep = pre / float(1 << 32) < (idx % 4 + 1) * 0.2
+        return batch.loc[keep]
+
+    def assign_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch.assign(shard=[], _k=[])
+        hexs, pre = _md5_keys(batch["doc_id"])
+        return batch.assign(shard=pre % n_shards, _k=hexs)
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shard", "_k", "doc_id"], kind="mergesort")
+        shard = g["shard"].to_numpy()
+        ntok = g["n_tokens"].to_numpy()
+        seq = np.empty(len(g), dtype=np.int64)
+        cur_shard, cur_seq, fill = -1, 0, 0
+        for i in range(len(g)):
+            if shard[i] != cur_shard:
+                cur_shard, cur_seq, fill = shard[i], 0, ntok[i]
+            elif fill + ntok[i] <= budget:
+                fill += ntok[i]
+            else:
+                cur_seq += 1
+                fill = ntok[i]
+            seq[i] = cur_seq
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "source": g["source"].to_numpy(),
+                "shard": shard,
+                "seq": seq,
+                "n_tokens": ntok,
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        CleanQualityHash,
+        fn_constructor_kwargs={"phrases_ref": phrases_ref, "blk_ref": blk_ref},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=2,
+    )
+    survivors = bucketed_apply(ds, ["md5"], dedup_bucket)
+    sampled = survivors.map_batches(mixture, batch_format="pandas").map_batches(
+        assign_shard, batch_format="pandas"
+    )
+    t = _concat(bucketed_apply(sampled, ["shard"], pack))
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+    )
+
+
+CURATE_TRAIN_READY_SQL = """
+WITH RECURSIVE bench AS (
+  SELECT substr(text, 1, 64) AS phrase FROM documents WHERE doc_id % 997 = 0
+), blk AS (
+  SELECT md5(text) AS h FROM documents WHERE doc_id % 101 = 0
+), q AS (
+  SELECT doc_id, text, source,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE contains(d.text, b.phrase))
+    AND md5(d.text) NOT IN (SELECT h FROM blk)
+    AND len(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 50
+    AND len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+'))) * 1.0
+        / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) >= 0.3
+), d AS (
+  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+), m AS (
+  SELECT q.doc_id, q.source, q.n_tokens FROM q JOIN d USING (doc_id)
+  WHERE CAST(('0x' || left(md5(CAST(q.doc_id AS VARCHAR)), 8)) AS BIGINT)
+        / 4294967296.0
+        < (CAST(substr(q.source, 4) AS BIGINT) % 4 + 1) * 0.2
+), ordered AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(('0x' || left(md5(CAST(doc_id AS VARCHAR)), 8)) AS BIGINT) % 8
+           AS shard,
+         row_number() OVER (
+           PARTITION BY CAST(('0x' || left(md5(CAST(doc_id AS VARCHAR)), 8))
+                             AS BIGINT) % 8
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM m
+), packed AS (
+  SELECT shard, rn, doc_id, source, n_tokens, CAST(0 AS BIGINT) AS seq,
+         n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.source, o.n_tokens,
+         CASE WHEN p.fill + o.n_tokens <= 96 THEN p.seq ELSE p.seq + 1 END,
+         CASE WHEN p.fill + o.n_tokens <= 96
+              THEN p.fill + o.n_tokens ELSE o.n_tokens END
+  FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, source, shard, seq, n_tokens FROM packed ORDER BY doc_id
 """

@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture_sample": curation.mixture_sample,
         "doc_curate_e2e": curation.curate_e2e,
         "doc_pack_sequences": curation.pack_sequences,
+        "doc_curate_train_ready": curation.curate_train_ready,
         # --- decontamination / blocklist ---
         "doc_decontaminate": contamination.decontaminate,
         "doc_blocklist_filter": contamination.blocklist_filter,
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_mixture_sample": curation.MIXTURE_SAMPLE_SQL,
         "doc_curate_e2e": curation.CURATE_E2E_SQL,
         "doc_pack_sequences": curation.PACK_SEQUENCES_SQL,
+        "doc_curate_train_ready": curation.CURATE_TRAIN_READY_SQL,
         "doc_repetition_stats": text.REPETITION_STATS_SQL,
         "doc_model_score": text.MODEL_SCORE_SQL,
         "emb_norm_stats": simsearch.NORM_STATS_SQL,

@@ -1139,3 +1139,46 @@ def test_user_gap_stats_single_event_user_excluded(ray_session, tmp_path):
     assert out.loc[7, "n_gaps"] == 2
     assert out.loc[7, "total_gap_us"] == 4_000_000
     assert out.loc[7, "max_gap_us"] == 3_000_000
+
+
+def test_curate_train_ready_composition(ray_session, tmp_path):
+    """The full assembly line honors every stage: contaminated, blocked,
+    low-quality and duplicate docs are gone; survivors are packed within
+    budget; and the result equals running the component rules by hand."""
+    import hashlib
+
+    from quanta_ray.functions.curation import curate_train_ready
+
+    rng = np.random.default_rng(11)
+    vocab = np.array(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+        "nu xi omicron pi rho sigma tau upsilon".split()
+    )
+    n = 60
+    texts = [" ".join(rng.choice(vocab, size=60)) for _ in range(n)]
+    texts[5] = texts[3]  # exact dup — dedup keeps 3
+    texts[7] = "spam " * 60  # low TTR — quality-filtered
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * n,
+            "source": [f"src{i % 5}" for i in range(n)],
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = curate_train_ready(str(tmp_path), budget=200).to_pandas()
+
+    ids = set(out.doc_id)
+    assert 0 not in ids  # benchmark doc (997-selected) removed by its own phrase
+    assert 5 not in ids and 7 not in ids  # dup and low-quality removed
+    # blocklist: doc 0's hash is blocked (101-selected) — already out
+    # every survivor passed mixture: replay the rule
+    for r in out.itertuples():
+        pre = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        rate = (int(r.source[3:]) % 4 + 1) * 0.2
+        assert pre / float(1 << 32) < rate
+    # packing: multi-doc sequences within budget
+    per_seq = out.groupby(["shard", "seq"]).n_tokens.agg(["sum", "count"])
+    assert (per_seq.loc[per_seq["count"] > 1, "sum"] <= 200).all()

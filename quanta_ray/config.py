@@ -146,7 +146,7 @@ class SpecError(ValueError):
     pass
 
 
-_KNOWN_SOURCE_KINDS = {"parquet-stream"}
+_KNOWN_SOURCE_KINDS = {"parquet-stream", "jsonl-stream"}
 _KNOWN_SINK_KINDS = {"exactly-once-parquet", "fire-and-forget-parquet", "stdout"}
 
 

@@ -53,7 +53,7 @@ import pyarrow as pa
 import ray
 
 from ..config import PipelineSpec
-from ..sources.stream import list_epoch_files, plan_fragments, precompute_watermarks
+from ..sources.stream import get_driver, precompute_watermarks
 from ..stages.base import apply_chain_batch, build_chain
 from .worker import MultiPartitionWorker, _limit_native_threads
 from ..state.checkpoint import (
@@ -169,17 +169,15 @@ def _read_split_impl(
     ``SinkSpec.dead_letter``; the entry rides back in ``stats`` and is named
     by the epoch's manifest."""
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+
+    from ..sources.stream import get_driver
 
     _limit_native_threads()
     import time as _time
 
     t0 = _time.perf_counter()
     P = spec.cep.num_partitions
-    pf = pq.ParquetFile(path)
-    if rg_hi is None:
-        rg_hi = pf.metadata.num_row_groups
-    table = pf.read_row_groups(list(range(rg_lo, rg_hi)))
+    table = get_driver(spec.source.kind).read_fragment(path, rg_lo, rg_hi)
     missing = {"conv_id", "turn_idx", "role", "text", "tool", "ts"} - set(
         table.schema.names
     )
@@ -315,7 +313,8 @@ class StreamingRunner:
     def __init__(self, spec: PipelineSpec, out_dir: str):
         self.spec = spec
         self.out_dir = out_dir
-        self.files = list_epoch_files(spec.source.paths)
+        self.driver = get_driver(spec.source.kind)
+        self.files = self.driver.list_files(spec.source.paths)
         if not self.files:
             raise ValueError("source has no files")
         self._workers: list[Any] | None = None
@@ -402,7 +401,7 @@ class StreamingRunner:
         final_epoch = n_epochs  # reserved epoch index for the final flush
         os.makedirs(self.out_dir, exist_ok=True)
 
-        prefix, wms = precompute_watermarks(files, cfg.allowed_lateness_us)
+        prefix, wms = precompute_watermarks(files, cfg.allowed_lateness_us, self.driver)
         cur_max = prefix[-1]
 
         latest = latest_committed_epoch(self.out_dir)
@@ -467,7 +466,7 @@ class StreamingRunner:
                 replay_from = min(c["epoch"] for c in per_part.values()) + 1
             for e in range(replay_from, latest + 1):
                 wm_prev = wms[e - 1] if e > 0 else NEG_INF
-                frags = plan_fragments(files[e], spec.source.fragment_rows)
+                frags = self.driver.plan_fragments(files[e], spec.source.fragment_rows)
                 # replay: deadletter files rewrite idempotently (same bytes)
                 frefs = [
                     _read_split.options(num_returns=P + 1).remote(
@@ -625,14 +624,12 @@ class StreamingRunner:
         while True:
             # tailing: poll the source for new epoch files when caught up
             while e >= len(files) and follow > 0 and idle_polls < follow:
-                relisted = list_epoch_files(spec.source.paths)
+                relisted = self.driver.list_files(spec.source.paths)
                 new = relisted[len(files):]
                 if new:
                     assert relisted[: len(files)] == files, "existing epoch files changed"
-                    from ..sources.stream import epoch_max_ts_us
-
                     for f in new:
-                        cur_max = max(cur_max, epoch_max_ts_us(f))
+                        cur_max = max(cur_max, self.driver.max_ts_us(f))
                         wms.append(cur_max - cfg.allowed_lateness_us)
                     files.extend(new)
                     idle_polls = 0
@@ -659,7 +656,7 @@ class StreamingRunner:
                 if mv is not None:
                     migrations.append((e, *mv))
             wm_prev = wms[e - 1] if e > 0 else NEG_INF
-            frags = plan_fragments(files[e], spec.source.fragment_rows)
+            frags = self.driver.plan_fragments(files[e], spec.source.fragment_rows)
             F = len(frags)
             frefs = [
                 _read_split.options(num_returns=P + 1).remote(

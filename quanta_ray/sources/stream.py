@@ -65,13 +65,14 @@ def epoch_max_ts_us(path: str, ts_col: str = "ts") -> int:
 
 
 def precompute_watermarks(
-    files: list[str], allowed_lateness_us: int
+    files: list[str], allowed_lateness_us: int, driver=None
 ) -> tuple[list[int], list[int]]:
     """Returns (prefix_max_ts[e], wm[e]) for every epoch e."""
+    max_ts = driver.max_ts_us if driver is not None else epoch_max_ts_us
     prefix: list[int] = []
     cur = -(1 << 62)
     for f in files:
-        cur = max(cur, epoch_max_ts_us(f))
+        cur = max(cur, max_ts(f))
         prefix.append(cur)
     wms = [m - allowed_lateness_us if m > -(1 << 61) else -(1 << 62) for m in prefix]
     return prefix, wms
@@ -108,5 +109,127 @@ def plan_fragments(path: str, target_rows: int) -> list[tuple[int, int, int]]:
 
 # Source driver registry (reference analog: ``source/kafka/registry.go:5-18``;
 # the reference registers one real driver, "sarama", and keeps empty
-# placeholders as the extension surface).
-SOURCE_REGISTRY = {"parquet-stream": list_epoch_files}
+# placeholders as the extension surface — here BOTH entries are real,
+# see SOURCE_DRIVERS below; this name is the back-compat alias).
+
+
+# --- pluggable source drivers ---------------------------------------------------
+#
+# The reference keeps empty placeholder drivers next to its one real Kafka
+# driver as the extension surface (``source/kafka/registry.go:5-18``). Here
+# the surface is REAL: a driver supplies the four primitives the runner
+# needs (file listing, footer-level max-ts, fragment planning, fragment
+# read); everything else — watermarks, lineage offsets, retry/commit,
+# partitioning — is driver-independent engine code.
+
+
+class ParquetStreamDriver:
+    """The default driver: Parquet epoch files. Max-ts and fragment planning
+    are METADATA-only (footer statistics / row-group index)."""
+
+    ext = ".parquet"
+
+    def list_files(self, paths_or_dir) -> list[str]:
+        return list_epoch_files(paths_or_dir)
+
+    def max_ts_us(self, path: str, ts_col: str = "ts") -> int:
+        return epoch_max_ts_us(path, ts_col)
+
+    def plan_fragments(self, path: str, target_rows: int) -> list[tuple[int, int, int]]:
+        return plan_fragments(path, target_rows)
+
+    def read_fragment(self, path: str, lo: int, hi: int | None) -> pa.Table:
+        pf = pq.ParquetFile(path)
+        if hi is None:
+            hi = pf.metadata.num_row_groups
+        return pf.read_row_groups(list(range(lo, hi)))
+
+
+class JsonlStreamDriver:
+    """Newline-delimited-JSON epoch files (``ts`` = int64 epoch-µs in the
+    record envelope, like a Kafka message timestamp).
+
+    Honest trade vs Parquet: JSONL has no footer, so max-ts uses a sidecar
+    ``<file>.maxts`` when the producer wrote one (O(1), the Kafka-envelope
+    analog) and otherwise falls back to scanning the file once on the
+    driver (O(data) — documented, and the reason the default topic format
+    is Parquet). Fragmenting below file granularity would need newline-
+    aligned byte splits whose global row offsets (lineage) require a count
+    pass; a v1 epoch is therefore ONE fragment."""
+
+    ext = ".jsonl"
+
+    def list_files(self, paths_or_dir) -> list[str]:
+        if isinstance(paths_or_dir, (list, tuple)):
+            out: list[str] = []
+            for p in paths_or_dir:
+                out.extend(self.list_files(p))
+            return out
+        if os.path.isdir(paths_or_dir):
+            return sorted(
+                os.path.join(paths_or_dir, f)
+                for f in os.listdir(paths_or_dir)
+                if f.endswith(self.ext)
+            )
+        if not os.path.exists(paths_or_dir):
+            raise FileNotFoundError(f"source path does not exist: {paths_or_dir}")
+        return [paths_or_dir]
+
+    # JSON text carries no integer-width info; restore the envelope widths
+    # of the transcript contract so committed output schemas are identical
+    # across drivers (input_hint: turn_idx int32, everything else int64).
+    _NARROW = {"turn_idx": pa.int32()}
+
+    def _read(self, path: str) -> pa.Table:
+        from pyarrow import json as pa_json
+
+        t = pa_json.read_json(path)
+        ts = t.column("ts")
+        if not pa.types.is_timestamp(ts.type):
+            t = t.set_column(
+                t.schema.get_field_index("ts"),
+                "ts",
+                ts.cast(pa.int64()).cast(pa.timestamp("us")),
+            )
+        for name, typ in self._NARROW.items():
+            i = t.schema.get_field_index(name)
+            if i >= 0 and t.schema.field(i).type != typ:
+                t = t.set_column(i, name, t.column(name).cast(typ))
+        return t
+
+    def max_ts_us(self, path: str, ts_col: str = "ts") -> int:
+        side = path + ".maxts"
+        if os.path.exists(side):
+            with open(side) as f:
+                return int(f.read().strip())
+        import pyarrow.compute as pc
+
+        t = self._read(path)
+        if not t.num_rows:
+            return -(1 << 62)
+        return pc.max(t.column(ts_col).cast(pa.int64())).as_py()
+
+    def plan_fragments(self, path: str, target_rows: int) -> list[tuple[int, int, int]]:
+        return [(0, None, 0)]
+
+    def read_fragment(self, path: str, lo: int, hi: int | None) -> pa.Table:
+        assert lo == 0, "jsonl epochs are single-fragment"
+        return self._read(path)
+
+
+SOURCE_DRIVERS = {
+    "parquet-stream": ParquetStreamDriver(),
+    "jsonl-stream": JsonlStreamDriver(),
+}
+
+
+def get_driver(kind: str):
+    try:
+        return SOURCE_DRIVERS[kind]
+    except KeyError:
+        raise ValueError(
+            f"unknown source kind {kind!r}; registered: {sorted(SOURCE_DRIVERS)}"
+        ) from None
+
+
+SOURCE_REGISTRY = SOURCE_DRIVERS

@@ -671,3 +671,47 @@ def test_per_row_status_chain_parity(ray_session, small_stream, tmp_path_factory
     )
     for stream, keys in SORT_KEYS.items():
         _assert_tables_equal(stream, read_committed(out_dir, stream), oracle[stream], keys)
+
+
+def test_jsonl_driver_matches_parquet_driver(ray_session, small_stream, tmp_path_factory):
+    """S2 extension surface is REAL: the same stream serialized as JSONL
+    epoch files (ts = epoch-µs envelope ints, sidecar max-ts) must produce
+    byte-identical committed streams to the Parquet driver."""
+    import json
+
+    from quanta_ray.engine import run_pipeline
+
+    files, _params = small_stream
+    jd = tmp_path_factory.mktemp("jsonl_stream")
+    jfiles = []
+    for i, f in enumerate(files):
+        t = pq.read_table(f)
+        df = t.to_pandas()
+        df["ts"] = df["ts"].astype("datetime64[us]").astype("int64")
+        path = str(jd / f"epoch-{i:05d}.jsonl")
+        df.to_json(path, orient="records", lines=True)
+        with open(path + ".maxts", "w") as fh:
+            fh.write(str(int(df["ts"].max())))
+        jfiles.append(path)
+
+    cfg = CEPConfig(num_partitions=4)
+    outs = {}
+    for kind, paths in (("parquet-stream", files), ("jsonl-stream", jfiles)):
+        spec = PipelineSpec(
+            source=SourceSpec(kind=kind, paths=tuple(paths)),
+            transformers=(StageSpec(name="normalize"),),
+            sink=SinkSpec(),
+            cep=cfg,
+        )
+        out_dir = str(tmp_path_factory.mktemp(f"out_{kind}"))
+        summary = run_pipeline(spec, out_dir)
+        assert summary["status"] == "complete"
+        outs[kind] = out_dir
+
+    for stream, keys in SORT_KEYS.items():
+        a = read_committed(outs["parquet-stream"], stream)
+        b = read_committed(outs["jsonl-stream"], stream)
+        if a is None or a.num_rows == 0:
+            assert b is None or b.num_rows == 0, stream
+            continue
+        _assert_tables_equal(f"jsonl:{stream}", b, a, keys)

@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_funnel": batch_cep.funnel,
         "ev_user_running_sum": batch_cep.user_running_sum,
         "ev_user_gap_stats": batch_cep.user_gap_stats,
+        "ev_distinct_per_type_approx": batch_cep.distinct_users_per_type_approx,
         "ev_user_retention": batch_cep.user_retention,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_stream("sessions"),

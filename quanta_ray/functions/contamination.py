@@ -236,3 +236,96 @@ FROM documents d
 WHERE md5(d.text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 101 = 0)
 ORDER BY d.doc_id
 """
+
+
+# --- n-gram decontamination (the production form) ------------------------------
+
+
+def _batch_grams(
+    texts: pd.Series, k: int
+) -> tuple[np.ndarray, pd.Series]:
+    """(row index, gram string) for every word k-gram in the batch —
+    built with k-1 vectorized shifted concats + a same-row validity mask,
+    no per-row loops."""
+    toks = texts.str.split(" ").reset_index(drop=True)
+    ex = toks.explode()
+    if not len(ex):
+        return np.zeros(0, dtype=np.int64), pd.Series([], dtype=object)
+    doc = ex.index.to_numpy()
+    w = ex.to_numpy(dtype=object)
+    n = len(w)
+    if n < k:
+        return np.zeros(0, dtype=np.int64), pd.Series([], dtype=object)
+    m = n - k + 1
+    valid = doc[: m] == doc[k - 1:]
+    grams = pd.Series(w[:m])
+    for j in range(1, k):
+        grams = grams + " " + pd.Series(w[j : m + j])
+    return doc[:m][valid], grams[valid].reset_index(drop=True)
+
+
+def decontaminate_ngram(sf_dir: str, every: int = 997, k: int = 8) -> pa.Table:
+    """N-GRAM-level benchmark decontamination — the production rule (e.g.
+    13-gram overlap): drop a document if ANY word k-gram also occurs in the
+    benchmark set. Stricter than substring matching (overlap may start
+    mid-sentence, survive whitespace normalization, etc.).
+
+    The benchmark gram set is spec-sized (benchmark docs × tokens) and
+    broadcast once; the corpus streams through a pure map — per batch one
+    explode + k-1 shifted vectorized concats + one hashed ``isin``. No
+    shuffle at all."""
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch["doc_id"].to_numpy() % every == 0
+        _, grams = _batch_grams(batch["text"][sel].reset_index(drop=True), k)
+        return pd.DataFrame({"gram": grams.unique()})
+
+    bench = _concat(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            project, batch_format="pandas", batch_size=8192
+        )
+    )
+    grams_ref = ray.put(frozenset(bench.column("gram").to_pylist()))
+
+    class GramScanner:
+        def __init__(self, grams_ref):
+            self.grams = ray.get(grams_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rows, grams = _batch_grams(batch["text"], k)
+            bad = np.zeros(len(batch), dtype=bool)
+            if len(rows):
+                hit = grams.isin(self.grams).to_numpy()
+                bad[rows[hit]] = True
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy()[~bad],
+                    "source": batch["source"].to_numpy()[~bad],
+                }
+            )
+
+    out = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        GramScanner,
+        fn_constructor_kwargs={"grams_ref": grams_ref},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=2,
+    )
+    t = _concat(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+DECONTAMINATE_NGRAM_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 6),
+                               i -> array_to_string(t[i:i+7], ' '))) AS gram
+  FROM w WHERE len(t) >= 8
+),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 997 = 0),
+bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram))
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY d.doc_id
+"""

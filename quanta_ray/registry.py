@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curate_train_ready": curation.curate_train_ready,
         # --- decontamination / blocklist ---
         "doc_decontaminate": contamination.decontaminate,
+        "doc_decontaminate_ngram": contamination.decontaminate_ngram,
         "doc_blocklist_filter": contamination.blocklist_filter,
         # --- similarity search + clustering ---
         "emb_knn_bruteforce": simsearch.knn_bruteforce,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_model_score": text.MODEL_SCORE_SQL,
         "emb_norm_stats": simsearch.NORM_STATS_SQL,
         "doc_decontaminate": contamination.DECONTAMINATE_SQL,
+        "doc_decontaminate_ngram": contamination.DECONTAMINATE_NGRAM_SQL,
         "doc_blocklist_filter": contamination.BLOCKLIST_FILTER_SQL,
         "doc_script_stats": text.SCRIPT_STATS_SQL,
         "emb_knn_bruteforce": simsearch.KNN_BRUTEFORCE_SQL,

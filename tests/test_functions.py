@@ -1221,3 +1221,27 @@ def test_grouped_hll_accuracy(ray_session, tmp_path):
     for g in ("a", "b", "c"):
         est = out.loc[g, "approx_distinct_users"]
         assert abs(est - exact[g]) / exact[g] < 0.04, (g, est, exact[g])
+
+
+def test_decontaminate_ngram_catches_partial_overlap(ray_session, tmp_path):
+    """An 8-token overlap ANYWHERE in the doc contaminates it (stricter than
+    the substring rule, which only sees the benchmark doc's prefix)."""
+    from quanta_ray.functions.contamination import decontaminate_ngram
+
+    bench = "q w e r t y u i o p a s d f g h"  # doc 0 = benchmark (997-select)
+    mid = "zz xx " + " ".join(bench.split()[4:12]) + " yy vv"  # 8-gram overlap
+    clean = "one two three four five six seven eight nine ten"
+    short = "tiny doc"  # < 8 tokens: can never be contaminated
+    texts = [bench, mid, clean, short]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    kept = decontaminate_ngram(str(tmp_path)).column("doc_id").to_pylist()
+    assert kept == [2, 3]

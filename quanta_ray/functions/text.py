@@ -1115,3 +1115,103 @@ SELECT doc_id,
        CAST(sum((b * 2654435761) % 1000 - 500) AS BIGINT) AS score_milli
 FROM h GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# --- corpus-level duplicate-line removal (CCNet-style boilerplate dedup) ------
+
+
+def line_dedup(sf_dir: str, max_dups: int = 2, buckets: int = 32) -> pa.Table:
+    """Remove lines that repeat more than ``max_dups`` times ACROSS the
+    corpus — the CCNet / RefinedWeb boilerplate-removal pass (nav bars,
+    cookie banners, footers repeat verbatim across pages; all copies of an
+    over-threshold line are dropped from every document).
+
+    Shape (2 shuffles, no driver state, no broadcast):
+      1. explode docs into (doc_id, idx, line) rows — one vectorized
+         ``str.split`` + ``np.repeat`` per batch;
+      2. hash-shuffle on the LINE text: all copies of a line meet in one
+         bucket, so a per-bucket ``value_counts`` is the exact corpus count;
+         survivors (count <= max_dups) pass through;
+      3. hash-shuffle back on doc_id: per-doc mergesort by line index and a
+         C-level ``'\\n'.join`` reassembles the cleaned text.
+    A document whose every line is boilerplate disappears entirely (exactly
+    the SQL ``string_agg`` oracle's behavior). At web scale step 2's shuffle
+    carries each line once; count state is per-bucket, never global."""
+    from ..bucket import bucketed_apply
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        parts = batch["text"].str.split("\n")
+        n = parts.map(len).to_numpy(dtype=np.int64)
+        doc = np.repeat(batch["doc_id"].to_numpy(dtype=np.int64), n)
+        idx = np.concatenate([np.arange(k, dtype=np.int64) for k in n]) if len(n) else np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc,
+                "idx": idx,
+                "line": np.concatenate(parts.to_numpy()) if len(n) else np.array([], dtype=object),
+                "n_lines": np.repeat(n, n),
+            }
+        )
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["line"].value_counts()
+        ok = g["line"].isin(c.index[c <= max_dups])
+        return g[ok]
+
+    lines = ds.map_batches(explode, batch_format="pandas")
+    kept = bucketed_apply(lines, ["line"], survivors, num_buckets=buckets)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "idx"], kind="mergesort")
+        by = g.groupby("doc_id", sort=False)
+        text = by["line"].agg("\n".join)
+        kept_n = by.size()
+        total = by["n_lines"].first()
+        return pd.DataFrame(
+            {
+                "doc_id": text.index.to_numpy(dtype=np.int64),
+                "text": text.to_numpy(),
+                "n_lines_kept": kept_n.to_numpy(dtype=np.int64),
+                "n_lines_removed": (total - kept_n).to_numpy(dtype=np.int64),
+            }
+        )
+
+    out = bucketed_apply(kept, ["doc_id"], reassemble, num_buckets=buckets)
+    t = _concat(out)
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "n_lines_kept": pa.array([], pa.int64()),
+                "n_lines_removed": pa.array([], pa.int64()),
+            }
+        )
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+LINE_DEDUP_SQL = """
+WITH parts AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS idx,
+         len(ls) AS n_lines
+  FROM parts
+),
+cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+keep AS (
+  SELECT l.doc_id, l.idx, l.line, l.n_lines
+  FROM lines l JOIN cnt ON l.line = cnt.line
+  WHERE cnt.c <= 2
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY idx) AS text,
+       count(*) AS n_lines_kept,
+       CAST(any_value(n_lines) - count(*) AS BIGINT) AS n_lines_removed
+FROM keep
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -1299,3 +1299,128 @@ def distinct_users_per_type_approx(sf_dir: str, p: int = 12) -> pa.Table:
             ),
         }
     )
+
+
+# --- CEP sequence pattern match (MATCH_RECOGNIZE-style) -----------------------
+
+
+def pattern_match(
+    sf_dir: str,
+    pattern: tuple[str, ...] = ("view", "click", "purchase"),
+    buckets: int = 32,
+) -> pa.Table:
+    """Detect every CONSECUTIVE occurrence of an event-type sequence per
+    user (SQL MATCH_RECOGNIZE / lead()-chain family) — the batch form of the
+    CEP pattern operator at the heart of engines like the reference's
+    source→transformer CEP chain (reference: internal/transformer/chain.go
+    orders stages; here the "pattern" runs over the event stream itself).
+
+    Shape: one hash shuffle on user_id (3 columns leave the scan); inside
+    each bucket one mergesort by (user_id, ts, event_id) then ONE vectorized
+    shifted-comparison pass per pattern step — no per-row Python, no state
+    beyond the bucket. Matches report the anchor event and the span in
+    int64 microseconds (association-free ⇒ bit-identical to the window
+    oracle). At 10^12 rows the shuffle carries only (user_id, event_id,
+    ts, event_type) and each bucket is a complete set of user groups."""
+    from ..bucket import bucketed_apply
+
+    L = len(pattern)
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(g)
+        if n < L:
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([], dtype=np.int64),
+                    "start_event_id": np.array([], dtype=np.int64),
+                    "start_ts": np.array([], dtype="datetime64[us]"),
+                    "end_ts": np.array([], dtype="datetime64[us]"),
+                    "span_us": np.array([], dtype=np.int64),
+                }
+            )
+        m = np.ones(n - L + 1, dtype=bool)
+        for i, step in enumerate(pattern):
+            m &= et[i : n - L + 1 + i] == step
+            if i:  # same user across the whole window
+                m &= uid[i : n - L + 1 + i] == uid[: n - L + 1]
+        idx = np.flatnonzero(m)
+        return pd.DataFrame(
+            {
+                "user_id": uid[idx],
+                "start_event_id": eid[idx],
+                "start_ts": ts[idx].astype("datetime64[us]"),
+                "end_ts": ts[idx + L - 1].astype("datetime64[us]"),
+                "span_us": (ts[idx + L - 1] - ts[idx]).astype(np.int64),
+            }
+        )
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+    t = _concat(bucketed_apply(ds, ["user_id"], bucket_fn, num_buckets=buckets))
+    return t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[("user_id", "ascending"), ("start_event_id", "ascending")],
+        )
+    )
+
+
+PATTERN_MATCH_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(ts, 2) OVER w AS ts2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS start_event_id, ts AS start_ts, ts2 AS end_ts,
+       CAST(date_diff('microsecond', ts, ts2) AS BIGINT) AS span_us
+FROM o
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+ORDER BY user_id, start_event_id
+"""
+
+
+# --- per-user journey path (ordered string_agg) -------------------------------
+
+
+def user_journey(sf_dir: str, buckets: int = 32) -> pa.Table:
+    """Per-user ordered event-type PATH string (`a>b>c...`) — the
+    session-path / clickstream-journey operator (SQL `string_agg(...
+    ORDER BY ts)` per user).
+
+    One user_id hash shuffle of 3 narrow columns; inside each bucket one
+    mergesort then a per-user C-level join (the group loop is per USER, not
+    per row, and each join is a single allocation). Output size is bounded
+    by per-user activity — the inherent output of a journey operator."""
+    from ..bucket import bucketed_apply
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        return pd.DataFrame(
+            {
+                "user_id": agg.index.to_numpy(dtype=np.int64),
+                "journey": agg.to_numpy(),
+                "n_events": g.groupby("user_id", sort=False).size().to_numpy(),
+            }
+        )
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+    t = _concat(bucketed_apply(ds, ["user_id"], bucket_fn, num_buckets=buckets))
+    return t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+
+
+USER_JOURNEY_SQL = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_user_gap_stats": batch_cep.user_gap_stats,
         "ev_distinct_per_type_approx": batch_cep.distinct_users_per_type_approx,
         "ev_user_retention": batch_cep.user_retention,
+        "ev_pattern_match": batch_cep.pattern_match,
+        "ev_user_journey": batch_cep.user_journey,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_stream("sessions"),
         "cep_streaming_tumbling": _streaming_stream("tumbling"),
@@ -147,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": text.stratified_sample,
         "doc_token_topk_by_lang": text.token_topk_by_lang,
         "doc_repetition_stats": text.repetition_stats,
+        "doc_line_dedup": text.line_dedup,
         "doc_model_score": text.model_score,
         # --- dedup family ---
         "doc_dedup_exact": dedup.dedup_exact,
@@ -209,6 +212,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_user_running_sum": batch_cep.USER_RUNNING_SUM_SQL,
         "ev_user_gap_stats": batch_cep.USER_GAP_STATS_SQL,
         "ev_user_retention": batch_cep.USER_RETENTION_SQL,
+        "ev_pattern_match": batch_cep.PATTERN_MATCH_SQL,
+        "ev_user_journey": batch_cep.USER_JOURNEY_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
         "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
         "rel_top_parts_by_price": relational.TOP_PARTS_SQL,
@@ -244,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack_sequences": curation.PACK_SEQUENCES_SQL,
         "doc_curate_train_ready": curation.CURATE_TRAIN_READY_SQL,
         "doc_repetition_stats": text.REPETITION_STATS_SQL,
+        "doc_line_dedup": text.LINE_DEDUP_SQL,
         "doc_model_score": text.MODEL_SCORE_SQL,
         "emb_norm_stats": simsearch.NORM_STATS_SQL,
         "doc_decontaminate": contamination.DECONTAMINATE_SQL,

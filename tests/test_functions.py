@@ -1245,3 +1245,88 @@ def test_decontaminate_ngram_catches_partial_overlap(ray_session, tmp_path):
     pq.write_table(t, str(tmp_path / "documents.parquet"))
     kept = decontaminate_ngram(str(tmp_path)).column("doc_id").to_pylist()
     assert kept == [2, 3]
+
+
+def test_pattern_match_planted_sequences(ray_session, tmp_path):
+    """Planted consecutive view>click>purchase triples are found, including
+    overlapping anchors; a triple interrupted by another event type or split
+    across users is NOT matched."""
+    from quanta_ray.pipelines.batch_cep import pattern_match
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: view,click,purchase then view,click,purchase (2 matches)
+        (1, 1, "view"), (2, 1, "click"), (3, 1, "purchase"),
+        (4, 1, "view"), (5, 1, "click"), (6, 1, "purchase"),
+        # user 2: view,click,ERROR,purchase (interrupted -> no match)
+        (7, 2, "view"), (8, 2, "click"), (9, 2, "error"), (10, 2, "purchase"),
+        # user 3/4: sequence split across users -> no match
+        (11, 3, "view"), (12, 3, "click"), (13, 4, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                [base + pd.Timedelta(seconds=r[0]) for r in rows],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "event_type": [r[2] for r in rows],
+            "value": pa.array([0.0] * len(rows), type=pa.float64()),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = pattern_match(str(tmp_path)).to_pandas()
+    assert list(out["user_id"]) == [1, 1]
+    assert list(out["start_event_id"]) == [1, 4]
+    assert list(out["span_us"]) == [2_000_000, 2_000_000]
+
+
+def test_line_dedup_planted_boilerplate(ray_session, tmp_path):
+    """Multi-line docs with a cookie-banner line repeated across >2 docs:
+    the banner vanishes from every doc, unique lines survive in order, and a
+    doc made ENTIRELY of boilerplate disappears. Result is diffed against
+    the registered DuckDB oracle on the same planted fixture (the driver
+    corpus is single-line, so this is where the value check bites)."""
+    import duckdb
+
+    from quanta_ray.functions.text import LINE_DEDUP_SQL, line_dedup
+
+    banner = "accept all cookies to continue"
+    docs = [
+        (1, f"alpha unique one\n{banner}\nbravo unique two"),
+        (2, f"{banner}\ncharlie distinct"),
+        (3, f"delta text here\n{banner}"),
+        (4, banner),                       # all-boilerplate -> disappears
+        (5, "echo only doc\nfox line"),    # untouched
+        (6, "shared twice\ntail six"),     # "shared twice" appears 2x: kept
+        (7, "shared twice\ntail seven"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], type=pa.int64()),
+            "text": [d[1] for d in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["web"] * len(docs),
+            "n_chars": pa.array([len(d[1]) for d in docs], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    out = line_dedup(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert 4 not in out.index
+    assert out.loc[1, "text"] == "alpha unique one\nbravo unique two"
+    assert out.loc[1, "n_lines_removed"] == 1
+    assert out.loc[5, "text"] == "echo only doc\nfox line"
+    assert out.loc[6, "text"] == "shared twice\ntail six"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    oracle = con.execute(LINE_DEDUP_SQL).df().set_index("doc_id")
+    pd.testing.assert_frame_equal(
+        out.astype({"n_lines_kept": "int64", "n_lines_removed": "int64"}),
+        oracle.astype({"n_lines_kept": "int64", "n_lines_removed": "int64"}),
+    )

@@ -14,6 +14,7 @@ strategies:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -846,4 +847,87 @@ LEFT JOIN LATERAL (
   LIMIT 1
 ) o ON true
 ORDER BY event_id
+"""
+
+
+# --- LEFT OUTER join: per-customer order stats incl. zero-order customers -----
+
+
+def customer_order_counts_outer(sf_dir: str, buckets: int = 16) -> pa.Table:
+    """Customer LEFT OUTER JOIN orders → order count + total spent per
+    customer, INCLUDING customers with no orders (count 0, spend 0.0) —
+    the outer-join member of the join family (reference chains transforms
+    in-order, internal/transformer/chain.go; the join itself is Ray-native).
+
+    Shape: the fact side pre-aggregates per batch inside ``map_batches``
+    (shuffle carries one (custkey, n, sum) partial row per batch-key, never
+    order rows), both sides hash-bucket on the key, and each bucket does one
+    vectorized left merge + zero-fill. No broadcast, no driver state; at
+    fact scale both shuffles carry partial/dimension rows only."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def o_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), spent=("o_totalprice", "sum")
+        )
+        g["_bucket"] = (
+            pd.util.hash_array(g["o_custkey"].to_numpy(dtype="int64")) % buckets
+        ).astype(np.int64)
+        g["_side"] = np.int64(1)
+        return g
+
+    def c_tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+                "n_orders": np.int64(0),
+                "spent": np.float64(0.0),
+                "c_mktsegment": b["c_mktsegment"].astype(str),
+                "_bucket": (
+                    pd.util.hash_array(b["c_custkey"].to_numpy(dtype="int64"))
+                    % buckets
+                ).astype(np.int64),
+                "_side": np.int64(0),
+            }
+        )
+
+    both = cust.map_batches(c_tag, batch_format="pandas").union(
+        orders.map_batches(o_partial, batch_format="pandas")
+    )
+
+    def outer(g: pd.DataFrame) -> pa.Table:
+        c = g[g["_side"] == 0]
+        o = (
+            g[g["_side"] == 1]
+            .groupby("o_custkey", as_index=False)
+            .agg(n_orders=("n_orders", "sum"), spent=("spent", "sum"))
+        )
+        m = c[["o_custkey", "c_mktsegment"]].merge(o, on="o_custkey", how="left")
+        return pa.table(
+            {
+                "c_custkey": pa.array(m["o_custkey"].to_numpy(dtype=np.int64), pa.int64()),
+                "c_mktsegment": pa.array(m["c_mktsegment"].astype(str), pa.string()),
+                "n_orders": pa.array(
+                    m["n_orders"].fillna(0).to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "total_spent": pa.array(
+                    np.round(m["spent"].fillna(0.0).to_numpy(dtype=np.float64), 2),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    t = _concat(both.groupby("_bucket").map_groups(outer, batch_format="pandas"))
+    return t.take(pc.sort_indices(t, sort_keys=[("c_custkey", "ascending")]))
+
+
+CUSTOMER_ORDER_COUNTS_OUTER_SQL = """
+SELECT c.c_custkey, c.c_mktsegment,
+       count(o.o_orderkey) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+ORDER BY c.c_custkey
 """

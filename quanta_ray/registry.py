@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_customer_order_stats": relational.customer_order_stats,
         "rel_asof_latest_order": relational.asof_latest_order,
         "rel_customers_without_orders": relational.customers_without_orders,
+        "rel_order_counts_outer": relational.customer_order_counts_outer,
         # --- text analysis ---
         "doc_token_counts": text.token_counts,
         "doc_quality_scores": text.quality_scores,
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
         "rel_asof_latest_order": relational.ASOF_LATEST_ORDER_SQL,
         "rel_customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "rel_order_counts_outer": relational.CUSTOMER_ORDER_COUNTS_OUTER_SQL,
         "doc_token_counts": text.TOKEN_COUNTS_SQL,
         "doc_token_topk": text.TOKEN_TOPK_SQL,
         "doc_length_histogram": text.LENGTH_HISTOGRAM_SQL,

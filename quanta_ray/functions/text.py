@@ -529,6 +529,38 @@ FROM documents ORDER BY doc_id
 # --- exact distributed percentiles --------------------------------------------
 
 
+def _exact_int_quantiles(
+    ds: rd.Dataset, col: str, qs: tuple[int, ...]
+) -> list[int]:
+    """EXACT distributed integer-percent quantiles of an int column via
+    value-domain counting: per-batch value counts → bucketed count
+    reduction keyed by VALUE (shuffle volume = number of distinct values,
+    never the row count) → driver cumsum over the tiny distinct-value
+    table. The q-th percentile is the smallest v with
+    count(<= v) * 100 >= q * n — integer arithmetic both here and in every
+    SQL oracle that uses it, so float rounding can never flip it."""
+    from ..bucket import bucketed_group_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(col, as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=16384)
+    agg = _concat(bucketed_group_agg(parts, [col], dict(cnt=("cnt", "sum"))))
+    df = agg.to_pandas().sort_values(col).reset_index(drop=True)
+    vals = df[col].to_numpy(dtype=np.int64)
+    cum = df["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_v = []
+    for q in qs:
+        if n == 0:
+            out_v.append(0)
+            continue
+        idx = int(np.searchsorted(cum * 100, q * n, side="left"))
+        out_v.append(int(vals[min(idx, len(vals) - 1)]))
+    return out_v
+
+
 def length_quantiles(sf_dir: str, qs: tuple[int, ...] = (50, 90, 99)) -> pa.Table:
     """EXACT distributed percentiles of document length (``n_chars``) —
     the value-domain counting form that stays exact at any corpus size:
@@ -543,27 +575,7 @@ def length_quantiles(sf_dir: str, qs: tuple[int, ...] = (50, 90, 99)) -> pa.Tabl
 
     ``qs`` are integer percents. SQL-checkable via a window-function oracle
     with the same integer inequality."""
-    from ..bucket import bucketed_group_agg
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("n_chars", as_index=False).size()
-        return g.rename(columns={"size": "cnt"})
-
-    parts = _docs(sf_dir, ["n_chars"]).map_batches(
-        partial, batch_format="pandas", batch_size=16384
-    )
-    agg = _concat(bucketed_group_agg(parts, ["n_chars"], dict(cnt=("cnt", "sum"))))
-    df = agg.to_pandas().sort_values("n_chars").reset_index(drop=True)
-    vals = df["n_chars"].to_numpy(dtype=np.int64)
-    cum = df["cnt"].to_numpy(dtype=np.int64).cumsum()
-    n = int(cum[-1]) if len(cum) else 0
-    out_v = []
-    for q in qs:
-        if n == 0:
-            out_v.append(0)
-            continue
-        idx = int(np.searchsorted(cum * 100, q * n, side="left"))
-        out_v.append(int(vals[min(idx, len(vals) - 1)]))
+    out_v = _exact_int_quantiles(_docs(sf_dir, ["n_chars"]), "n_chars", qs)
     return pa.table(
         {
             "q": pa.array([int(q) for q in qs], pa.int64()),
@@ -1214,4 +1226,50 @@ SELECT doc_id,
 FROM keep
 GROUP BY doc_id
 ORDER BY doc_id
+"""
+
+
+# --- adaptive (corpus-relative) length filter ---------------------------------
+
+
+def adaptive_length_filter(
+    sf_dir: str, lo_q: int = 10, hi_q: int = 90
+) -> pa.Table:
+    """Keep documents whose length sits between the corpus's own p{lo_q}
+    and p{hi_q} — the ADAPTIVE-threshold quality filter (fixed thresholds
+    rot as the corpus mix shifts; production pipelines cut tails relative
+    to the corpus itself).
+
+    Two streaming passes: pass 1 computes the two EXACT percentiles by
+    value-domain counting (driver holds two ints); pass 2 re-reads with the
+    [lo, hi] predicate PUSHED DOWN to the parquet scan, so out-of-band rows
+    never leave storage. No shuffle at all in pass 2."""
+    import pyarrow.dataset as pads
+
+    lo, hi = _exact_int_quantiles(
+        _docs(sf_dir, ["n_chars"]), "n_chars", (lo_q, hi_q)
+    )
+    kept = _read_pq(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+        filter=(pads.field("n_chars") >= pads.scalar(lo))
+        & (pads.field("n_chars") <= pads.scalar(hi)),
+    )
+    t = _concat(kept)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+ADAPTIVE_LENGTH_FILTER_SQL = """
+WITH cdf AS (
+  SELECT n_chars AS v,
+         count(*) OVER (ORDER BY n_chars) AS c,
+         (SELECT count(*) FROM documents) AS n
+  FROM documents
+),
+lo AS (SELECT min(v) AS v FROM cdf WHERE c * 100 >= 10 * n),
+hi AS (SELECT min(v) AS v FROM cdf WHERE c * 100 >= 90 * n)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d, lo, hi
+WHERE d.n_chars >= lo.v AND d.n_chars <= hi.v
+ORDER BY d.doc_id
 """

@@ -1424,3 +1424,121 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# --- count-based tumbling windows (per-user fixed-size event chunks) ----------
+
+
+def count_windows(sf_dir: str, size: int = 5, buckets: int = 32) -> pa.Table:
+    """COUNT-based tumbling windows: chunk each user's event stream into
+    consecutive groups of ``size`` events (CEP count-trigger windows — the
+    row-count sibling of the time-based tumbling operator; reference chains
+    fire per-record, internal/transformer/chain.go).
+
+    One user_id hash shuffle of 4 narrow columns; per bucket one mergesort,
+    a vectorized cumcount → window_id, then one grouped agg over
+    (user, window). Association-safe outputs (count, min/max ts) plus a
+    rounded float sum over ≤``size`` elements."""
+    from ..bucket import bucketed_apply
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g["window_id"] = (
+            g.groupby("user_id", sort=False).cumcount().to_numpy() // size
+        ).astype(np.int64)
+        out = g.groupby(["user_id", "window_id"], as_index=False, sort=False).agg(
+            n_events=("event_id", "size"),
+            sum_value=("value", "sum"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+        )
+        out["sum_value"] = np.round(out["sum_value"].to_numpy(dtype=np.float64), 4)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    t = _concat(bucketed_apply(ds, ["user_id"], bucket_fn, num_buckets=buckets))
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("window_id", "ascending")]
+        )
+    )
+
+
+COUNT_WINDOWS_SQL = """
+WITH r AS (
+  SELECT user_id, value, ts,
+         CAST((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
+              // 5 AS BIGINT) AS window_id
+  FROM events
+)
+SELECT user_id, window_id, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM r
+GROUP BY user_id, window_id
+ORDER BY user_id, window_id
+"""
+
+
+# --- mergeable histogram quantile sketch (continuous values) ------------------
+
+
+def value_quantiles_approx(
+    sf_dir: str, bins: int = 4096, qs: tuple[int, ...] = (50, 90, 99)
+) -> pa.Table:
+    """Approximate percentiles of the CONTINUOUS ``value`` column via a
+    fixed-bin mergeable histogram sketch — the scale tool where value-domain
+    counting (exact, integer domains) doesn't apply: state is O(bins) per
+    batch regardless of row count, merge is a vector sum, and the answer's
+    value-error is bounded by one bin width ((max-min)/bins).
+
+    Two streaming passes: (1) global min/max (tiny per-batch partials);
+    (2) per-batch ``np.bincount`` over bin indices → one (bin, cnt) partial
+    table per batch → bucketed sum → driver cumsum over ``bins`` rows.
+    Deterministic (no sampling), mergeable (sum), rows-only by design —
+    pinned in pytest to within one bin width of exact numpy percentiles."""
+    from ..bucket import bucketed_group_agg
+
+    ds = _events(sf_dir, ["value"])
+
+    def mm(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"lo": [np.min(v)], "hi": [np.max(v)]}) if len(v) else pd.DataFrame({"lo": [], "hi": []})
+
+    mmt = _concat(ds.map_batches(mm, batch_format="pandas")).to_pandas()
+    lo, hi = float(mmt["lo"].min()), float(mmt["hi"].max())
+    if not np.isfinite(lo) or hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(dtype=np.float64)
+        idx = np.minimum(((v - lo) / width).astype(np.int64), bins - 1)
+        cnt = np.bincount(idx, minlength=bins)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"bin": nz.astype(np.int64), "cnt": cnt[nz].astype(np.int64)})
+
+    parts = ds.map_batches(hist, batch_format="pandas")
+    agg = _concat(
+        bucketed_group_agg(parts, ["bin"], dict(cnt=("cnt", "sum")), num_buckets=8)
+    ).to_pandas().sort_values("bin")
+    b_idx = agg["bin"].to_numpy(dtype=np.int64)
+    cum = agg["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        if n == 0:
+            out.append(float("nan"))
+            continue
+        i = int(np.searchsorted(cum * 100, q * n, side="left"))
+        i = min(i, len(b_idx) - 1)
+        # report the bin's UPPER edge: the smallest sketch value v with
+        # rank(<= v) covering the target, mirroring the exact-quantile rule
+        out.append(round(lo + (b_idx[i] + 1) * width, 6))
+    return pa.table(
+        {
+            "q": pa.array([int(q) for q in qs], pa.int64()),
+            "value_approx": pa.array(out, pa.float64()),
+        }
+    )

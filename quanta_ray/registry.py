@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_user_retention": batch_cep.user_retention,
         "ev_pattern_match": batch_cep.pattern_match,
         "ev_user_journey": batch_cep.user_journey,
+        "ev_count_windows": batch_cep.count_windows,
+        "ev_value_quantiles_approx": batch_cep.value_quantiles_approx,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_stream("sessions"),
         "cep_streaming_tumbling": _streaming_stream("tumbling"),
@@ -151,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_topk_by_lang": text.token_topk_by_lang,
         "doc_repetition_stats": text.repetition_stats,
         "doc_line_dedup": text.line_dedup,
+        "doc_adaptive_length_filter": text.adaptive_length_filter,
         "doc_model_score": text.model_score,
         # --- dedup family ---
         "doc_dedup_exact": dedup.dedup_exact,
@@ -215,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_user_retention": batch_cep.USER_RETENTION_SQL,
         "ev_pattern_match": batch_cep.PATTERN_MATCH_SQL,
         "ev_user_journey": batch_cep.USER_JOURNEY_SQL,
+        "ev_count_windows": batch_cep.COUNT_WINDOWS_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
         "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
         "rel_top_parts_by_price": relational.TOP_PARTS_SQL,
@@ -252,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_curate_train_ready": curation.CURATE_TRAIN_READY_SQL,
         "doc_repetition_stats": text.REPETITION_STATS_SQL,
         "doc_line_dedup": text.LINE_DEDUP_SQL,
+        "doc_adaptive_length_filter": text.ADAPTIVE_LENGTH_FILTER_SQL,
         "doc_model_score": text.MODEL_SCORE_SQL,
         "emb_norm_stats": simsearch.NORM_STATS_SQL,
         "doc_decontaminate": contamination.DECONTAMINATE_SQL,

@@ -1330,3 +1330,23 @@ def test_line_dedup_planted_boilerplate(ray_session, tmp_path):
         out.astype({"n_lines_kept": "int64", "n_lines_removed": "int64"}),
         oracle.astype({"n_lines_kept": "int64", "n_lines_removed": "int64"}),
     )
+
+
+def test_value_quantiles_approx_within_bin_width(ray_session):
+    """The histogram sketch's percentiles land within one bin width of
+    exact numpy percentiles on real driver data."""
+    import duckdb
+
+    from quanta_ray.pipelines.batch_cep import value_quantiles_approx
+
+    sf = "/root/testdata/sf0.01"
+    out = value_quantiles_approx(sf).to_pandas().set_index("q")
+    v = duckdb.sql(
+        f"SELECT value FROM read_parquet('{sf}/events.parquet')"
+    ).df()["value"].to_numpy()
+    width = (v.max() - v.min()) / 4096
+    for q in (50, 90, 99):
+        exact = np.percentile(v, q)
+        assert abs(out.loc[q, "value_approx"] - exact) <= width + 1e-9, (
+            q, out.loc[q, "value_approx"], exact, width
+        )

@@ -38,8 +38,14 @@ class CEPConfig:
     num_partitions: int = 8
     # emit everything still buffered when the stream ends (watermark → +inf)
     final_flush: bool = True
+    # CEP sequence pattern: emit a match for every run of CONSECUTIVE turns
+    # (per conv, final (ts, turn_idx) order) whose roles equal this tuple.
+    # Empty tuple disables the stream.
+    pattern_roles: tuple = ("user", "assistant", "tool")
 
     def __post_init__(self) -> None:
+        # JSON specs deliver lists; normalize so configs hash/compare stably
+        object.__setattr__(self, "pattern_roles", tuple(self.pattern_roles))
         if self.sliding_size_us % self.sliding_slide_us != 0:
             raise ValueError(
                 "sliding_size_us must be a multiple of sliding_slide_us "

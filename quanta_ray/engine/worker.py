@@ -53,7 +53,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..config import CEPConfig
-from ..schema import JOIN_SCHEMA, SESSION_SCHEMA, WINDOW_AGG_SCHEMA
+from ..schema import JOIN_SCHEMA, PATTERN_SCHEMA, SESSION_SCHEMA, WINDOW_AGG_SCHEMA
 
 NEG_INF = -(1 << 62)
 POS_INF = 1 << 62
@@ -344,6 +344,101 @@ class _SessionState:
         return ss
 
 
+_PS_FIELDS = ("code", "ts", "turn", "role")
+
+
+class _PatternState:
+    """Partition-level pending rows for the CEP consecutive-role sequence
+    pattern (MATCH_RECOGNIZE family): emit one match per run of L adjacent
+    turns (per conv, final (ts, turn_idx) order) whose roles equal
+    ``cfg.pattern_roles``.
+
+    Stability argument (why emission is exactly-once and insert-safe): a
+    match's last element has ``end_ts``; once ``wm > end_ts`` no on-time row
+    can ever sort at-or-before it (late rows with ts < wm are dropped at
+    the source), so adjacency of the triple is final. A match is emitted in
+    the first epoch where ``end_ts < wm`` (strict — at ts == wm a future
+    on-time row could still tie-insert), deduped by the monotone emit
+    watermark, not a seen-set: emit iff ``prev_emit_wm <= end_ts < wm``.
+
+    State is O(rows within the lateness window): after each pop, finalized
+    rows (ts < wm) are evicted except the last L-1 per conv, which may
+    still prefix a future match. All appends/sorts/matches are vectorized;
+    per epoch one lexsort over the pending arrays (≈ one epoch's rows)."""
+
+    __slots__ = (*_PS_FIELDS, "emit_wm")
+
+    def __init__(self) -> None:
+        self.code = np.empty(0, np.int64)
+        self.ts = np.empty(0, np.int64)
+        self.turn = np.empty(0, np.int64)
+        self.role = np.empty(0, object)
+        self.emit_wm = NEG_INF
+
+    def add(self, code: np.ndarray, ts: np.ndarray, turn: np.ndarray, role: np.ndarray) -> None:
+        self.code = np.concatenate([self.code, code])
+        self.ts = np.concatenate([self.ts, ts])
+        self.turn = np.concatenate([self.turn, turn.astype(np.int64)])
+        self.role = np.concatenate([self.role, np.asarray(role, dtype=object)])
+
+    def pop_matches(self, pattern: tuple, wm: int) -> tuple | None:
+        """Emit matches with prev_emit_wm <= end_ts < wm; evict finalized
+        rows beyond the per-conv L-1 tail. Returns (code, start_turn,
+        start_ts, end_ts) arrays or None."""
+        L = len(pattern)
+        n = len(self.code)
+        if L == 0 or n == 0:
+            self.emit_wm = max(self.emit_wm, wm)
+            return None
+        # roles → int codes that preserve lexicographic order (np.unique is
+        # sorted), so the sort matches the oracle's (ts, turn, role) tuple
+        # order even when transform stages emit equal-(ts,turn) duplicates
+        _, rcode = np.unique(self.role, return_inverse=True)
+        order = np.lexsort((rcode, self.turn, self.ts, self.code))
+        code, ts, turn, role = (
+            self.code[order], self.ts[order], self.turn[order], self.role[order]
+        )
+
+        out = None
+        if n >= L:
+            m = np.ones(n - L + 1, dtype=bool)
+            for i, step in enumerate(pattern):
+                m &= role[i : n - L + 1 + i] == step
+                if i:
+                    m &= code[i : n - L + 1 + i] == code[: n - L + 1]
+            end_ts = ts[L - 1 :]
+            m &= (end_ts < wm) & (end_ts >= self.emit_wm)
+            idx = np.flatnonzero(m)
+            if len(idx):
+                out = (code[idx], turn[idx], ts[idx], end_ts[idx])
+
+        # evict: finalized rows (ts < wm) beyond the last L-1 of each conv
+        fin = ts < wm
+        if fin.any():
+            grp_start = np.concatenate(([True], code[1:] != code[:-1]))
+            gid = np.cumsum(grp_start) - 1
+            fin_i = fin.astype(np.int64)
+            cum = np.cumsum(fin_i)
+            starts = np.flatnonzero(grp_start)
+            cum_before = np.concatenate(([0], cum[starts[1:] - 1]))
+            rank = cum - cum_before[gid]  # 1-based rank among conv's finalized
+            fin_per = np.add.reduceat(fin_i, starts)
+            keep = (~fin) | (rank > fin_per[gid] - (L - 1))
+            code, ts, turn, role = code[keep], ts[keep], turn[keep], role[keep]
+        self.code, self.ts, self.turn, self.role = code, ts, turn, role
+        self.emit_wm = max(self.emit_wm, wm)
+        return out
+
+    def to_payload(self) -> tuple:
+        return (self.code, self.ts, self.turn, self.role, self.emit_wm)
+
+    @classmethod
+    def from_payload(cls, p: tuple) -> "_PatternState":
+        ps = cls()
+        (ps.code, ps.ts, ps.turn, ps.role, ps.emit_wm) = p
+        return ps
+
+
 def _window_partials(
     codes: np.ndarray,
     w: np.ndarray,
@@ -420,6 +515,7 @@ class PartitionWorkerImpl:
         self.conv_names: list[str] = []
         self.win = {"tumbling": _WindowState(), "sliding": _WindowState()}
         self.sess = _SessionState()
+        self.pat = _PatternState()
         # session ids are per-conv monotonic FOREVER (oracle semantics):
         # per-code counter indexed by the interning code
         self.sess_counter = np.zeros(0, dtype=np.int64)
@@ -443,6 +539,7 @@ class PartitionWorkerImpl:
             "win": {k: ws.to_payload() for k, ws in self.win.items()},
             "sess": self.sess.to_payload(),
             "sess_counter": self.sess_counter,
+            "pat": self.pat.to_payload(),
         }
 
     def load_state_payload(self, payload: dict) -> None:
@@ -455,6 +552,8 @@ class PartitionWorkerImpl:
         self.conv_code = {c: i for i, c in enumerate(self.conv_names)}
         self.win = {k: _WindowState.from_payload(p) for k, p in payload["win"].items()}
         self.sess = _SessionState.from_payload(payload["sess"])
+        if "pat" in payload:
+            self.pat = _PatternState.from_payload(payload["pat"])
         # copy: payloads arriving via the object store (migration) are
         # zero-copy READ-ONLY, and the counter is mutated in place
         self.sess_counter = np.array(payload["sess_counter"], dtype=np.int64)
@@ -517,12 +616,14 @@ class PartitionWorkerImpl:
             "sliding": self._pop_windows_table("sliding", self.cfg.sliding_size_us, self.wm),
         }
         sess_table = self._pop_sessions_table(self.cfg.session_gap_us, self.wm)
+        pat_table = self._pop_patterns_table(self.wm)
         t_emit = _time.perf_counter()
 
         n_emitted = {
             "tumbling": win_tables["tumbling"].num_rows if win_tables["tumbling"] is not None else 0,
             "sliding": win_tables["sliding"].num_rows if win_tables["sliding"] is not None else 0,
             "sessions": sess_table.num_rows if sess_table is not None else 0,
+            "patterns": pat_table.num_rows if pat_table is not None else 0,
             "joins": len(out["joins"]),
         }
         # totals accumulate on replay too, so a resumed run's checkpointed
@@ -544,6 +645,7 @@ class PartitionWorkerImpl:
             ("tumbling", win_tables["tumbling"]),
             ("sliding", win_tables["sliding"]),
             ("sessions", sess_table),
+            ("patterns", pat_table),
         ):
             if t is not None and t.num_rows:
                 tables.append((stream, self.partition, t))
@@ -675,6 +777,11 @@ class PartitionWorkerImpl:
             gap,
         )
 
+        # ---- pattern state: append this batch's sorted arrays (matched
+        # and evicted vectorized at emission time, watermark-driven) ----
+        if cfg.pattern_roles:
+            self.pat.add(pcodes, ts, turn, role)
+
         # ---- join state: per-conv buffers, touched only for join rows ----
         a_idx = np.flatnonzero(is_assistant)
         if len(a_idx):
@@ -743,6 +850,36 @@ class PartitionWorkerImpl:
         )
         idx = pc.sort_indices(
             tbl, sort_keys=[("conv_id", "ascending"), ("w_start", "ascending")]
+        )
+        return tbl.take(idx)
+
+    def _pop_patterns_table(self, wm: int) -> pa.Table | None:
+        """Emit newly-final consecutive-role pattern matches, sorted."""
+        popped = self.pat.pop_matches(tuple(self.cfg.pattern_roles), wm)
+        if popped is None:
+            return None
+        import pyarrow.compute as pc
+
+        code, s_turn, s_ts, e_ts = popped
+        names = np.array(self.conv_names, dtype=object)[code]
+        us = pa.timestamp("us")
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(names, type=pa.string()),
+                pa.array(s_turn, type=pa.int64()).cast(pa.int32()),
+                pa.array(s_ts, type=pa.int64()).cast(us),
+                pa.array(e_ts, type=pa.int64()).cast(us),
+                pa.array(e_ts - s_ts, type=pa.int64()),
+            ],
+            schema=PATTERN_SCHEMA,
+        )
+        idx = pc.sort_indices(
+            tbl,
+            sort_keys=[
+                ("conv_id", "ascending"),
+                ("start_ts", "ascending"),
+                ("start_turn_idx", "ascending"),
+            ],
         )
         return tbl.take(idx)
 

@@ -32,6 +32,13 @@ Pinned semantics (all time values are int64 epoch-microseconds):
   ``wm_e > session_end + gap`` (no on-time row can extend it afterwards).
   ``session_id`` is the 0-based index of the session within its conversation
   in final emission order.
+- **Sequence pattern** (MATCH_RECOGNIZE family): per conv, rows sorted by
+  ``(ts, turn_idx)``; every run of ``len(pattern_roles)`` ADJACENT rows whose
+  roles equal ``pattern_roles`` is a match, emitted at the end of the first
+  epoch with ``wm > end_ts`` (strict: once past, no on-time row can ever
+  sort at-or-before the run's last element, so adjacency is final).
+  Patterns with adjacent-equal roles are unsupported under fan-out
+  duplication (identical matches would collapse in this set-keyed spec).
 - **Stream-stream join**: a ``tool`` row at turn ``k`` resolves at the end of
   the first epoch with ``wm_e >= tool_ts + bound``; its match is the
   ``assistant`` row with minimal ``(ts, turn_idx)`` among buffered on-time
@@ -54,7 +61,7 @@ from typing import Any, Iterable
 import pyarrow as pa
 
 from .config import CEPConfig
-from .schema import JOIN_SCHEMA, SESSION_SCHEMA, WINDOW_AGG_SCHEMA
+from .schema import JOIN_SCHEMA, PATTERN_SCHEMA, SESSION_SCHEMA, WINDOW_AGG_SCHEMA
 
 
 class OracleState:
@@ -69,6 +76,11 @@ class OracleState:
         self.emitted_sliding: set[tuple[str, int]] = set()
         self.emitted_sessions: set[tuple[str, int, int]] = set()  # (conv, start, end)
         self.resolved_tools: set[tuple[str, int]] = set()
+        # (conv, ts1, turn1): unique per match — adjacency is final once
+        # emitted, and identical overlapping matches are impossible for
+        # patterns without adjacent-equal roles (duplicate rows sort
+        # contiguously, which breaks any distinct-role sequence)
+        self.emitted_patterns: set[tuple] = set()
         self.session_counter: dict[str, int] = defaultdict(int)
         self.metrics = {
             "n_input": 0,
@@ -81,6 +93,7 @@ class OracleState:
         self.sliding: list[dict] = []
         self.sessions: list[dict] = []
         self.joins: list[dict] = []
+        self.patterns: list[dict] = []
 
 
 def _ts_us(v) -> int:
@@ -205,6 +218,30 @@ def _emit(st: OracleState, wm: int) -> None:
                     }
                 )
                 st.session_counter[conv] += 1
+        # --- pattern: consecutive-role sequence matches ---
+        pat = cfg.pattern_roles
+        L = len(pat)
+        if L:
+            for i in range(len(srows) - L + 1):
+                win = srows[i : i + L]
+                if any(win[j][2] != pat[j] for j in range(L)):
+                    continue
+                end_ts = win[-1][0]
+                if end_ts >= wm:  # strict: at ts == wm a row could tie-insert
+                    continue
+                key = (conv, win[0][0], win[0][1])
+                if key in st.emitted_patterns:
+                    continue
+                st.emitted_patterns.add(key)
+                st.patterns.append(
+                    {
+                        "conv_id": conv,
+                        "start_turn_idx": win[0][1],
+                        "start_ts": win[0][0],
+                        "end_ts": end_ts,
+                        "span_us": end_ts - win[0][0],
+                    }
+                )
         # --- join: resolve tool rows past their deadline ---
         assistants = sorted(r for r in srows if r[2] == "assistant")
         for r in srows:
@@ -292,5 +329,8 @@ def run_oracle(
         "sliding": _to_table(st.sliding, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),
         "sessions": _to_table(st.sessions, SESSION_SCHEMA, ["conv_id", "session_id"]),
         "joins": _to_table(st.joins, JOIN_SCHEMA, ["conv_id", "tool_turn_idx"]),
+        "patterns": _to_table(
+            st.patterns, PATTERN_SCHEMA, ["conv_id", "start_ts", "start_turn_idx"]
+        ),
         "metrics": dict(st.metrics),
     }

@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cep_streaming_sliding": _streaming_stream("sliding"),
         "cep_streaming_joins": _streaming_stream("joins"),
         "cep_streaming_turns": _streaming_stream("turns"),
+        "cep_streaming_patterns": _streaming_stream("patterns"),
         # --- relational stage library ---
         "rel_pricing_summary": relational.pricing_summary,
         "rel_revenue_by_nation": relational.revenue_by_nation,

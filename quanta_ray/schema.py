@@ -73,6 +73,16 @@ SESSION_SCHEMA = pa.schema(
     ]
 )
 
+PATTERN_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("start_turn_idx", pa.int32()),
+        ("start_ts", pa.timestamp("us")),
+        ("end_ts", pa.timestamp("us")),
+        ("span_us", pa.int64()),
+    ]
+)
+
 JOIN_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),

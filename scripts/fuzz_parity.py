@@ -44,6 +44,7 @@ SORT_KEYS = {
     "sliding": ["conv_id", "w_start"],
     "sessions": ["conv_id", "session_id"],
     "joins": ["conv_id", "tool_turn_idx"],
+    "patterns": ["conv_id", "start_ts", "start_turn_idx"],
 }
 
 
@@ -71,6 +72,12 @@ def main() -> int:
         ckpt_every = int(rng.choice([1, 2, 4]))
         P = int(rng.choice([2, 3, 5]))
         ooo = bool(rng.integers(0, 2))
+        pat = [
+            ("user", "assistant", "tool"),
+            ("user", "assistant"),
+            ("assistant", "tool"),
+            ("user", "assistant", "user"),  # non-adjacent repeat: supported
+        ][int(rng.integers(0, 4))]
         params = TranscriptParams(
             n_convs=n_convs, seed=seed, n_epochs=n_epochs, p_late=p_late
         )
@@ -82,6 +89,7 @@ def main() -> int:
             sliding_slide_us=slide * US,
             session_gap_us=gap * US,
             join_bound_us=bound * US,
+            pattern_roles=pat,
         )
         d = tempfile.mkdtemp(dir="/tmp", prefix="fuzz-")
         try:

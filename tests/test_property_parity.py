@@ -21,6 +21,7 @@ SORT_KEYS = {
     "sliding": ["conv_id", "w_start"],
     "sessions": ["conv_id", "session_id"],
     "joins": ["conv_id", "tool_turn_idx"],
+    "patterns": ["conv_id", "start_ts", "start_turn_idx"],
 }
 
 

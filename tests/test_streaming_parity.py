@@ -38,6 +38,7 @@ SORT_KEYS = {
     "sliding": ["conv_id", "w_start"],
     "sessions": ["conv_id", "session_id"],
     "joins": ["conv_id", "tool_turn_idx"],
+    "patterns": ["conv_id", "start_ts", "start_turn_idx"],
 }
 
 
@@ -65,7 +66,9 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
     return out_dir, oracle
 
 
-@pytest.mark.parametrize("stream", ["turns", "tumbling", "sliding", "sessions", "joins"])
+@pytest.mark.parametrize(
+    "stream", ["turns", "tumbling", "sliding", "sessions", "joins", "patterns"]
+)
 def test_stream_matches_oracle(engine_and_oracle, stream):
     out_dir, oracle = engine_and_oracle
     got = read_committed(out_dir, stream)
@@ -472,7 +475,7 @@ def test_dead_letter_stream(ray_session, small_stream, tmp_path_factory):
         n_late += ss["n_late_dropped"]
     assert dead.num_rows == n_in - n_late
     # nothing flowed downstream
-    for stream in ("turns", "tumbling", "sliding", "sessions", "joins"):
+    for stream in ("turns", "tumbling", "sliding", "sessions", "joins", "patterns"):
         t = read_committed(d, stream)
         assert t is None or t.num_rows == 0, stream
 

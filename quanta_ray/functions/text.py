@@ -1273,3 +1273,55 @@ FROM documents d, lo, hi
 WHERE d.n_chars >= lo.v AND d.n_chars <= hi.v
 ORDER BY d.doc_id
 """
+
+
+# --- corpus mix report ----------------------------------------------------------
+
+
+def source_mix_report(sf_dir: str) -> pa.Table:
+    """Per-(source, lang) corpus composition: doc count, total chars, and
+    per-mille share of docs — the curation REPORT every mixture/rebalance
+    decision reads. One partial-agg map (shuffle carries one row per
+    (source, lang) per batch) + a tiny bucketed reduce; shares computed on
+    the reduced table in integer per-mille (association-free)."""
+    from ..bucket import bucketed_group_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("doc_id", "size"), total_chars=("n_chars", "sum")
+        )
+
+    parts = _docs(sf_dir, ["doc_id", "source", "lang", "n_chars"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    agg = _concat(
+        bucketed_group_agg(
+            parts,
+            ["source", "lang"],
+            dict(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum")),
+            num_buckets=8,
+        )
+    ).to_pandas()
+    total = int(agg["n_docs"].sum())
+    agg["share_permille"] = (agg["n_docs"].to_numpy(dtype=np.int64) * 1000) // max(total, 1)
+    agg = agg.sort_values(["source", "lang"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "source": pa.array(agg["source"].astype(str), pa.string()),
+            "lang": pa.array(agg["lang"].astype(str), pa.string()),
+            "n_docs": pa.array(agg["n_docs"].to_numpy(dtype=np.int64), pa.int64()),
+            "total_chars": pa.array(agg["total_chars"].to_numpy(dtype=np.int64), pa.int64()),
+            "share_permille": pa.array(agg["share_permille"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+SOURCE_MIX_REPORT_SQL = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(*) * 1000 // (SELECT count(*) FROM documents) AS BIGINT)
+         AS share_permille
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""

@@ -1542,3 +1542,58 @@ def value_quantiles_approx(
             "value_approx": pa.array(out, pa.float64()),
         }
     )
+
+
+# --- sessionization labels (per-event session ids) -----------------------------
+
+
+def sessionize(sf_dir: str, gap_us: int = 30 * 60 * US, buckets: int = 32) -> pa.Table:
+    """Label EVERY event with its (user, session) id — the sessionization
+    primitive downstream of which all session analytics hang (the session
+    WINDOW operator emits aggregates; this emits the labeled stream itself).
+
+    One user_id hash shuffle; per bucket one mergesort, one boundary-masked
+    diff, one segmented cumsum — session_id = running count of gap-breaks
+    within each user, 0-based in (ts, event_id) order. Bit-exact vs the SQL
+    window oracle (integer microsecond arithmetic)."""
+    from ..bucket import bucketed_apply
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        brk = np.concatenate(([False], np.diff(ts) > gap_us)) & ~new_user
+        # segmented cumsum: absolute cumsum of breaks minus its value at the
+        # user's first row
+        c = np.cumsum(brk.astype(np.int64))
+        first_idx = np.flatnonzero(new_user)
+        sizes = np.diff(np.append(first_idx, len(uid)))
+        sid = c - np.repeat(c[first_idx], sizes)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "user_id": uid,
+                "session_id": sid.astype(np.int64),
+            }
+        )
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+    t = _concat(bucketed_apply(ds, ["user_id"], bucket_fn, num_buckets=buckets))
+    return t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
+
+
+SESSIONIZE_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us <= 1800000000 THEN 0 ELSE 1 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+)
+ORDER BY event_id
+"""

@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_pattern_match": batch_cep.pattern_match,
         "ev_user_journey": batch_cep.user_journey,
         "ev_count_windows": batch_cep.count_windows,
+        "ev_sessionize": batch_cep.sessionize,
         "ev_value_quantiles_approx": batch_cep.value_quantiles_approx,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_stream("sessions"),
@@ -155,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": text.repetition_stats,
         "doc_line_dedup": text.line_dedup,
         "doc_adaptive_length_filter": text.adaptive_length_filter,
+        "doc_source_mix_report": text.source_mix_report,
         "doc_model_score": text.model_score,
         # --- dedup family ---
         "doc_dedup_exact": dedup.dedup_exact,
@@ -220,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_pattern_match": batch_cep.PATTERN_MATCH_SQL,
         "ev_user_journey": batch_cep.USER_JOURNEY_SQL,
         "ev_count_windows": batch_cep.COUNT_WINDOWS_SQL,
+        "ev_sessionize": batch_cep.SESSIONIZE_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
         "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
         "rel_top_parts_by_price": relational.TOP_PARTS_SQL,
@@ -258,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_stats": text.REPETITION_STATS_SQL,
         "doc_line_dedup": text.LINE_DEDUP_SQL,
         "doc_adaptive_length_filter": text.ADAPTIVE_LENGTH_FILTER_SQL,
+        "doc_source_mix_report": text.SOURCE_MIX_REPORT_SQL,
         "doc_model_score": text.MODEL_SCORE_SQL,
         "emb_norm_stats": simsearch.NORM_STATS_SQL,
         "doc_decontaminate": contamination.DECONTAMINATE_SQL,

@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "doc_pack_sequences",
     "doc_repetition_stats",
     "doc_model_score",
+    "ev_pattern_match",
+    "ev_sessionize",
+    "ev_count_windows",
+    "doc_line_dedup",
+    "doc_adaptive_length_filter",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

@@ -366,20 +366,34 @@ class _PatternState:
     still prefix a future match. All appends/sorts/matches are vectorized;
     per epoch one lexsort over the pending arrays (≈ one epoch's rows)."""
 
-    __slots__ = (*_PS_FIELDS, "emit_wm")
+    __slots__ = (*_PS_FIELDS, "role_code", "role_names", "emit_wm")
 
     def __init__(self) -> None:
         self.code = np.empty(0, np.int64)
         self.ts = np.empty(0, np.int64)
         self.turn = np.empty(0, np.int64)
-        self.role = np.empty(0, object)
+        self.role = np.empty(0, np.int64)  # interned role codes
+        self.role_code: dict = {}
+        self.role_names: list = []
         self.emit_wm = NEG_INF
 
     def add(self, code: np.ndarray, ts: np.ndarray, turn: np.ndarray, role: np.ndarray) -> None:
+        # intern roles to int codes at append time (hash-based factorize is
+        # ~10x cheaper than a sort-based unique at pop time, and int sort
+        # keys keep the per-epoch lexsort off the object path)
+        rc_local, uniq = pd.factorize(np.asarray(role, dtype=object))
+        lut = np.empty(len(uniq), np.int64)
+        for i, u in enumerate(uniq):
+            c = self.role_code.get(u)
+            if c is None:
+                c = len(self.role_names)
+                self.role_code[u] = c
+                self.role_names.append(u)
+            lut[i] = c
         self.code = np.concatenate([self.code, code])
         self.ts = np.concatenate([self.ts, ts])
         self.turn = np.concatenate([self.turn, turn.astype(np.int64)])
-        self.role = np.concatenate([self.role, np.asarray(role, dtype=object)])
+        self.role = np.concatenate([self.role, lut[rc_local]])
 
     def pop_matches(self, pattern: tuple, wm: int) -> tuple | None:
         """Emit matches with prev_emit_wm <= end_ts < wm; evict finalized
@@ -390,19 +404,23 @@ class _PatternState:
         if L == 0 or n == 0:
             self.emit_wm = max(self.emit_wm, wm)
             return None
-        # roles → int codes that preserve lexicographic order (np.unique is
-        # sorted), so the sort matches the oracle's (ts, turn, role) tuple
-        # order even when transform stages emit equal-(ts,turn) duplicates
-        _, rcode = np.unique(self.role, return_inverse=True)
-        order = np.lexsort((rcode, self.turn, self.ts, self.code))
+        # tie-break codes by the roles' LEXICOGRAPHIC rank so the sort
+        # matches the oracle's (ts, turn, role) tuple order even when
+        # transform stages emit equal-(ts, turn) duplicates
+        rank = np.empty(len(self.role_names), np.int64)
+        rank[np.argsort(np.asarray(self.role_names, dtype=object))] = np.arange(
+            len(self.role_names)
+        )
+        order = np.lexsort((rank[self.role], self.turn, self.ts, self.code))
         code, ts, turn, role = (
             self.code[order], self.ts[order], self.turn[order], self.role[order]
         )
 
         out = None
-        if n >= L:
+        steps = [self.role_code.get(s, -1) for s in pattern]
+        if n >= L and all(s >= 0 for s in steps):
             m = np.ones(n - L + 1, dtype=bool)
-            for i, step in enumerate(pattern):
+            for i, step in enumerate(steps):
                 m &= role[i : n - L + 1 + i] == step
                 if i:
                     m &= code[i : n - L + 1 + i] == code[: n - L + 1]
@@ -430,12 +448,16 @@ class _PatternState:
         return out
 
     def to_payload(self) -> tuple:
-        return (self.code, self.ts, self.turn, self.role, self.emit_wm)
+        return (self.code, self.ts, self.turn, self.role, list(self.role_names), self.emit_wm)
 
     @classmethod
     def from_payload(cls, p: tuple) -> "_PatternState":
         ps = cls()
-        (ps.code, ps.ts, ps.turn, ps.role, ps.emit_wm) = p
+        (ps.code, ps.ts, ps.turn, ps.role, names, ps.emit_wm) = p
+        # copy: payloads via the object store are read-only; role/turn are
+        # re-concatenated but names is mutated by add()
+        ps.role_names = list(names)
+        ps.role_code = {r: i for i, r in enumerate(ps.role_names)}
         return ps
 
 

@@ -1114,3 +1114,89 @@ WHERE doc_id % 2 = 1
 GROUP BY text
 ORDER BY doc_id
 """
+
+
+# --- quality-aware near-dup dedup (keep the BEST doc per cluster) --------------
+
+
+def near_dup_keep_best(
+    sf_dir: str,
+    jaccard_threshold: float = 0.7,
+    max_rounds: int = 16,
+    num_buckets: int = 32,
+) -> pa.Table:
+    """Near-dup cluster dedup that keeps the HIGHEST-QUALITY member per
+    connected component (longest text, ties → min doc_id) instead of the
+    min doc_id — the production curation rule: when a boilerplate-stripped
+    page near-duplicates its full original, you keep the better copy, not
+    the earlier-crawled one.
+
+    Same distributed shape as ``near_dup_clusters`` (LSH pairs → connected
+    components) plus one doc_id-bucketed join attaching ``n_chars`` and one
+    cluster-bucketed vectorized argmax. Nothing driver-side grows with the
+    corpus until the final result table. Rows-only (LSH recall); pinned by
+    a planted chain where the longest member is NOT the min id."""
+    from ..bucket import bucketed_apply
+
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold)
+    edges = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pairs.column("a").cast(pa.int64()), pairs.column("b").cast(pa.int64())],
+            names=["src", "dst"],
+        )
+    )
+    labels = cc_labels(
+        edges, _doc_id_labels(sf_dir), max_rounds=max_rounds, num_buckets=num_buckets
+    )
+
+    def tag_lab(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["node"].to_numpy(dtype=np.int64),
+                "cluster_id": b["label"].to_numpy(dtype=np.int64),
+                "n_chars": np.int64(-1),
+                "_side": np.int64(0),
+            }
+        )
+
+    def tag_len(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+                "cluster_id": np.int64(-1),
+                "n_chars": b["n_chars"].to_numpy(dtype=np.int64),
+                "_side": np.int64(1),
+            }
+        )
+
+    both = labels.map_batches(tag_lab, batch_format="pandas").union(
+        _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(tag_len, batch_format="pandas")
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["_side"] == 0][["doc_id", "cluster_id"]]
+        ln = g[g["_side"] == 1][["doc_id", "n_chars"]]
+        return lab.merge(ln, on="doc_id", how="left")
+
+    joined = bucketed_apply(both, ["doc_id"], attach, num_buckets=num_buckets)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-cluster argmax(n_chars), tie-break min doc_id:
+        # one lexsort, first row per cluster wins
+        order = np.lexsort(
+            (
+                g["doc_id"].to_numpy(dtype=np.int64),
+                -g["n_chars"].to_numpy(dtype=np.int64),
+                g["cluster_id"].to_numpy(dtype=np.int64),
+            )
+        )
+        cl = g["cluster_id"].to_numpy(dtype=np.int64)[order]
+        first = np.concatenate(([True], cl[1:] != cl[:-1]))
+        keep = np.zeros(len(g), dtype=bool)
+        keep[order[first]] = True
+        out = g.copy()
+        out["keep"] = keep
+        return out[["doc_id", "cluster_id", "n_chars", "keep"]]
+
+    t = _concat(bucketed_apply(joined, ["cluster_id"], pick, num_buckets=num_buckets))
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))

@@ -1597,3 +1597,51 @@ FROM (
 )
 ORDER BY event_id
 """
+
+
+# --- event-type transition matrix (Markov counts) ------------------------------
+
+
+def type_transitions(sf_dir: str, buckets: int = 32) -> pa.Table:
+    """Corpus-wide event-type TRANSITION counts (the Markov matrix behind
+    next-event prediction and anomaly scoring): count consecutive
+    (from_type → to_type) steps per user in (ts, event_id) order.
+
+    One user_id hash shuffle; per bucket one mergesort + one shifted
+    compare + one grouped count — the shuffle output is at most
+    |types|² partial rows per bucket, so the final reduce is tiny."""
+    from ..bucket import bucketed_apply
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        return pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]}).groupby(
+            ["from_type", "to_type"], as_index=False
+        ).size().rename(columns={"size": "n"})
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+    parts = _concat(bucketed_apply(ds, ["user_id"], bucket_fn, num_buckets=buckets))
+    df = parts.to_pandas().groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    df = df.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "from_type": pa.array(df["from_type"].astype(str), pa.string()),
+            "to_type": pa.array(df["to_type"].astype(str), pa.string()),
+            "n": pa.array(df["n"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+TYPE_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type AS f,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+  FROM events
+)
+SELECT f AS from_type, t AS to_type, count(*) AS n
+FROM o WHERE t IS NOT NULL
+GROUP BY f, t
+ORDER BY f, t
+"""

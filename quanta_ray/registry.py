@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_user_journey": batch_cep.user_journey,
         "ev_count_windows": batch_cep.count_windows,
         "ev_sessionize": batch_cep.sessionize,
+        "ev_type_transitions": batch_cep.type_transitions,
         "ev_value_quantiles_approx": batch_cep.value_quantiles_approx,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_stream("sessions"),
@@ -168,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_clusters": dedup.dedup_clusters,
         "doc_dedup_incremental": dedup.dedup_incremental,
         "doc_near_dup_clusters": dedup.near_dup_clusters,
+        "doc_near_dup_keep_best": dedup.near_dup_keep_best,
         "doc_tfidf_topk": text.tfidf_topk,
         "doc_bigram_topk": text.bigram_topk,
         # --- corpus curation (training-mix assembly) ---
@@ -223,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_user_journey": batch_cep.USER_JOURNEY_SQL,
         "ev_count_windows": batch_cep.COUNT_WINDOWS_SQL,
         "ev_sessionize": batch_cep.SESSIONIZE_SQL,
+        "ev_type_transitions": batch_cep.TYPE_TRANSITIONS_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
         "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
         "rel_top_parts_by_price": relational.TOP_PARTS_SQL,

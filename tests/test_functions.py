@@ -1350,3 +1350,37 @@ def test_value_quantiles_approx_within_bin_width(ray_session):
         assert abs(out.loc[q, "value_approx"] - exact) <= width + 1e-9, (
             q, out.loc[q, "value_approx"], exact, width
         )
+
+
+def test_near_dup_keep_best_prefers_longest(ray_session, tmp_path):
+    """A planted A~B~C near-dup chain where the LONGEST member is neither
+    the min id nor an endpoint: keep_best keeps it (and only it) for the
+    cluster, while singletons keep themselves."""
+    from quanta_ray.functions.dedup import near_dup_keep_best
+
+    rng = np.random.default_rng(11)
+    vocab = np.array("alpha beta gamma delta epsilon zeta eta theta".split())
+    base = list(rng.choice(vocab, size=40))
+    a = " ".join(base)
+    b_words = list(base); b_words[5] = "CHANGED"
+    b = " ".join(b_words) + " tail tail tail tail tail"   # longest, id 1
+    c_words = list(b_words); c_words[20] = "ALSO"
+    c = " ".join(c_words)
+    texts = [a, b, c] + [" ".join(rng.choice(vocab, size=30)) for _ in range(10)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["web"] * len(texts),
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = near_dup_keep_best(str(tmp_path), jaccard_threshold=0.5).to_pandas()
+    cluster0 = out[out["doc_id"].isin([0, 1, 2])]
+    assert cluster0["cluster_id"].nunique() == 1, "chain must fold to one cluster"
+    kept = cluster0[cluster0["keep"]]
+    assert list(kept["doc_id"]) == [1], "longest member wins, not min id"
+    singles = out[~out["doc_id"].isin([0, 1, 2])]
+    assert singles["keep"].all()

@@ -42,6 +42,12 @@ class CEPConfig:
     # (per conv, final (ts, turn_idx) order) whose roles equal this tuple.
     # Empty tuple disables the stream.
     pattern_roles: tuple = ("user", "assistant", "tool")
+    # COUNT-trigger tumbling windows: chunk each conv's turns (final
+    # (ts, turn_idx) order) into consecutive groups of this many rows; a
+    # window emits when its last row is final (wm past its ts), the partial
+    # tail at final flush. 0 disables the stream (default: the headline
+    # bench measures the north-rule operator set; enable per spec).
+    count_window_size: int = 0
 
     def __post_init__(self) -> None:
         # JSON specs deliver lists; normalize so configs hash/compare stably

@@ -53,7 +53,13 @@ import pandas as pd
 import pyarrow as pa
 
 from ..config import CEPConfig
-from ..schema import JOIN_SCHEMA, PATTERN_SCHEMA, SESSION_SCHEMA, WINDOW_AGG_SCHEMA
+from ..schema import (
+    COUNT_WINDOW_SCHEMA,
+    JOIN_SCHEMA,
+    PATTERN_SCHEMA,
+    SESSION_SCHEMA,
+    WINDOW_AGG_SCHEMA,
+)
 
 NEG_INF = -(1 << 62)
 POS_INF = 1 << 62
@@ -461,6 +467,161 @@ class _PatternState:
         return ps
 
 
+_CW_PENDING = ("code", "ts", "turn", "text", "iu", "ia", "it")
+_CW_PERCONV = (
+    "cw_wid", "cw_n", "cw_nu", "cw_na", "cw_nt",
+    "cw_first_ts", "cw_last_ts", "cw_first_text", "cw_last_text",
+)
+
+
+class _CountWindowState:
+    """COUNT-trigger tumbling windows: chunk each conv's turns (final
+    (ts, turn_idx) order) into consecutive groups of N rows.
+
+    Finality: window w of a conv is rows [wN, (w+1)N) of the final order; a
+    FULL window is emitted once its last row's ts < wm (strict — every
+    earlier position is then insert-proof, since any future on-time row has
+    ts >= wm and sorts after). The partial tail emits only at final flush.
+
+    Unlike time windows, finalized rows can be FOLDED and discarded: the
+    state keeps (a) pending rows inside the lateness window and (b) one
+    open-window accumulator per conv (counts + first/last), so memory is
+    O(lateness window + convs), never O(stream). The fold is one lexsort +
+    reduceat-segmented aggregation per epoch — no per-conv Python."""
+
+    __slots__ = (*_CW_PENDING, *_CW_PERCONV)
+
+    def __init__(self) -> None:
+        for f in ("code", "ts", "turn", "iu", "ia", "it"):
+            setattr(self, f, np.empty(0, np.int64))
+        self.text = np.empty(0, object)
+        for f in ("cw_wid", "cw_n", "cw_nu", "cw_na", "cw_nt", "cw_first_ts", "cw_last_ts"):
+            setattr(self, f, np.empty(0, np.int64))
+        self.cw_first_text = np.empty(0, object)
+        self.cw_last_text = np.empty(0, object)
+
+    def _grow(self, n_codes: int) -> None:
+        cur = len(self.cw_wid)
+        if n_codes <= cur:
+            return
+        for f in _CW_PERCONV:
+            old = getattr(self, f)
+            grown = np.zeros(n_codes, dtype=old.dtype)
+            grown[:cur] = old
+            setattr(self, f, grown)
+
+    def add(self, code, ts, turn, text, iu, ia, it) -> None:
+        self.code = np.concatenate([self.code, code])
+        self.ts = np.concatenate([self.ts, ts])
+        self.turn = np.concatenate([self.turn, turn])
+        self.text = np.concatenate([self.text, np.asarray(text, dtype=object)])
+        self.iu = np.concatenate([self.iu, iu])
+        self.ia = np.concatenate([self.ia, ia])
+        self.it = np.concatenate([self.it, it])
+
+    def pop_windows(self, N: int, wm: int, n_codes: int) -> tuple | None:
+        """Fold finalized pending rows into per-conv accumulators, emitting
+        every completed window; at flush (wm >= POS_INF) also emit partial
+        tails. Returns column tuple or None."""
+        self._grow(n_codes)
+        outs = []
+        n = len(self.code)
+        if n:
+            order = np.lexsort((self.turn, self.ts, self.code))
+            code, ts, turn, text = (
+                self.code[order], self.ts[order], self.turn[order], self.text[order]
+            )
+            iu, ia, it = self.iu[order], self.ia[order], self.it[order]
+            fin = ts < wm
+            keep = ~fin
+            (self.code, self.ts, self.turn, self.text, self.iu, self.ia, self.it) = (
+                code[keep], ts[keep], turn[keep], text[keep], iu[keep], ia[keep], it[keep]
+            )
+            if fin.any():
+                fc, fts, ftext = code[fin], ts[fin], text[fin]
+                fiu, fia, fit = iu[fin], ia[fin], it[fin]
+                m = len(fc)
+                grp_start = np.concatenate(([True], fc[1:] != fc[:-1]))
+                g_idx = np.flatnonzero(grp_start)
+                gsizes = np.diff(np.append(g_idx, m))
+                rank = np.arange(m) - np.repeat(g_idx, gsizes)
+                p = self.cw_n[fc] + rank
+                wloc = p // N
+                seg_start = grp_start | np.concatenate(([False], wloc[1:] != wloc[:-1]))
+                s_idx = np.flatnonzero(seg_start)
+                e_idx = np.append(s_idx[1:], m) - 1
+                seg_code = fc[s_idx]
+                seg_wid = self.cw_wid[seg_code] + wloc[s_idx]
+                seg_nu = np.add.reduceat(fiu, s_idx)
+                seg_na = np.add.reduceat(fia, s_idx)
+                seg_nt = np.add.reduceat(fit, s_idx)
+                seg_n = (e_idx - s_idx + 1).astype(np.int64)
+                continues = (p[s_idx] % N) != 0  # joins the conv's open partial
+                w_n = seg_n + np.where(continues, self.cw_n[seg_code], 0)
+                w_nu = seg_nu + np.where(continues, self.cw_nu[seg_code], 0)
+                w_na = seg_na + np.where(continues, self.cw_na[seg_code], 0)
+                w_nt = seg_nt + np.where(continues, self.cw_nt[seg_code], 0)
+                w_first_ts = np.where(continues, self.cw_first_ts[seg_code], fts[s_idx])
+                w_first_text = np.where(continues, self.cw_first_text[seg_code], ftext[s_idx])
+                w_last_ts = fts[e_idx]
+                w_last_text = ftext[e_idx]
+                complete = (p[e_idx] % N) == N - 1
+                if complete.any():
+                    cm = complete
+                    outs.append(
+                        (
+                            seg_code[cm], seg_wid[cm], w_n[cm], w_nu[cm], w_na[cm],
+                            w_nt[cm], w_first_text[cm], w_last_text[cm],
+                            w_first_ts[cm], w_last_ts[cm],
+                        )
+                    )
+                # per-conv rollover: wid += completed windows; partial = last
+                # (incomplete) segment's merged values, or reset if it closed
+                conv_u = fc[g_idx]
+                old_n = self.cw_n[conv_u]
+                self.cw_wid[conv_u] += (old_n + gsizes) // N
+                new_n = (old_n + gsizes) % N
+                seg_last = np.concatenate((seg_code[1:] != seg_code[:-1], [True]))
+                ls = np.flatnonzero(seg_last)  # one per conv_u, same order
+                has = new_n > 0
+                self.cw_n[conv_u] = new_n
+                self.cw_nu[conv_u] = np.where(has, w_nu[ls], 0)
+                self.cw_na[conv_u] = np.where(has, w_na[ls], 0)
+                self.cw_nt[conv_u] = np.where(has, w_nt[ls], 0)
+                self.cw_first_ts[conv_u] = np.where(has, w_first_ts[ls], 0)
+                self.cw_last_ts[conv_u] = np.where(has, w_last_ts[ls], 0)
+                self.cw_first_text[conv_u] = np.where(has, w_first_text[ls], None)
+                self.cw_last_text[conv_u] = np.where(has, w_last_text[ls], None)
+
+        if wm >= POS_INF:  # final flush: emit partial tails
+            tails = np.flatnonzero(self.cw_n > 0)
+            if len(tails):
+                outs.append(
+                    (
+                        tails.astype(np.int64), self.cw_wid[tails], self.cw_n[tails],
+                        self.cw_nu[tails], self.cw_na[tails], self.cw_nt[tails],
+                        self.cw_first_text[tails], self.cw_last_text[tails],
+                        self.cw_first_ts[tails], self.cw_last_ts[tails],
+                    )
+                )
+                self.cw_wid[tails] += 1
+                self.cw_n[tails] = 0
+
+        if not outs:
+            return None
+        return tuple(np.concatenate([o[i] for o in outs]) for i in range(10))
+
+    def to_payload(self) -> tuple:
+        return tuple(getattr(self, f) for f in (*_CW_PENDING, *_CW_PERCONV))
+
+    @classmethod
+    def from_payload(cls, p: tuple) -> "_CountWindowState":
+        cw = cls()
+        for f, arr in zip((*_CW_PENDING, *_CW_PERCONV), p):
+            setattr(cw, f, np.array(arr) if f in _CW_PERCONV else arr)
+        return cw
+
+
 def _window_partials(
     codes: np.ndarray,
     w: np.ndarray,
@@ -538,6 +699,7 @@ class PartitionWorkerImpl:
         self.win = {"tumbling": _WindowState(), "sliding": _WindowState()}
         self.sess = _SessionState()
         self.pat = _PatternState()
+        self.cwin = _CountWindowState()
         # session ids are per-conv monotonic FOREVER (oracle semantics):
         # per-code counter indexed by the interning code
         self.sess_counter = np.zeros(0, dtype=np.int64)
@@ -562,6 +724,7 @@ class PartitionWorkerImpl:
             "sess": self.sess.to_payload(),
             "sess_counter": self.sess_counter,
             "pat": self.pat.to_payload(),
+            "cwin": self.cwin.to_payload(),
         }
 
     def load_state_payload(self, payload: dict) -> None:
@@ -576,6 +739,8 @@ class PartitionWorkerImpl:
         self.sess = _SessionState.from_payload(payload["sess"])
         if "pat" in payload:
             self.pat = _PatternState.from_payload(payload["pat"])
+        if "cwin" in payload:
+            self.cwin = _CountWindowState.from_payload(payload["cwin"])
         # copy: payloads arriving via the object store (migration) are
         # zero-copy READ-ONLY, and the counter is mutated in place
         self.sess_counter = np.array(payload["sess_counter"], dtype=np.int64)
@@ -639,6 +804,7 @@ class PartitionWorkerImpl:
         }
         sess_table = self._pop_sessions_table(self.cfg.session_gap_us, self.wm)
         pat_table = self._pop_patterns_table(self.wm)
+        cw_table = self._pop_count_windows_table(self.wm)
         t_emit = _time.perf_counter()
 
         n_emitted = {
@@ -646,6 +812,7 @@ class PartitionWorkerImpl:
             "sliding": win_tables["sliding"].num_rows if win_tables["sliding"] is not None else 0,
             "sessions": sess_table.num_rows if sess_table is not None else 0,
             "patterns": pat_table.num_rows if pat_table is not None else 0,
+            "count_windows": cw_table.num_rows if cw_table is not None else 0,
             "joins": len(out["joins"]),
         }
         # totals accumulate on replay too, so a resumed run's checkpointed
@@ -668,6 +835,7 @@ class PartitionWorkerImpl:
             ("sliding", win_tables["sliding"]),
             ("sessions", sess_table),
             ("patterns", pat_table),
+            ("count_windows", cw_table),
         ):
             if t is not None and t.num_rows:
                 tables.append((stream, self.partition, t))
@@ -804,6 +972,12 @@ class PartitionWorkerImpl:
         if cfg.pattern_roles:
             self.pat.add(pcodes, ts, turn, role)
 
+        # ---- count windows: append; folded at emission time ----
+        if cfg.count_window_size:
+            self.cwin.add(
+                pcodes, ts, turn.astype(np.int64), text, is_user, is_assistant, it
+            )
+
         # ---- join state: per-conv buffers, touched only for join rows ----
         a_idx = np.flatnonzero(is_assistant)
         if len(a_idx):
@@ -902,6 +1076,39 @@ class PartitionWorkerImpl:
                 ("start_ts", "ascending"),
                 ("start_turn_idx", "ascending"),
             ],
+        )
+        return tbl.take(idx)
+
+    def _pop_count_windows_table(self, wm: int) -> pa.Table | None:
+        """Emit newly-completed count windows (and partial tails at flush)."""
+        N = self.cfg.count_window_size
+        if not N:
+            return None
+        popped = self.cwin.pop_windows(N, wm, len(self.conv_names))
+        if popped is None:
+            return None
+        import pyarrow.compute as pc
+
+        code, wid, n, nu, na, nt, f_text, l_text, f_ts, l_ts = popped
+        names = np.array(self.conv_names, dtype=object)[code]
+        us = pa.timestamp("us")
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(names, type=pa.string()),
+                pa.array(wid, type=pa.int64()),
+                pa.array(n, type=pa.int64()),
+                pa.array(nu, type=pa.int64()),
+                pa.array(na, type=pa.int64()),
+                pa.array(nt, type=pa.int64()),
+                pa.array(f_text, type=pa.string()),
+                pa.array(l_text, type=pa.string()),
+                pa.array(f_ts, type=pa.int64()).cast(us),
+                pa.array(l_ts, type=pa.int64()).cast(us),
+            ],
+            schema=COUNT_WINDOW_SCHEMA,
+        )
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("conv_id", "ascending"), ("window_id", "ascending")]
         )
         return tbl.take(idx)
 

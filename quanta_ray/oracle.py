@@ -39,6 +39,11 @@ Pinned semantics (all time values are int64 epoch-microseconds):
   sort at-or-before the run's last element, so adjacency is final).
   Patterns with adjacent-equal roles are unsupported under fan-out
   duplication (identical matches would collapse in this set-keyed spec).
+- **Count window**: per conv, rows sorted by ``(ts, turn_idx)``; window
+  ``w`` is rows ``[wN, (w+1)N)`` of that order. A FULL window emits at the
+  end of the first epoch with ``wm > last row ts`` (strict; every earlier
+  position is then insert-proof); the partial tail emits only at final
+  flush. ``count_window_size=0`` disables the stream.
 - **Stream-stream join**: a ``tool`` row at turn ``k`` resolves at the end of
   the first epoch with ``wm_e >= tool_ts + bound``; its match is the
   ``assistant`` row with minimal ``(ts, turn_idx)`` among buffered on-time
@@ -61,7 +66,13 @@ from typing import Any, Iterable
 import pyarrow as pa
 
 from .config import CEPConfig
-from .schema import JOIN_SCHEMA, PATTERN_SCHEMA, SESSION_SCHEMA, WINDOW_AGG_SCHEMA
+from .schema import (
+    COUNT_WINDOW_SCHEMA,
+    JOIN_SCHEMA,
+    PATTERN_SCHEMA,
+    SESSION_SCHEMA,
+    WINDOW_AGG_SCHEMA,
+)
 
 
 class OracleState:
@@ -81,6 +92,7 @@ class OracleState:
         # patterns without adjacent-equal roles (duplicate rows sort
         # contiguously, which breaks any distinct-role sequence)
         self.emitted_patterns: set[tuple] = set()
+        self.emitted_count_windows: set[tuple[str, int]] = set()
         self.session_counter: dict[str, int] = defaultdict(int)
         self.metrics = {
             "n_input": 0,
@@ -94,6 +106,7 @@ class OracleState:
         self.sessions: list[dict] = []
         self.joins: list[dict] = []
         self.patterns: list[dict] = []
+        self.count_windows: list[dict] = []
 
 
 def _ts_us(v) -> int:
@@ -218,6 +231,33 @@ def _emit(st: OracleState, wm: int) -> None:
                     }
                 )
                 st.session_counter[conv] += 1
+        # --- count windows: N-row chunks in final order ---
+        CN = cfg.count_window_size
+        if CN:
+            for w0 in range(0, len(srows), CN):
+                win = srows[w0 : w0 + CN]
+                wid = w0 // CN
+                full = len(win) == CN
+                if not ((full and win[-1][0] < wm) or wm >= (1 << 62)):
+                    continue  # partial tails emit only at final flush
+                key = (conv, wid)
+                if key in st.emitted_count_windows:
+                    continue
+                st.emitted_count_windows.add(key)
+                st.count_windows.append(
+                    {
+                        "conv_id": conv,
+                        "window_id": wid,
+                        "n_turns": len(win),
+                        "n_user": sum(1 for r in win if r[2] == "user"),
+                        "n_assistant": sum(1 for r in win if r[2] == "assistant"),
+                        "n_tool": sum(1 for r in win if r[2] == "tool"),
+                        "first_text": win[0][3],
+                        "last_text": win[-1][3],
+                        "min_ts": win[0][0],
+                        "max_ts": win[-1][0],
+                    }
+                )
         # --- pattern: consecutive-role sequence matches ---
         pat = cfg.pattern_roles
         L = len(pat)
@@ -331,6 +371,9 @@ def run_oracle(
         "joins": _to_table(st.joins, JOIN_SCHEMA, ["conv_id", "tool_turn_idx"]),
         "patterns": _to_table(
             st.patterns, PATTERN_SCHEMA, ["conv_id", "start_ts", "start_turn_idx"]
+        ),
+        "count_windows": _to_table(
+            st.count_windows, COUNT_WINDOW_SCHEMA, ["conv_id", "window_id"]
         ),
         "metrics": dict(st.metrics),
     }

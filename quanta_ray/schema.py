@@ -73,6 +73,21 @@ SESSION_SCHEMA = pa.schema(
     ]
 )
 
+COUNT_WINDOW_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("window_id", pa.int64()),
+        ("n_turns", pa.int64()),
+        ("n_user", pa.int64()),
+        ("n_assistant", pa.int64()),
+        ("n_tool", pa.int64()),
+        ("first_text", pa.string()),
+        ("last_text", pa.string()),
+        ("min_ts", pa.timestamp("us")),
+        ("max_ts", pa.timestamp("us")),
+    ]
+)
+
 PATTERN_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),

@@ -45,6 +45,7 @@ SORT_KEYS = {
     "sessions": ["conv_id", "session_id"],
     "joins": ["conv_id", "tool_turn_idx"],
     "patterns": ["conv_id", "start_ts", "start_turn_idx"],
+    "count_windows": ["conv_id", "window_id"],
 }
 
 
@@ -90,6 +91,7 @@ def main() -> int:
             session_gap_us=gap * US,
             join_bound_us=bound * US,
             pattern_roles=pat,
+            count_window_size=int(rng.choice([0, 3, 16])),
         )
         d = tempfile.mkdtemp(dir="/tmp", prefix="fuzz-")
         try:

@@ -22,6 +22,7 @@ SORT_KEYS = {
     "sessions": ["conv_id", "session_id"],
     "joins": ["conv_id", "tool_turn_idx"],
     "patterns": ["conv_id", "start_ts", "start_turn_idx"],
+    "count_windows": ["conv_id", "window_id"],
 }
 
 

@@ -39,6 +39,7 @@ SORT_KEYS = {
     "sessions": ["conv_id", "session_id"],
     "joins": ["conv_id", "tool_turn_idx"],
     "patterns": ["conv_id", "start_ts", "start_turn_idx"],
+    "count_windows": ["conv_id", "window_id"],
 }
 
 
@@ -47,7 +48,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
     from quanta_ray.engine import run_pipeline
 
     files, _params = small_stream
-    cfg = CEPConfig(num_partitions=4)
+    cfg = CEPConfig(num_partitions=4, count_window_size=5)
     spec = PipelineSpec(
         source=SourceSpec(paths=tuple(files)),
         transformers=(StageSpec(name="normalize"),),
@@ -67,7 +68,8 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "stream", ["turns", "tumbling", "sliding", "sessions", "joins", "patterns"]
+    "stream",
+    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows"],
 )
 def test_stream_matches_oracle(engine_and_oracle, stream):
     out_dir, oracle = engine_and_oracle
@@ -157,7 +159,7 @@ def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
     from quanta_ray.engine import StreamingRunner
 
     files, _ = small_stream
-    cfg = CEPConfig(num_partitions=3)
+    cfg = CEPConfig(num_partitions=3, count_window_size=4)
     # checkpoint_every=2 exercises the restore-then-replay resume path
     # (crash after epoch 2 → state restored from epoch 1, epoch 2 replayed)
     spec = PipelineSpec(

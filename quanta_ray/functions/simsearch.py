@@ -408,3 +408,85 @@ SELECT label, count(*) AS n,
        round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS mean_dim0
 FROM embeddings GROUP BY label ORDER BY label
 """
+
+
+# --- cross-table: per-(label, lang) document stats ------------------------------
+
+
+def label_lang_stats(sf_dir: str, buckets: int = 16) -> pa.Table:
+    """Join `documents` with `embeddings` on id and aggregate per
+    (cluster label, language) — the cross-modal reporting join (how does my
+    embedding clustering interact with language mix?).
+
+    Scale shape: BOTH scans are column-pruned — the wide `embedding`
+    vector column never leaves storage (only (vec_id, label) does); the
+    join is hash-bucketed on the id with NO broadcast; per-bucket partial
+    (label, lang) aggregates ship one row per pair per bucket; the final
+    reduce is |labels|x|langs| rows on the driver."""
+    import pandas as pd
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    embs = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+
+    def tag_d(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": b["doc_id"].to_numpy(dtype=np.int64),
+                "lang": b["lang"].astype(str),
+                "n_chars": b["n_chars"].to_numpy(dtype=np.int64),
+                "label": np.int64(-1),
+                "_side": np.int64(0),
+            }
+        )
+
+    def tag_e(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": b["vec_id"].to_numpy(dtype=np.int64),
+                "lang": "",
+                "n_chars": np.int64(0),
+                "label": b["label"].to_numpy(dtype=np.int64),
+                "_side": np.int64(1),
+            }
+        )
+
+    from ..bucket import bucketed_apply
+
+    both = docs.map_batches(tag_d, batch_format="pandas").union(
+        embs.map_batches(tag_e, batch_format="pandas")
+    )
+
+    def join_agg(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["_side"] == 0][["id", "lang", "n_chars"]]
+        e = g[g["_side"] == 1][["id", "label"]]
+        m = d.merge(e, on="id")
+        return m.groupby(["label", "lang"], as_index=False).agg(
+            n_docs=("id", "size"), total_chars=("n_chars", "sum")
+        )
+
+    parts = _concat(bucketed_apply(both, ["id"], join_agg, num_buckets=buckets))
+    df = (
+        parts.to_pandas()
+        .groupby(["label", "lang"], as_index=False)
+        .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+        .sort_values(["label", "lang"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "label": pa.array(df["label"].to_numpy(dtype=np.int64), pa.int64()),
+            "lang": pa.array(df["lang"].astype(str), pa.string()),
+            "n_docs": pa.array(df["n_docs"].to_numpy(dtype=np.int64), pa.int64()),
+            "total_chars": pa.array(df["total_chars"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+LABEL_LANG_STATS_SQL = """
+SELECT CAST(e.label AS BIGINT) AS label, d.lang,
+       count(*) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+GROUP BY e.label, d.lang
+ORDER BY label, lang
+"""

@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_cosine": simsearch.near_dup_cosine,
         "emb_kmeans": _emb_kmeans,
         "emb_norm_stats": simsearch.norm_stats,
+        "emb_label_lang_stats": simsearch.label_lang_stats,
         # --- multimodal plumbing (stubbed decode; rows-only) ---
         "mm_media_features": _media_features,
         "mm_doc_media_features": _doc_media_features,
@@ -268,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_mix_report": text.SOURCE_MIX_REPORT_SQL,
         "doc_model_score": text.MODEL_SCORE_SQL,
         "emb_norm_stats": simsearch.NORM_STATS_SQL,
+        "emb_label_lang_stats": simsearch.LABEL_LANG_STATS_SQL,
         "doc_decontaminate": contamination.DECONTAMINATE_SQL,
         "doc_decontaminate_ngram": contamination.DECONTAMINATE_NGRAM_SQL,
         "doc_blocklist_filter": contamination.BLOCKLIST_FILTER_SQL,

@@ -117,7 +117,9 @@ def summarize_metrics(out_dir: str) -> dict:
                 continue
             for k in ("t_ingest", "t_emit", "t_write", "t_ckpt"):
                 phases[k] += pm.get(k, 0.0)
-            for k in ("tumbling", "sliding", "sessions", "joins"):
+            for k in (
+                "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows",
+            ):
                 emitted[k] += pm.get(f"{k}_emitted", 0)
             live_max = max(live_max, pm.get("live_convs", 0))
             wm = pm.get("wm", wm)

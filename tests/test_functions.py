@@ -1384,3 +1384,38 @@ def test_near_dup_keep_best_prefers_longest(ray_session, tmp_path):
     assert list(kept["doc_id"]) == [1], "longest member wins, not min id"
     singles = out[~out["doc_id"].isin([0, 1, 2])]
     assert singles["keep"].all()
+
+
+def test_sessionize_and_count_windows_planted(ray_session, tmp_path):
+    """Sessionize: a 31-minute gap splits sessions, a 29-minute gap doesn't;
+    count windows: a 7-event user chunks into windows of 5+2 with correct
+    first/last timestamps."""
+    from quanta_ray.pipelines.batch_cep import count_windows, sessionize
+
+    base = pd.Timestamp("2024-01-01")
+    # user 5: events at 0, 29min, 60min (29min gap keeps, 31min gap splits)
+    ts = [base, base + pd.Timedelta(minutes=29), base + pd.Timedelta(minutes=60)]
+    # user 6: 7 events one second apart
+    ts += [base + pd.Timedelta(seconds=i) for i in range(7)]
+    uid = [5, 5, 5] + [6] * 7
+    t = pa.table(
+        {
+            "event_id": pa.array(range(1, 11), type=pa.int64()),
+            "ts": pa.array(pd.to_datetime(ts), type=pa.timestamp("us")),
+            "user_id": pa.array(uid, type=pa.int64()),
+            "event_type": ["view"] * 10,
+            "value": pa.array([1.0] * 10, type=pa.float64()),
+            "props": ["{}"] * 10,
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    s = sessionize(str(tmp_path)).to_pandas().set_index("event_id")
+    assert list(s.loc[[1, 2, 3], "session_id"]) == [0, 0, 1]
+    assert (s.loc[[4, 5, 6, 7, 8, 9, 10], "session_id"] == 0).all()
+
+    w = count_windows(str(tmp_path), size=5).to_pandas()
+    u6 = w[w["user_id"] == 6].sort_values("window_id")
+    assert list(u6["n_events"]) == [5, 2]
+    assert u6.iloc[0]["start_ts"] == base and u6.iloc[0]["end_ts"] == base + pd.Timedelta(seconds=4)
+    assert u6.iloc[1]["start_ts"] == base + pd.Timedelta(seconds=5)

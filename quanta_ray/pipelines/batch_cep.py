@@ -1645,3 +1645,151 @@ FROM o WHERE t IS NOT NULL
 GROUP BY f, t
 ORDER BY f, t
 """
+
+
+# --- burst detection over tumbling windows -------------------------------------
+
+
+def burst_windows(sf_dir: str, ratio: float = 2.0) -> pa.Table:
+    """Hourly windows whose event count jumps ≥ ``ratio``× the SAME type's
+    previous non-empty hourly window — the CEP burst/anomaly detector shape
+    (windowed aggregate + per-key LAG + threshold predicate).
+
+    Distributed part: the per-(type, hour) counts via pre-aggregated
+    partials + one bucketed groupby (shuffle carries ≤ |types|·|hours|
+    partial rows, never events). The LAG+filter runs on the driver over
+    that aggregate — at 10^12 events the aggregate is still only
+    |types| × |hours| rows (e.g. 1e3 types × 1e5 hours = 1e8 worst case;
+    for larger key spaces the same lag is one more ``bucketed_apply`` on
+    event_type, which ``type_hourly_stats`` already demonstrates)."""
+    from ..bucket import bucketed_group_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_numpy(),
+                "w_start_us": _w_start_us(ts, HOUR_US),
+            }
+        )
+        g = df.groupby(["event_type", "w_start_us"], as_index=False).agg(
+            n=("w_start_us", "size")
+        )
+        return _from_pandas(g)
+
+    parts = _events(sf_dir, ["event_type", "ts"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    )
+    out = bucketed_group_agg(
+        parts, ["event_type", "w_start_us"], dict(n=("n", "sum")), num_buckets=16
+    )
+    df = _concat(out).to_pandas()
+    df = df.sort_values(["event_type", "w_start_us"], kind="mergesort").reset_index(drop=True)
+    et = df["event_type"].to_numpy()
+    n = df["n"].to_numpy(dtype=np.int64)
+    same = np.concatenate(([False], et[1:] == et[:-1]))
+    prev = np.concatenate(([0], n[:-1]))
+    keep = same & (n >= ratio * prev)
+    out_df = df[keep]
+    return pa.table(
+        {
+            "event_type": pa.array(out_df["event_type"].astype(str), pa.string()),
+            "w_start": pa.array(
+                out_df["w_start_us"].to_numpy(dtype=np.int64), pa.int64()
+            ).cast(pa.timestamp("us")),
+            "n": pa.array(out_df["n"].to_numpy(dtype=np.int64), pa.int64()),
+            "prev_n": pa.array(prev[keep], pa.int64()),
+        }
+    )
+
+
+BURST_WINDOWS_SQL = """
+WITH c AS (
+  SELECT event_type,
+         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT event_type, w_start, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY w_start) AS prev_n
+  FROM c
+)
+SELECT event_type, w_start, n, prev_n
+FROM l WHERE prev_n IS NOT NULL AND n >= 2.0 * prev_n
+"""
+
+
+# --- event-type co-occurrence (distinct-user pair counts) ----------------------
+
+
+def type_cooccurrence(sf_dir: str, buckets: int = 32) -> pa.Table:
+    """For every unordered pair of event types, the number of DISTINCT users
+    who did both — the audience-overlap / co-occurrence matrix.
+
+    Per batch: dedup (user, type) pairs (cheap, |types| is small). One
+    user_id hash shuffle; per bucket: global per-user dedup, then emit each
+    user's C(k,2) type pairs via a segmented double-repeat (vectorized, no
+    Python loop over users), partial-count pairs. Users never span buckets,
+    so pair counts sum across buckets. Shuffle carries ≤ |users|·|types|
+    dedup rows; the reduce output is ≤ |types|² rows."""
+    from ..bucket import bucketed_apply
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates(["user_id", "event_type"])
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"]).sort_values(
+            ["user_id", "event_type"], kind="mergesort"
+        )
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(uid)))
+        # within each user's sorted k types, emit (i<j) index pairs: one
+        # triangular index template per distinct k, broadcast over every
+        # user of that size (vectorized — no per-user loop; |distinct k|
+        # ≤ |types|)
+        a_idx, b_idx = [], []
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            s = starts[sizes == k]
+            a_idx.append((s[:, None] + ii[None, :]).ravel())
+            b_idx.append((s[:, None] + jj[None, :]).ravel())
+        if not a_idx:
+            return pd.DataFrame({"type_a": [], "type_b": [], "n_users": []})
+        ai = np.concatenate(a_idx)
+        bi = np.concatenate(b_idx)
+        return (
+            pd.DataFrame({"type_a": et[ai], "type_b": et[bi]})
+            .groupby(["type_a", "type_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+
+    ds = _events(sf_dir, ["user_id", "event_type"]).map_batches(
+        pre, batch_format="pandas", batch_size=262144
+    )
+    parts = _concat(bucketed_apply(ds, ["user_id"], bucket_fn, num_buckets=buckets))
+    df = parts.to_pandas().groupby(["type_a", "type_b"], as_index=False)["n_users"].sum()
+    df = df.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "type_a": pa.array(df["type_a"].astype(str), pa.string()),
+            "type_b": pa.array(df["type_b"].astype(str), pa.string()),
+            "n_users": pa.array(df["n_users"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+TYPE_COOCCURRENCE_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

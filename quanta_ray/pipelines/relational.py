@@ -931,3 +931,123 @@ LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_mktsegment
 ORDER BY c.c_custkey
 """
+
+
+# --- TPC-H Q3-style: top unshipped orders by revenue --------------------------
+
+
+def top_unshipped_orders(sf_dir: str, cutoff: str = "1998-06-01", k: int = 10) -> pa.Table:
+    """Orders placed before ``cutoff`` with lineitems still shipping after
+    it, ranked by outstanding revenue — the classic two-fact join + filtered
+    group + top-k (TPC-H Q3 without the customer-segment leg).
+
+    Both filters are pushed into the per-batch scan projection so only
+    matching rows are tagged/shuffled. Revenue is summed in integer
+    micro-units (order-free; see ``type_hourly_stats`` for the envelope),
+    and since the join AND the group key are both l_orderkey, each group
+    lives entirely inside one hash bucket — the per-bucket top-k partials
+    (≤ B·k rows) are exact, and the driver merge is tiny."""
+    import numpy as np
+
+    cutoff_us = int(pd.Timestamp(cutoff).value // 1000)
+    buckets = 16
+
+    def tag_l(b: pd.DataFrame) -> pd.DataFrame:
+        ship = b["l_shipdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        b = b[ship > cutoff_us]
+        if not len(b):
+            return pd.DataFrame(
+                {"l_orderkey": pd.array([], dtype="Int64"),
+                 "rev_u": pd.array([], dtype="Int64"),
+                 "_bucket": pd.array([], dtype="Int64"),
+                 "_side": pd.array([], dtype="Int64")}
+            )
+        rev_u = np.round(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()) * 1e6
+        ).astype(np.int64)
+        key = b["l_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": pd.array(key, dtype="Int64"),
+                "rev_u": pd.array(rev_u, dtype="Int64"),
+                "_bucket": pd.array(pd.util.hash_array(key) % buckets, dtype="Int64"),
+                "_side": pd.array(np.zeros(len(key), dtype=np.int64), dtype="Int64"),
+            }
+        )
+
+    def tag_o(b: pd.DataFrame) -> pd.DataFrame:
+        od = b["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        b = b[od < cutoff_us]
+        key = b["o_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": pd.array(key, dtype="Int64"),
+                "o_orderdate": b["o_orderdate"].to_numpy(),
+                "o_orderpriority": b["o_orderpriority"].to_numpy(),
+                "_bucket": pd.array(pd.util.hash_array(key) % buckets, dtype="Int64"),
+                "_side": pd.array(np.ones(len(key), dtype=np.int64), dtype="Int64"),
+            }
+        )
+
+    lt = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(tag_l, batch_format="pandas", batch_size=131072)
+    ot = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(tag_o, batch_format="pandas", batch_size=131072)
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0]
+        og = g[g["_side"] == 1]
+        if not len(lg) or not len(og):
+            return pd.DataFrame(
+                {"l_orderkey": pd.array([], dtype="Int64"),
+                 "rev_u": pd.array([], dtype="Int64"),
+                 "o_orderdate": pd.array([], dtype="datetime64[us]"),
+                 "o_orderpriority": pd.array([], dtype=object)}
+            )
+        grp = lg.groupby("l_orderkey", as_index=False)["rev_u"].sum()
+        m = grp.merge(
+            og[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+        )
+        m = m.sort_values(
+            ["rev_u", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return m[["l_orderkey", "rev_u", "o_orderdate", "o_orderpriority"]]
+
+    parts = _concat(
+        lt.union(ot).groupby("_bucket").map_groups(bucket_topk, batch_format="pandas")
+    ).to_pandas()
+    parts = parts.sort_values(
+        ["rev_u", "l_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(parts["l_orderkey"].to_numpy(dtype=np.int64), pa.int64()),
+            "revenue": pa.array(
+                parts["rev_u"].to_numpy(dtype=np.int64) / 1e6, pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                parts["o_orderdate"].to_numpy().astype("datetime64[us]")
+            ),
+            "o_orderpriority": pa.array(
+                parts["o_orderpriority"].astype(str), pa.string()
+            ),
+        }
+    )
+
+
+TOP_UNSHIPPED_SQL = """
+SELECT l.l_orderkey,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000) AS BIGINT))
+         / 1000000.0 AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""

@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_count_windows": batch_cep.count_windows,
         "ev_sessionize": batch_cep.sessionize,
         "ev_type_transitions": batch_cep.type_transitions,
+        "ev_burst_windows": batch_cep.burst_windows,
+        "ev_type_cooccurrence": batch_cep.type_cooccurrence,
         "ev_value_quantiles_approx": batch_cep.value_quantiles_approx,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_stream("sessions"),
@@ -138,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_region_revenue": relational.region_revenue,
         "rel_customer_order_stats": relational.customer_order_stats,
         "rel_asof_latest_order": relational.asof_latest_order,
+        "rel_top_unshipped_orders": relational.top_unshipped_orders,
         "rel_customers_without_orders": relational.customers_without_orders,
         "rel_order_counts_outer": relational.customer_order_counts_outer,
         # --- text analysis ---
@@ -228,6 +231,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_count_windows": batch_cep.COUNT_WINDOWS_SQL,
         "ev_sessionize": batch_cep.SESSIONIZE_SQL,
         "ev_type_transitions": batch_cep.TYPE_TRANSITIONS_SQL,
+        "ev_burst_windows": batch_cep.BURST_WINDOWS_SQL,
+        "ev_type_cooccurrence": batch_cep.TYPE_COOCCURRENCE_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
         "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
         "rel_top_parts_by_price": relational.TOP_PARTS_SQL,
@@ -238,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_region_revenue": relational.REGION_REVENUE_SQL,
         "rel_customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
         "rel_asof_latest_order": relational.ASOF_LATEST_ORDER_SQL,
+        "rel_top_unshipped_orders": relational.TOP_UNSHIPPED_SQL,
         "rel_customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "rel_order_counts_outer": relational.CUSTOMER_ORDER_COUNTS_OUTER_SQL,
         "doc_token_counts": text.TOKEN_COUNTS_SQL,

@@ -1793,3 +1793,62 @@ FROM ut a JOIN ut b
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# --- windowed distinct users (tumbling hour × COUNT DISTINCT) ------------------
+
+
+def windowed_distinct_users(sf_dir: str) -> pa.Table:
+    """COUNT(DISTINCT user_id) per tumbling hourly window — the windowed
+    cardinality shape (unique visitors per hour). Two-level: per-batch dedup
+    of (window, user) pairs, one bucketed pair-dedup shuffle (moves only key
+    pairs, never full events), then a tiny per-window count. The exact
+    counterpart of the sketch in ``distinct_users_per_type_approx``: use
+    this while |windows|·|users| pairs fit a shuffle, the HLL form past it."""
+    from ..bucket import bucketed_apply
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {
+                "w_start_us": _w_start_us(ts, HOUR_US),
+                "user_id": batch.column("user_id").to_numpy(),
+            }
+        ).drop_duplicates()
+        return _from_pandas(df)
+
+    pairs = bucketed_apply(
+        _events(sf_dir, ["ts", "user_id"]).map_batches(
+            pre, batch_format="pyarrow", batch_size=131072
+        ),
+        ["w_start_us", "user_id"],
+        lambda g: g.drop_duplicates(["w_start_us", "user_id"]),
+    )
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("w_start_us", as_index=False).agg(n_users=("user_id", "size"))
+
+    from ..bucket import bucketed_group_agg
+
+    out = bucketed_group_agg(
+        pairs.map_batches(count_partial, batch_format="pandas"),
+        ["w_start_us"],
+        dict(n_users=("n_users", "sum")),
+        num_buckets=8,
+    )
+    t = _concat(out)
+    t = t.take(pc.sort_indices(t, sort_keys=[("w_start_us", "ascending")]))
+    return pa.Table.from_arrays(
+        [
+            t.column("w_start_us").cast(pa.int64()).cast(pa.timestamp("us")),
+            t.column("n_users").cast(pa.int64()),
+        ],
+        names=["w_start", "n_users"],
+    )
+
+
+WINDOWED_DISTINCT_SQL = """
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+"""

@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_type_transitions": batch_cep.type_transitions,
         "ev_burst_windows": batch_cep.burst_windows,
         "ev_type_cooccurrence": batch_cep.type_cooccurrence,
+        "ev_windowed_distinct_users": batch_cep.windowed_distinct_users,
         "ev_value_quantiles_approx": batch_cep.value_quantiles_approx,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_stream("sessions"),
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_type_transitions": batch_cep.TYPE_TRANSITIONS_SQL,
         "ev_burst_windows": batch_cep.BURST_WINDOWS_SQL,
         "ev_type_cooccurrence": batch_cep.TYPE_COOCCURRENCE_SQL,
+        "ev_windowed_distinct_users": batch_cep.WINDOWED_DISTINCT_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
         "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
         "rel_top_parts_by_price": relational.TOP_PARTS_SQL,

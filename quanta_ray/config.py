@@ -48,6 +48,15 @@ class CEPConfig:
     # tail at final flush. 0 disables the stream (default: the headline
     # bench measures the north-rule operator set; enable per spec).
     count_window_size: int = 0
+    # GLOBAL burst-alert stream (two-level streaming aggregate): per tumbling
+    # window, sum turn counts ACROSS ALL partitions (workers return tiny
+    # per-window partials with their commit metadata; the driver folds them
+    # in epoch order — O(windows/epoch), never row-proportional) and emit an
+    # alert when a window's global count ≥ alert_ratio × the previous
+    # non-empty window's count. The O(1) reducer state (last window, count)
+    # rides in every manifest, so resume continues the chain exactly.
+    # 0 disables the stream.
+    alert_ratio: float = 0.0
 
     def __post_init__(self) -> None:
         # JSON specs deliver lists; normalize so configs hash/compare stably

@@ -430,8 +430,13 @@ class StreamingRunner:
         assert workers is not None
         M = len(workers)
         resumed_ckpt_epoch: int | None = None
+        # global burst-alert reducer state: last non-empty tumbling window's
+        # (start, global count). O(1); persisted in every manifest so resume
+        # continues the chain exactly where the last committed epoch left it.
+        alert_state: dict[str, Any] = {"last_w": None, "last_n": 0}
         if latest >= 0:
             m = read_manifest(self.out_dir, latest)
+            alert_state.update(m.get("alerts_state") or {})
             assert m is not None and m["num_partitions"] == P, "partition count changed across resume"
             # checkpoints are staggered across partitions: collect each
             # partition's newest checkpoint ≤ latest, restore, then replay
@@ -588,6 +593,43 @@ class StreamingRunner:
             metas = ray.get(meta_refs)
             writes = ray.get(write_refs)
             stream_files = [f for w in writes for f in w["files"]]
+            # second-level reduce: fold per-worker tumbling-window partials
+            # (O(windows/epoch) scalars) into global counts, chain the burst
+            # predicate through windows in w_start order. Commits run in
+            # strict epoch order (both modes), so the fold order — and
+            # therefore the alert stream — is deterministic.
+            alert_entries: list[dict] = []
+            if spec.cep.alert_ratio > 0:
+                from ..schema import ALERT_SCHEMA
+                from ..sinks.exactly_once import write_part_file
+
+                merged: dict[int, int] = {}
+                for r in metas:
+                    for w, n in r.get("win_partials", {}).items():
+                        merged[int(w)] = merged.get(int(w), 0) + int(n)
+                alert_rows: list[tuple[int, int, int]] = []
+                for w in sorted(merged):
+                    n = merged[w]
+                    if (
+                        alert_state["last_w"] is not None
+                        and n >= spec.cep.alert_ratio * alert_state["last_n"]
+                    ):
+                        alert_rows.append((w, n, alert_state["last_n"]))
+                    alert_state["last_w"], alert_state["last_n"] = w, n
+                if alert_rows:
+                    tbl = pa.Table.from_arrays(
+                        [
+                            pa.array([r[0] for r in alert_rows], pa.int64()).cast(
+                                pa.timestamp("us")
+                            ),
+                            pa.array([r[1] for r in alert_rows], pa.int64()),
+                            pa.array([r[2] for r in alert_rows], pa.int64()),
+                        ],
+                        schema=ALERT_SCHEMA,
+                    )
+                    e_a = write_part_file(tbl, self.out_dir, "alerts", 0, epoch)
+                    if e_a:
+                        alert_entries.append(e_a)
             turns_entries = [t for t in ray.get(turns_refs) if t] if turns_refs else []
             if stats:
                 stats["t_commit_wait"] = round(_time.perf_counter() - t_c0, 4)
@@ -603,9 +645,10 @@ class StreamingRunner:
                 "input": {"file": files[epoch] if epoch < len(files) else None},
                 "watermark": wms[epoch] if epoch < len(files) else POS_INF,
                 "source_stats": stats,
-                "files": turns_entries + dead_entries + stream_files,
+                "files": turns_entries + dead_entries + stream_files + alert_entries,
                 "checkpoints": checkpoints,
                 "last_checkpoint_epoch": last_ckpt_epoch["v"],
+                "alerts_state": dict(alert_state),
                 "metrics": [pm for r in metas for pm in r["metrics"]],
             }
             write_manifest(self.out_dir, epoch, manifest)

@@ -824,7 +824,21 @@ class PartitionWorkerImpl:
         if not write_outputs:
             # resume replay of an already-committed epoch: state advances,
             # outputs (byte-identical, already in the manifest) are skipped
+            # (incl. alert partials: the reducer state was restored from the
+            # committed manifest, which already folded these windows)
             return {"tables": [], "ckpt_blob": None, "metrics": {"replayed": epoch}}
+
+        # global burst-alert partials: per newly-final tumbling window, this
+        # partition's total turn count — O(windows/epoch) scalars for the
+        # driver's second-level reduce, never row- or conv-proportional
+        win_partial: dict[int, int] = {}
+        if self.cfg.alert_ratio > 0 and win_tables["tumbling"] is not None:
+            tt = win_tables["tumbling"]
+            ws = tt.column("w_start").cast(pa.int64()).to_numpy()
+            ns = tt.column("n_turns").to_numpy()
+            uw, inv = np.unique(ws, return_inverse=True)
+            sums = np.bincount(inv, weights=ns).astype(np.int64)
+            win_partial = {int(w): int(s) for w, s in zip(uw, sums)}
 
         # build the emitted tables but DON'T write them here: the (zstd)
         # parquet writes run as tasks on the map slots so the stateful
@@ -859,7 +873,12 @@ class PartitionWorkerImpl:
             "t_write": round(t_write - t_emit, 4),
             "t_ckpt": round(t_ckpt - t_write, 4),
         }
-        return {"tables": tables, "ckpt_blob": ckpt, "metrics": metrics}
+        return {
+            "tables": tables,
+            "ckpt_blob": ckpt,
+            "metrics": metrics,
+            "win_partial": win_partial,
+        }
 
     def finish(self, epoch: int, do_checkpoint: bool = True) -> dict:
         empty = _empty_turns_table()
@@ -1297,6 +1316,7 @@ class MultiPartitionWorker:
         migration desync."""
         assert pids == self.pids, f"layout desync: driver {pids} != worker {self.pids}"
         out_tables, blobs, metrics = [], [], []
+        win_partials: dict[int, int] = {}
         for i, pid in enumerate(self.pids):
             frag = list(tables[i * n_frags : (i + 1) * n_frags])
             nonempty = [t for t in frag if t.num_rows]
@@ -1313,20 +1333,31 @@ class MultiPartitionWorker:
             if r["ckpt_blob"]:
                 blobs.append(r["ckpt_blob"])
             metrics.append(r["metrics"])
+            for w, n in r.get("win_partial", {}).items():
+                win_partials[w] = win_partials.get(w, 0) + n
         # two returns (num_returns=2): small meta for the driver's commit;
         # emitted tables + checkpoint blobs go to the off-worker writer task
         # — the driver never pulls the heavy payload
-        return {"metrics": metrics}, {"tables": out_tables, "ckpt_blobs": blobs}
+        return (
+            {"metrics": metrics, "win_partials": win_partials},
+            {"tables": out_tables, "ckpt_blobs": blobs},
+        )
 
     def finish(self, epoch: int, do_checkpoint: bool = True) -> tuple:
         out_tables, blobs, metrics = [], [], []
+        win_partials: dict[int, int] = {}
         for pid in self.pids:
             r = self.impls[pid].finish(epoch, do_checkpoint)
             out_tables.extend(r["tables"])
             if r["ckpt_blob"]:
                 blobs.append(r["ckpt_blob"])
             metrics.append(r["metrics"])
-        return {"metrics": metrics}, {"tables": out_tables, "ckpt_blobs": blobs}
+            for w, n in r.get("win_partial", {}).items():
+                win_partials[w] = win_partials.get(w, 0) + n
+        return (
+            {"metrics": metrics, "win_partials": win_partials},
+            {"tables": out_tables, "ckpt_blobs": blobs},
+        )
 
     def restore(self, by_pid: dict[int, str]) -> None:
         for pid, rel in by_pid.items():

@@ -363,8 +363,28 @@ def run_oracle(
         else:
             typ = pa.string()
         turn_schema = turn_schema.append(pa.field(name, typ))
+    # global burst alerts: the reference semantics are a pure function of
+    # the FINAL tumbling output (window finality timing never changes which
+    # windows exist or their counts), so the oracle derives them from the
+    # tumbling rows — sum per w_start, chain the ratio predicate through
+    # non-empty windows in w_start order (engine analog: runner commit fold).
+    alerts: list[dict] = []
+    if cfg.alert_ratio > 0:
+        totals: dict[int, int] = {}
+        for r in st.tumbling:
+            totals[r["w_start"]] = totals.get(r["w_start"], 0) + r["n_turns"]
+        last_w, last_n = None, 0
+        for w in sorted(totals):
+            n = totals[w]
+            if last_w is not None and n >= cfg.alert_ratio * last_n:
+                alerts.append({"w_start": w, "n_turns": n, "prev_n": last_n})
+            last_w, last_n = w, n
+
+    from .schema import ALERT_SCHEMA
+
     return {
         "turns": _to_table(st.turns, turn_schema, ["conv_id", "turn_idx"]),
+        "alerts": _to_table(alerts, ALERT_SCHEMA, ["w_start"]),
         "tumbling": _to_table(st.tumbling, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),
         "sliding": _to_table(st.sliding, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),
         "sessions": _to_table(st.sessions, SESSION_SCHEMA, ["conv_id", "session_id"]),

@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cep_streaming_turns": _streaming_stream("turns"),
         "cep_streaming_patterns": _streaming_stream("patterns"),
         "cep_streaming_count_windows": _streaming_stream("count_windows"),
+        "cep_streaming_alerts": _streaming_stream("alerts"),
         # --- relational stage library ---
         "rel_pricing_summary": relational.pricing_summary,
         "rel_revenue_by_nation": relational.revenue_by_nation,

@@ -113,6 +113,15 @@ JOIN_SCHEMA = pa.schema(
 )
 
 
+ALERT_SCHEMA = pa.schema(
+    [
+        ("w_start", pa.timestamp("us")),
+        ("n_turns", pa.int64()),
+        ("prev_n", pa.int64()),
+    ]
+)
+
+
 def from_pandas(df) -> pa.Table:
     """``pa.Table.from_pandas`` minus the auto-attached pandas schema
     metadata. The metadata dict makes the resulting ``pa.Schema`` unhashable,

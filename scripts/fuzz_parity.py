@@ -46,6 +46,7 @@ SORT_KEYS = {
     "joins": ["conv_id", "tool_turn_idx"],
     "patterns": ["conv_id", "start_ts", "start_turn_idx"],
     "count_windows": ["conv_id", "window_id"],
+    "alerts": ["w_start"],
 }
 
 
@@ -92,6 +93,7 @@ def main() -> int:
             join_bound_us=bound * US,
             pattern_roles=pat,
             count_window_size=int(rng.choice([0, 3, 16])),
+            alert_ratio=float(rng.choice([0.0, 1.1, 2.0])),
         )
         d = tempfile.mkdtemp(dir="/tmp", prefix="fuzz-")
         try:

@@ -40,6 +40,7 @@ SORT_KEYS = {
     "joins": ["conv_id", "tool_turn_idx"],
     "patterns": ["conv_id", "start_ts", "start_turn_idx"],
     "count_windows": ["conv_id", "window_id"],
+    "alerts": ["w_start"],
 }
 
 
@@ -48,7 +49,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
     from quanta_ray.engine import run_pipeline
 
     files, _params = small_stream
-    cfg = CEPConfig(num_partitions=4, count_window_size=5)
+    cfg = CEPConfig(num_partitions=4, count_window_size=5, alert_ratio=0.5)
     spec = PipelineSpec(
         source=SourceSpec(paths=tuple(files)),
         transformers=(StageSpec(name="normalize"),),
@@ -69,12 +70,20 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
 
 @pytest.mark.parametrize(
     "stream",
-    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows"],
+    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts"],
 )
 def test_stream_matches_oracle(engine_and_oracle, stream):
     out_dir, oracle = engine_and_oracle
     got = read_committed(out_dir, stream)
     _assert_tables_equal(stream, got, oracle[stream], SORT_KEYS[stream])
+
+
+def test_alerts_stream_nonempty(engine_and_oracle):
+    """The burst fixture must actually fire alerts (parity isn't vacuous):
+    ratio 0.5 fires for any window ≥ half the previous non-empty window's
+    count, so the fixture must produce alert rows."""
+    _out_dir, oracle = engine_and_oracle
+    assert oracle["alerts"].num_rows > 0
 
 
 def test_late_rows_were_dropped(engine_and_oracle):
@@ -159,7 +168,7 @@ def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
     from quanta_ray.engine import StreamingRunner
 
     files, _ = small_stream
-    cfg = CEPConfig(num_partitions=3, count_window_size=4)
+    cfg = CEPConfig(num_partitions=3, count_window_size=4, alert_ratio=0.5)
     # checkpoint_every=2 exercises the restore-then-replay resume path
     # (crash after epoch 2 → state restored from epoch 1, epoch 2 replayed)
     spec = PipelineSpec(

@@ -57,10 +57,16 @@ class CEPConfig:
     # rides in every manifest, so resume continues the chain exactly.
     # 0 disables the stream.
     alert_ratio: float = 0.0
+    # independent alert chains (grouped second-level reduce): 'all' chains
+    # the total turn count; a role name chains that role's count only — a
+    # window with zero turns OF THAT ROLE does not advance the role's chain
+    # (same "previous non-empty window" rule, per key).
+    alert_scopes: tuple = ("all",)
 
     def __post_init__(self) -> None:
         # JSON specs deliver lists; normalize so configs hash/compare stably
         object.__setattr__(self, "pattern_roles", tuple(self.pattern_roles))
+        object.__setattr__(self, "alert_scopes", tuple(self.alert_scopes))
         if self.sliding_size_us % self.sliding_slide_us != 0:
             raise ValueError(
                 "sliding_size_us must be a multiple of sliding_slide_us "

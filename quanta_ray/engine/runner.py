@@ -430,13 +430,17 @@ class StreamingRunner:
         assert workers is not None
         M = len(workers)
         resumed_ckpt_epoch: int | None = None
-        # global burst-alert reducer state: last non-empty tumbling window's
-        # (start, global count). O(1); persisted in every manifest so resume
-        # continues the chain exactly where the last committed epoch left it.
-        alert_state: dict[str, Any] = {"last_w": None, "last_n": 0}
+        # global burst-alert reducer state: per scope ('all' or a role), the
+        # last non-empty tumbling window's (start, count). O(#scopes);
+        # persisted in every manifest so resume continues each chain exactly
+        # where the last committed epoch left it.
+        alert_state: dict[str, Any] = {
+            s: {"last_w": None, "last_n": 0} for s in spec.cep.alert_scopes
+        }
         if latest >= 0:
             m = read_manifest(self.out_dir, latest)
-            alert_state.update(m.get("alerts_state") or {})
+            for s, st_s in (m.get("alerts_state") or {}).items():
+                alert_state[s] = dict(st_s)
             assert m is not None and m["num_partitions"] == P, "partition count changed across resume"
             # checkpoints are staggered across partitions: collect each
             # partition's newest checkpoint ≤ latest, restore, then replay
@@ -603,27 +607,37 @@ class StreamingRunner:
                 from ..schema import ALERT_SCHEMA
                 from ..sinks.exactly_once import write_part_file
 
-                merged: dict[int, int] = {}
+                merged: dict[int, list[int]] = {}
                 for r in metas:
-                    for w, n in r.get("win_partials", {}).items():
-                        merged[int(w)] = merged.get(int(w), 0) + int(n)
-                alert_rows: list[tuple[int, int, int]] = []
+                    for w, t in r.get("win_partials", {}).items():
+                        m_w = merged.setdefault(int(w), [0, 0, 0, 0])
+                        for i, v in enumerate(t):
+                            m_w[i] += int(v)
+                scope_col = {"all": 0, "user": 1, "assistant": 2, "tool": 3}
+                alert_rows: list[tuple[str, int, int, int]] = []
                 for w in sorted(merged):
-                    n = merged[w]
-                    if (
-                        alert_state["last_w"] is not None
-                        and n >= spec.cep.alert_ratio * alert_state["last_n"]
-                    ):
-                        alert_rows.append((w, n, alert_state["last_n"]))
-                    alert_state["last_w"], alert_state["last_n"] = w, n
+                    counts = merged[w]
+                    for scope in spec.cep.alert_scopes:
+                        n = counts[scope_col[scope]]
+                        if n == 0:
+                            continue  # empty FOR THIS SCOPE: chain unmoved
+                        st_s = alert_state[scope]
+                        if (
+                            st_s["last_w"] is not None
+                            and n >= spec.cep.alert_ratio * st_s["last_n"]
+                        ):
+                            alert_rows.append((scope, w, n, st_s["last_n"]))
+                        st_s["last_w"], st_s["last_n"] = w, n
                 if alert_rows:
+                    alert_rows.sort(key=lambda r: (r[1], r[0]))
                     tbl = pa.Table.from_arrays(
                         [
-                            pa.array([r[0] for r in alert_rows], pa.int64()).cast(
+                            pa.array([r[0] for r in alert_rows], pa.string()),
+                            pa.array([r[1] for r in alert_rows], pa.int64()).cast(
                                 pa.timestamp("us")
                             ),
-                            pa.array([r[1] for r in alert_rows], pa.int64()),
                             pa.array([r[2] for r in alert_rows], pa.int64()),
+                            pa.array([r[3] for r in alert_rows], pa.int64()),
                         ],
                         schema=ALERT_SCHEMA,
                     )
@@ -648,7 +662,7 @@ class StreamingRunner:
                 "files": turns_entries + dead_entries + stream_files + alert_entries,
                 "checkpoints": checkpoints,
                 "last_checkpoint_epoch": last_ckpt_epoch["v"],
-                "alerts_state": dict(alert_state),
+                "alerts_state": {s: dict(v) for s, v in alert_state.items()},
                 "metrics": [pm for r in metas for pm in r["metrics"]],
             }
             write_manifest(self.out_dir, epoch, manifest)

@@ -831,14 +831,20 @@ class PartitionWorkerImpl:
         # global burst-alert partials: per newly-final tumbling window, this
         # partition's total turn count — O(windows/epoch) scalars for the
         # driver's second-level reduce, never row- or conv-proportional
-        win_partial: dict[int, int] = {}
+        win_partial: dict[int, tuple[int, int, int, int]] = {}
         if self.cfg.alert_ratio > 0 and win_tables["tumbling"] is not None:
             tt = win_tables["tumbling"]
             ws = tt.column("w_start").cast(pa.int64()).to_numpy()
-            ns = tt.column("n_turns").to_numpy()
             uw, inv = np.unique(ws, return_inverse=True)
-            sums = np.bincount(inv, weights=ns).astype(np.int64)
-            win_partial = {int(w): int(s) for w, s in zip(uw, sums)}
+            per_col = [
+                np.bincount(inv, weights=tt.column(c).to_numpy()).astype(np.int64)
+                for c in ("n_turns", "n_user", "n_assistant", "n_tool")
+            ]
+            win_partial = {
+                int(w): (int(per_col[0][i]), int(per_col[1][i]),
+                         int(per_col[2][i]), int(per_col[3][i]))
+                for i, w in enumerate(uw)
+            }
 
         # build the emitted tables but DON'T write them here: the (zstd)
         # parquet writes run as tasks on the map slots so the stateful
@@ -1316,7 +1322,7 @@ class MultiPartitionWorker:
         migration desync."""
         assert pids == self.pids, f"layout desync: driver {pids} != worker {self.pids}"
         out_tables, blobs, metrics = [], [], []
-        win_partials: dict[int, int] = {}
+        win_partials: dict[int, tuple[int, int, int, int]] = {}
         for i, pid in enumerate(self.pids):
             frag = list(tables[i * n_frags : (i + 1) * n_frags])
             nonempty = [t for t in frag if t.num_rows]
@@ -1333,8 +1339,9 @@ class MultiPartitionWorker:
             if r["ckpt_blob"]:
                 blobs.append(r["ckpt_blob"])
             metrics.append(r["metrics"])
-            for w, n in r.get("win_partial", {}).items():
-                win_partials[w] = win_partials.get(w, 0) + n
+            for w, t in r.get("win_partial", {}).items():
+                prev = win_partials.get(w, (0, 0, 0, 0))
+                win_partials[w] = tuple(a + b for a, b in zip(prev, t))
         # two returns (num_returns=2): small meta for the driver's commit;
         # emitted tables + checkpoint blobs go to the off-worker writer task
         # — the driver never pulls the heavy payload
@@ -1345,15 +1352,16 @@ class MultiPartitionWorker:
 
     def finish(self, epoch: int, do_checkpoint: bool = True) -> tuple:
         out_tables, blobs, metrics = [], [], []
-        win_partials: dict[int, int] = {}
+        win_partials: dict[int, tuple[int, int, int, int]] = {}
         for pid in self.pids:
             r = self.impls[pid].finish(epoch, do_checkpoint)
             out_tables.extend(r["tables"])
             if r["ckpt_blob"]:
                 blobs.append(r["ckpt_blob"])
             metrics.append(r["metrics"])
-            for w, n in r.get("win_partial", {}).items():
-                win_partials[w] = win_partials.get(w, 0) + n
+            for w, t in r.get("win_partial", {}).items():
+                prev = win_partials.get(w, (0, 0, 0, 0))
+                win_partials[w] = tuple(a + b for a, b in zip(prev, t))
         return (
             {"metrics": metrics, "win_partials": win_partials},
             {"tables": out_tables, "ckpt_blobs": blobs},

@@ -370,21 +370,31 @@ def run_oracle(
     # non-empty windows in w_start order (engine analog: runner commit fold).
     alerts: list[dict] = []
     if cfg.alert_ratio > 0:
-        totals: dict[int, int] = {}
+        scope_key = {"all": "n_turns", "user": "n_user",
+                     "assistant": "n_assistant", "tool": "n_tool"}
+        totals: dict[int, dict[str, int]] = {}
         for r in st.tumbling:
-            totals[r["w_start"]] = totals.get(r["w_start"], 0) + r["n_turns"]
-        last_w, last_n = None, 0
+            t = totals.setdefault(r["w_start"], {s: 0 for s in cfg.alert_scopes})
+            for s in cfg.alert_scopes:
+                t[s] += r[scope_key[s]]
+        chains = {s: (None, 0) for s in cfg.alert_scopes}
         for w in sorted(totals):
-            n = totals[w]
-            if last_w is not None and n >= cfg.alert_ratio * last_n:
-                alerts.append({"w_start": w, "n_turns": n, "prev_n": last_n})
-            last_w, last_n = w, n
+            for s in cfg.alert_scopes:
+                n = totals[w][s]
+                if n == 0:
+                    continue  # empty for this scope: chain unmoved
+                last_w, last_n = chains[s]
+                if last_w is not None and n >= cfg.alert_ratio * last_n:
+                    alerts.append(
+                        {"scope": s, "w_start": w, "n_turns": n, "prev_n": last_n}
+                    )
+                chains[s] = (w, n)
 
     from .schema import ALERT_SCHEMA
 
     return {
         "turns": _to_table(st.turns, turn_schema, ["conv_id", "turn_idx"]),
-        "alerts": _to_table(alerts, ALERT_SCHEMA, ["w_start"]),
+        "alerts": _to_table(alerts, ALERT_SCHEMA, ["w_start", "scope"]),
         "tumbling": _to_table(st.tumbling, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),
         "sliding": _to_table(st.sliding, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),
         "sessions": _to_table(st.sessions, SESSION_SCHEMA, ["conv_id", "session_id"]),

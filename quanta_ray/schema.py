@@ -115,6 +115,7 @@ JOIN_SCHEMA = pa.schema(
 
 ALERT_SCHEMA = pa.schema(
     [
+        ("scope", pa.string()),  # 'all' or a role: chains are independent
         ("w_start", pa.timestamp("us")),
         ("n_turns", pa.int64()),
         ("prev_n", pa.int64()),

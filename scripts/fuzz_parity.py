@@ -46,7 +46,7 @@ SORT_KEYS = {
     "joins": ["conv_id", "tool_turn_idx"],
     "patterns": ["conv_id", "start_ts", "start_turn_idx"],
     "count_windows": ["conv_id", "window_id"],
-    "alerts": ["w_start"],
+    "alerts": ["w_start", "scope"],
 }
 
 
@@ -94,6 +94,9 @@ def main() -> int:
             pattern_roles=pat,
             count_window_size=int(rng.choice([0, 3, 16])),
             alert_ratio=float(rng.choice([0.0, 1.1, 2.0])),
+            alert_scopes=[("all",), ("all", "user", "assistant", "tool"), ("tool",)][
+                int(rng.integers(0, 3))
+            ],
         )
         d = tempfile.mkdtemp(dir="/tmp", prefix="fuzz-")
         try:

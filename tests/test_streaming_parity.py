@@ -40,7 +40,7 @@ SORT_KEYS = {
     "joins": ["conv_id", "tool_turn_idx"],
     "patterns": ["conv_id", "start_ts", "start_turn_idx"],
     "count_windows": ["conv_id", "window_id"],
-    "alerts": ["w_start"],
+    "alerts": ["w_start", "scope"],
 }
 
 
@@ -49,7 +49,8 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
     from quanta_ray.engine import run_pipeline
 
     files, _params = small_stream
-    cfg = CEPConfig(num_partitions=4, count_window_size=5, alert_ratio=0.5)
+    cfg = CEPConfig(num_partitions=4, count_window_size=5, alert_ratio=0.5,
+                    alert_scopes=("all", "user", "assistant", "tool"))
     spec = PipelineSpec(
         source=SourceSpec(paths=tuple(files)),
         transformers=(StageSpec(name="normalize"),),

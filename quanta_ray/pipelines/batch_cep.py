@@ -1852,3 +1852,104 @@ SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+# --- per-user first/last event summary (argmin/argmax merge) -------------------
+
+
+def user_first_last(sf_dir: str) -> pa.Table:
+    """Per user: first and last event's type + timestamps + event count —
+    the argmin/argmax-by-(ts, event_id) aggregate (mergeable: each partial
+    carries its candidate row; combine keeps the lexicographic winner).
+
+    Per batch: one lexsort + boundary mask → ≤ |users| candidate rows per
+    side; one user_id-bucketed reduce applies the same rule globally. The
+    shuffle carries only (user, first/last candidates, count) partials."""
+    from ..bucket import bucketed_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(),
+                "event_id": batch.column("event_id").to_numpy(),
+                "ts": batch.column("ts").cast(pa.int64()).to_numpy(),
+                "event_type": batch.column("event_type").to_numpy(),
+            }
+        )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        last = np.concatenate((uid[1:] != uid[:-1], [True]))
+        f, l = df[first], df[last]
+        out = pd.DataFrame(
+            {
+                "user_id": f["user_id"].to_numpy(),
+                "n_events": np.diff(
+                    np.append(np.flatnonzero(first), len(uid))
+                ).astype(np.int64),
+                "first_ts": f["ts"].to_numpy(),
+                "first_event_id": f["event_id"].to_numpy(),
+                "first_type": f["event_type"].to_numpy(),
+                "last_ts": l["ts"].to_numpy(),
+                "last_event_id": l["event_id"].to_numpy(),
+                "last_type": l["event_type"].to_numpy(),
+            }
+        )
+        return _from_pandas(out)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "first_ts", "first_event_id"], kind="mergesort"
+        )
+        uid = g["user_id"].to_numpy()
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        starts = np.flatnonzero(first)
+        n = np.add.reduceat(g["n_events"].to_numpy(dtype=np.int64), starts)
+        f = g[first]
+        gl = g.sort_values(["user_id", "last_ts", "last_event_id"], kind="mergesort")
+        glu = gl["user_id"].to_numpy()
+        l = gl[np.concatenate((glu[1:] != glu[:-1], [True]))]
+        return pd.DataFrame(
+            {
+                "user_id": f["user_id"].to_numpy(),
+                "n_events": n,
+                "first_type": f["first_type"].to_numpy(),
+                "first_ts": f["first_ts"].to_numpy(),
+                "last_type": l["last_type"].to_numpy(),
+                "last_ts": l["last_ts"].to_numpy(),
+            }
+        )
+
+    parts = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=131072
+    )
+    t = _concat(bucketed_apply(parts, ["user_id"], reduce_fn, num_buckets=32))
+    t = t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+    return pa.Table.from_arrays(
+        [
+            t.column("user_id").cast(pa.int64()),
+            t.column("n_events").cast(pa.int64()),
+            t.column("first_type").cast(pa.string()),
+            t.column("first_ts").cast(pa.int64()).cast(pa.timestamp("us")),
+            t.column("last_type").cast(pa.string()),
+            t.column("last_ts").cast(pa.int64()).cast(pa.timestamp("us")),
+        ],
+        names=["user_id", "n_events", "first_type", "first_ts", "last_type", "last_ts"],
+    )
+
+
+USER_FIRST_LAST_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT f.user_id, f.n_events,
+       f.event_type AS first_type, f.ts AS first_ts,
+       l.event_type AS last_type, l.ts AS last_ts
+FROM (SELECT * FROM o WHERE rf = 1) f
+JOIN (SELECT * FROM o WHERE rl = 1) l USING (user_id)
+ORDER BY f.user_id
+"""

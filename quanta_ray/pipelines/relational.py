@@ -1051,3 +1051,83 @@ GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY revenue DESC, l.l_orderkey
 LIMIT 10
 """
+
+
+# --- TPC-H Q14-style: promo revenue share per month ---------------------------
+
+
+def promo_share_by_month(sf_dir: str) -> pa.Table:
+    """Share of revenue from PROMO parts per ship month — the conditional-
+    aggregate ratio (100 · Σ[promo rev] / Σ[rev]).
+
+    The part side is partkey→is_promo — one bit per part. At fact scale
+    the bit-vector broadcast is the right plan far longer than a row map
+    (1 bit vs ~30 B/row), so this uses a dense numpy bool array indexed by
+    partkey (parts are 0..N-1 here; a real catalog would hash-bucket like
+    `_bucket_join` past `QUANTA_BROADCAST_ROW_LIMIT`). Both numerator and
+    denominator are summed in integer micro-units per (month) group —
+    order-free, so the final single division is bit-identical to any
+    sequential oracle."""
+    import numpy as np
+    import ray
+
+    part = _concat(_read(sf_dir, "part", ["p_partkey", "p_type"]))
+    pk = part.column("p_partkey").to_numpy()
+    promo = np.zeros(int(pk.max()) + 1, dtype=bool)
+    promo[pk] = np.asarray(part.column("p_type").to_numpy(zero_copy_only=False)) == "PROMO"
+    pref = ray.put(promo)
+
+    class Partial:
+        def __init__(self):
+            self.promo = ray.get(pref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ship = batch["l_shipdate"].to_numpy().astype("datetime64[M]")
+            rev_u = np.round(
+                batch["l_extendedprice"].to_numpy()
+                * (1.0 - batch["l_discount"].to_numpy()) * 1e6
+            ).astype(np.int64)
+            is_p = self.promo[batch["l_partkey"].to_numpy(dtype=np.int64)]
+            df = pd.DataFrame(
+                {"month": ship, "rev_u": rev_u, "promo_u": np.where(is_p, rev_u, 0)}
+            )
+            return df.groupby("month", as_index=False).agg(
+                rev_u=("rev_u", "sum"), promo_u=("promo_u", "sum")
+            )
+
+    from ..bucket import bucketed_group_agg
+
+    parts = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(
+        Partial, batch_format="pandas", batch_size=131072, concurrency=4
+    )
+    out = _concat(
+        bucketed_group_agg(
+            parts, ["month"],
+            dict(rev_u=("rev_u", "sum"), promo_u=("promo_u", "sum")),
+            num_buckets=8,
+        )
+    ).to_pandas()
+    out = out.sort_values("month").reset_index(drop=True)
+    share = 100.0 * out["promo_u"].to_numpy(dtype=np.int64) / out["rev_u"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "month": pa.array(
+                out["month"].to_numpy().astype("datetime64[us]")
+            ),
+            "promo_share": pa.array(np.round(share, 6), pa.float64()),
+        }
+    )
+
+
+PROMO_SHARE_SQL = """
+SELECT date_trunc('month', l.l_shipdate) AS month,
+       round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000) AS BIGINT)
+               ELSE 0 END)
+         / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000) AS BIGINT)),
+         6) AS promo_share
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1 ORDER BY 1
+"""

@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_burst_windows": batch_cep.burst_windows,
         "ev_type_cooccurrence": batch_cep.type_cooccurrence,
         "ev_windowed_distinct_users": batch_cep.windowed_distinct_users,
+        "ev_user_first_last": batch_cep.user_first_last,
         "ev_value_quantiles_approx": batch_cep.value_quantiles_approx,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_stream("sessions"),
@@ -143,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_customer_order_stats": relational.customer_order_stats,
         "rel_asof_latest_order": relational.asof_latest_order,
         "rel_top_unshipped_orders": relational.top_unshipped_orders,
+        "rel_promo_share_by_month": relational.promo_share_by_month,
         "rel_customers_without_orders": relational.customers_without_orders,
         "rel_order_counts_outer": relational.customer_order_counts_outer,
         # --- text analysis ---
@@ -236,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_burst_windows": batch_cep.BURST_WINDOWS_SQL,
         "ev_type_cooccurrence": batch_cep.TYPE_COOCCURRENCE_SQL,
         "ev_windowed_distinct_users": batch_cep.WINDOWED_DISTINCT_SQL,
+        "ev_user_first_last": batch_cep.USER_FIRST_LAST_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
         "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
         "rel_top_parts_by_price": relational.TOP_PARTS_SQL,
@@ -247,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
         "rel_asof_latest_order": relational.ASOF_LATEST_ORDER_SQL,
         "rel_top_unshipped_orders": relational.TOP_UNSHIPPED_SQL,
+        "rel_promo_share_by_month": relational.PROMO_SHARE_SQL,
         "rel_customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "rel_order_counts_outer": relational.CUSTOMER_ORDER_COUNTS_OUTER_SQL,
         "doc_token_counts": text.TOKEN_COUNTS_SQL,

@@ -1953,3 +1953,83 @@ FROM (SELECT * FROM o WHERE rf = 1) f
 JOIN (SELECT * FROM o WHERE rl = 1) l USING (user_id)
 ORDER BY f.user_id
 """
+
+
+# --- DAU/MAU stickiness (two-granularity distinct + ratio join) ----------------
+
+
+def dau_mau_stickiness(sf_dir: str) -> pa.Table:
+    """Per calendar day: distinct active users, the containing month's
+    distinct actives, and the DAU/MAU stickiness ratio — two exact
+    distinct-counts at different granularities joined on the coarser one.
+
+    Both sides are the bucketed pair-dedup shape (shuffle carries only
+    (grain, user) pairs); the day→month join runs on the driver over the
+    O(#days) aggregate."""
+    from ..bucket import bucketed_apply
+
+    def pairs(grain: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            ts = batch.column("ts").cast(pa.int64()).to_numpy()
+            g = (
+                ts.astype("datetime64[us]")
+                .astype(f"datetime64[{grain}]")
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            df = pd.DataFrame(
+                {"g_us": g, "user_id": batch.column("user_id").to_numpy()}
+            ).drop_duplicates()
+            return _from_pandas(df)
+
+        return fn
+
+    def count_per_grain(ds: rd.Dataset) -> pd.DataFrame:
+        dedup = bucketed_apply(
+            ds, ["g_us", "user_id"], lambda g: g.drop_duplicates(["g_us", "user_id"])
+        )
+        part = dedup.map_batches(
+            lambda b: b.groupby("g_us", as_index=False).agg(n=("user_id", "size")),
+            batch_format="pandas",
+        )
+        from ..bucket import bucketed_group_agg
+
+        return (
+            _concat(bucketed_group_agg(part, ["g_us"], dict(n=("n", "sum")), num_buckets=8))
+            .to_pandas()
+        )
+
+    ev = _events(sf_dir, ["ts", "user_id"])
+    dau = count_per_grain(ev.map_batches(pairs("D"), batch_format="pyarrow", batch_size=131072))
+    mau = count_per_grain(ev.map_batches(pairs("M"), batch_format="pyarrow", batch_size=131072))
+    day = dau["g_us"].to_numpy(dtype=np.int64)
+    month_of_day = (
+        day.astype("datetime64[us]").astype("datetime64[M]").astype("datetime64[us]").astype(np.int64)
+    )
+    mau_map = dict(zip(mau["g_us"].to_numpy(dtype=np.int64), mau["n"].to_numpy(dtype=np.int64)))
+    mau_v = np.array([mau_map[m] for m in month_of_day], dtype=np.int64)
+    order = np.argsort(day, kind="stable")
+    day, dau_v, mau_v = day[order], dau["n"].to_numpy(dtype=np.int64)[order], mau_v[order]
+    return pa.table(
+        {
+            "day": pa.array(day, pa.int64()).cast(pa.timestamp("us")),
+            "dau": pa.array(dau_v, pa.int64()),
+            "mau": pa.array(mau_v, pa.int64()),
+            "stickiness": pa.array(np.round(dau_v / mau_v, 6), pa.float64()),
+        }
+    )
+
+
+DAU_MAU_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+), m AS (
+  SELECT date_trunc('month', ts) AS month, count(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1
+)
+SELECT d.day, d.dau, m.mau,
+       round(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+FROM d JOIN m ON date_trunc('month', d.day) = m.month
+ORDER BY d.day
+"""

@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_type_cooccurrence": batch_cep.type_cooccurrence,
         "ev_windowed_distinct_users": batch_cep.windowed_distinct_users,
         "ev_user_first_last": batch_cep.user_first_last,
+        "ev_dau_mau_stickiness": batch_cep.dau_mau_stickiness,
         "ev_value_quantiles_approx": batch_cep.value_quantiles_approx,
         # --- streaming engine end-to-end (rows-only) ---
         "cep_streaming_sessions": _streaming_stream("sessions"),
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_type_cooccurrence": batch_cep.TYPE_COOCCURRENCE_SQL,
         "ev_windowed_distinct_users": batch_cep.WINDOWED_DISTINCT_SQL,
         "ev_user_first_last": batch_cep.USER_FIRST_LAST_SQL,
+        "ev_dau_mau_stickiness": batch_cep.DAU_MAU_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
         "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
         "rel_top_parts_by_price": relational.TOP_PARTS_SQL,

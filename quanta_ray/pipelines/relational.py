@@ -1060,48 +1060,113 @@ def promo_share_by_month(sf_dir: str) -> pa.Table:
     """Share of revenue from PROMO parts per ship month — the conditional-
     aggregate ratio (100 · Σ[promo rev] / Σ[rev]).
 
-    The part side is partkey→is_promo — one bit per part. At fact scale
-    the bit-vector broadcast is the right plan far longer than a row map
-    (1 bit vs ~30 B/row), so this uses a dense numpy bool array indexed by
-    partkey (parts are 0..N-1 here; a real catalog would hash-bucket like
-    `_bucket_join` past `QUANTA_BROADCAST_ROW_LIMIT`). Both numerator and
-    denominator are summed in integer micro-units per (month) group —
-    order-free, so the final single division is bit-identical to any
-    sequential oracle."""
+    The part side is partkey→is_promo — ONE BIT per part: at fact scale the
+    bit-vector broadcast stays the right plan far longer than a row map
+    (1 bit vs ~30 B/row; 1.5 B partkeys ≈ 190 MB, shipped once per actor).
+    Guarded like every "dimension" join here: when the id space is too
+    sparse for a bit-vector (max id > 8× row count) or the vector exceeds
+    the broadcast budget (64 bits per `QUANTA_BROADCAST_ROW_LIMIT` row),
+    fall back to the hash-bucket shuffle join of (partkey, is_promo) rows
+    against per-batch lineitem partials.
+    Both numerator and denominator are summed in integer micro-units per
+    month — order-free, so the final single division is bit-identical to
+    any sequential oracle."""
     import numpy as np
     import ray
 
-    part = _concat(_read(sf_dir, "part", ["p_partkey", "p_type"]))
-    pk = part.column("p_partkey").to_numpy()
-    promo = np.zeros(int(pk.max()) + 1, dtype=bool)
-    promo[pk] = np.asarray(part.column("p_type").to_numpy(zero_copy_only=False)) == "PROMO"
-    pref = ray.put(promo)
+    def rev_cols(batch: pd.DataFrame) -> tuple:
+        ship = batch["l_shipdate"].to_numpy().astype("datetime64[M]")
+        rev_u = np.round(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy()) * 1e6
+        ).astype(np.int64)
+        return ship, rev_u
 
-    class Partial:
-        def __init__(self):
-            self.promo = ray.get(pref)
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    n_parts = part_ds.count()  # parquet metadata, no data read
+    max_id = int(part_ds.max("p_partkey"))
+    # dense needs BOTH: ids dense enough for a bit-vector (max id within
+    # 8x the row count) AND total bits within the broadcast budget (64 bits
+    # per row-equivalent of the configured limit, i.e. the vector may cost
+    # at most what broadcasting `limit` 8-byte rows would)
+    dense_ok = (max_id + 1) <= min(8 * n_parts, 64 * _broadcast_limit())
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            ship = batch["l_shipdate"].to_numpy().astype("datetime64[M]")
-            rev_u = np.round(
-                batch["l_extendedprice"].to_numpy()
-                * (1.0 - batch["l_discount"].to_numpy()) * 1e6
-            ).astype(np.int64)
-            is_p = self.promo[batch["l_partkey"].to_numpy(dtype=np.int64)]
+    from ..bucket import bucketed_group_agg
+
+    if dense_ok:
+        part = _concat(part_ds)
+        pk = part.column("p_partkey").to_numpy()
+        promo = np.zeros(max_id + 1, dtype=bool)
+        promo[pk] = (
+            np.asarray(part.column("p_type").to_numpy(zero_copy_only=False)) == "PROMO"
+        )
+        pref = ray.put(promo)
+
+        class Partial:
+            def __init__(self):
+                self.promo = ray.get(pref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                ship, rev_u = rev_cols(batch)
+                is_p = self.promo[batch["l_partkey"].to_numpy(dtype=np.int64)]
+                df = pd.DataFrame(
+                    {"month": ship, "rev_u": rev_u, "promo_u": np.where(is_p, rev_u, 0)}
+                )
+                return df.groupby("month", as_index=False).agg(
+                    rev_u=("rev_u", "sum"), promo_u=("promo_u", "sum")
+                )
+
+        parts = _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ).map_batches(
+            # (1, 8) autoscaling pool: a fixed pool equal to the CPU count
+            # would starve the downstream reduce tasks on small sessions
+            Partial, batch_format="pandas", batch_size=131072, concurrency=(1, 8)
+        )
+    else:
+        # shuffle path: per-batch (partkey, month) revenue partials joined
+        # against (partkey, is_promo) via the explicit hash-bucket join,
+        # then the same month reduce — shuffle carries partials, not rows
+        def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            ship, rev_u = rev_cols(batch)
             df = pd.DataFrame(
-                {"month": ship, "rev_u": rev_u, "promo_u": np.where(is_p, rev_u, 0)}
+                {
+                    "l_partkey": batch["l_partkey"].to_numpy(dtype=np.int64),
+                    "month": ship,
+                    "rev_u": rev_u,
+                }
+            )
+            return df.groupby(["l_partkey", "month"], as_index=False).agg(
+                rev_u=("rev_u", "sum")
+            )
+
+        def p_flag(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "p_partkey": batch["p_partkey"].to_numpy(dtype=np.int64),
+                    "is_promo": (batch["p_type"].to_numpy() == "PROMO").astype(np.int64),
+                }
+            )
+
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ).map_batches(li_partial, batch_format="pandas", batch_size=131072)
+        pf = part_ds.map_batches(p_flag, batch_format="pandas")
+        joined = _bucket_join(li, pf, "l_partkey", "p_partkey", 16)
+
+        def month_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            rev = batch["rev_u"].to_numpy(dtype=np.int64)
+            promo_u = np.where(batch["is_promo"].to_numpy(dtype=np.int64) > 0, rev, 0)
+            df = pd.DataFrame(
+                {"month": batch["month"].to_numpy(), "rev_u": rev, "promo_u": promo_u}
             )
             return df.groupby("month", as_index=False).agg(
                 rev_u=("rev_u", "sum"), promo_u=("promo_u", "sum")
             )
 
-    from ..bucket import bucketed_group_agg
-
-    parts = _read(
-        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
-    ).map_batches(
-        Partial, batch_format="pandas", batch_size=131072, concurrency=4
-    )
+        parts = joined.map_batches(month_partial, batch_format="pandas")
     out = _concat(
         bucketed_group_agg(
             parts, ["month"],

@@ -40,3 +40,16 @@ def test_bucket_join_fallback_matches_broadcast(ray_session, monkeypatch, fn_nam
             assert np.max(np.abs(a.to_numpy() - b.to_numpy())) <= 1e-3, col
         else:
             assert a.equals(b), col
+
+
+def test_promo_share_dense_vs_shuffle(ray_session, monkeypatch):
+    """promo_share_by_month: the dense bit-vector plan and the forced
+    hash-bucket shuffle plan are bit-identical (integer micro-unit sums are
+    order-free, so no tolerance is needed)."""
+    from quanta_ray.pipelines import relational as rel
+
+    monkeypatch.delenv("QUANTA_BROADCAST_ROW_LIMIT", raising=False)
+    dense = rel.promo_share_by_month(SF)
+    monkeypatch.setenv("QUANTA_BROADCAST_ROW_LIMIT", "1")  # 64-bit budget
+    shuffled = rel.promo_share_by_month(SF)
+    assert dense.equals(shuffled)

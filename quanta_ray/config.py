@@ -67,6 +67,13 @@ class CEPConfig:
         # JSON specs deliver lists; normalize so configs hash/compare stably
         object.__setattr__(self, "pattern_roles", tuple(self.pattern_roles))
         object.__setattr__(self, "alert_scopes", tuple(self.alert_scopes))
+        allowed = {"all", "user", "assistant", "tool"}
+        bad = [s for s in self.alert_scopes if s not in allowed]
+        if bad:
+            raise ValueError(
+                f"alert_scopes {bad} not in {sorted(allowed)} — "
+                "scopes are validated at spec-parse time, before workers start"
+            )
         if self.sliding_size_us % self.sliding_slide_us != 0:
             raise ValueError(
                 "sliding_size_us must be a multiple of sliding_slide_us "

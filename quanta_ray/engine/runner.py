@@ -439,9 +439,10 @@ class StreamingRunner:
         }
         if latest >= 0:
             m = read_manifest(self.out_dir, latest)
+            assert m is not None, f"latest manifest {latest} missing or unreadable"
+            assert m["num_partitions"] == P, "partition count changed across resume"
             for s, st_s in (m.get("alerts_state") or {}).items():
                 alert_state[s] = dict(st_s)
-            assert m is not None and m["num_partitions"] == P, "partition count changed across resume"
             # checkpoints are staggered across partitions: collect each
             # partition's newest checkpoint ≤ latest, restore, then replay
             # the (deterministic) epochs since — workers skip epochs already

@@ -467,7 +467,7 @@ class _PatternState:
         return ps
 
 
-_CW_PENDING = ("code", "ts", "turn", "text", "iu", "ia", "it")
+_CW_PENDING = ("code", "ts", "turn", "rrank", "text", "iu", "ia", "it")
 _CW_PERCONV = (
     "cw_wid", "cw_n", "cw_nu", "cw_na", "cw_nt",
     "cw_first_ts", "cw_last_ts", "cw_first_text", "cw_last_text",
@@ -492,7 +492,7 @@ class _CountWindowState:
     __slots__ = (*_CW_PENDING, *_CW_PERCONV)
 
     def __init__(self) -> None:
-        for f in ("code", "ts", "turn", "iu", "ia", "it"):
+        for f in ("code", "ts", "turn", "rrank", "iu", "ia", "it"):
             setattr(self, f, np.empty(0, np.int64))
         self.text = np.empty(0, object)
         for f in ("cw_wid", "cw_n", "cw_nu", "cw_na", "cw_nt", "cw_first_ts", "cw_last_ts"):
@@ -510,10 +510,11 @@ class _CountWindowState:
             grown[:cur] = old
             setattr(self, f, grown)
 
-    def add(self, code, ts, turn, text, iu, ia, it) -> None:
+    def add(self, code, ts, turn, rrank, text, iu, ia, it) -> None:
         self.code = np.concatenate([self.code, code])
         self.ts = np.concatenate([self.ts, ts])
         self.turn = np.concatenate([self.turn, turn])
+        self.rrank = np.concatenate([self.rrank, rrank])
         self.text = np.concatenate([self.text, np.asarray(text, dtype=object)])
         self.iu = np.concatenate([self.iu, iu])
         self.ia = np.concatenate([self.ia, ia])
@@ -527,15 +528,30 @@ class _CountWindowState:
         outs = []
         n = len(self.code)
         if n:
-            order = np.lexsort((self.turn, self.ts, self.code))
+            # full-tuple tie-break to match the oracle's sorted() over
+            # (ts, turn, role, text) rows: role rank (assistant<tool<user
+            # lexicographically; non-canonical roles rank last — multiple
+            # DISTINCT non-canonical roles tied on (ts, turn) would need the
+            # raw string to order exactly, same residual the oracle notes)
+            # then text, so equal-(ts, turn) duplicates with different
+            # role/text chunk identically to the reference interpreter.
+            tkey = self.text
+            if any(t is None for t in tkey):
+                tkey = pd.Series(tkey, dtype=object).fillna("").to_numpy()
+            order = np.lexsort((tkey, self.rrank, self.turn, self.ts, self.code))
             code, ts, turn, text = (
                 self.code[order], self.ts[order], self.turn[order], self.text[order]
             )
+            rrank = self.rrank[order]
             iu, ia, it = self.iu[order], self.ia[order], self.it[order]
             fin = ts < wm
             keep = ~fin
-            (self.code, self.ts, self.turn, self.text, self.iu, self.ia, self.it) = (
-                code[keep], ts[keep], turn[keep], text[keep], iu[keep], ia[keep], it[keep]
+            (
+                self.code, self.ts, self.turn, self.rrank,
+                self.text, self.iu, self.ia, self.it,
+            ) = (
+                code[keep], ts[keep], turn[keep], rrank[keep],
+                text[keep], iu[keep], ia[keep], it[keep],
             )
             if fin.any():
                 fc, fts, ftext = code[fin], ts[fin], text[fin]
@@ -999,8 +1015,14 @@ class PartitionWorkerImpl:
 
         # ---- count windows: append; folded at emission time ----
         if cfg.count_window_size:
+            # lexicographic role rank: assistant(0) < tool(1) < user(2);
+            # non-canonical roles last (3)
+            rrank = np.where(
+                is_assistant, 0, np.where(it, 1, np.where(is_user, 2, 3))
+            ).astype(np.int64)
             self.cwin.add(
-                pcodes, ts, turn.astype(np.int64), text, is_user, is_assistant, it
+                pcodes, ts, turn.astype(np.int64), rrank, text,
+                is_user, is_assistant, it,
             )
 
         # ---- join state: per-conv buffers, touched only for join rows ----

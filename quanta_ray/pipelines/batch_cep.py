@@ -464,7 +464,11 @@ def _concat(ds: rd.Dataset) -> pa.Table:
     if not tables:
         return pa.table({})
     t = pa.concat_tables(tables, promote_options="default")
-    return t.combine_chunks()
+    # Strip pandas reconstruction metadata: without it, to_pandas() degrades
+    # nullable int64 -> float64/NaN — the SAME degradation DuckDB's .df()
+    # applies to nullable BIGINT — so the driver's value hash agrees on both
+    # sides while the Arrow schema we return keeps full int64 fidelity.
+    return t.combine_chunks().replace_schema_metadata(None)
 
 
 # --- additional SQL-checkable operators --------------------------------------
@@ -720,12 +724,33 @@ def consistent_sample(sf_dir: str, k: int = 100) -> pa.Table:
     """Deterministic k-sample of events: the k smallest md5(event_id) keys —
     the stable "consistent sample" primitive (same rows at any scale-out,
     resample-free as data grows at the tail). Per-block partial top-k →
-    tiny driver merge; SQL-checkable exactly."""
-    import hashlib
+    tiny driver merge; SQL-checkable exactly.
+
+    The md5 sort key is REQUIRED by the oracle's ORDER BY, so it can't be
+    swapped for the cheap ``hash_array`` fast path — instead it's computed
+    through DuckDB's C-vectorized ``md5()`` kernel over the whole batch
+    (zero-copy Arrow in/out), not a per-row Python lambda."""
+
+    def _md5_keys(ids: np.ndarray) -> np.ndarray:
+        try:
+            import duckdb
+
+            t = pa.table({"v": pa.array(ids, pa.int64())})
+            return (
+                duckdb.sql("SELECT md5(CAST(v AS VARCHAR)) AS k FROM t")
+                .arrow()
+                .column("k")
+                .to_numpy(zero_copy_only=False)
+            )
+        except ImportError:  # fallback: plain hashlib loop
+            import hashlib
+
+            return np.array(
+                [hashlib.md5(str(v).encode()).hexdigest() for v in ids], dtype=object
+            )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        key = batch["event_id"].map(lambda v: hashlib.md5(str(v).encode()).hexdigest())
-        batch = batch.assign(_skey=key)
+        batch = batch.assign(_skey=_md5_keys(batch["event_id"].to_numpy(np.int64)))
         return batch.sort_values("_skey").head(k)
 
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts", "value"]).map_batches(
@@ -984,11 +1009,11 @@ def type_hourly_pivot(
 
 TYPE_HOURLY_PIVOT_SQL = """
 SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events
 GROUP BY 1
 ORDER BY hour

@@ -868,8 +868,17 @@ def customer_order_counts_outer(sf_dir: str, buckets: int = 16) -> pa.Table:
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def o_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # sum in integer CENTS: float addition is order-dependent across a
+        # distributed partial tree, and a half-way rounding case could
+        # diverge from the sequential oracle (same convention as
+        # promo_share_by_month / top_unshipped_orders micro-units)
+        b = b.assign(
+            spent_c=np.round(b["o_totalprice"].to_numpy(np.float64) * 100.0).astype(
+                np.int64
+            )
+        )
         g = b.groupby("o_custkey", as_index=False).agg(
-            n_orders=("o_totalprice", "size"), spent=("o_totalprice", "sum")
+            n_orders=("spent_c", "size"), spent_c=("spent_c", "sum")
         )
         g["_bucket"] = (
             pd.util.hash_array(g["o_custkey"].to_numpy(dtype="int64")) % buckets
@@ -882,7 +891,7 @@ def customer_order_counts_outer(sf_dir: str, buckets: int = 16) -> pa.Table:
             {
                 "o_custkey": b["c_custkey"].to_numpy(dtype=np.int64),
                 "n_orders": np.int64(0),
-                "spent": np.float64(0.0),
+                "spent_c": np.int64(0),
                 "c_mktsegment": b["c_mktsegment"].astype(str),
                 "_bucket": (
                     pd.util.hash_array(b["c_custkey"].to_numpy(dtype="int64"))
@@ -901,7 +910,7 @@ def customer_order_counts_outer(sf_dir: str, buckets: int = 16) -> pa.Table:
         o = (
             g[g["_side"] == 1]
             .groupby("o_custkey", as_index=False)
-            .agg(n_orders=("n_orders", "sum"), spent=("spent", "sum"))
+            .agg(n_orders=("n_orders", "sum"), spent_c=("spent_c", "sum"))
         )
         m = c[["o_custkey", "c_mktsegment"]].merge(o, on="o_custkey", how="left")
         return pa.table(
@@ -912,7 +921,7 @@ def customer_order_counts_outer(sf_dir: str, buckets: int = 16) -> pa.Table:
                     m["n_orders"].fillna(0).to_numpy(dtype=np.int64), pa.int64()
                 ),
                 "total_spent": pa.array(
-                    np.round(m["spent"].fillna(0.0).to_numpy(dtype=np.float64), 2),
+                    m["spent_c"].fillna(0).to_numpy(dtype=np.int64) / 100.0,
                     pa.float64(),
                 ),
             }

@@ -124,15 +124,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_user_first_last": batch_cep.user_first_last,
         "ev_dau_mau_stickiness": batch_cep.dau_mau_stickiness,
         "ev_value_quantiles_approx": batch_cep.value_quantiles_approx,
-        # --- streaming engine end-to-end (rows-only) ---
-        "cep_streaming_sessions": _streaming_stream("sessions"),
-        "cep_streaming_tumbling": _streaming_stream("tumbling"),
-        "cep_streaming_sliding": _streaming_stream("sliding"),
-        "cep_streaming_joins": _streaming_stream("joins"),
-        "cep_streaming_turns": _streaming_stream("turns"),
-        "cep_streaming_patterns": _streaming_stream("patterns"),
-        "cep_streaming_count_windows": _streaming_stream("count_windows"),
-        "cep_streaming_alerts": _streaming_stream("alerts"),
         # --- relational stage library ---
         "rel_pricing_summary": relational.pricing_summary,
         "rel_revenue_by_nation": relational.revenue_by_nation,
@@ -205,6 +196,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_doc_wav_features": _doc_wav_features,
         "mm_doc_bmp_features": _doc_bmp_features,
         "mm_doc_y4m_frames": _doc_y4m_frames,
+        # --- streaming engine end-to-end (rows-only) ---
+        # Deliberately LAST: the first cep_streaming_* call pays the one-time
+        # engine warm-up, so a time-budgeted driver sweep reaches every batch
+        # oracle above before the slow streaming family starts.
+        "cep_streaming_sessions": _streaming_stream("sessions"),
+        "cep_streaming_tumbling": _streaming_stream("tumbling"),
+        "cep_streaming_sliding": _streaming_stream("sliding"),
+        "cep_streaming_joins": _streaming_stream("joins"),
+        "cep_streaming_turns": _streaming_stream("turns"),
+        "cep_streaming_patterns": _streaming_stream("patterns"),
+        "cep_streaming_count_windows": _streaming_stream("count_windows"),
+        "cep_streaming_alerts": _streaming_stream("alerts"),
     }
 
 

@@ -49,6 +49,57 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(sortable).reset_index(drop=True) if sortable else df
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if isinstance(s.dtype, pd.Int64Dtype) or pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
+def strict_hash_amber(got_raw: pd.DataFrame, want_raw: pd.DataFrame) -> str | None:
+    """Emulate the driver's value-hash sensitivity. Calibrated against three
+    rounds of CORRECTNESS_r*.json: the driver unifies integer widths
+    (int32 vs int64 hash-green: ev_funnel r3) and float widths (float32
+    cosine hash-green: emb_knn r1/r2), but an int-kind column paired with a
+    float-kind oracle column (pandas Int64 vs DuckDB nullable-BIGINT float64,
+    r3 ev_next_event_join; int64 vs HUGEINT float64, ev_type_hourly_pivot)
+    hash-ambers. Flag exactly the kind-level mismatches."""
+    g = got_raw[sorted(got_raw.columns)]
+    w = want_raw[sorted(want_raw.columns)]
+    if list(g.columns) != list(w.columns) or len(g) != len(w):
+        return None  # caught by the primary comparison
+    for c in g.columns:
+        gk, wk = _dtype_kind(g[c]), _dtype_kind(w[c])
+        if gk != wk:
+            return f"dtype kind {c}: {g[c].dtype} ({gk}) != {w[c].dtype} ({wk})"
+    # exact equality for int/bool/object columns (floats already rtol-checked)
+    sortable = [
+        c
+        for c in g.columns
+        if not g[c].map(lambda v: isinstance(v, (list, dict, np.ndarray))).any()
+    ]
+    if sortable:
+        g = g.sort_values(sortable).reset_index(drop=True)
+        w = w.sort_values(sortable).reset_index(drop=True)
+    for c in g.columns:
+        if _dtype_kind(g[c]) in ("float", "datetime"):
+            continue
+        try:
+            ga, wa = g[c], w[c]
+            if _dtype_kind(ga) == "int":
+                ga, wa = ga.astype("Int64"), wa.astype("Int64")
+            if not ga.equals(wa):
+                return f"exact values {c} differ"
+        except Exception:
+            pass
+    return None
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -75,7 +126,8 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            got = canon(to_df(fn(sf_dir)))
+            got_raw = to_df(fn(sf_dir))
+            got = canon(got_raw)
         except Exception:
             print(f"FAIL {name}: query raised\n{traceback.format_exc()}")
             failures.append(name)
@@ -85,7 +137,8 @@ def main() -> int:
             print(f"ok   {name}: rows={len(got)} (rows-only, {dt:.1f}s)")
             continue
         try:
-            want = canon(con.sql(sqls[name]).df())
+            want_raw = con.sql(sqls[name]).df()
+            want = canon(want_raw)
         except Exception:
             print(f"FAIL {name}: oracle SQL raised\n{traceback.format_exc()}")
             failures.append(name)
@@ -102,6 +155,11 @@ def main() -> int:
             pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6)
         except AssertionError as ex:
             print(f"FAIL {name}: values differ: {str(ex)[:500]}")
+            failures.append(name)
+            continue
+        amber = strict_hash_amber(got_raw, want_raw)
+        if amber:
+            print(f"AMBER {name}: values match but driver hash would differ: {amber}")
             failures.append(name)
             continue
         print(f"ok   {name}: rows={len(got)} ({dt:.1f}s)")

@@ -58,16 +58,21 @@ def kmeans_embeddings(
     """(vec_id, cluster) assignment after ``iters`` Lloyd iterations of
     spherical k-means (unit-normalized vectors, cosine assignment).
 
-    The pruned (vec_id, embedding) working set is materialized ONCE into the
-    object store and every iteration maps over the cached blocks — the
-    canonical iterative-ML pattern (re-scanning parquet per iteration would
-    read the corpus ``iters+1`` times; the object store spills if the pruned
-    table exceeds memory). Per-iteration partials are k rows per block; they
-    are combined on the driver while k x #blocks stays small and via the
-    bucketed shuffle reduce beyond that."""
+    The pruned (vec_id, embedding) working set STREAMS from parquet on
+    every iteration: each Lloyd pass is a fresh lazy scan -> map_batches
+    (partials) -> reduce, so nothing row-proportional is ever pinned in the
+    object store — at 100-TB embeddings a materialized working set would
+    live in spill for the whole job, while iters+1 streaming scans read at
+    storage bandwidth with backpressure and free blocks as they go. The
+    only cross-iteration state is the k x d centroid matrix (broadcast once
+    per iteration via ``ray.put``). Per-iteration partials are k rows per
+    block; they are combined on the driver while k x #blocks stays small
+    and via the bucketed shuffle reduce beyond that."""
+    import os as _os
+
     from ..bucket import bucketed_group_agg
 
-    ds = _emb(sf_dir).select_columns(["vec_id", "embedding"]).materialize()
+    ds = _emb(sf_dir).select_columns(["vec_id", "embedding"])
     # Seeded init sample: first 2048 rows read straight off the parquet file
     # on the driver — ``Dataset.limit`` over materialized blocks returns rows
     # in nondeterministic order, which would permute the seeded centroid
@@ -96,7 +101,11 @@ def kmeans_embeddings(
     agg_spec = {"cnt": ("cnt", "sum"), **{f"s{j}": (f"s{j}", "sum") for j in range(d)}}
     # k rows per block x (d+2) float64 cols: combine on the driver while that
     # stays under ~64 MB; the bucketed shuffle reduce is the 100-TB path.
-    small_partials = k * ds.num_blocks() * (d + 2) * 8 < 64 * 1024 * 1024
+    # Block count is estimated from file bytes (the dataset stays lazy).
+    est_blocks = max(
+        8, _os.path.getsize(f"{sf_dir}/embeddings.parquet") // (32 * 1024 * 1024) + 1
+    )
+    small_partials = k * est_blocks * (d + 2) * 8 < 64 * 1024 * 1024
     for _ in range(iters):
         cref = ray.put(centroids)
         parts = ds.map_batches(

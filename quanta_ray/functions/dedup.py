@@ -342,7 +342,7 @@ def _pairs_from_buckets(
     rows_ds: rd.Dataset,
     bucket_keys: list[str],
     id_col: str,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     max_bucket: int = 256,
     global_dedup: bool = True,
 ) -> rd.Dataset:
@@ -368,7 +368,16 @@ def _pairs_from_buckets(
     clusters (identical signatures ⇒ every band bucket is the whole cluster):
     skipping outright would lose the cluster entirely, because no band of an
     exact dup is ever discriminating. Lazy: callers decide when to
-    ``materialize()``."""
+    ``materialize()``.
+
+    ``num_partitions=None`` (default) data-sizes the partition count from
+    the source bytes (8x damped: band rows are short key/id tuples, a small
+    fraction of the source text bytes they derive from) so per-group memory
+    stays bounded at 100-TB inputs instead of a fixed 32."""
+    if num_partitions is None:
+        from ..bucket import _TARGET_BUCKET_BYTES, auto_buckets
+
+        num_partitions = auto_buckets(rows_ds, target_bytes=8 * _TARGET_BUCKET_BYTES)
 
     def add_pkey(batch: pd.DataFrame) -> pd.DataFrame:
         key = batch[bucket_keys[0]].to_numpy().astype(np.uint64)
@@ -447,7 +456,7 @@ def _route_verify(
     payload_fn: Callable[[pd.DataFrame], Any],
     verify_fn: Callable[[pd.DataFrame], pd.DataFrame],
     payload_fill: Any = b"",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Fused shuffle-join verify — TWO all-to-alls, the structural minimum
     for "co-locate each candidate pair with both members' payloads".
@@ -473,7 +482,15 @@ def _route_verify(
     ``carry`` maps each ``src_ds`` column ``payload_fn`` needs (beyond
     doc_id) to the placeholder the demand side is padded with — union
     branches must keep identical schemas/dtypes. ``verify_fn`` must handle
-    the empty frame (fixed output columns)."""
+    the empty frame (fixed output columns).
+
+    ``num_buckets=None`` (default) data-sizes the bucket count from the
+    payload-source bytes: stage R shuffles full payloads, so per-bucket
+    memory tracks source/num_buckets directly."""
+    if num_buckets is None:
+        from ..bucket import auto_buckets
+
+        num_buckets = auto_buckets(src_ds)
 
     cols_r = ["doc_id", "_vb"] + list(carry) + ["_side", "_pkey"]
 
@@ -688,25 +705,33 @@ def minhash_lsh_pairs(
 def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.8, shingle_k: int = 3) -> pa.Table:
     """Docs surviving near-dup removal: drop every doc that has a
     higher-priority (lower doc_id) near-duplicate (LSH candidates + exact
-    Jaccard ≥ threshold). Rows-only oracle."""
+    Jaccard ≥ threshold). Rows-only oracle.
+
+    Scale shape: the drop set is CANDIDATE-proportional (30-50% of corpus
+    ids at web dup rates), so it is NEVER broadcast — the dup ids enter the
+    object store once as Dataset blocks and the removal is a bucketed
+    ANTI-JOIN on doc_id (the ``dedup_incremental`` shape): both sides
+    hash-shuffle to doc_id buckets, each bucket drops its own dups. Per-task
+    memory is input/num_buckets, independent of the global dup count."""
     pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=threshold, shingle_k=shingle_k)
-    dup_b = set(pairs.column("b").to_pylist())  # b > a always; b is the dup
-
-    import ray
-
-    ref = ray.put(frozenset(dup_b))
-
-    class DropDups:
-        def __init__(self):
-            self.dups = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[~batch["doc_id"].isin(self.dups)]
-
-    out = _docs(sf_dir, ["doc_id"]).map_batches(
-        DropDups, batch_format="pandas", batch_size=8192, concurrency=2
+    # b > a always; b is the dup
+    dup = rd.from_arrow(
+        pa.table({"doc_id": pairs.column("b").cast(pa.int64()).combine_chunks()})
+    ).map_batches(
+        lambda b: b.assign(_dup=np.int8(1)), batch_format="pandas"
     )
-    t = _concat(out)
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda b: b.assign(_dup=np.int8(0)), batch_format="pandas"
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        dup_ids = g.loc[g["_dup"] == 1, "doc_id"]
+        keep = g.loc[g["_dup"] == 0, ["doc_id"]]
+        return keep[~keep["doc_id"].isin(set(dup_ids.to_numpy()))]
+
+    from ..bucket import bucketed_apply
+
+    t = _concat(bucketed_apply(docs.union(dup), ["doc_id"], anti))
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
 
 
@@ -858,7 +883,7 @@ def cc_labels(
     edges: rd.Dataset,
     labels: rd.Dataset,
     max_rounds: int = 16,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Distributed connected components: min-label propagation with
     pointer-jumping over an ``edges`` Dataset (int columns ``src``/``dst``)
@@ -954,7 +979,7 @@ def _doc_id_labels(sf_dir: str) -> rd.Dataset:
 
 
 def dedup_clusters(
-    sf_dir: str, max_rounds: int = 16, num_buckets: int = 32
+    sf_dir: str, max_rounds: int = 16, num_buckets: int | None = None
 ) -> pa.Table:
     """Assign every document a duplicate-CLUSTER id = min doc_id of its
     connected component in the duplicate graph — the step between pair
@@ -1014,7 +1039,7 @@ def near_dup_clusters(
     sf_dir: str,
     jaccard_threshold: float = 0.7,
     max_rounds: int = 16,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> pa.Table:
     """The end-to-end NEAR-dup pipeline composition: MinHash+LSH verified
     pairs -> distributed connected components -> per-doc (cluster_id, keep).
@@ -1049,7 +1074,7 @@ def near_dup_clusters(
 # --- incremental (shard-vs-corpus) dedup --------------------------------------
 
 
-def dedup_incremental(sf_dir: str, num_buckets: int = 32) -> pa.Table:
+def dedup_incremental(sf_dir: str, num_buckets: int | None = None) -> pa.Table:
     """Dedup a NEW shard against an EXISTING corpus in one shuffle: keep
     each new document only if its content never occurs in the existing
     corpus, and keep one survivor (min doc_id) among new-internal dups —
@@ -1123,7 +1148,7 @@ def near_dup_keep_best(
     sf_dir: str,
     jaccard_threshold: float = 0.7,
     max_rounds: int = 16,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> pa.Table:
     """Near-dup cluster dedup that keeps the HIGHEST-QUALITY member per
     connected component (longest text, ties → min doc_id) instead of the

@@ -264,12 +264,20 @@ def revenue_by_orderpriority(sf_dir: str) -> pa.Table:
     else:
         joined = _bucket_join(lineitem, orders, "l_orderkey", "o_orderkey", 16)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("o_orderpriority", as_index=False)["rev"].sum()
-        return g.rename(columns={"rev": "revenue"})
+    def partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native partial: dictionary-encode the 5-value priority
+        # column (zero-copy in) + one bincount — no pandas block
+        # consolidation on the shuffle side
+        enc = batch.column("o_orderpriority").combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        rev = batch.column("rev").to_numpy(zero_copy_only=False)
+        sums = np.bincount(idx, weights=rev, minlength=len(enc.dictionary))
+        return pa.table(
+            {"o_orderpriority": enc.dictionary, "revenue": pa.array(sums, pa.float64())}
+        )
 
     out = (
-        joined.map_batches(partial, batch_format="pandas", batch_size=262144)
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=262144)
         .groupby("o_orderpriority")
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
@@ -492,22 +500,56 @@ def region_revenue(sf_dir: str) -> pa.Table:
     ).set_index("n_nationkey")["r_name"]
     if _read(sf_dir, "customer", ["c_custkey"]).count() <= _broadcast_limit():
         customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-        lookup = customer.set_index("c_custkey")["c_nationkey"].map(nat_region)
-        ref = ray.put(lookup)
+        region_of_cust = customer["c_nationkey"].map(nat_region)
+        names, codes_per_cust = np.unique(
+            region_of_cust.to_numpy(dtype=object), return_inverse=True
+        )
+        ck = customer["c_custkey"].to_numpy(dtype=np.int64)
+        if ck.max() <= 4 * len(ck) + 1024:
+            # dense-key fast path: one O(max_key) int8 array, broadcast once;
+            # per batch the join is a direct fancy-index (no hashing at all)
+            dense = np.full(int(ck.max()) + 1, -1, dtype=np.int16)
+            dense[ck] = codes_per_cust
+            ref = ray.put((names, dense, None))
+        else:
+            # sparse keys: sorted-key searchsorted lookup (still vectorized)
+            order = np.argsort(ck)
+            ref = ray.put((names, codes_per_cust[order].astype(np.int16), ck[order]))
 
         class JoinAgg:
-            def __init__(self):
-                self.lookup = ray.get(ref)
+            """Arrow-native broadcast join + partial aggregate: fancy-index
+            (or searchsorted) the custkey→region code, then two bincounts.
+            One (R+1)-row partial per batch; no pandas in the hot path."""
 
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                batch["r_name"] = batch["o_custkey"].map(self.lookup)
-                return batch.groupby("r_name", as_index=False).agg(
-                    revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+            def __init__(self):
+                self.names, self.codes, self.keys = ray.get(ref)
+                self.R = len(self.names)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+                tp = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+                if self.keys is None:
+                    code = self.codes[ck]
+                else:
+                    pos = np.searchsorted(self.keys, ck)
+                    pos = np.minimum(pos, len(self.keys) - 1)
+                    code = np.where(self.keys[pos] == ck, self.codes[pos], -1)
+                code = code.astype(np.int64) + 1  # slot 0 = unmatched (FK miss)
+                rev = np.bincount(code, weights=tp, minlength=self.R + 1)[1:]
+                n = np.bincount(code, minlength=self.R + 1)[1:]
+                hit = n > 0  # inner-join semantics: no zero rows for
+                # regions unseen in this batch (or in the data at all)
+                return pa.table(
+                    {
+                        "r_name": pa.array(self.names[hit], pa.string()),
+                        "revenue": pa.array(rev[hit], pa.float64()),
+                        "n_orders": pa.array(n[hit], pa.int64()),
+                    }
                 )
 
         out = (
             _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-            .map_batches(JoinAgg, batch_format="pandas", batch_size=131072, concurrency=(1, 4))
+            .map_batches(JoinAgg, batch_format="pyarrow", batch_size=131072, concurrency=(1, 4))
             .groupby("r_name")
             .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
         )
@@ -613,7 +655,7 @@ ORDER BY o_custkey
 # --- AS-OF join: events ⋈ latest prior order ---------------------------------
 
 
-def asof_latest_order(sf_dir: str, buckets: int = 32) -> pa.Table:
+def asof_latest_order(sf_dir: str, buckets: int | None = None) -> pa.Table:
     """AS-OF join — the time-series point-in-time lookup Ray Data lacks
     natively: each event ⋈ the latest order of the same user with
     o_orderdate <= event ts (tie on o_orderdate broken by max o_orderkey,
@@ -624,56 +666,60 @@ def asof_latest_order(sf_dir: str, buckets: int = 32) -> pa.Table:
     ``pd.merge_asof`` (per-key via ``by=``) over bucket-locally time-sorted
     frames. Partitioning assumption: every row of one user lands in one
     bucket; no global sort is needed. Left-outer semantics: events with no
-    prior order keep nulls."""
+    prior order keep nulls.
+
+    Shuffle width: the two sides are PACKED into one narrow union schema
+    (key, k1, t1, v1) — event_id/o_orderkey share k1, ts/o_orderdate share
+    t1 — instead of padding each side with the other's null columns, so
+    every shuffled row is fully utilized (~half the bytes of the padded
+    form). Tag stages are zero-copy Arrow column selection."""
     import numpy as np
 
     events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     )
+    if buckets is None:
+        from ..bucket import auto_buckets
 
-    def tag_ev(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        buckets = max(auto_buckets(events), auto_buckets(orders))
+
+    def _bk(uid: np.ndarray) -> pa.Array:
+        return pa.array((pd.util.hash_array(uid) % buckets).astype(np.int64))
+
+    def tag_ev(b: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "event_id": b["event_id"].astype("Int64"),
-                "ts": b["ts"].astype("datetime64[us]"),
-                "user_id": b["user_id"].astype("Int64"),
-                "o_orderkey": pd.array([pd.NA] * len(b), dtype="Int64"),
-                "o_orderdate": pd.Series(
-                    pd.NaT, index=b.index, dtype="datetime64[us]"
-                ),
-                "o_totalprice": np.nan,
-                "_side": np.int64(0),
-                "_bucket": (
-                    pd.util.hash_array(b["user_id"].to_numpy(dtype=np.int64)) % buckets
-                ).astype(np.int64),
+                "user_id": b.column("user_id"),
+                "k1": b.column("event_id"),
+                "t1": b.column("ts"),
+                "v1": pa.nulls(b.num_rows, pa.float64()),
+                "_side": pa.array(np.zeros(b.num_rows, np.int8)),
+                "_bucket": _bk(b.column("user_id").to_numpy()),
             }
         )
 
-    def tag_od(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def tag_od(b: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "event_id": pd.array([pd.NA] * len(b), dtype="Int64"),
-                "ts": pd.Series(pd.NaT, index=b.index, dtype="datetime64[us]"),
-                "user_id": b["o_custkey"].astype("Int64"),
-                "o_orderkey": b["o_orderkey"].astype("Int64"),
-                "o_orderdate": b["o_orderdate"].astype("datetime64[us]"),
-                "o_totalprice": b["o_totalprice"].astype(np.float64),
-                "_side": np.int64(1),
-                "_bucket": (
-                    pd.util.hash_array(b["o_custkey"].to_numpy(dtype=np.int64)) % buckets
-                ).astype(np.int64),
+                "user_id": b.column("o_custkey"),
+                "k1": b.column("o_orderkey"),
+                "t1": b.column("o_orderdate"),
+                "v1": b.column("o_totalprice"),
+                "_side": pa.array(np.ones(b.num_rows, np.int8)),
+                "_bucket": _bk(b.column("o_custkey").to_numpy()),
             }
         )
 
-    both = events.map_batches(tag_ev, batch_format="pandas").union(
-        orders.map_batches(tag_od, batch_format="pandas")
+    both = events.map_batches(tag_ev, batch_format="pyarrow").union(
+        orders.map_batches(tag_od, batch_format="pyarrow")
     )
 
     out_cols = ["event_id", "user_id", "last_orderkey", "last_orderdate", "last_totalprice"]
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["_side"] == 0]
+        side = g["_side"].to_numpy()
+        ev = g[side == 0]
         if not len(ev):
             return pd.DataFrame(
                 {
@@ -687,22 +733,22 @@ def asof_latest_order(sf_dir: str, buckets: int = 32) -> pa.Table:
         ev = (
             pd.DataFrame(
                 {
-                    "event_id": ev["event_id"].astype("int64"),
-                    "ts": ev["ts"],
+                    "event_id": ev["k1"].astype("int64"),
+                    "ts": ev["t1"].astype("datetime64[us]"),
                     "user_id": ev["user_id"].astype("int64"),
                 }
             )
             .sort_values("ts", kind="mergesort")
             .reset_index(drop=True)
         )
-        od = g[g["_side"] == 1]
+        od = g[side == 1]
         od = (
             pd.DataFrame(
                 {
                     "user_id": od["user_id"].astype("int64"),
-                    "o_orderdate": od["o_orderdate"],
-                    "o_orderkey": od["o_orderkey"].astype("int64"),
-                    "o_totalprice": od["o_totalprice"].astype("float64"),
+                    "o_orderdate": od["t1"].astype("datetime64[us]"),
+                    "o_orderkey": od["k1"].astype("int64"),
+                    "o_totalprice": od["v1"].astype("float64"),
                 }
             )
             # merge_asof keeps the LAST right row among equal on-keys, so
@@ -737,7 +783,7 @@ def asof_latest_order(sf_dir: str, buckets: int = 32) -> pa.Table:
 
 
 def customers_without_orders(
-    sf_dir: str, since: str = "2000-01-01", buckets: int = 16
+    sf_dir: str, since: str = "2000-01-01", buckets: int | None = None
 ) -> pa.Table:
     """Distributed ANTI-join (NOT EXISTS): customers with no order on or
     after ``since``.
@@ -763,33 +809,41 @@ def customers_without_orders(
             >= pads.scalar(_dt.datetime.fromisoformat(since))
         ),
     ).select_columns(["o_custkey"])
+    if buckets is None:
+        from ..bucket import auto_buckets
 
-    def tag_c(b: pd.DataFrame) -> pd.DataFrame:
-        k = b["c_custkey"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
+        buckets = max(auto_buckets(cust, floor=16), auto_buckets(okeys, floor=16))
+
+    # Arrow-native tag stages: zero-copy column selection + one vectorized
+    # hash; probe-side padding is NULL columns (no fabricated values). The
+    # probe ships only per-batch-distinct keys, so the padded width rides
+    # on the (already reduced) key rows, not order rows.
+    def tag_c(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy()
+        return pa.table(
             {
-                "key": k,
-                "c_name": b["c_name"].astype(str),
-                "c_acctbal": b["c_acctbal"].astype(np.float64),
-                "_side": np.int64(0),
-                "_bucket": (pd.util.hash_array(k) % buckets).astype(np.int64),
+                "key": b.column("c_custkey"),
+                "c_name": b.column("c_name"),
+                "c_acctbal": b.column("c_acctbal"),
+                "_side": pa.array(np.zeros(b.num_rows, np.int8)),
+                "_bucket": pa.array((pd.util.hash_array(k) % buckets).astype(np.int64)),
             }
         )
 
-    def tag_o(b: pd.DataFrame) -> pd.DataFrame:
-        k = np.unique(b["o_custkey"].to_numpy(dtype=np.int64))
-        return pd.DataFrame(
+    def tag_o(b: pa.Table) -> pa.Table:
+        k = np.unique(b.column("o_custkey").to_numpy())
+        return pa.table(
             {
-                "key": k,
-                "c_name": "",
-                "c_acctbal": np.nan,
-                "_side": np.int64(1),
-                "_bucket": (pd.util.hash_array(k) % buckets).astype(np.int64),
+                "key": pa.array(k, pa.int64()),
+                "c_name": pa.nulls(len(k), pa.string()),
+                "c_acctbal": pa.nulls(len(k), pa.float64()),
+                "_side": pa.array(np.ones(len(k), np.int8)),
+                "_bucket": pa.array((pd.util.hash_array(k) % buckets).astype(np.int64)),
             }
         )
 
-    both = cust.map_batches(tag_c, batch_format="pandas").union(
-        okeys.map_batches(tag_o, batch_format="pandas")
+    both = cust.map_batches(tag_c, batch_format="pyarrow").union(
+        okeys.map_batches(tag_o, batch_format="pyarrow")
     )
 
     def anti(g: pd.DataFrame) -> pa.Table:

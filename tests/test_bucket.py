@@ -65,3 +65,34 @@ def test_bucketed_apply_key_completeness(ray_session, rand_df):
     got = out.sort_values(["k1", "k2"]).reset_index(drop=True)
     want = want.sort_values(["k1", "k2"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+def test_auto_buckets_grows_with_input(ray_session, tmp_path):
+    """Bucket count must scale with input bytes (per-bucket memory =
+    input/num_buckets), falling back to the floor for in-memory data."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import ray.data as rd
+
+    from quanta_ray.bucket import auto_buckets
+
+    rng = np.random.default_rng(7)
+    small = tmp_path / "small.parquet"
+    big = tmp_path / "big.parquet"
+    pq.write_table(
+        pa.table({"x": rng.integers(0, 1 << 60, 20_000)}), small, compression="none"
+    )
+    pq.write_table(
+        pa.table({"x": rng.integers(0, 1 << 60, 2_000_000)}), big, compression="none"
+    )
+    target = 64 * 1024  # tiny target so the growth shows at test scale
+    n_small = auto_buckets(rd.read_parquet(str(small)), target_bytes=target)
+    n_big = auto_buckets(rd.read_parquet(str(big)), target_bytes=target)
+    assert n_big > n_small >= 32
+    assert n_big >= (2_000_000 * 8) // target  # ~bytes/target
+
+    # in-memory dataset: no input files -> floor
+    import pandas as pd
+
+    assert auto_buckets(rd.from_pandas(pd.DataFrame({"x": [1]}))) == 32

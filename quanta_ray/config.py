@@ -174,6 +174,12 @@ class PipelineSpec:
     rebalance_every: int = 2
     # migrate only when max worker load > ratio × min worker load
     rebalance_ratio: float = 1.2
+    # live metrics endpoint (reference: internal/telemetry/metrics.go:10-15):
+    # the driver serves its folded per-partition metrics as JSON over HTTP
+    # while run() executes. -1 = off (default), 0 = ephemeral port (read it
+    # back from runner.metrics_url), >0 = fixed port. The QUANTA_METRICS_PORT
+    # env var overrides at runner start.
+    metrics_port: int = -1
 
 
 class SpecError(ValueError):
@@ -244,6 +250,7 @@ def load_spec(d: dict[str, Any]) -> PipelineSpec:
         checkpoint_every=int(d.get("checkpoint_every", 1)),
         rebalance_every=int(d.get("rebalance_every", 2)),
         rebalance_ratio=float(d.get("rebalance_ratio", 1.2)),
+        metrics_port=int(d.get("metrics_port", -1)),
     )
 
 

@@ -319,6 +319,31 @@ class StreamingRunner:
             raise ValueError("source has no files")
         self._workers: list[Any] | None = None
         self._assign: list[list[int]] | None = None
+        # live /metrics endpoint (reference: telemetry/metrics.go:10-15).
+        # Lives for the runner's lifetime so the final snapshot stays
+        # inspectable after run() returns; off unless the spec or env asks.
+        env_port = os.environ.get("QUANTA_METRICS_PORT")
+        port = int(env_port) if env_port is not None else spec.metrics_port
+        self.metrics_server = None
+        if port >= 0:
+            from ..telemetry import MetricsServer
+
+            self.metrics_server = MetricsServer(port)
+
+    @property
+    def metrics_url(self) -> str | None:
+        return self.metrics_server.url if self.metrics_server else None
+
+    def close(self) -> None:
+        if self.metrics_server is not None:
+            self.metrics_server.close()
+            self.metrics_server = None
+
+    def __del__(self) -> None:  # pragma: no cover - GC-order dependent
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def prepare_workers(self) -> None:
         """Create + warm the worker actors (process spawn and imports happen
@@ -597,6 +622,18 @@ class StreamingRunner:
                 }
             metas = ray.get(meta_refs)
             writes = ray.get(write_refs)
+            if self.metrics_server is not None:
+                # commit runs once per epoch (both modes), so each partition
+                # metric folds exactly once; O(partitions) scalars per epoch
+                for r in metas:
+                    for pm in r["metrics"]:
+                        self.metrics_server.fold_partition(pm)
+                self.metrics_server.update(
+                    pipeline_id=spec.pipeline_id,
+                    epochs_committed=epoch,
+                    watermark=wms[epoch] if epoch < len(files) else POS_INF,
+                    inflight_epochs=len(inflight),
+                )
             stream_files = [f for w in writes for f in w["files"]]
             # second-level reduce: fold per-worker tumbling-window partials
             # (O(windows/epoch) scalars) into global counts, chain the burst

@@ -14,3 +14,7 @@ from .transforms import (  # noqa: F401
     ErrorThenOKStage,
     TRANSFORM_REGISTRY,
 )
+from .subprocess_stage import (  # noqa: F401
+    SubprocessTransformer,
+    serve_plugin,
+)

@@ -203,7 +203,10 @@ class RetryOddStage(Transformer):
         return [dict(row)]
 
 
+from .subprocess_stage import SubprocessTransformer  # noqa: E402
+
 TRANSFORM_REGISTRY = {
+    "subprocess": SubprocessTransformer,
     "normalize": NormalizeStage,
     "uppercase": UppercaseStage,
     "drop_role": DropRoleStage,

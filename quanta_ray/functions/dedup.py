@@ -611,14 +611,15 @@ def _minhash_verified(
 ) -> pa.Table:
     """All LSH candidate pairs with their EXACT Jaccard (no threshold filter)
     — every stage distributed, verify via the fused 2-shuffle route join."""
+    # a callable INSTANCE (not the class): Ray runs it as stateless tasks.
+    # MinHasher state is ~1 KB of seeded permutation params, so shipping it
+    # per task is free, while an actor pool would pay ~1 s of process spawn
+    # per query invocation — the wrong trade for cheap-constructor stages
+    # at any scale (heavy-init stages like model scoring keep the pool).
     bands_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
+        MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k),
         batch_format="pandas",
         batch_size=4096,  # signatures are batch-vectorized — bigger is better
-        # autoscaling pool: scales to 8 on the bench cluster, fits the
-        # 4-cpu test cluster (a fixed 8 would deadlock actor placement)
-        concurrency=(1, 8),
     )
 
     # materialize the pair set (object store, not driver): it is consumed

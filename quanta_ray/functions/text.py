@@ -60,29 +60,43 @@ def _token_stats(toks: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return n, uniq, total_len
 
 
-class TokenCounter:
-    """Word-token counts per document. Regex compiled once per actor
-    (reference pattern: stateful setup in __init__, work per batch)."""
-
-    def __init__(self):
-        import re
-
-        self.word = re.compile(r"[A-Za-z0-9]+")
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n, uniq, _ = _token_stats(batch["text"].str.findall(self.word))
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"].to_numpy(),
-                "n_tokens": n,
-                "n_unique_tokens": uniq,
-            }
+def token_counts_batch(batch: pa.Table) -> pa.Table:
+    """Word-token counts per document, Arrow-native end to end: RE2 does the
+    tokenisation (``split_pattern_regex`` on the complement class ≡ DuckDB's
+    ``regexp_extract_all('[A-Za-z0-9]+')``), C++ ``dictionary_encode`` does
+    the token hashing, numpy bincounts the rest — no Python-level regex loop
+    and no pandas consolidation on a zero-copy batch."""
+    n_docs = batch.num_rows
+    toks = pc.split_pattern_regex(batch.column("text"), "[^A-Za-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "")  # split artifacts at string edges
+    parent = parent[keep.to_numpy(zero_copy_only=False)]
+    n = np.bincount(parent, minlength=n_docs).astype(np.int64)
+    if parent.size:
+        codes = flat.filter(keep).dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
         )
+        order = np.lexsort((codes, parent))
+        d, c = parent[order], codes[order]
+        first = np.concatenate(([True], (d[1:] != d[:-1]) | (c[1:] != c[:-1])))
+        uniq = np.bincount(d[first], minlength=n_docs).astype(np.int64)
+    else:
+        uniq = np.zeros(n_docs, dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n, pa.int64()),
+            "n_unique_tokens": pa.array(uniq, pa.int64()),
+        }
+    )
 
 
 def token_counts(sf_dir: str) -> pa.Table:
     out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        TokenCounter, batch_format="pandas", batch_size=4096, concurrency=2
+        token_counts_batch, batch_format="pyarrow", batch_size=8192
     )
     t = _concat(out)
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
@@ -478,38 +492,35 @@ FROM documents GROUP BY 1 ORDER BY bucket
 # --- PII scrubbing ------------------------------------------------------------
 
 
-class PiiScrubber:
-    """Redact email addresses and long digit runs (phone-ish) from text.
-    Regexes compiled once per actor; patterns chosen to behave identically
-    under Python ``re`` and DuckDB's RE2 (no lookaround, no backrefs)."""
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"[0-9][0-9 ()+.-]{7,}[0-9]"
 
-    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-    PHONE = r"[0-9][0-9 ()+.-]{7,}[0-9]"
 
-    def __init__(self):
-        import re
-
-        self.email = re.compile(self.EMAIL)
-        self.phone = re.compile(self.PHONE)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        clean = batch["text"].str.replace(self.email, "<EMAIL>", regex=True)
-        clean = clean.str.replace(self.phone, "<PHONE>", regex=True)
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"].to_numpy(),
-                "text_clean": clean.to_numpy(dtype=object),
-                "n_redactions": (
-                    batch["text"].str.count(self.email)
-                    + batch["text"].str.count(self.phone)
-                ).astype("int64"),
-            }
-        )
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """Redact email addresses and long digit runs (phone-ish) from text,
+    Arrow-native: RE2 kernels (``replace_substring_regex`` /
+    ``count_substring_regex``) run the patterns in C++ on zero-copy buffers —
+    and RE2 is the exact engine the DuckDB oracle uses, so match semantics
+    agree by construction (no lookaround, no backrefs)."""
+    text = batch.column("text")
+    n_red = pc.add(
+        pc.count_substring_regex(text, PII_EMAIL),
+        pc.count_substring_regex(text, PII_PHONE),
+    )
+    clean = pc.replace_substring_regex(text, PII_EMAIL, "<EMAIL>")
+    clean = pc.replace_substring_regex(clean, PII_PHONE, "<PHONE>")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text_clean": clean,
+            "n_redactions": pc.cast(n_red, pa.int64()),
+        }
+    )
 
 
 def pii_scrub(sf_dir: str) -> pa.Table:
     out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        PiiScrubber, batch_format="pandas", batch_size=8192, concurrency=2
+        pii_scrub_batch, batch_format="pyarrow", batch_size=8192
     )
     t = _concat(out)
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))

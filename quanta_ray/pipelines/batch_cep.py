@@ -288,44 +288,63 @@ def next_event_join(
             }
         )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["event_type"] == left_type].sort_values(["ts", "event_id"])
-        if len(left) == 0:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized searchsorted over the whole bucket — no per-user
+        Python loop. Rights are lexsorted by (user, ts, event_id); both sides
+        are mapped to a composite int64 key of (dense user code, ts RANK).
+        Ranks instead of raw microsecond timestamps keep the product key
+        < bucket_rows² — overflow-safe regardless of the data's time span."""
+        et = g["event_type"].to_numpy()
+        lmask = et == left_type
+        n_l = int(lmask.sum())
+        if n_l == 0:
             return _empty()
-        right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
-        lt = left["ts"].astype("int64").to_numpy()
-        n_r = len(right)
+        rmask = et == right_type
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        l_uid, l_ts, l_eid = uid[lmask], ts[lmask], eid[lmask]
+        r_ts = ts[rmask]
+        n_r = len(r_ts)
         if n_r == 0:
-            ok = np.zeros(len(left), dtype=bool)
-            rsel = np.zeros(len(left), dtype=np.int64)
-            rid = np.zeros(1, dtype=np.int64)
-            rt = np.zeros(1, dtype=np.int64)
+            ok = np.zeros(n_l, dtype=bool)
+            rid_sel = np.zeros(n_l, dtype=np.int64)
+            rts_sel = np.zeros(n_l, dtype=np.int64)
         else:
-            rt = right["ts"].astype("int64").to_numpy()
-            rid = right["event_id"].to_numpy()
-            pos = np.searchsorted(rt, lt, side="left")
-            rsel = np.minimum(pos, n_r - 1)
-            ok = (pos < n_r) & (rt[rsel] <= lt + bound_us)
+            r_uid, r_eid = uid[rmask], eid[rmask]
+            codes, _uniq = pd.factorize(np.concatenate([l_uid, r_uid]), sort=False)
+            l_code, r_code = codes[:n_l], codes[n_l:]
+            uts = np.unique(np.concatenate([l_ts, r_ts]))
+            l_rank = np.searchsorted(uts, l_ts)
+            r_rank = np.searchsorted(uts, r_ts)
+            stride = np.int64(len(uts) + 1)
+            order = np.lexsort((r_eid, r_rank, r_code))
+            r_key = r_code[order].astype(np.int64) * stride + r_rank[order]
+            pos = np.searchsorted(r_key, l_code.astype(np.int64) * stride + l_rank)
+            sel = np.minimum(pos, n_r - 1)
+            take = order[sel]
+            ok = (
+                (pos < n_r)
+                & (r_code[take] == l_code)
+                & (r_ts[take] <= l_ts + bound_us)
+            )
+            rid_sel, rts_sel = r_eid[take], r_ts[take]
         # nullable Int64 preserves event_id fidelity past 2^53 (ADVICE r2);
         # both sides of the driver compare degrade identically (arrow
         # int64+null / pandas Int64 -> the same NaN form DuckDB's nullable
         # BIGINT takes), so the value-hash still agrees
-        right_id = pd.array(rid[rsel], dtype="Int64")
+        right_id = pd.array(rid_sel, dtype="Int64")
         right_id[~ok] = pd.NA
-        right_ts = pd.Series(pd.to_datetime(rt[rsel], unit="us")).where(ok, pd.NaT)
+        right_ts = pd.Series(pd.to_datetime(rts_sel, unit="us")).where(ok, pd.NaT)
         return pd.DataFrame(
             {
-                "user_id": left["user_id"].to_numpy(),
-                "left_id": left["event_id"].to_numpy(),
-                "left_ts": left["ts"].to_numpy(),
+                "user_id": l_uid,
+                "left_id": l_eid,
+                "left_ts": pd.to_datetime(l_ts, unit="us"),
                 "right_id": right_id,
                 "right_ts": right_ts.astype("datetime64[us]").to_numpy(),
             }
         )
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        outs = [per_user(gu) for _, gu in g.groupby("user_id", sort=False)]
-        return pd.concat(outs, ignore_index=True) if outs else _empty()
 
     from ..bucket import bucketed_apply
 

@@ -152,24 +152,53 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
     if n_cust <= _broadcast_limit():
         customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-        cust_nation = customer.merge(
-            nation, left_on="c_nationkey", right_on="n_nationkey"
-        )[["c_custkey", "n_name"]]
-        ref = ray.put(cust_nation)
+        nation_of_cust = customer["c_nationkey"].map(
+            nation.set_index("n_nationkey")["n_name"]
+        )
+        names, codes_per_cust = np.unique(
+            nation_of_cust.to_numpy(dtype=object), return_inverse=True
+        )
+        ck = customer["c_custkey"].to_numpy(dtype=np.int64)
+        if ck.max() <= 4 * len(ck) + 1024:
+            # dense-key fast path (region_revenue idiom): fancy-index join
+            dense = np.full(int(ck.max()) + 1, -1, dtype=np.int16)
+            dense[ck] = codes_per_cust
+            ref = ray.put((names, dense, None))
+        else:
+            order = np.argsort(ck)
+            ref = ray.put((names, codes_per_cust[order].astype(np.int16), ck[order]))
 
         class JoinAgg:
-            def __init__(self):
-                # broadcast side fetched once per actor, indexed once
-                self.lookup = ray.get(ref).set_index("c_custkey")["n_name"]
+            """Arrow-native broadcast join + partial aggregate: custkey →
+            nation code via fancy-index (or searchsorted), one bincount —
+            a ≤25-row partial per batch, no pandas in the hot path."""
 
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                batch["n_name"] = batch["o_custkey"].map(self.lookup)
-                g = batch.groupby("n_name", as_index=False)["o_totalprice"].sum()
-                return g.rename(columns={"o_totalprice": "revenue"})
+            def __init__(self):
+                self.names, self.codes, self.keys = ray.get(ref)
+                self.N = len(self.names)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ck_b = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+                tp = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+                if self.keys is None:
+                    code = self.codes[ck_b]
+                else:
+                    pos = np.searchsorted(self.keys, ck_b)
+                    pos = np.minimum(pos, len(self.keys) - 1)
+                    code = np.where(self.keys[pos] == ck_b, self.codes[pos], -1)
+                code = code.astype(np.int64) + 1  # slot 0 = FK miss
+                rev = np.bincount(code, weights=tp, minlength=self.N + 1)[1:]
+                hit = np.bincount(code, minlength=self.N + 1)[1:] > 0
+                return pa.table(
+                    {
+                        "n_name": pa.array(self.names[hit], pa.string()),
+                        "revenue": pa.array(rev[hit], pa.float64()),
+                    }
+                )
 
         out = (
             _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-            .map_batches(JoinAgg, batch_format="pandas", batch_size=131072, concurrency=(1, 4))
+            .map_batches(JoinAgg, batch_format="pyarrow", batch_size=131072, concurrency=(1, 4))
             .groupby("n_name")
             .aggregate(Sum("revenue", alias_name="revenue"))
         )

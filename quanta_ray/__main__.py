@@ -4,7 +4,7 @@ read the pipeline spec path from env/args, init logging from env, run).
 Usage:
     python -m quanta_ray run <pipeline.json|yml> <out_dir> [--follow N]
     python -m quanta_ray validate <out_dir>
-    python -m quanta_ray metrics <out_dir>
+    python -m quanta_ray metrics <out_dir | http://host:port/metrics>
     python -m quanta_ray export <out_dir> <stream> <dest_dir>
     python -m quanta_ray bench-stream <out_dir> [n_convs] [n_epochs]
     python -m quanta_ray query list
@@ -195,6 +195,13 @@ def main(argv: list[str]) -> int:
         return 0 if result["status"] == "PASS" else 1
 
     if cmd == "metrics":
+        if rest and rest[0].startswith("http"):
+            # live endpoint of a RUNNING pipeline (metrics_port spec field /
+            # QUANTA_METRICS_PORT): fetch and pretty-print the snapshot
+            from .telemetry import fetch_metrics
+
+            print(json.dumps(fetch_metrics(rest[0])))
+            return 0
         print(json.dumps(summarize_metrics(rest[0])))
         return 0
 

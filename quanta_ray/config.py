@@ -62,6 +62,13 @@ class CEPConfig:
     # window with zero turns OF THAT ROLE does not advance the role's chain
     # (same "previous non-empty window" rule, per key).
     alert_scopes: tuple = ("all",)
+    # windowed EXACT top-k stream: per final tumbling window, the k most
+    # active conversations globally. Exact with no sketch and no extra
+    # shuffle: a conv lives in exactly one partition, so each worker's local
+    # top-k over its newly-final windows is complete for its convs and the
+    # driver merges M k-sized lists per window at commit (O(k·M·windows/
+    # epoch), never conv- or row-proportional). 0 disables the stream.
+    topk_k: int = 0
 
     def __post_init__(self) -> None:
         # JSON specs deliver lists; normalize so configs hash/compare stably
@@ -74,6 +81,8 @@ class CEPConfig:
                 f"alert_scopes {bad} not in {sorted(allowed)} — "
                 "scopes are validated at spec-parse time, before workers start"
             )
+        if self.topk_k < 0:
+            raise ValueError(f"topk_k must be >= 0, got {self.topk_k}")
         if self.sliding_size_us % self.sliding_slide_us != 0:
             raise ValueError(
                 "sliding_size_us must be a multiple of sliding_slide_us "

@@ -682,6 +682,43 @@ class StreamingRunner:
                     e_a = write_part_file(tbl, self.out_dir, "alerts", 0, epoch)
                     if e_a:
                         alert_entries.append(e_a)
+            # windowed exact top-k: merge the workers' per-window k-sized
+            # lists (convs are partition-disjoint → merge of complete local
+            # top-ks is the exact global top-k), emit rank rows. All
+            # partitions finalize a window in the same epoch (shared wm
+            # sequence), so each window appears in exactly one commit; no
+            # cross-epoch reducer state to persist.
+            topk_entries: list[dict] = []
+            if spec.cep.topk_k > 0:
+                from ..schema import TOPK_SCHEMA
+                from ..sinks.exactly_once import write_part_file
+
+                merged_tk: dict[int, list] = {}
+                for r in metas:
+                    for w, lst in r.get("topk_partials", {}).items():
+                        merged_tk.setdefault(int(w), []).extend(
+                            (c, int(n)) for c, n in lst
+                        )
+                tk_rows: list[tuple[int, int, str, int]] = []
+                for w in sorted(merged_tk):
+                    best = sorted(merged_tk[w], key=lambda t: (-t[1], t[0]))
+                    best = best[: spec.cep.topk_k]
+                    tk_rows += [(w, i, c, n) for i, (c, n) in enumerate(best, 1)]
+                if tk_rows:
+                    tbl = pa.Table.from_arrays(
+                        [
+                            pa.array([r[0] for r in tk_rows], pa.int64()).cast(
+                                pa.timestamp("us")
+                            ),
+                            pa.array([r[1] for r in tk_rows], pa.int64()),
+                            pa.array([r[2] for r in tk_rows], pa.string()),
+                            pa.array([r[3] for r in tk_rows], pa.int64()),
+                        ],
+                        schema=TOPK_SCHEMA,
+                    )
+                    e_tk = write_part_file(tbl, self.out_dir, "topk", 0, epoch)
+                    if e_tk:
+                        topk_entries.append(e_tk)
             turns_entries = [t for t in ray.get(turns_refs) if t] if turns_refs else []
             if stats:
                 stats["t_commit_wait"] = round(_time.perf_counter() - t_c0, 4)
@@ -697,7 +734,8 @@ class StreamingRunner:
                 "input": {"file": files[epoch] if epoch < len(files) else None},
                 "watermark": wms[epoch] if epoch < len(files) else POS_INF,
                 "source_stats": stats,
-                "files": turns_entries + dead_entries + stream_files + alert_entries,
+                "files": turns_entries + dead_entries + stream_files + alert_entries
+                + topk_entries,
                 "checkpoints": checkpoints,
                 "last_checkpoint_epoch": last_ckpt_epoch["v"],
                 "alerts_state": {s: dict(v) for s, v in alert_state.items()},

@@ -862,6 +862,26 @@ class PartitionWorkerImpl:
                 for i, w in enumerate(uw)
             }
 
+        # windowed exact top-k partials: per newly-final tumbling window,
+        # this partition's k most active convs. Complete for this
+        # partition's convs (a conv lives in exactly one partition), so the
+        # driver's merge of per-worker lists is the EXACT global top-k —
+        # O(k) per window per partition, never conv-proportional.
+        topk_partial: dict[int, list[tuple[str, int]]] = {}
+        if self.cfg.topk_k > 0 and win_tables["tumbling"] is not None:
+            tt = win_tables["tumbling"]
+            ws_tk = tt.column("w_start").cast(pa.int64()).to_numpy()
+            convs_tk = tt.column("conv_id").to_pylist()
+            ns_tk = tt.column("n_turns").to_numpy()
+            k = self.cfg.topk_k
+            for w in np.unique(ws_tk):
+                idx = np.flatnonzero(ws_tk == w)
+                best = sorted(
+                    ((convs_tk[i], int(ns_tk[i])) for i in idx),
+                    key=lambda t: (-t[1], t[0]),
+                )[:k]
+                topk_partial[int(w)] = best
+
         # build the emitted tables but DON'T write them here: the (zstd)
         # parquet writes run as tasks on the map slots so the stateful
         # worker chain — the scaling-critical path — stays compute-only
@@ -900,6 +920,7 @@ class PartitionWorkerImpl:
             "ckpt_blob": ckpt,
             "metrics": metrics,
             "win_partial": win_partial,
+            "topk_partial": topk_partial,
         }
 
     def finish(self, epoch: int, do_checkpoint: bool = True) -> dict:
@@ -1289,6 +1310,15 @@ def _empty_turns_table() -> pa.Table:
     return with_lineage(TRANSCRIPT_SCHEMA).empty_table()
 
 
+def _fold_topk(parts: dict[int, list[tuple[str, int]]], k: int) -> None:
+    """Trim each window's merged per-partition top-k lists back to k,
+    in place. Convs are partition-disjoint, so merging COMPLETE local lists
+    and re-trimming is exact. Ties: (n_turns desc, conv_id asc)."""
+    for lst in parts.values():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        del lst[k:]
+
+
 class MultiPartitionWorker:
     """One worker PROCESS hosting several logical partitions (the slots
     model of real clusters: partition count P is fixed by the job, worker
@@ -1345,6 +1375,7 @@ class MultiPartitionWorker:
         assert pids == self.pids, f"layout desync: driver {pids} != worker {self.pids}"
         out_tables, blobs, metrics = [], [], []
         win_partials: dict[int, tuple[int, int, int, int]] = {}
+        topk_partials: dict[int, list[tuple[str, int]]] = {}
         for i, pid in enumerate(self.pids):
             frag = list(tables[i * n_frags : (i + 1) * n_frags])
             nonempty = [t for t in frag if t.num_rows]
@@ -1364,17 +1395,22 @@ class MultiPartitionWorker:
             for w, t in r.get("win_partial", {}).items():
                 prev = win_partials.get(w, (0, 0, 0, 0))
                 win_partials[w] = tuple(a + b for a, b in zip(prev, t))
+            for w, lst in r.get("topk_partial", {}).items():
+                topk_partials.setdefault(w, []).extend(lst)
+        _fold_topk(topk_partials, self.cfg.topk_k)
         # two returns (num_returns=2): small meta for the driver's commit;
         # emitted tables + checkpoint blobs go to the off-worker writer task
         # — the driver never pulls the heavy payload
         return (
-            {"metrics": metrics, "win_partials": win_partials},
+            {"metrics": metrics, "win_partials": win_partials,
+             "topk_partials": topk_partials},
             {"tables": out_tables, "ckpt_blobs": blobs},
         )
 
     def finish(self, epoch: int, do_checkpoint: bool = True) -> tuple:
         out_tables, blobs, metrics = [], [], []
         win_partials: dict[int, tuple[int, int, int, int]] = {}
+        topk_partials: dict[int, list[tuple[str, int]]] = {}
         for pid in self.pids:
             r = self.impls[pid].finish(epoch, do_checkpoint)
             out_tables.extend(r["tables"])
@@ -1384,8 +1420,12 @@ class MultiPartitionWorker:
             for w, t in r.get("win_partial", {}).items():
                 prev = win_partials.get(w, (0, 0, 0, 0))
                 win_partials[w] = tuple(a + b for a, b in zip(prev, t))
+            for w, lst in r.get("topk_partial", {}).items():
+                topk_partials.setdefault(w, []).extend(lst)
+        _fold_topk(topk_partials, self.cfg.topk_k)
         return (
-            {"metrics": metrics, "win_partials": win_partials},
+            {"metrics": metrics, "win_partials": win_partials,
+             "topk_partials": topk_partials},
             {"tables": out_tables, "ckpt_blobs": blobs},
         )
 

@@ -390,11 +390,28 @@ def run_oracle(
                     )
                 chains[s] = (w, n)
 
-    from .schema import ALERT_SCHEMA
+    # windowed exact top-k: like alerts, a pure function of the FINAL
+    # tumbling output — per w_start, the k most active convs, ties broken
+    # (n_turns desc, conv_id asc) (engine analog: per-partition local top-k
+    # merged at the runner's commit fold).
+    topk: list[dict] = []
+    if cfg.topk_k > 0:
+        byw: dict[int, list[tuple[int, str]]] = {}
+        for r in st.tumbling:
+            byw.setdefault(r["w_start"], []).append((r["n_turns"], r["conv_id"]))
+        for w in sorted(byw):
+            best = sorted(byw[w], key=lambda t: (-t[0], t[1]))[: cfg.topk_k]
+            topk += [
+                {"w_start": w, "rank": i, "conv_id": c, "n_turns": n}
+                for i, (n, c) in enumerate(best, 1)
+            ]
+
+    from .schema import ALERT_SCHEMA, TOPK_SCHEMA
 
     return {
         "turns": _to_table(st.turns, turn_schema, ["conv_id", "turn_idx"]),
         "alerts": _to_table(alerts, ALERT_SCHEMA, ["w_start", "scope"]),
+        "topk": _to_table(topk, TOPK_SCHEMA, ["w_start", "rank"]),
         "tumbling": _to_table(st.tumbling, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),
         "sliding": _to_table(st.sliding, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),
         "sessions": _to_table(st.sessions, SESSION_SCHEMA, ["conv_id", "session_id"]),

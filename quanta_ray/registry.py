@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cep_streaming_patterns": _streaming_stream("patterns"),
         "cep_streaming_count_windows": _streaming_stream("count_windows"),
         "cep_streaming_alerts": _streaming_stream("alerts"),
+        "cep_streaming_topk": _streaming_stream("topk"),
     }
 
 

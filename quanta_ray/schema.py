@@ -123,6 +123,20 @@ ALERT_SCHEMA = pa.schema(
 )
 
 
+# windowed EXACT top-k stream: per final tumbling window, the k most active
+# conversations globally. Exact without a sketch: a conv lives in exactly one
+# partition, so the global top-k is the merge of per-partition top-k lists
+# (each partition's counts are complete). Ties: (n_turns desc, conv_id asc).
+TOPK_SCHEMA = pa.schema(
+    [
+        ("w_start", pa.timestamp("us")),
+        ("rank", pa.int64()),  # 1-based; ≤ k rows per window
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+    ]
+)
+
+
 def from_pandas(df) -> pa.Table:
     """``pa.Table.from_pandas`` minus the auto-attached pandas schema
     metadata. The metadata dict makes the resulting ``pa.Schema`` unhashable,

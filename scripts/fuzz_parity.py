@@ -9,6 +9,10 @@ Dimensions randomized per trial (the recorded fuzz config):
   checkpointing     checkpoint_every ∈ {1,2,4}
   commit mode       ooo_commit ∈ {False, True}  (out-of-order completion
                     window + contiguous-prefix commit)
+  source kind       parquet-stream (3/4) | jsonl-stream (1/4) — the same
+                    stream re-serialized as JSONL epochs, crossed with
+                    every other dimension
+  top-k stream      topk_k ∈ {0, 1, 4} (windowed exact top-k)
   transformer chain normalize | normalize+fanout (1→2) | drop_role+normalize
                     | normalize+retry_odd (per-row RETRY/DROP status col)
 
@@ -47,6 +51,7 @@ SORT_KEYS = {
     "patterns": ["conv_id", "start_ts", "start_turn_idx"],
     "count_windows": ["conv_id", "window_id"],
     "alerts": ["w_start", "scope"],
+    "topk": ["w_start", "rank"],
 }
 
 
@@ -97,6 +102,7 @@ def main() -> int:
             alert_scopes=[("all",), ("all", "user", "assistant", "tool"), ("tool",)][
                 int(rng.integers(0, 3))
             ],
+            topk_k=int(rng.choice([0, 1, 4])),
         )
         d = tempfile.mkdtemp(dir="/tmp", prefix="fuzz-")
         try:
@@ -104,6 +110,23 @@ def main() -> int:
                 generate_transcripts(params), d + "/s", n_epochs,
                 row_group_size=int(rng.choice([50, 65536])),
             )
+            # source-kind cross-dimension: ~1/4 of trials run the SAME stream
+            # through the jsonl driver (ts as epoch-µs ints + .maxts sidecar),
+            # crossing it with every other dimension (ooo, scopes, chains, P)
+            src_kind = "parquet-stream"
+            pfiles = files  # the oracle always reads the parquet form
+            if rng.integers(0, 4) == 0:
+                jfiles = []
+                for i, f in enumerate(files):
+                    df = pq.read_table(f).to_pandas()
+                    df["ts"] = df["ts"].astype("datetime64[us]").astype("int64")
+                    jp = f"{d}/s-epoch-{i:05d}.jsonl"
+                    df.to_json(jp, orient="records", lines=True)
+                    with open(jp + ".maxts", "w") as fh:
+                        fh.write(str(int(df["ts"].max())))
+                    jfiles.append(jp)
+                files = jfiles
+                src_kind = "jsonl-stream"
             chain_kind = int(rng.integers(0, 4))
             if chain_kind == 0:
                 tf = (StageSpec(name="normalize"),)
@@ -126,6 +149,7 @@ def main() -> int:
                           RetryingStage(RetryOddStage(fail_times=1, drop_mod=7))]
             spec = PipelineSpec(
                 source=SourceSpec(
+                    kind=src_kind,
                     paths=tuple(files),
                     fragment_rows=int(rng.choice([100, 131072])),
                     ooo_commit=ooo,
@@ -139,7 +163,7 @@ def main() -> int:
             out = d + "/out"
             s = StreamingRunner(spec, out).run()
             assert s["status"] == "complete"
-            oracle = run_oracle((pq.read_table(f) for f in files), cfg, stages=stages)
+            oracle = run_oracle((pq.read_table(f) for f in pfiles), cfg, stages=stages)
             ok = True
             for stream, keys in SORT_KEYS.items():
                 got = read_committed(out, stream)
@@ -171,7 +195,8 @@ def main() -> int:
             else:
                 print(
                     f"trial {trial} ok (seed={seed} P={P} reb={reb} ooo={int(ooo)} "
-                    f"chain={chain_kind} migs={len(s.get('migrations', []))})",
+                    f"chain={chain_kind} src={src_kind.split('-')[0]} "
+                    f"migs={len(s.get('migrations', []))})",
                     flush=True,
                 )
         finally:

@@ -41,6 +41,7 @@ SORT_KEYS = {
     "patterns": ["conv_id", "start_ts", "start_turn_idx"],
     "count_windows": ["conv_id", "window_id"],
     "alerts": ["w_start", "scope"],
+    "topk": ["w_start", "rank"],
 }
 
 
@@ -50,7 +51,8 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
 
     files, _params = small_stream
     cfg = CEPConfig(num_partitions=4, count_window_size=5, alert_ratio=0.5,
-                    alert_scopes=("all", "user", "assistant", "tool"))
+                    alert_scopes=("all", "user", "assistant", "tool"),
+                    topk_k=3)
     spec = PipelineSpec(
         source=SourceSpec(paths=tuple(files)),
         transformers=(StageSpec(name="normalize"),),
@@ -85,6 +87,52 @@ def test_alerts_stream_nonempty(engine_and_oracle):
     count, so the fixture must produce alert rows."""
     _out_dir, oracle = engine_and_oracle
     assert oracle["alerts"].num_rows > 0
+
+
+def test_topk_stream_nonempty_and_bounded(engine_and_oracle):
+    """topk parity isn't vacuous: rows exist, ≤ k per window, ranks are
+    1..m contiguous within each window."""
+    _out_dir, oracle = engine_and_oracle
+    t = oracle["topk"]
+    assert t.num_rows > 0
+    df = t.to_pandas()
+    per_w = df.groupby("w_start")["rank"]
+    assert (per_w.count() <= 3).all()  # fixture cfg topk_k=3
+    assert (per_w.min() == 1).all()
+    assert (per_w.max() == per_w.count()).all()
+
+
+def test_topk_planted_winner_and_tie(ray_session, tmp_path):
+    """Ground-truth pin: conv A dominates the hour, B and C tie and the
+    lexicographically smaller conv wins rank 2; partitions split the convs,
+    so the committed rows also prove the cross-partition merge is exact."""
+    import pandas as pd
+
+    from quanta_ray.engine import run_pipeline
+    from quanta_ray.sinks.exactly_once import read_committed
+
+    base = 3_600_000_000 * 1000  # some hour boundary, µs
+    rows = []
+    for conv, n in (("a-big", 5), ("c-tie", 3), ("b-tie", 3)):
+        for i in range(n):
+            rows.append((conv, i, "user", f"t{i}", "", base + i * 1_000_000))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="us").astype("datetime64[us]")
+    f = str(tmp_path / "epoch-00000.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), f)
+
+    spec = PipelineSpec(
+        source=SourceSpec(paths=(f,)),
+        transformers=(StageSpec(name="normalize"),),
+        sink=SinkSpec(),
+        cep=CEPConfig(num_partitions=3, topk_k=2),
+    )
+    out = str(tmp_path / "out")
+    assert run_pipeline(spec, out)["status"] == "complete"
+    t = read_committed(out, "topk").to_pandas().sort_values("rank")
+    assert list(t["conv_id"]) == ["a-big", "b-tie"]
+    assert list(t["rank"]) == [1, 2]
+    assert list(t["n_turns"]) == [5, 3]
 
 
 def test_late_rows_were_dropped(engine_and_oracle):
@@ -169,7 +217,8 @@ def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
     from quanta_ray.engine import StreamingRunner
 
     files, _ = small_stream
-    cfg = CEPConfig(num_partitions=3, count_window_size=4, alert_ratio=0.5)
+    cfg = CEPConfig(num_partitions=3, count_window_size=4, alert_ratio=0.5,
+                    topk_k=3)
     # checkpoint_every=2 exercises the restore-then-replay resume path
     # (crash after epoch 2 → state restored from epoch 1, epoch 2 replayed)
     spec = PipelineSpec(

@@ -23,6 +23,7 @@ SORT_KEYS = {
     "joins": ["conv_id", "tool_turn_idx"],
     "patterns": ["conv_id", "start_ts", "start_turn_idx"],
     "count_windows": ["conv_id", "window_id"],
+    "topk": ["w_start", "rank"],
 }
 
 
@@ -49,6 +50,7 @@ def _sorted(t: pa.Table, keys):
     ooo=st.booleans(),
     chain=st.sampled_from(["normalize", "retry_odd", "fanout"]),
     fragment_rows=st.sampled_from([500, 131072]),
+    topk_k=st.sampled_from([0, 3]),
 )
 def test_random_stream_matches_oracle(
     ray_session,
@@ -65,6 +67,7 @@ def test_random_stream_matches_oracle(
     ooo,
     chain,
     fragment_rows,
+    topk_k,
 ):
     from quanta_ray.engine import StreamingRunner
     from quanta_ray.stages.transforms import FanoutStage, RetryOddStage
@@ -80,6 +83,7 @@ def test_random_stream_matches_oracle(
         session_gap_us=gap_s * US,
         join_bound_us=bound_s * US,
         num_partitions=3,
+        topk_k=topk_k,
     )
     d = tmp_path_factory.mktemp("prop")
     table = generate_transcripts(params)

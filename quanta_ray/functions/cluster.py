@@ -52,11 +52,12 @@ def _partials_fn(cref, k: int, d: int):
     return partial
 
 
-def kmeans_embeddings(
+def fit_centroids(
     sf_dir: str, k: int = 8, iters: int = 5, seed: int = 11
-) -> pa.Table:
-    """(vec_id, cluster) assignment after ``iters`` Lloyd iterations of
-    spherical k-means (unit-normalized vectors, cosine assignment).
+) -> np.ndarray:
+    """Fit spherical k-means centroids (unit-normalized, cosine assignment)
+    by ``iters`` Lloyd iterations; returns the k x d centroid matrix (empty
+    array when the table is empty).
 
     The pruned (vec_id, embedding) working set STREAMS from parquet on
     every iteration: each Lloyd pass is a fresh lazy scan -> map_batches
@@ -90,9 +91,7 @@ def kmeans_embeddings(
     sample = pa.Table.from_batches(rbs).slice(0, 2048) if rbs else pa.table({})
     _, mat0 = _batch_matrix(sample) if rbs else (None, np.empty((0, 0)))
     if len(mat0) == 0:
-        return pa.table(
-            {"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
-        )
+        return np.empty((0, 0))
     d = mat0.shape[1]
     k = min(k, len(mat0))
     rng = np.random.default_rng(seed)
@@ -133,7 +132,22 @@ def kmeans_embeddings(
         norms = np.linalg.norm(new, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         centroids = new / norms
+    return centroids
 
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = 8, iters: int = 5, seed: int = 11
+) -> pa.Table:
+    """(vec_id, cluster) assignment after ``iters`` Lloyd iterations of
+    spherical k-means — ``fit_centroids`` for the iterative fit (see its
+    docstring for the streaming-scan shape), then one stateless assignment
+    map over a final scan."""
+    centroids = fit_centroids(sf_dir, k=k, iters=iters, seed=seed)
+    if centroids.size == 0:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+        )
+    ds = _emb(sf_dir).select_columns(["vec_id", "embedding"])
     cref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pd.DataFrame:
@@ -149,4 +163,93 @@ def kmeans_embeddings(
         )
 
     out = _concat(ds.map_batches(assign, batch_format="pyarrow", batch_size=4096))
+    return out.take(pc.sort_indices(out, sort_keys=[("vec_id", "ascending")]))
+
+
+def semdedup(
+    sf_dir: str, k: int = 8, iters: int = 3, tau: float = 0.92, seed: int = 11
+) -> pa.Table:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space with spherical k-means, then detect
+    near-duplicates ONLY within a cluster (pairwise cosine >= ``tau``),
+    keeping the lowest ``vec_id`` of every duplicate set.
+
+    Scale shape: the iterative fit streams the corpus per Lloyd pass
+    (``fit_centroids``); assignment is one stateless map with the k x d
+    centroid matrix broadcast once via ``ray.put``; the pairwise step is a
+    single hash shuffle on cluster id (``bucketed_apply`` — every vector of
+    one cluster meets in one task). The m x m per-cluster similarity matmul
+    never sees the corpus: cluster size is bounded by choosing k
+    proportional to corpus size / target cluster size (SemDeDup uses k in
+    the tens of thousands at web scale). Greedy lowest-id-wins inside a
+    cluster is order-deterministic, so reruns are byte-identical.
+
+    Returns (vec_id, cluster, kept, dup_of): ``dup_of`` is the kept
+    lower-id member that shadowed a dropped row (null on kept rows).
+    Iterative k-means has no SQL form -> rows-only driver check; pinned by
+    the planted-duplicate pytest."""
+    centroids = fit_centroids(sf_dir, k=k, iters=iters, seed=seed)
+    if centroids.size == 0:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "kept": pa.array([], pa.bool_()),
+                "dup_of": pa.array([], pa.int64()),
+            }
+        )
+    from ..bucket import bucketed_apply
+
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        ids, mat = _batch_matrix(batch)
+        c = ray.get(cref)
+        a = np.argmax(mat @ c.T, axis=1) if len(mat) else np.empty(0, np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": ids.astype(np.int64),
+                "cluster": a.astype(np.int64),
+                # row-normalized vectors ride the shuffle so the pairwise
+                # stage needs no second read / join back to the corpus
+                "embedding": list(mat),
+            }
+        )
+
+    def cluster_fn(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, sub in g.groupby("cluster", sort=True):
+            sub = sub.sort_values("vec_id", kind="mergesort")
+            ids = sub["vec_id"].to_numpy()
+            mat = np.stack(sub["embedding"].to_numpy())
+            sims = mat @ mat.T
+            m = len(ids)
+            kept_idx: list[int] = []
+            dup_of = np.full(m, -1, dtype=np.int64)
+            for i in range(m):
+                if kept_idx:
+                    s = sims[i, kept_idx]
+                    hits = np.nonzero(s >= tau)[0]
+                    if len(hits):
+                        dup_of[i] = ids[kept_idx[int(hits[0])]]
+                        continue
+                kept_idx.append(i)
+            dup = pd.Series(dup_of, dtype="int64").astype("Int64")
+            dup[dup_of < 0] = pd.NA
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "cluster": sub["cluster"].to_numpy(),
+                        "kept": dup_of < 0,
+                        "dup_of": dup,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    ds = _emb(sf_dir).select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow", batch_size=4096
+    )
+    out = _concat(bucketed_apply(ds, ["cluster"], cluster_fn))
     return out.take(pc.sort_indices(out, sort_keys=[("vec_id", "ascending")]))

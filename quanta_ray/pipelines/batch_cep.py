@@ -2077,3 +2077,58 @@ SELECT d.day, d.dau, m.mau,
 FROM d JOIN m ON date_trunc('month', d.day) = m.month
 ORDER BY d.day
 """
+
+
+# --- bounded-frame moving average ---------------------------------------------
+
+
+def user_moving_avg(sf_dir: str, window: int = 3, buckets: int | None = None) -> pa.Table:
+    """Moving AVG(value) per user over the last ``window`` events — the
+    bounded window frame ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``
+    (``user_running_sum`` covers the unbounded frame).
+
+    Shape: one hash shuffle on user_id (``bucketed_apply``); inside each
+    bucket one mergesort, then the frame sum is cumsum minus the
+    group-shifted cumsum — vectorized over every user in the bucket at
+    once. Sums run in integer micro-units so addition is order-free and the
+    engine agrees bit-for-bit with the oracle's window-frame tree; the
+    single float division per row happens identically on both sides."""
+    from ..bucket import bucketed_apply
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        vu = np.round(g["value"].to_numpy() * 1e6).astype(np.int64)
+        grp = pd.Series(vu).groupby(u)
+        cs = grp.cumsum().to_numpy()
+        shifted = pd.Series(cs).groupby(u).shift(window, fill_value=0).to_numpy()
+        pos = pd.DataFrame({"u": u}).groupby("u").cumcount().to_numpy()
+        cnt = np.minimum(pos + 1, window)
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "event_id": g["event_id"].to_numpy(),
+                "ts": g["ts"].to_numpy(),
+                "moving_avg": (cs - shifted) / (1e6 * cnt),
+            }
+        )
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    t = _concat(bucketed_apply(ds, ["user_id"], bucket_fn, num_buckets=buckets))
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]
+        )
+    )
+
+
+USER_MOVING_AVG_SQL = """
+SELECT user_id, event_id, ts,
+       sum(CAST(round(value * 1000000) AS BIGINT)) OVER w
+         / (1000000.0 * count(*) OVER w) AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
+"""

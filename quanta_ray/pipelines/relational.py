@@ -1288,3 +1288,298 @@ SELECT date_trunc('month', l.l_shipdate) AS month,
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+# --- TPC-H Q18-style: big-quantity orders (HAVING semi-join) ------------------
+
+
+def big_spender_orders(sf_dir: str, min_qty: int = 300, k: int = 100) -> pa.Table:
+    """Orders whose total lineitem quantity exceeds ``min_qty``, joined back
+    to orders + customer (TPC-H Q18 shape: aggregate -> HAVING -> the
+    filtered key set drives two joins).
+
+    Scale shape: per-batch integer partial sums by orderkey (quantities are
+    integral doubles -> int64, order-free addition), one bucketed group-agg
+    whose shuffle carries partials only, then the HAVING filter. The
+    surviving set is ~0.03% of orders at TPC-H skew, so it is broadcast
+    (``ray.put`` once) to a streaming filter over orders, and the matched
+    orders (tiny) drive a second broadcast filter over customer; past
+    ``_broadcast_limit()`` both joins fall back to the hash-bucket shuffle
+    join. Top-k by quantity is a driver-side sort of the HAVING survivors,
+    never the corpus."""
+    from ..bucket import bucketed_group_agg
+
+    def qty_partial(batch: pa.Table) -> pd.DataFrame:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        q = np.round(batch.column("l_quantity").to_numpy(zero_copy_only=False)).astype(np.int64)
+        df = pd.DataFrame({"l_orderkey": ok, "qty": q})
+        return df.groupby("l_orderkey", as_index=False)["qty"].sum()
+
+    parts = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        qty_partial, batch_format="pyarrow", batch_size=131072
+    )
+    agg = bucketed_group_agg(parts, ["l_orderkey"], {"total_qty": ("qty", "sum")})
+    hot = agg.map_batches(
+        lambda df: df[df["total_qty"] > min_qty], batch_format="pandas"
+    )
+
+    if _read(sf_dir, "orders", ["o_orderkey"]).count() <= _broadcast_limit():
+        hot_df = _concat(hot).to_pandas()  # HAVING survivors: tiny by design
+        qty_of = dict(zip(hot_df["l_orderkey"], hot_df["total_qty"]))
+        ref = ray.put(qty_of)
+
+        class OrderFilter:
+            def __init__(self):
+                self.qty_of = ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                m = batch[batch["o_orderkey"].isin(self.qty_of)].copy()
+                m["total_qty"] = m["o_orderkey"].map(self.qty_of).astype(np.int64)
+                return m
+
+        matched = _concat(
+            _read(
+                sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+            ).map_batches(OrderFilter, batch_format="pandas", batch_size=131072, concurrency=(1, 4))
+        ).to_pandas()
+        ck_ref = ray.put(frozenset(matched["o_custkey"]))
+
+        class CustFilter:
+            def __init__(self):
+                self.keys = ray.get(ck_ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                return batch[batch["c_custkey"].isin(self.keys)]
+
+        cust = _concat(
+            _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+                CustFilter, batch_format="pandas", batch_size=131072, concurrency=(1, 4)
+            )
+        ).to_pandas()
+        out = matched.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    else:
+        j1 = _bucket_join(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+            hot,
+            "o_orderkey",
+            "l_orderkey",
+            16,
+        )
+        j2 = _bucket_join(
+            j1, _read(sf_dir, "customer", ["c_custkey", "c_name"]), "o_custkey", "c_custkey", 16
+        )
+        out = _concat(j2).to_pandas()
+    out = out.sort_values(
+        ["total_qty", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return _from_pandas(
+        pd.DataFrame(
+            {
+                "c_name": out["c_name"].to_numpy(),
+                "o_orderkey": out["o_orderkey"].to_numpy(dtype=np.int64),
+                "o_orderdate": out["o_orderdate"].to_numpy(),
+                "o_totalprice": np.round(out["o_totalprice"].to_numpy(), 4),
+                "total_qty": out["total_qty"].to_numpy(dtype=np.int64),
+            }
+        )
+    )
+
+
+BIG_SPENDER_ORDERS_SQL = """
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 4) AS o_totalprice,
+       q.total_qty
+FROM (
+  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300
+) q
+JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY q.total_qty DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+# --- TPC-H Q7-style: trade volume between nation pairs -----------------------
+
+
+def nation_trade_volume(sf_dir: str) -> pa.Table:
+    """Revenue shipped between (supplier nation, customer nation) pairs per
+    ship-year — the 5-way join lineitem x supplier x orders x customer x
+    nation(x2), TPC-H Q7 shape.
+
+    Scale shape: supplier and customer reduce to key -> nation-code int
+    maps broadcast once via ``ray.put`` (dense fancy-index when keys are
+    dense; both guarded by ``_broadcast_limit()`` with the hash-bucket
+    shuffle join as fallback); the only large-large exchange is ONE
+    bucketed hash join of lineitem against orders on orderkey. Partials
+    collapse each joined batch to <= nations^2 x years rows before the
+    final tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n_names = nation.sort_values("n_nationkey")["n_name"].to_numpy(dtype=object)
+    nk = nation.sort_values("n_nationkey")["n_nationkey"].to_numpy(dtype=np.int64)
+    dense_nation = np.full(int(nk.max()) + 1, -1, dtype=np.int32)
+    dense_nation[nk] = np.arange(len(nk), dtype=np.int32)
+
+    def _code_map(table: str, key: str, natkey: str) -> np.ndarray | None:
+        """key -> nation-code dense int array (None past the broadcast
+        limit; caller falls back to the shuffle join)."""
+        if _read(sf_dir, table, [key]).count() > _broadcast_limit():
+            return None
+        df = _read(sf_dir, table, [key, natkey]).to_pandas()
+        keys = df[key].to_numpy(dtype=np.int64)
+        if len(keys) == 0 or keys.max() > 4 * len(keys) + 1024:
+            return None  # sparse key space: dense table would blow up
+        codes = dense_nation[df[natkey].to_numpy(dtype=np.int64)]
+        dense = np.full(int(keys.max()) + 1, -1, dtype=np.int32)
+        dense[keys] = codes
+        return dense
+
+    supp_map = _code_map("supplier", "s_suppkey", "s_nationkey")
+    cust_map = _code_map("customer", "c_custkey", "c_nationkey")
+
+    if supp_map is not None:
+        sref = ray.put(supp_map)
+
+        def line_side(batch: pa.Table) -> pd.DataFrame:
+            sm = ray.get(sref)
+            rev = (
+                batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
+            )
+            yr = (
+                batch.column("l_shipdate")
+                .cast(pa.timestamp("us"))
+                .to_pandas()
+                .dt.year.to_numpy(dtype=np.int32)
+            )
+            return pd.DataFrame(
+                {
+                    "l_orderkey": batch.column("l_orderkey").to_numpy(zero_copy_only=False),
+                    "rev": rev,
+                    "l_year": yr,
+                    "sn": sm[batch.column("l_suppkey").to_numpy(zero_copy_only=False)],
+                }
+            )
+
+        line = _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ).map_batches(line_side, batch_format="pyarrow", batch_size=131072)
+    else:
+        supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+            lambda df: pd.DataFrame(
+                {"s_suppkey": df["s_suppkey"].to_numpy(),
+                 "sn": dense_nation[df["s_nationkey"].to_numpy(dtype=np.int64)]}
+            ),
+            batch_format="pandas",
+        )
+
+        def line_proj(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": batch["l_orderkey"].to_numpy(),
+                    "l_suppkey": batch["l_suppkey"].to_numpy(),
+                    "rev": batch["l_extendedprice"].to_numpy()
+                    * (1.0 - batch["l_discount"].to_numpy()),
+                    "l_year": batch["l_shipdate"].dt.year.to_numpy(dtype=np.int32),
+                }
+            )
+
+        line = _bucket_join(
+            _read(
+                sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            ).map_batches(line_proj, batch_format="pandas", batch_size=131072),
+            supp,
+            "l_suppkey",
+            "s_suppkey",
+            16,
+        )
+
+    if cust_map is not None:
+        cref = ray.put(cust_map)
+
+        def orders_side(batch: pa.Table) -> pd.DataFrame:
+            cm = ray.get(cref)
+            return pd.DataFrame(
+                {
+                    "o_orderkey": batch.column("o_orderkey").to_numpy(zero_copy_only=False),
+                    "cn": cm[batch.column("o_custkey").to_numpy(zero_copy_only=False)],
+                }
+            )
+
+        ords = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+            orders_side, batch_format="pyarrow", batch_size=131072
+        )
+    else:
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            lambda df: pd.DataFrame(
+                {"c_custkey": df["c_custkey"].to_numpy(),
+                 "cn": dense_nation[df["c_nationkey"].to_numpy(dtype=np.int64)]}
+            ),
+            batch_format="pandas",
+        )
+        ords = _bucket_join(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+            cust,
+            "o_custkey",
+            "c_custkey",
+            16,
+        )
+
+    joined = _bucket_join(line, ords, "l_orderkey", "o_orderkey", 16)
+    n_nat = len(n_names)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sn = batch["sn"].to_numpy(dtype=np.int64)
+        cn = batch["cn"].to_numpy(dtype=np.int64)
+        yr = batch["l_year"].to_numpy(dtype=np.int64)
+        rev = batch["rev"].to_numpy()
+        keep = sn != cn
+        df = pd.DataFrame({"sn": sn[keep], "cn": cn[keep], "l_year": yr[keep],
+                           "revenue": rev[keep]})
+        return df.groupby(["sn", "cn", "l_year"], as_index=False)["revenue"].sum()
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby(["sn", "cn", "l_year"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    t = _concat(out)
+    sn = t.column("sn").to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = t.column("cn").to_numpy(zero_copy_only=False).astype(np.int64)
+    res = pa.table(
+        {
+            "supp_nation": pa.array(n_names[sn], pa.string()),
+            "cust_nation": pa.array(n_names[cn], pa.string()),
+            "l_year": t.column("l_year").cast(pa.int64()),
+            "revenue": pc.round(t.column("revenue"), 4),
+        }
+    )
+    return res.take(
+        pc.sort_indices(
+            res,
+            sort_keys=[("supp_nation", "ascending"), ("cust_nation", "ascending"),
+                       ("l_year", "ascending")],
+        )
+    )
+
+
+NATION_TRADE_VOLUME_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

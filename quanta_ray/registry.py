@@ -86,6 +86,12 @@ def _emb_kmeans(sf_dir: str) -> Any:
     return kmeans_embeddings(sf_dir)
 
 
+def _emb_semdedup(sf_dir: str) -> Any:
+    from .functions.cluster import semdedup
+
+    return semdedup(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from .functions import contamination, curation, dedup, simsearch, text
     from .pipelines import batch_cep, relational
@@ -98,7 +104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (2) the doc_/emb_/mm_ families the driver has not re-verified since
         # r02 (or ever), (3) the twice-green rel_/ev_ remainder, (4) the
         # slow rows-only streaming family last.
-        # --- (1) changed since last driver verification ---
+        # --- (1) new or changed since last driver verification ---
+        "rel_big_spender_orders": relational.big_spender_orders,
+        "rel_nation_trade_volume": relational.nation_trade_volume,
+        "ev_user_moving_avg": batch_cep.user_moving_avg,
         "ev_next_event_join": batch_cep.next_event_join,
         "ev_type_hourly_pivot": batch_cep.type_hourly_pivot,
         "ev_consistent_sample": batch_cep.consistent_sample,
@@ -155,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": simsearch.knn_ivf,
         "emb_near_dup_cosine": simsearch.near_dup_cosine,
         "emb_kmeans": _emb_kmeans,
+        "emb_semdedup": _emb_semdedup,
         "emb_norm_stats": simsearch.norm_stats,
         "emb_label_lang_stats": simsearch.label_lang_stats,
         # --- multimodal plumbing (stubbed decode; rows-only) ---
@@ -240,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_followup_range_join": batch_cep.FOLLOWUP_RANGE_JOIN_SQL,
         "ev_funnel": batch_cep.FUNNEL_SQL,
         "ev_user_running_sum": batch_cep.USER_RUNNING_SUM_SQL,
+        "ev_user_moving_avg": batch_cep.USER_MOVING_AVG_SQL,
         "ev_user_gap_stats": batch_cep.USER_GAP_STATS_SQL,
         "ev_user_retention": batch_cep.USER_RETENTION_SQL,
         "ev_pattern_match": batch_cep.PATTERN_MATCH_SQL,
@@ -264,6 +275,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_asof_latest_order": relational.ASOF_LATEST_ORDER_SQL,
         "rel_top_unshipped_orders": relational.TOP_UNSHIPPED_SQL,
         "rel_promo_share_by_month": relational.PROMO_SHARE_SQL,
+        "rel_big_spender_orders": relational.BIG_SPENDER_ORDERS_SQL,
+        "rel_nation_trade_volume": relational.NATION_TRADE_VOLUME_SQL,
         "rel_customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "rel_order_counts_outer": relational.CUSTOMER_ORDER_COUNTS_OUTER_SQL,
         "doc_token_counts": text.TOKEN_COUNTS_SQL,

@@ -1419,3 +1419,44 @@ def test_sessionize_and_count_windows_planted(ray_session, tmp_path):
     assert list(u6["n_events"]) == [5, 2]
     assert u6.iloc[0]["start_ts"] == base and u6.iloc[0]["end_ts"] == base + pd.Timedelta(seconds=4)
     assert u6.iloc[1]["start_ts"] == base + pd.Timedelta(seconds=5)
+
+
+def test_semdedup_drops_planted_semantic_dups(ray_session, tmp_path_factory):
+    """SemDeDup: identical/near-identical directions collapse to the lowest
+    vec_id; orthogonal one-hot vectors all survive regardless of which
+    k-means cluster they land in (cosine 0 < tau)."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.functions.cluster import semdedup
+
+    d = tmp_path_factory.mktemp("semdedup_emb")
+    rng = np.random.default_rng(7)
+    dim = 32
+    rows = []
+    base = np.zeros(dim); base[0] = 1.0
+    for i in range(5):  # ids 0-4: near-identical direction -> dup set of 0
+        rows.append(base + 1e-4 * rng.standard_normal(dim))
+    other = np.zeros(dim); other[1] = 1.0
+    rows.append(other)          # id 5: kept
+    rows.append(other.copy())   # id 6: exact dup of 5
+    for j in range(20):         # ids 7-26: pairwise-orthogonal one-hots
+        v = np.zeros(dim); v[2 + j] = 1.0
+        rows.append(v)
+    mat = np.vstack(rows).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], type=pa.list_(pa.float32())),
+            "label": pa.array([0] * len(mat), type=pa.int32()),
+        }
+    )
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    out = semdedup(str(d), k=4, iters=3, tau=0.92)
+    df = out.to_pandas().set_index("vec_id")
+    assert not df.loc[[1, 2, 3, 4], "kept"].any()
+    assert (df.loc[[1, 2, 3, 4], "dup_of"] == 0).all()
+    assert not df.loc[6, "kept"] and df.loc[6, "dup_of"] == 5
+    kept_ids = set(df.index[df["kept"]])
+    assert kept_ids == {0, 5} | set(range(7, 27))
+    assert df.loc[df["kept"], "dup_of"].isna().all()
+    assert out.equals(semdedup(str(d), k=4, iters=3, tau=0.92))  # deterministic

@@ -1416,8 +1416,6 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
     bucketed hash join of lineitem against orders on orderkey. Partials
     collapse each joined batch to <= nations^2 x years rows before the
     final tiny groupby."""
-    from ray.data.aggregate import Sum
-
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     n_names = nation.sort_values("n_nationkey")["n_name"].to_numpy(dtype=object)
     nk = nation.sort_values("n_nationkey")["n_nationkey"].to_numpy(dtype=np.int64)
@@ -1544,10 +1542,13 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
                            "revenue": rev[keep]})
         return df.groupby(["sn", "cn", "l_year"], as_index=False)["revenue"].sum()
 
-    out = (
-        joined.map_batches(partial, batch_format="pandas", batch_size=262144)
-        .groupby(["sn", "cn", "l_year"])
-        .aggregate(Sum("revenue", alias_name="revenue"))
+    from ..bucket import bucketed_group_agg
+
+    out = bucketed_group_agg(
+        joined.map_batches(partial, batch_format="pandas", batch_size=262144),
+        ["sn", "cn", "l_year"],
+        {"revenue": ("revenue", "sum")},
+        num_buckets=8,
     )
     t = _concat(out)
     sn = t.column("sn").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1336,3 +1336,129 @@ FROM documents
 GROUP BY source, lang
 ORDER BY source, lang
 """
+
+
+# --- char-trigram LM perplexity (CCNet-style quality scoring) -------------------
+
+
+_LM_H = 1 << 16  # hashed count-table width (bounded model, collision-tolerant)
+_LM_P = np.uint64(1_000_003)
+
+
+def _char_codes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(concatenated uint32 codepoints, per-doc lengths) for a string series.
+    One encode of the joined text instead of per-row Python loops."""
+    joined = "".join(texts.tolist())
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = texts.str.len().fillna(0).to_numpy(dtype=np.int64)
+    return codes, lens
+
+
+def _tri_bi_hashes(codes: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized trigram/bigram hash streams over concatenated docs, plus
+    the doc index of each trigram. Windows crossing a doc boundary are
+    masked out."""
+    n = len(codes)
+    if n < 3:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    c = codes.astype(np.uint64)
+    h2 = (c[:-2] * _LM_P + c[1:-1]) & np.uint64(_LM_H - 1)
+    h3 = ((c[:-2] * _LM_P + c[1:-1]) * _LM_P + c[2:]) & np.uint64(_LM_H - 1)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    # a trigram starting at absolute position p is interior iff p+2 is in
+    # the same doc: position-within-doc <= len-3
+    pos = np.arange(n, dtype=np.int64) - starts[doc_of]
+    ok = (pos[: n - 2] <= lens[doc_of[: n - 2]] - 3)
+    return h3[ok].astype(np.int64), h2[ok].astype(np.int64), doc_of[: n - 2][ok]
+
+
+def lm_perplexity(sf_dir: str) -> pa.Table:
+    """Per-document char-trigram language-model perplexity — the CCNet-style
+    quality signal (Wenzek et al. 2020 score documents with a KenLM model;
+    here the LM is trained on the corpus itself in one distributed pass).
+
+    Two streaming passes, nothing row-proportional on the driver:
+    1. TRAIN — per batch, vectorized trigram/bigram hash counting emits only
+       the TOUCHED buckets as (bucket, cnt) partials; a bucketed reduce
+       folds them; the driver assembles two fixed-width (2^16) count tables
+       and broadcasts them once via ``ray.put``.
+    2. SCORE — per batch, mean -log2 p(c3|c1c2) per doc with add-one
+       smoothing, reading the tables zero-copy in each actor.
+
+    Integer count tables + deterministic hashing make reruns bit-identical.
+    Hash collisions only smooth the model (both passes share them), so this
+    is a scorer, not a probability oracle -> rows-only check, pinned by the
+    planted repetitive-vs-gibberish pytest."""
+    import ray
+
+    from ..bucket import bucketed_group_agg
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        codes, lens = _char_codes(batch["text"].fillna(""))
+        h3, h2, _ = _tri_bi_hashes(codes, lens)
+        if not len(h3):
+            return pd.DataFrame(
+                {"bucket": np.empty(0, np.int64), "kind": np.empty(0, np.int64),
+                 "cnt": np.empty(0, np.int64)}
+            )
+        u3, c3 = np.unique(h3, return_counts=True)
+        u2, c2 = np.unique(h2, return_counts=True)
+        return pd.DataFrame(
+            {
+                "bucket": np.concatenate([u3, u2]),
+                "kind": np.concatenate(
+                    [np.zeros(len(u3), np.int64), np.ones(len(u2), np.int64)]
+                ),
+                "cnt": np.concatenate([c3, c2]).astype(np.int64),
+            }
+        )
+
+    parts = _docs(sf_dir, ["text"]).map_batches(
+        count_partial, batch_format="pandas", batch_size=65536
+    )
+    folded = _concat(
+        bucketed_group_agg(parts, ["bucket", "kind"], {"cnt": ("cnt", "sum")},
+                           num_buckets=16)
+    ).to_pandas()
+    tri = np.zeros(_LM_H, np.int64)
+    bi = np.zeros(_LM_H, np.int64)
+    t3 = folded[folded["kind"] == 0]
+    t2 = folded[folded["kind"] == 1]
+    tri[t3["bucket"].to_numpy()] = t3["cnt"].to_numpy()
+    bi[t2["bucket"].to_numpy()] = t2["cnt"].to_numpy()
+    model_ref = ray.put((tri, bi))
+
+    class Scorer:
+        def __init__(self):
+            self.tri, self.bi = ray.get(model_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            codes, lens = _char_codes(batch["text"].fillna(""))
+            h3, h2, doc = _tri_bi_hashes(codes, lens)
+            n_docs = len(batch)
+            if not len(h3):
+                return pd.DataFrame(
+                    {"doc_id": np.empty(0, np.int64),
+                     "n_trigrams": np.empty(0, np.int64),
+                     "ppl_bits": np.empty(0, np.float64)}
+                )
+            bits = -np.log2((self.tri[h3] + 1.0) / (self.bi[h2] + 256.0))
+            tot = np.bincount(doc, weights=bits, minlength=n_docs)
+            cnt = np.bincount(doc, minlength=n_docs)
+            has = cnt > 0
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy()[has],
+                    "n_trigrams": cnt[has].astype(np.int64),
+                    "ppl_bits": np.round(tot[has] / cnt[has], 6),
+                }
+            )
+
+    out = _concat(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            Scorer, batch_format="pandas", batch_size=65536, concurrency=(1, 8)
+        )
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))

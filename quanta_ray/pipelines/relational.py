@@ -1584,3 +1584,108 @@ WHERE sn.n_name <> cn.n_name
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+
+# --- TPC-H Q10-style: returned-item revenue by customer -----------------------
+
+
+def returned_item_revenue(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k customers by revenue on RETURNED lineitems (l_returnflag='R')
+    — the Q10 shape: filtered fact x fact join, re-keyed aggregate, top-k,
+    then a name lookup on the k winners only.
+
+    Scale shape: the returnflag filter runs inside the first scan (only
+    matching rows are tagged/shuffled); one bucketed hash join on orderkey
+    emits (custkey, rev_u int micro-unit) partials pre-reduced per bucket;
+    a second bucketed shuffle on custkey reduces per customer AND emits only
+    its bucket's exact top-k (groups are bucket-complete), so the driver
+    merges <= buckets*k rows; the final c_name lookup streams customer once
+    with the k custkeys broadcast — never the reverse."""
+    from ..bucket import bucketed_apply
+
+    def tag_l(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"] == "R"]
+        key = b["l_orderkey"].to_numpy(dtype=np.int64)
+        rev_u = np.round(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()) * 1e6
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"l_orderkey": pd.array(key, dtype="Int64"),
+             "rev_u": pd.array(rev_u, dtype="Int64")}
+        )
+
+    joined = _bucket_join(
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        ).map_batches(tag_l, batch_format="pandas", batch_size=131072),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        "l_orderkey",
+        "o_orderkey",
+        16,
+    )
+
+    def cust_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", as_index=False)["rev_u"].sum()
+        return pd.DataFrame(
+            {"o_custkey": g["o_custkey"].to_numpy(dtype=np.int64),
+             "rev_u": g["rev_u"].to_numpy(dtype=np.int64)}
+        )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("o_custkey", as_index=False)["rev_u"].sum()
+        return r.sort_values(
+            ["rev_u", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    parts = _concat(
+        bucketed_apply(
+            joined.map_batches(cust_partial, batch_format="pandas", batch_size=262144),
+            ["o_custkey"],
+            bucket_topk,
+            num_buckets=16,
+        )
+    ).to_pandas()
+    top = parts.sort_values(
+        ["rev_u", "o_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+
+    ck_ref = ray.put(frozenset(top["o_custkey"].to_numpy(dtype=np.int64)))
+
+    class NameLookup:
+        def __init__(self):
+            self.keys = ray.get(ck_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["c_custkey"].isin(self.keys)]
+
+    names = _concat(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+            NameLookup, batch_format="pandas", batch_size=131072, concurrency=(1, 4)
+        )
+    ).to_pandas()
+    out = top.merge(names, left_on="o_custkey", right_on="c_custkey").sort_values(
+        ["rev_u", "o_custkey"], ascending=[False, True], kind="mergesort"
+    )
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["o_custkey"].to_numpy(dtype=np.int64), pa.int64()),
+            "c_name": pa.array(out["c_name"].astype(str), pa.string()),
+            "revenue": pa.array(out["rev_u"].to_numpy(dtype=np.int64) / 1e6, pa.float64()),
+        }
+    )
+
+
+RETURNED_ITEM_REVENUE_SQL = """
+SELECT c.c_custkey, c.c_name,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000) AS BIGINT))
+         / 1000000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2
+ORDER BY sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000) AS BIGINT)) DESC,
+         c.c_custkey
+LIMIT 20
+"""

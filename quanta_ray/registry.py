@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- (1) new or changed since last driver verification ---
         "rel_big_spender_orders": relational.big_spender_orders,
         "rel_nation_trade_volume": relational.nation_trade_volume,
+        "rel_returned_item_revenue": relational.returned_item_revenue,
+        "doc_lm_perplexity": text.lm_perplexity,
         "ev_user_moving_avg": batch_cep.user_moving_avg,
         "ev_next_event_join": batch_cep.next_event_join,
         "ev_type_hourly_pivot": batch_cep.type_hourly_pivot,
@@ -277,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_promo_share_by_month": relational.PROMO_SHARE_SQL,
         "rel_big_spender_orders": relational.BIG_SPENDER_ORDERS_SQL,
         "rel_nation_trade_volume": relational.NATION_TRADE_VOLUME_SQL,
+        "rel_returned_item_revenue": relational.RETURNED_ITEM_REVENUE_SQL,
         "rel_customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "rel_order_counts_outer": relational.CUSTOMER_ORDER_COUNTS_OUTER_SQL,
         "doc_token_counts": text.TOKEN_COUNTS_SQL,

@@ -1460,3 +1460,34 @@ def test_semdedup_drops_planted_semantic_dups(ray_session, tmp_path_factory):
     assert kept_ids == {0, 5} | set(range(7, 27))
     assert df.loc[df["kept"], "dup_of"].isna().all()
     assert out.equals(semdedup(str(d), k=4, iters=3, tau=0.92))  # deterministic
+
+
+def test_lm_perplexity_separates_gibberish(ray_session, tmp_path_factory):
+    """The corpus-trained trigram LM must score in-distribution repetitive
+    text lower (fewer bits/char) than out-of-distribution gibberish, and be
+    deterministic; docs too short for a trigram are excluded."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.functions.text import lm_perplexity
+
+    d = tmp_path_factory.mktemp("lm_docs")
+    common = "the quick brown fox jumps over the lazy dog and runs away again "
+    docs = [common * 4 for _ in range(30)]          # ids 0-29: in-distribution
+    docs.append("zqxj vkwp fyhg bnmz qqxz jjwv kkpz")  # id 30: gibberish
+    docs.append("ab")                                # id 31: too short
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array(docs, type=pa.string()),
+            "lang": pa.array(["en"] * len(docs), type=pa.string()),
+            "source": pa.array(["web"] * len(docs), type=pa.string()),
+            "n_chars": pa.array([len(s) for s in docs], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = lm_perplexity(str(d))
+    df = out.to_pandas().set_index("doc_id")
+    assert 31 not in df.index                       # no trigram -> excluded
+    assert df.loc[30, "ppl_bits"] > df.loc[0, "ppl_bits"] + 2.0
+    assert (df.loc[0:29, "ppl_bits"] < 4.0).all()
+    assert out.equals(lm_perplexity(str(d)))        # deterministic rerun

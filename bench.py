@@ -64,6 +64,13 @@ BENCH_QUERIES = [
     "ev_count_windows",
     "doc_line_dedup",
     "doc_adaptive_length_filter",
+    # round-4 additions
+    "emb_semdedup",
+    "doc_lm_perplexity",
+    "rel_big_spender_orders",
+    "rel_nation_trade_volume",
+    "rel_returned_item_revenue",
+    "ev_user_moving_avg",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

@@ -69,11 +69,34 @@ class CEPConfig:
     # driver merges M k-sized lists per window at commit (O(k·M·windows/
     # epoch), never conv- or row-proportional). 0 disables the stream.
     topk_k: int = 0
+    # running SESSION-DURATION QUANTILE stream (streaming mergeable sketch):
+    # per epoch that closes >= 1 session, emit the requested quantiles of
+    # ALL sessions closed so far, estimated from a fixed-bin histogram of
+    # durations. Workers return O(touched bins) integer partials with their
+    # commit metadata; the driver folds them into the cumulative histogram
+    # (O(sess_hist_bins) state, persisted in every manifest — resume
+    # continues the running estimate exactly). Estimates are deterministic
+    # (upper bin edge at the smallest cumulative count >= ceil(q*total)).
+    # Empty tuple disables the stream.
+    sess_quantiles: tuple = ()
+    sess_hist_bin_us: int = 60 * US   # 1-minute duration resolution
+    sess_hist_bins: int = 256         # durations >= bins*bin clip to the top bin
 
     def __post_init__(self) -> None:
         # JSON specs deliver lists; normalize so configs hash/compare stably
         object.__setattr__(self, "pattern_roles", tuple(self.pattern_roles))
         object.__setattr__(self, "alert_scopes", tuple(self.alert_scopes))
+        object.__setattr__(self, "sess_quantiles", tuple(self.sess_quantiles))
+        for q in self.sess_quantiles:
+            if not (0.0 < q <= 1.0):
+                raise ValueError(f"sess_quantiles must be in (0, 1], got {q}")
+        if self.sess_quantiles and (
+            self.sess_hist_bin_us <= 0 or self.sess_hist_bins <= 0
+        ):
+            raise ValueError(
+                "sess_hist_bin_us and sess_hist_bins must be positive when "
+                "sess_quantiles is set"
+            )
         allowed = {"all", "user", "assistant", "tool"}
         bad = [s for s in self.alert_scopes if s not in allowed]
         if bad:

@@ -462,12 +462,22 @@ class StreamingRunner:
         alert_state: dict[str, Any] = {
             s: {"last_w": None, "last_n": 0} for s in spec.cep.alert_scopes
         }
+        # running session-duration quantile reducer state: the cumulative
+        # duration histogram (O(sess_hist_bins) ints) — persisted in every
+        # manifest so resume continues the running estimates exactly.
+        sessq_state: list[int] = [0] * spec.cep.sess_hist_bins
         if latest >= 0:
             m = read_manifest(self.out_dir, latest)
             assert m is not None, f"latest manifest {latest} missing or unreadable"
             assert m["num_partitions"] == P, "partition count changed across resume"
             for s, st_s in (m.get("alerts_state") or {}).items():
                 alert_state[s] = dict(st_s)
+            saved_sq = m.get("sessq_state")
+            if saved_sq:
+                assert len(saved_sq) == len(sessq_state), (
+                    "sess_hist_bins changed across resume"
+                )
+                sessq_state = [int(v) for v in saved_sq]
             # checkpoints are staggered across partitions: collect each
             # partition's newest checkpoint ≤ latest, restore, then replay
             # the (deterministic) epochs since — workers skip epochs already
@@ -719,6 +729,41 @@ class StreamingRunner:
                     e_tk = write_part_file(tbl, self.out_dir, "topk", 0, epoch)
                     if e_tk:
                         topk_entries.append(e_tk)
+            # running session-duration quantiles: fold this epoch's histogram
+            # partials into the cumulative state (vector add of integer bin
+            # counts — mergeable by construction); if any session closed this
+            # epoch, emit one row per requested quantile. Commits run in
+            # strict epoch order, so the running estimate is deterministic.
+            sessq_entries: list[dict] = []
+            if spec.cep.sess_quantiles:
+                from ..schema import SESSQUANT_SCHEMA
+                from ..sinks.exactly_once import write_part_file
+
+                added = 0
+                for r in metas:
+                    for b, c in r.get("sessq_partials", {}).items():
+                        sessq_state[int(b)] += int(c)
+                        added += int(c)
+                if added:
+                    from ..state.sessquant import quantile_rows
+
+                    total = sum(sessq_state)
+                    sq_rows = quantile_rows(
+                        sessq_state, spec.cep.sess_quantiles,
+                        spec.cep.sess_hist_bin_us,
+                    )
+                    tbl = pa.Table.from_arrays(
+                        [
+                            pa.array([epoch] * len(sq_rows), pa.int64()),
+                            pa.array([r[0] for r in sq_rows], pa.float64()),
+                            pa.array([r[1] for r in sq_rows], pa.int64()),
+                            pa.array([total] * len(sq_rows), pa.int64()),
+                        ],
+                        schema=SESSQUANT_SCHEMA,
+                    )
+                    e_sq = write_part_file(tbl, self.out_dir, "sessquant", 0, epoch)
+                    if e_sq:
+                        sessq_entries.append(e_sq)
             turns_entries = [t for t in ray.get(turns_refs) if t] if turns_refs else []
             if stats:
                 stats["t_commit_wait"] = round(_time.perf_counter() - t_c0, 4)
@@ -735,10 +780,11 @@ class StreamingRunner:
                 "watermark": wms[epoch] if epoch < len(files) else POS_INF,
                 "source_stats": stats,
                 "files": turns_entries + dead_entries + stream_files + alert_entries
-                + topk_entries,
+                + topk_entries + sessq_entries,
                 "checkpoints": checkpoints,
                 "last_checkpoint_epoch": last_ckpt_epoch["v"],
                 "alerts_state": {s: dict(v) for s, v in alert_state.items()},
+                "sessq_state": list(sessq_state) if spec.cep.sess_quantiles else None,
                 "metrics": [pm for r in metas for pm in r["metrics"]],
             }
             write_manifest(self.out_dir, epoch, manifest)

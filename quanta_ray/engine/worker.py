@@ -862,6 +862,21 @@ class PartitionWorkerImpl:
                 for i, w in enumerate(uw)
             }
 
+        # session-duration histogram partials: one integer count per TOUCHED
+        # duration bin over this epoch's newly-closed sessions — O(bins)
+        # scalars for the driver's cumulative running-quantile fold, never
+        # session-proportional
+        sessq_partial: dict[int, int] = {}
+        if self.cfg.sess_quantiles and sess_table is not None and sess_table.num_rows:
+            dur = (
+                sess_table.column("session_end").cast(pa.int64()).to_numpy()
+                - sess_table.column("session_start").cast(pa.int64()).to_numpy()
+            )
+            b = np.minimum(dur // self.cfg.sess_hist_bin_us,
+                           self.cfg.sess_hist_bins - 1)
+            ub, cb = np.unique(b, return_counts=True)
+            sessq_partial = {int(x): int(c) for x, c in zip(ub, cb)}
+
         # windowed exact top-k partials: per newly-final tumbling window,
         # this partition's k most active convs. Complete for this
         # partition's convs (a conv lives in exactly one partition), so the
@@ -921,6 +936,7 @@ class PartitionWorkerImpl:
             "metrics": metrics,
             "win_partial": win_partial,
             "topk_partial": topk_partial,
+            "sessq_partial": sessq_partial,
         }
 
     def finish(self, epoch: int, do_checkpoint: bool = True) -> dict:
@@ -1376,6 +1392,7 @@ class MultiPartitionWorker:
         out_tables, blobs, metrics = [], [], []
         win_partials: dict[int, tuple[int, int, int, int]] = {}
         topk_partials: dict[int, list[tuple[str, int]]] = {}
+        sessq_partials: dict[int, int] = {}
         for i, pid in enumerate(self.pids):
             frag = list(tables[i * n_frags : (i + 1) * n_frags])
             nonempty = [t for t in frag if t.num_rows]
@@ -1397,13 +1414,15 @@ class MultiPartitionWorker:
                 win_partials[w] = tuple(a + b for a, b in zip(prev, t))
             for w, lst in r.get("topk_partial", {}).items():
                 topk_partials.setdefault(w, []).extend(lst)
+            for b, c in r.get("sessq_partial", {}).items():
+                sessq_partials[b] = sessq_partials.get(b, 0) + c
         _fold_topk(topk_partials, self.cfg.topk_k)
         # two returns (num_returns=2): small meta for the driver's commit;
         # emitted tables + checkpoint blobs go to the off-worker writer task
         # — the driver never pulls the heavy payload
         return (
             {"metrics": metrics, "win_partials": win_partials,
-             "topk_partials": topk_partials},
+             "topk_partials": topk_partials, "sessq_partials": sessq_partials},
             {"tables": out_tables, "ckpt_blobs": blobs},
         )
 
@@ -1411,6 +1430,7 @@ class MultiPartitionWorker:
         out_tables, blobs, metrics = [], [], []
         win_partials: dict[int, tuple[int, int, int, int]] = {}
         topk_partials: dict[int, list[tuple[str, int]]] = {}
+        sessq_partials: dict[int, int] = {}
         for pid in self.pids:
             r = self.impls[pid].finish(epoch, do_checkpoint)
             out_tables.extend(r["tables"])
@@ -1422,10 +1442,12 @@ class MultiPartitionWorker:
                 win_partials[w] = tuple(a + b for a, b in zip(prev, t))
             for w, lst in r.get("topk_partial", {}).items():
                 topk_partials.setdefault(w, []).extend(lst)
+            for b, c in r.get("sessq_partial", {}).items():
+                sessq_partials[b] = sessq_partials.get(b, 0) + c
         _fold_topk(topk_partials, self.cfg.topk_k)
         return (
             {"metrics": metrics, "win_partials": win_partials,
-             "topk_partials": topk_partials},
+             "topk_partials": topk_partials, "sessq_partials": sessq_partials},
             {"tables": out_tables, "ckpt_blobs": blobs},
         )
 

@@ -332,9 +332,17 @@ def run_oracle(
 ) -> dict[str, Any]:
     """Run the interpreter over an ordered epoch stream; return Arrow outputs."""
     st = OracleState(cfg, stages)
+    # (epoch index, #sessions closed so far) after each epoch — the
+    # sessquant stream's emission schedule (final flush = epoch n_epochs,
+    # matching the engine's finish commit)
+    sess_marks: list[tuple[int, int]] = []
+    n_epochs = 0
     for t in epochs:
         process_epoch(st, t)
+        sess_marks.append((n_epochs, len(st.sessions)))
+        n_epochs += 1
     finish(st)
+    sess_marks.append((n_epochs, len(st.sessions)))
 
     turn_schema = pa.schema(
         [
@@ -406,12 +414,41 @@ def run_oracle(
                 for i, (n, c) in enumerate(best, 1)
             ]
 
-    from .schema import ALERT_SCHEMA, TOPK_SCHEMA
+    # running session-duration quantiles: replay the engine's commit-order
+    # fold — per epoch that closed >= 1 session, fold those durations into
+    # the cumulative histogram and emit the shared-spec estimates
+    # (state/sessquant.quantile_rows — the same function the runner calls,
+    # so interpolation is bit-identical by construction).
+    sessquant: list[dict] = []
+    if cfg.sess_quantiles:
+        from .state.sessquant import quantile_rows
+
+        counts = [0] * cfg.sess_hist_bins
+        prev = 0
+        for e, n in sess_marks:
+            if n == prev:
+                continue
+            for s in st.sessions[prev:n]:
+                b = min(
+                    (s["session_end"] - s["session_start"]) // cfg.sess_hist_bin_us,
+                    cfg.sess_hist_bins - 1,
+                )
+                counts[b] += 1
+            prev = n
+            sessquant += [
+                {"epoch": e, "q": q, "est_duration_us": est, "n_sessions": n}
+                for q, est in quantile_rows(
+                    counts, cfg.sess_quantiles, cfg.sess_hist_bin_us
+                )
+            ]
+
+    from .schema import ALERT_SCHEMA, SESSQUANT_SCHEMA, TOPK_SCHEMA
 
     return {
         "turns": _to_table(st.turns, turn_schema, ["conv_id", "turn_idx"]),
         "alerts": _to_table(alerts, ALERT_SCHEMA, ["w_start", "scope"]),
         "topk": _to_table(topk, TOPK_SCHEMA, ["w_start", "rank"]),
+        "sessquant": _to_table(sessquant, SESSQUANT_SCHEMA, ["epoch", "q"]),
         "tumbling": _to_table(st.tumbling, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),
         "sliding": _to_table(st.sliding, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),
         "sessions": _to_table(st.sessions, SESSION_SCHEMA, ["conv_id", "session_id"]),

@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cep_streaming_count_windows": _streaming_stream("count_windows"),
         "cep_streaming_alerts": _streaming_stream("alerts"),
         "cep_streaming_topk": _streaming_stream("topk"),
+        "cep_streaming_sessquant": _streaming_stream("sessquant"),
     }
 
 

@@ -137,6 +137,21 @@ TOPK_SCHEMA = pa.schema(
 )
 
 
+# running SESSION-DURATION QUANTILE stream: after each epoch that closes at
+# least one session, the requested quantiles of ALL sessions closed so far,
+# estimated from a mergeable fixed-bin histogram (integer counts — merge is
+# a vector add, estimates are deterministic upper bin edges). One row per
+# (epoch, q).
+SESSQUANT_SCHEMA = pa.schema(
+    [
+        ("epoch", pa.int64()),
+        ("q", pa.float64()),
+        ("est_duration_us", pa.int64()),  # upper edge of the quantile's bin
+        ("n_sessions", pa.int64()),       # sessions closed so far (cumulative)
+    ]
+)
+
+
 def from_pandas(df) -> pa.Table:
     """``pa.Table.from_pandas`` minus the auto-attached pandas schema
     metadata. The metadata dict makes the resulting ``pa.Schema`` unhashable,

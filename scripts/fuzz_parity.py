@@ -13,6 +13,8 @@ Dimensions randomized per trial (the recorded fuzz config):
                     stream re-serialized as JSONL epochs, crossed with
                     every other dimension
   top-k stream      topk_k ∈ {0, 1, 4} (windowed exact top-k)
+  session quantiles sess_quantiles ∈ {off, (0.5), (0.25,0.5,0.95)} x
+                    bin ∈ {30s, 120s} (running mergeable-histogram stream)
   transformer chain normalize | normalize+fanout (1→2) | drop_role+normalize
                     | normalize+retry_odd (per-row RETRY/DROP status col)
 
@@ -52,6 +54,7 @@ SORT_KEYS = {
     "count_windows": ["conv_id", "window_id"],
     "alerts": ["w_start", "scope"],
     "topk": ["w_start", "rank"],
+    "sessquant": ["epoch", "q"],
 }
 
 
@@ -103,6 +106,8 @@ def main() -> int:
                 int(rng.integers(0, 3))
             ],
             topk_k=int(rng.choice([0, 1, 4])),
+            sess_quantiles=[(), (0.5,), (0.25, 0.5, 0.95)][int(rng.integers(0, 3))],
+            sess_hist_bin_us=int(rng.choice([30, 120])) * US,
         )
         d = tempfile.mkdtemp(dir="/tmp", prefix="fuzz-")
         try:

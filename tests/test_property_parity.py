@@ -24,6 +24,7 @@ SORT_KEYS = {
     "patterns": ["conv_id", "start_ts", "start_turn_idx"],
     "count_windows": ["conv_id", "window_id"],
     "topk": ["w_start", "rank"],
+    "sessquant": ["epoch", "q"],
 }
 
 
@@ -51,6 +52,7 @@ def _sorted(t: pa.Table, keys):
     chain=st.sampled_from(["normalize", "retry_odd", "fanout"]),
     fragment_rows=st.sampled_from([500, 131072]),
     topk_k=st.sampled_from([0, 3]),
+    sessq=st.sampled_from([(), (0.5, 0.9)]),
 )
 def test_random_stream_matches_oracle(
     ray_session,
@@ -68,6 +70,7 @@ def test_random_stream_matches_oracle(
     chain,
     fragment_rows,
     topk_k,
+    sessq,
 ):
     from quanta_ray.engine import StreamingRunner
     from quanta_ray.stages.transforms import FanoutStage, RetryOddStage
@@ -84,6 +87,7 @@ def test_random_stream_matches_oracle(
         join_bound_us=bound_s * US,
         num_partitions=3,
         topk_k=topk_k,
+        sess_quantiles=sessq,
     )
     d = tmp_path_factory.mktemp("prop")
     table = generate_transcripts(params)

@@ -42,6 +42,7 @@ SORT_KEYS = {
     "count_windows": ["conv_id", "window_id"],
     "alerts": ["w_start", "scope"],
     "topk": ["w_start", "rank"],
+    "sessquant": ["epoch", "q"],
 }
 
 
@@ -52,7 +53,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
     files, _params = small_stream
     cfg = CEPConfig(num_partitions=4, count_window_size=5, alert_ratio=0.5,
                     alert_scopes=("all", "user", "assistant", "tool"),
-                    topk_k=3)
+                    topk_k=3, sess_quantiles=(0.5, 0.95))
     spec = PipelineSpec(
         source=SourceSpec(paths=tuple(files)),
         transformers=(StageSpec(name="normalize"),),
@@ -73,7 +74,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
 
 @pytest.mark.parametrize(
     "stream",
-    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts"],
+    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts", "sessquant"],
 )
 def test_stream_matches_oracle(engine_and_oracle, stream):
     out_dir, oracle = engine_and_oracle
@@ -218,7 +219,7 @@ def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
 
     files, _ = small_stream
     cfg = CEPConfig(num_partitions=3, count_window_size=4, alert_ratio=0.5,
-                    topk_k=3)
+                    topk_k=3, sess_quantiles=(0.5, 0.9))
     # checkpoint_every=2 exercises the restore-then-replay resume path
     # (crash after epoch 2 → state restored from epoch 1, epoch 2 replayed)
     spec = PipelineSpec(

@@ -1491,3 +1491,17 @@ def test_lm_perplexity_separates_gibberish(ray_session, tmp_path_factory):
     assert df.loc[30, "ppl_bits"] > df.loc[0, "ppl_bits"] + 2.0
     assert (df.loc[0:29, "ppl_bits"] < 4.0).all()
     assert out.equals(lm_perplexity(str(d)))        # deterministic rerun
+
+
+def test_knn_pq_finds_planted_neighbor(ray_session, emb_dir):
+    """PQ-ADC approximate search must still put the planted near-identical
+    vector first for its query (quantization error << the planted margin),
+    and be deterministic (seeded sample init, fixed Lloyd iterations)."""
+    from quanta_ray.functions.simsearch import knn_pq
+
+    d, _ = emb_dir
+    out = knn_pq(d, query_ids=(5,), k=5, m=4, ksub=8)
+    df = out.to_pandas()
+    assert df.iloc[0]["neighbor_id"] == 20   # the planted near-dup of vec 5
+    assert df.iloc[0]["rank"] == 1
+    assert out.equals(knn_pq(d, query_ids=(5,), k=5, m=4, ksub=8))

@@ -1689,3 +1689,100 @@ ORDER BY sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000) AS BIG
          c.c_custkey
 LIMIT 20
 """
+
+
+# --- ROLLUP grouping-sets aggregate -------------------------------------------
+
+
+def revenue_rollup(sf_dir: str) -> pa.Table:
+    """Order revenue by (nation, order-year) with ROLLUP subtotals — the
+    grouping-sets pattern: compute the FINEST grain once (per-batch
+    partials -> one bucketed reduce), then derive every coarser level by
+    re-aggregating the tiny finest-grain result on the driver. The corpus
+    is scanned once; subtotal levels cost nothing at scale.
+
+    Revenue is summed in integer micro-units (order-free addition) so all
+    three levels are bit-stable at any parallelism."""
+    from ..bucket import bucketed_group_agg
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n_names = nation.sort_values("n_nationkey")["n_name"].to_numpy(dtype=object)
+    nk = nation.sort_values("n_nationkey")["n_nationkey"].to_numpy(dtype=np.int64)
+    dense_nation = np.full(int(nk.max()) + 1, -1, dtype=np.int32)
+    dense_nation[nk] = np.arange(len(nk), dtype=np.int32)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(dtype=np.int64)
+    codes = dense_nation[cust["c_nationkey"].to_numpy(dtype=np.int64)]
+    if len(ck) and ck.max() <= 4 * len(ck) + 1024:
+        dense = np.full(int(ck.max()) + 1, -1, dtype=np.int32)
+        dense[ck] = codes
+        ref = ray.put((dense, None))
+    else:
+        order = np.argsort(ck)
+        ref = ray.put((codes[order].astype(np.int32), ck[order]))
+
+    class Partial:
+        def __init__(self):
+            self.codes, self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ckb = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            if self.keys is None:
+                cn = self.codes[ckb]
+            else:
+                pos = np.minimum(np.searchsorted(self.keys, ckb), len(self.keys) - 1)
+                cn = np.where(self.keys[pos] == ckb, self.codes[pos], -1)
+            yr = (
+                batch.column("o_orderdate")
+                .cast(pa.timestamp("us"))
+                .to_pandas()
+                .dt.year.to_numpy(dtype=np.int64)
+            )
+            rev_u = np.round(
+                batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64)
+            df = pd.DataFrame({"cn": cn.astype(np.int64), "o_year": yr, "rev_u": rev_u})
+            return df.groupby(["cn", "o_year"], as_index=False)["rev_u"].sum()
+
+    fine = _concat(
+        bucketed_group_agg(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+            .map_batches(Partial, batch_format="pyarrow", batch_size=131072,
+                         concurrency=(1, 4)),
+            ["cn", "o_year"],
+            {"rev_u": ("rev_u", "sum")},
+            num_buckets=8,
+        )
+    ).to_pandas()
+    # ROLLUP levels derived driver-side from the <= nations x years rows
+    lvl0 = fine.copy()
+    lvl0["n_name"] = n_names[lvl0["cn"].to_numpy(dtype=np.int64)]
+    lvl1 = fine.groupby("cn", as_index=False)["rev_u"].sum()
+    lvl1["n_name"] = n_names[lvl1["cn"].to_numpy(dtype=np.int64)]
+    lvl1["o_year"] = pd.NA
+    lvl2 = pd.DataFrame(
+        {"n_name": [pd.NA], "o_year": [pd.NA], "rev_u": [fine["rev_u"].sum()]}
+    )
+    out = pd.concat(
+        [lvl0[["n_name", "o_year", "rev_u"]], lvl1[["n_name", "o_year", "rev_u"]], lvl2],
+        ignore_index=True,
+    )
+    out["revenue"] = out["rev_u"].astype(np.int64) / 1e6
+    out["o_year"] = out["o_year"].astype("Int64")
+    out = out.sort_values(
+        ["n_name", "o_year"], na_position="first", kind="mergesort"
+    ).reset_index(drop=True)
+    return _from_pandas(out[["n_name", "o_year", "revenue"]])
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT n.n_name,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(round(o.o_totalprice * 1000000) AS BIGINT)) / 1000000.0 AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY ROLLUP (n.n_name, o_year)
+ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+"""

@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_big_spender_orders": relational.big_spender_orders,
         "rel_nation_trade_volume": relational.nation_trade_volume,
         "rel_returned_item_revenue": relational.returned_item_revenue,
+        "rel_revenue_rollup": relational.revenue_rollup,
         "doc_lm_perplexity": text.lm_perplexity,
         "ev_user_moving_avg": batch_cep.user_moving_avg,
         "ev_next_event_join": batch_cep.next_event_join,
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_big_spender_orders": relational.BIG_SPENDER_ORDERS_SQL,
         "rel_nation_trade_volume": relational.NATION_TRADE_VOLUME_SQL,
         "rel_returned_item_revenue": relational.RETURNED_ITEM_REVENUE_SQL,
+        "rel_revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "rel_customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "rel_order_counts_outer": relational.CUSTOMER_ORDER_COUNTS_OUTER_SQL,
         "doc_token_counts": text.TOKEN_COUNTS_SQL,

@@ -1462,3 +1462,80 @@ def lm_perplexity(sf_dir: str) -> pa.Table:
         )
     )
     return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
+# --- per-language vocabulary statistics ----------------------------------------
+
+
+def vocab_stats(sf_dir: str) -> pa.Table:
+    """Per-language corpus vocabulary profile: total token count, distinct
+    vocabulary size, and hapax legomena (tokens seen exactly once) — the
+    Zipf-tail health signals of a training corpus.
+
+    Shape: per-batch (lang, token) count partials, ONE token-keyed bucketed
+    shuffle reduces them to exact global per-token counts (every occurrence
+    of a token meets in one bucket — the tfidf df-join shape, no vocabulary
+    broadcast), each bucket then collapses to <= n_langs partial rows, and
+    a tiny second reduce sums per language. Shuffle carries (lang, token,
+    cnt) partials only, never text."""
+    from ..bucket import bucketed_apply, bucketed_group_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(r"[a-z0-9]+")
+        df = pd.DataFrame(
+            {"lang": batch["lang"].to_numpy(), "token": toks.to_numpy()}
+        ).explode("token").dropna(subset=["token"])
+        g = df.groupby(["lang", "token"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        # complete per-(lang, token) counts inside one bucket -> per-lang
+        # partial (n_tokens, vocab, hapax) rows
+        tot = g.groupby(["lang", "token"], as_index=False)["cnt"].sum()
+        out = tot.groupby("lang", as_index=False).agg(
+            n_tokens=("cnt", "sum"),
+            vocab=("cnt", "size"),
+            hapax=("cnt", lambda c: int((c == 1).sum())),
+        )
+        return out
+
+    parts = _docs(sf_dir, ["lang", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+    per_bucket = bucketed_apply(parts, ["token"], bucket_stats, num_buckets=16)
+    out = _concat(
+        bucketed_group_agg(
+            per_bucket,
+            ["lang"],
+            {
+                "n_tokens": ("n_tokens", "sum"),
+                "vocab": ("vocab", "sum"),
+                "hapax": ("hapax", "sum"),
+            },
+            num_buckets=4,
+        )
+    )
+    res = pa.table(
+        {
+            "lang": out.column("lang"),
+            "n_tokens": out.column("n_tokens").cast(pa.int64()),
+            "vocab": out.column("vocab").cast(pa.int64()),
+            "hapax": out.column("hapax").cast(pa.int64()),
+        }
+    )
+    return res.take(pc.sort_indices(res, sort_keys=[("lang", "ascending")]))
+
+
+VOCAB_STATS_SQL = """
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), cnt AS (
+  SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+FROM cnt GROUP BY 1 ORDER BY 1
+"""

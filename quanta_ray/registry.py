@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_returned_item_revenue": relational.returned_item_revenue,
         "rel_revenue_rollup": relational.revenue_rollup,
         "doc_lm_perplexity": text.lm_perplexity,
+        "doc_vocab_stats": text.vocab_stats,
         "ev_user_moving_avg": batch_cep.user_moving_avg,
         "ev_next_event_join": batch_cep.next_event_join,
         "ev_type_hourly_pivot": batch_cep.type_hourly_pivot,
@@ -284,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_nation_trade_volume": relational.NATION_TRADE_VOLUME_SQL,
         "rel_returned_item_revenue": relational.RETURNED_ITEM_REVENUE_SQL,
         "rel_revenue_rollup": relational.REVENUE_ROLLUP_SQL,
+        "doc_vocab_stats": text.VOCAB_STATS_SQL,
         "rel_customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "rel_order_counts_outer": relational.CUSTOMER_ORDER_COUNTS_OUTER_SQL,
         "doc_token_counts": text.TOKEN_COUNTS_SQL,

@@ -1424,6 +1424,12 @@ def lm_perplexity(sf_dir: str) -> pa.Table:
     ).to_pandas()
     tri = np.zeros(_LM_H, np.int64)
     bi = np.zeros(_LM_H, np.int64)
+    if folded.empty:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_trigrams": pa.array([], pa.int64()),
+             "ppl_bits": pa.array([], pa.float64())}
+        )
     t3 = folded[folded["kind"] == 0]
     t2 = folded[folded["kind"] == 1]
     tri[t3["bucket"].to_numpy()] = t3["cnt"].to_numpy()

@@ -1342,6 +1342,14 @@ def big_spender_orders(sf_dir: str, min_qty: int = 300, k: int = 100) -> pa.Tabl
                 sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
             ).map_batches(OrderFilter, batch_format="pandas", batch_size=131072, concurrency=(1, 4))
         ).to_pandas()
+        if matched.empty:
+            return pa.table(
+                {"c_name": pa.array([], pa.string()),
+                 "o_orderkey": pa.array([], pa.int64()),
+                 "o_orderdate": pa.array([], pa.timestamp("us")),
+                 "o_totalprice": pa.array([], pa.float64()),
+                 "total_qty": pa.array([], pa.int64())}
+            )
         ck_ref = ray.put(frozenset(matched["o_custkey"]))
 
         class CustFilter:
@@ -1646,6 +1654,12 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pa.Table:
             num_buckets=16,
         )
     ).to_pandas()
+    if parts.empty:
+        return pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "c_name": pa.array([], pa.string()),
+             "revenue": pa.array([], pa.float64())}
+        )
     top = parts.sort_values(
         ["rev_u", "o_custkey"], ascending=[False, True], kind="mergesort"
     ).head(k)

@@ -619,3 +619,144 @@ def knn_pq(
     return _from_pandas(
         df[["query_id", "rank", "neighbor_id", "cosine"]].reset_index(drop=True)
     )
+
+
+def knn_ivfpq(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 6,
+    seed: int = 29,
+) -> pa.Table:
+    """IVFADC (Jegou et al. 2011, section IV): coarse IVF centroids route
+    vectors to inverted lists; within a probed list the RESIDUAL
+    (x - coarse centroid) is product-quantized, and the approximate score
+    decomposes as q.x ~= q.c_coarse + sum_j LUT[q, j, code_j] — one scalar
+    per probed centroid plus m table adds per vector. The standard
+    billion-scale ANN index layout (FAISS 'IVFx,PQy').
+
+    Scale shape: coarse centroids AND residual codebooks train on one
+    bounded seeded driver sample; everything broadcast once via
+    ``ray.put``; one streaming pass assigns, encodes residuals and emits
+    per-batch local top-k for the probed queries only. Approximate ->
+    rows-only check, pinned by the planted-neighbor pytest."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+
+    rbs, n = [], 0
+    for rb in _pq.ParquetFile(f"{sf_dir}/embeddings.parquet").iter_batches(
+        batch_size=2048, columns=["vec_id", "embedding"]
+    ):
+        rbs.append(rb)
+        n += len(rb)
+        if n >= 2048:
+            break
+    if not rbs:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+        )
+    _, smat = _batch_matrix(pa.Table.from_batches(rbs).slice(0, 2048))
+    d = smat.shape[1]
+    m = min(m, d)
+    while d % m:
+        m -= 1
+    dsub = d // m
+    ksub = min(ksub, len(smat))
+    rng = np.random.default_rng(seed)
+
+    # --- coarse quantizer (spherical, cosine assignment) on the sample
+    cents = smat[rng.choice(len(smat), size=min(n_centroids, len(smat)), replace=False)].copy()
+    for _ in range(5):
+        a = np.argmax(smat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            sel = smat[a == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    # --- residual PQ codebooks on the sample's residuals
+    res = smat - cents[np.argmax(smat @ cents.T, axis=1)]
+    codebooks = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = res[:, j * dsub : (j + 1) * dsub]
+        cb = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            aa = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                mask = aa == c
+                if mask.any():
+                    cb[c] = sub[mask].mean(axis=0)
+        codebooks[j] = cb
+
+    qt = _concat(
+        _read_pq(
+            f"{sf_dir}/embeddings.parquet",
+            filter=pads.field("vec_id").isin(list(query_ids)),
+        )
+    )
+    q_ids, q_mat = _batch_matrix(qt)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], q_mat[order]
+    probe = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]
+    # residual LUTs: q . codebook entry, per subspace
+    luts = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_ids), m, dsub), codebooks)
+    qcoarse = q_mat @ cents.T  # (q, centroids): the scalar term per list
+    ref = ray.put((q_ids, cents, codebooks, probe, luts, qcoarse))
+
+    class IVFPQTopK:
+        def __init__(self):
+            (self.q_ids, self.cents, self.codebooks, self.probe,
+             self.luts, self.qcoarse) = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids, mat = _batch_matrix(batch)
+            if not len(ids):
+                return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+            assign = np.argmax(mat @ self.cents.T, axis=1)
+            resid = mat - self.cents[assign]
+            sub = resid.reshape(len(ids), m, dsub)
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            for j in range(m):
+                cb = self.codebooks[j]
+                d2 = (sub[:, j, :] ** 2).sum(1)[:, None] - 2.0 * sub[:, j, :] @ cb.T \
+                    + (cb**2).sum(1)[None, :]
+                codes[:, j] = np.argmin(d2, axis=1)
+            out = []
+            for qi, qid in enumerate(self.q_ids):
+                mask = np.isin(assign, self.probe[qi]) & (ids != qid)
+                if not mask.any():
+                    continue
+                s = self.qcoarse[qi][assign[mask]] + self.luts[qi][
+                    np.arange(m)[None, :], codes[mask]
+                ].sum(axis=1)
+                sub_ids = ids[mask]
+                top = np.lexsort((sub_ids, -s))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": sub_ids[top], "cosine": s[top]}
+                    )
+                )
+            if not out:
+                return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+            return pd.concat(out, ignore_index=True)
+
+    partials = _emb(sf_dir).map_batches(
+        IVFPQTopK, batch_format="pyarrow", batch_size=4096, concurrency=2
+    )
+    df = _concat(partials).to_pandas()
+    df = df.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", as_index=False).head(k)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df["cosine"] = df["cosine"].round(4)
+    return _from_pandas(
+        df[["query_id", "rank", "neighbor_id", "cosine"]].reset_index(drop=True)
+    )

@@ -1505,3 +1505,19 @@ def test_knn_pq_finds_planted_neighbor(ray_session, emb_dir):
     assert df.iloc[0]["neighbor_id"] == 20   # the planted near-dup of vec 5
     assert df.iloc[0]["rank"] == 1
     assert out.equals(knn_pq(d, query_ids=(5,), k=5, m=4, ksub=8))
+
+
+def test_knn_ivfpq_finds_planted_neighbor(ray_session, emb_dir):
+    """IVFADC: the planted near-identical vector shares its query's coarse
+    list and has ~zero residual distance, so it must rank first; seeded
+    training makes reruns identical."""
+    from quanta_ray.functions.simsearch import knn_ivfpq
+
+    d, _ = emb_dir
+    out = knn_ivfpq(d, query_ids=(5,), k=5, n_centroids=4, nprobe=2, m=4, ksub=8)
+    df = out.to_pandas()
+    assert df.iloc[0]["neighbor_id"] == 20
+    assert df.iloc[0]["rank"] == 1
+    assert out.equals(
+        knn_ivfpq(d, query_ids=(5,), k=5, n_centroids=4, nprobe=2, m=4, ksub=8)
+    )

@@ -15,6 +15,8 @@ Dimensions randomized per trial (the recorded fuzz config):
   top-k stream      topk_k ∈ {0, 1, 4} (windowed exact top-k)
   session quantiles sess_quantiles ∈ {off, (0.5), (0.25,0.5,0.95)} x
                     bin ∈ {30s, 120s} (running mergeable-histogram stream)
+  kill/resume       ~1/3 of trials crash after a random committed epoch
+                    and resume in a fresh runner before the oracle diff
   transformer chain normalize | normalize+fanout (1→2) | drop_role+normalize
                     | normalize+retry_odd (per-row RETRY/DROP status col)
 
@@ -166,6 +168,16 @@ def main() -> int:
                 rebalance_ratio=1.0,
             )
             out = d + "/out"
+            # kill/resume cross-dimension: ~1/3 of trials crash the runner
+            # after a random committed epoch and resume in a FRESH runner —
+            # the resumed engine must still match the oracle exactly (state
+            # restore, deterministic replay, manifest-carried reducer
+            # state for alerts/sessquant all on the line)
+            kill_at = None
+            if rng.integers(0, 3) == 0 and n_epochs > 1:
+                kill_at = int(rng.integers(0, n_epochs - 1))
+                s1 = StreamingRunner(spec, out).run(stop_after_epoch=kill_at)
+                assert s1["status"] == "stopped"
             s = StreamingRunner(spec, out).run()
             assert s["status"] == "complete"
             oracle = run_oracle((pq.read_table(f) for f in pfiles), cfg, stages=stages)
@@ -201,6 +213,7 @@ def main() -> int:
                 print(
                     f"trial {trial} ok (seed={seed} P={P} reb={reb} ooo={int(ooo)} "
                     f"chain={chain_kind} src={src_kind.split('-')[0]} "
+                    f"kill={'-' if kill_at is None else kill_at} "
                     f"migs={len(s.get('migrations', []))})",
                     flush=True,
                 )

@@ -53,6 +53,7 @@ def _sorted(t: pa.Table, keys):
     fragment_rows=st.sampled_from([500, 131072]),
     topk_k=st.sampled_from([0, 3]),
     sessq=st.sampled_from([(), (0.5, 0.9)]),
+    kill=st.booleans(),
 )
 def test_random_stream_matches_oracle(
     ray_session,
@@ -71,6 +72,7 @@ def test_random_stream_matches_oracle(
     fragment_rows,
     topk_k,
     sessq,
+    kill,
 ):
     from quanta_ray.engine import StreamingRunner
     from quanta_ray.stages.transforms import FanoutStage, RetryOddStage
@@ -112,6 +114,11 @@ def test_random_stream_matches_oracle(
         cep=cfg,
     )
     out_dir = str(d / "out")
+    if kill and n_epochs > 1:
+        # crash after the first committed epoch, resume in a fresh runner:
+        # the resumed engine must still match the oracle on every stream
+        r = StreamingRunner(spec, out_dir).run(stop_after_epoch=0)
+        assert r["status"] == "stopped"
     assert StreamingRunner(spec, out_dir).run()["status"] == "complete"
 
     oracle = run_oracle(

@@ -99,11 +99,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Registration order IS the driver's sweep order (r03 checked exactly
         # the first 50 registered entries). Priority buckets: (1) queries
-        # whose implementation changed since the last driver check (the two
-        # formerly hash-amber ev rows + the rel joins repacked this round),
-        # (2) the doc_/emb_/mm_ families the driver has not re-verified since
-        # r02 (or ever), (3) the twice-green rel_/ev_ remainder, (4) the
-        # slow rows-only streaming family last.
+        # that are NEW this round or whose implementation changed since the
+        # last driver check, (2) the doc_/emb_/mm_ families the driver has
+        # not re-verified since r02 (or ever), (3) the twice-green rel_/ev_
+        # remainder, (4) the slow rows-only streaming family last (its first
+        # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
         "rel_big_spender_orders": relational.big_spender_orders,
         "rel_nation_trade_volume": relational.nation_trade_volume,

@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..broadcast import cached_get as _cached_get
 from ..schema import from_pandas as _from_pandas, read_parquet_clean as _read_pq
 
 
@@ -315,28 +316,28 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
-class ScriptStats:
+def _script_patterns():
+    """Codepoint-range script patterns, compiled once per worker process."""
+    import re
+
+    return re.compile("[一-鿿]"), re.compile("[A-Za-z]")
+
+
+def script_stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
     """Codepoint-range script classification — the SQL-checkable form of
     ``LangId``'s script-detection branch: 'cjk' if any CJK-unified char,
     else 'latin' if any ascii letter, else 'other'. Patterns compiled once
-    per actor; classification via vectorized ``.str.contains``; per-batch
-    partial aggregation."""
+    per worker process (``cached_state``); classification via vectorized
+    ``.str.contains``; per-batch partial aggregation."""
+    from ..broadcast import cached_state
 
-    def __init__(self):
-        import re
-
-        self.cjk = re.compile("[一-鿿]")
-        self.latin = re.compile("[A-Za-z]")
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        is_cjk = batch["text"].str.contains(self.cjk).to_numpy()
-        is_latin = batch["text"].str.contains(self.latin).to_numpy()
-        batch = batch.assign(
-            script=np.where(is_cjk, "cjk", np.where(is_latin, "latin", "other"))
-        )
-        return batch.groupby("script", as_index=False).agg(n_docs=("text", "size"))
+    cjk, latin = cached_state("script_patterns", _script_patterns)
+    is_cjk = batch["text"].str.contains(cjk).to_numpy()
+    is_latin = batch["text"].str.contains(latin).to_numpy()
+    batch = batch.assign(
+        script=np.where(is_cjk, "cjk", np.where(is_latin, "latin", "other"))
+    )
+    return batch.groupby("script", as_index=False).agg(n_docs=("text", "size"))
 
 
 def script_stats(sf_dir: str) -> pa.Table:
@@ -344,7 +345,7 @@ def script_stats(sf_dir: str) -> pa.Table:
 
     out = (
         _docs(sf_dir, ["text"])
-        .map_batches(ScriptStats, batch_format="pandas", batch_size=8192, concurrency=(1, 2))
+        .map_batches(script_stats_partial, batch_format="pandas", batch_size=8192)
         .groupby("script")
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
@@ -1345,6 +1346,7 @@ _LM_H = 1 << 16  # hashed count-table width (bounded model, collision-tolerant)
 _LM_P = np.uint64(1_000_003)
 
 
+
 def _char_codes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """(concatenated uint32 codepoints, per-doc lengths) for a string series.
     One encode of the joined text instead of per-row Python loops."""
@@ -1440,35 +1442,35 @@ def lm_perplexity(sf_dir: str) -> pa.Table:
     bi[t2["bucket"].to_numpy()] = t2["cnt"].to_numpy()
     model_ref = ray.put((tri, bi))
 
-    class Scorer:
-        def __init__(self):
-            self.tri, self.bi = ray.get(model_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            codes, lens = _char_codes(batch["text"].fillna(""))
-            h3, h2, doc = _tri_bi_hashes(codes, lens)
-            n_docs = len(batch)
-            if not len(h3):
-                return pd.DataFrame(
-                    {"doc_id": np.empty(0, np.int64),
-                     "n_trigrams": np.empty(0, np.int64),
-                     "ppl_bits": np.empty(0, np.float64)}
-                )
-            bits = -np.log2((self.tri[h3] + 1.0) / (self.bi[h2] + 256.0))
-            tot = np.bincount(doc, weights=bits, minlength=n_docs)
-            cnt = np.bincount(doc, minlength=n_docs)
-            has = cnt > 0
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        # plain-function tasks reuse warm worker processes (no actor-pool
+        # spin-up); the broadcast model is fetched zero-copy from plasma and
+        # memoized per process, so repeat tasks on a worker pay nothing
+        tri, bi = _cached_get(model_ref)
+        codes, lens = _char_codes(batch["text"].fillna(""))
+        h3, h2, doc = _tri_bi_hashes(codes, lens)
+        n_docs = len(batch)
+        if not len(h3):
             return pd.DataFrame(
-                {
-                    "doc_id": batch["doc_id"].to_numpy()[has],
-                    "n_trigrams": cnt[has].astype(np.int64),
-                    "ppl_bits": np.round(tot[has] / cnt[has], 6),
-                }
+                {"doc_id": np.empty(0, np.int64),
+                 "n_trigrams": np.empty(0, np.int64),
+                 "ppl_bits": np.empty(0, np.float64)}
             )
+        bits = -np.log2((tri[h3] + 1.0) / (bi[h2] + 256.0))
+        tot = np.bincount(doc, weights=bits, minlength=n_docs)
+        cnt = np.bincount(doc, minlength=n_docs)
+        has = cnt > 0
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[has],
+                "n_trigrams": cnt[has].astype(np.int64),
+                "ppl_bits": np.round(tot[has] / cnt[has], 6),
+            }
+        )
 
     out = _concat(
         _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            Scorer, batch_format="pandas", batch_size=65536, concurrency=(1, 8)
+            score, batch_format="pandas", batch_size=65536
         )
     )
     return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))

@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..broadcast import cached_get as _cached_get
 from ..schema import from_pandas as _from_pandas, read_parquet_clean as _read_pq
 
 
@@ -168,57 +169,49 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
             order = np.argsort(ck)
             ref = ray.put((names, codes_per_cust[order].astype(np.int16), ck[order]))
 
-        class JoinAgg:
+        def join_agg(batch: pa.Table) -> pa.Table:
             """Arrow-native broadcast join + partial aggregate: custkey →
             nation code via fancy-index (or searchsorted), one bincount —
             a ≤25-row partial per batch, no pandas in the hot path."""
-
-            def __init__(self):
-                self.names, self.codes, self.keys = ray.get(ref)
-                self.N = len(self.names)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ck_b = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-                tp = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
-                if self.keys is None:
-                    code = self.codes[ck_b]
-                else:
-                    pos = np.searchsorted(self.keys, ck_b)
-                    pos = np.minimum(pos, len(self.keys) - 1)
-                    code = np.where(self.keys[pos] == ck_b, self.codes[pos], -1)
-                code = code.astype(np.int64) + 1  # slot 0 = FK miss
-                rev = np.bincount(code, weights=tp, minlength=self.N + 1)[1:]
-                hit = np.bincount(code, minlength=self.N + 1)[1:] > 0
-                return pa.table(
-                    {
-                        "n_name": pa.array(self.names[hit], pa.string()),
-                        "revenue": pa.array(rev[hit], pa.float64()),
-                    }
-                )
+            names, codes, keys = _cached_get(ref)
+            N = len(names)
+            ck_b = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            tp = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            if keys is None:
+                code = codes[ck_b]
+            else:
+                pos = np.searchsorted(keys, ck_b)
+                pos = np.minimum(pos, len(keys) - 1)
+                code = np.where(keys[pos] == ck_b, codes[pos], -1)
+            code = code.astype(np.int64) + 1  # slot 0 = FK miss
+            rev = np.bincount(code, weights=tp, minlength=N + 1)[1:]
+            hit = np.bincount(code, minlength=N + 1)[1:] > 0
+            return pa.table(
+                {
+                    "n_name": pa.array(names[hit], pa.string()),
+                    "revenue": pa.array(rev[hit], pa.float64()),
+                }
+            )
 
         out = (
             _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-            .map_batches(JoinAgg, batch_format="pyarrow", batch_size=131072, concurrency=(1, 4))
+            .map_batches(join_agg, batch_format="pyarrow", batch_size=131072)
             .groupby("n_name")
             .aggregate(Sum("revenue", alias_name="revenue"))
         )
     else:
         nref = ray.put(nation.set_index("n_nationkey")["n_name"])
 
-        class CustNation:
-            def __init__(self):
-                self.lookup = ray.get(nref)
-
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                return pd.DataFrame(
-                    {
-                        "c_custkey": batch["c_custkey"].to_numpy(),
-                        "n_name": batch["c_nationkey"].map(self.lookup),
-                    }
-                )
+        def cust_nation(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "c_custkey": batch["c_custkey"].to_numpy(),
+                    "n_name": batch["c_nationkey"].map(_cached_get(nref)),
+                }
+            )
 
         cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-            CustNation, batch_format="pandas", batch_size=131072, concurrency=(1, 2)
+            cust_nation, batch_format="pandas", batch_size=131072
         )
         joined = _bucket_join(
             _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
@@ -373,15 +366,11 @@ def orders_of_top_customers(sf_dir: str, min_acctbal: float = 5000.0) -> pa.Tabl
         keys = frozenset(cust.loc[cust["c_acctbal"] > min_acctbal, "c_custkey"])
         ref = ray.put(keys)
 
-        class SemiFilter:
-            def __init__(self):
-                self.keys = ray.get(ref)
-
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                return batch[batch["o_custkey"].isin(self.keys)]
+        def semi_filter(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["o_custkey"].isin(_cached_get(ref))]
 
         out = orders.map_batches(
-            SemiFilter, batch_format="pandas", batch_size=131072, concurrency=(1, 2)
+            semi_filter, batch_format="pandas", batch_size=131072
         )
     else:
         import pyarrow.dataset as pads
@@ -545,60 +534,52 @@ def region_revenue(sf_dir: str) -> pa.Table:
             order = np.argsort(ck)
             ref = ray.put((names, codes_per_cust[order].astype(np.int16), ck[order]))
 
-        class JoinAgg:
+        def join_agg(batch: pa.Table) -> pa.Table:
             """Arrow-native broadcast join + partial aggregate: fancy-index
             (or searchsorted) the custkey→region code, then two bincounts.
             One (R+1)-row partial per batch; no pandas in the hot path."""
-
-            def __init__(self):
-                self.names, self.codes, self.keys = ray.get(ref)
-                self.R = len(self.names)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-                tp = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
-                if self.keys is None:
-                    code = self.codes[ck]
-                else:
-                    pos = np.searchsorted(self.keys, ck)
-                    pos = np.minimum(pos, len(self.keys) - 1)
-                    code = np.where(self.keys[pos] == ck, self.codes[pos], -1)
-                code = code.astype(np.int64) + 1  # slot 0 = unmatched (FK miss)
-                rev = np.bincount(code, weights=tp, minlength=self.R + 1)[1:]
-                n = np.bincount(code, minlength=self.R + 1)[1:]
-                hit = n > 0  # inner-join semantics: no zero rows for
-                # regions unseen in this batch (or in the data at all)
-                return pa.table(
-                    {
-                        "r_name": pa.array(self.names[hit], pa.string()),
-                        "revenue": pa.array(rev[hit], pa.float64()),
-                        "n_orders": pa.array(n[hit], pa.int64()),
-                    }
-                )
+            names, codes, keys = _cached_get(ref)
+            R = len(names)
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            tp = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            if keys is None:
+                code = codes[ck]
+            else:
+                pos = np.searchsorted(keys, ck)
+                pos = np.minimum(pos, len(keys) - 1)
+                code = np.where(keys[pos] == ck, codes[pos], -1)
+            code = code.astype(np.int64) + 1  # slot 0 = unmatched (FK miss)
+            rev = np.bincount(code, weights=tp, minlength=R + 1)[1:]
+            n = np.bincount(code, minlength=R + 1)[1:]
+            hit = n > 0  # inner-join semantics: no zero rows for
+            # regions unseen in this batch (or in the data at all)
+            return pa.table(
+                {
+                    "r_name": pa.array(names[hit], pa.string()),
+                    "revenue": pa.array(rev[hit], pa.float64()),
+                    "n_orders": pa.array(n[hit], pa.int64()),
+                }
+            )
 
         out = (
             _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-            .map_batches(JoinAgg, batch_format="pyarrow", batch_size=131072, concurrency=(1, 4))
+            .map_batches(join_agg, batch_format="pyarrow", batch_size=131072)
             .groupby("r_name")
             .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
         )
     else:
         nref = ray.put(nat_region)
 
-        class CustRegion:
-            def __init__(self):
-                self.lookup = ray.get(nref)
-
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                return pd.DataFrame(
-                    {
-                        "c_custkey": batch["c_custkey"].to_numpy(),
-                        "r_name": batch["c_nationkey"].map(self.lookup),
-                    }
-                )
+        def cust_region(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "c_custkey": batch["c_custkey"].to_numpy(),
+                    "r_name": batch["c_nationkey"].map(_cached_get(nref)),
+                }
+            )
 
         cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-            CustRegion, batch_format="pandas", batch_size=131072, concurrency=(1, 2)
+            cust_region, batch_format="pandas", batch_size=131072
         )
         joined = _bucket_join(
             _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
@@ -1194,28 +1175,20 @@ def promo_share_by_month(sf_dir: str) -> pa.Table:
         )
         pref = ray.put(promo)
 
-        class Partial:
-            def __init__(self):
-                self.promo = ray.get(pref)
-
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                ship, rev_u = rev_cols(batch)
-                is_p = self.promo[batch["l_partkey"].to_numpy(dtype=np.int64)]
-                df = pd.DataFrame(
-                    {"month": ship, "rev_u": rev_u, "promo_u": np.where(is_p, rev_u, 0)}
-                )
-                return df.groupby("month", as_index=False).agg(
-                    rev_u=("rev_u", "sum"), promo_u=("promo_u", "sum")
-                )
+        def promo_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            ship, rev_u = rev_cols(batch)
+            is_p = _cached_get(pref)[batch["l_partkey"].to_numpy(dtype=np.int64)]
+            df = pd.DataFrame(
+                {"month": ship, "rev_u": rev_u, "promo_u": np.where(is_p, rev_u, 0)}
+            )
+            return df.groupby("month", as_index=False).agg(
+                rev_u=("rev_u", "sum"), promo_u=("promo_u", "sum")
+            )
 
         parts = _read(
             sf_dir, "lineitem",
             ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
-        ).map_batches(
-            # (1, 8) autoscaling pool: a fixed pool equal to the CPU count
-            # would starve the downstream reduce tasks on small sessions
-            Partial, batch_format="pandas", batch_size=131072, concurrency=(1, 8)
-        )
+        ).map_batches(promo_partial, batch_format="pandas", batch_size=131072)
     else:
         # shuffle path: per-batch (partkey, month) revenue partials joined
         # against (partkey, is_promo) via the explicit hash-bucket join,
@@ -1328,19 +1301,16 @@ def big_spender_orders(sf_dir: str, min_qty: int = 300, k: int = 100) -> pa.Tabl
         qty_of = dict(zip(hot_df["l_orderkey"], hot_df["total_qty"]))
         ref = ray.put(qty_of)
 
-        class OrderFilter:
-            def __init__(self):
-                self.qty_of = ray.get(ref)
-
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                m = batch[batch["o_orderkey"].isin(self.qty_of)].copy()
-                m["total_qty"] = m["o_orderkey"].map(self.qty_of).astype(np.int64)
-                return m
+        def order_filter(batch: pd.DataFrame) -> pd.DataFrame:
+            lookup = _cached_get(ref)
+            m = batch[batch["o_orderkey"].isin(lookup)].copy()
+            m["total_qty"] = m["o_orderkey"].map(lookup).astype(np.int64)
+            return m
 
         matched = _concat(
             _read(
                 sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
-            ).map_batches(OrderFilter, batch_format="pandas", batch_size=131072, concurrency=(1, 4))
+            ).map_batches(order_filter, batch_format="pandas", batch_size=131072)
         ).to_pandas()
         if matched.empty:
             return pa.table(
@@ -1352,16 +1322,12 @@ def big_spender_orders(sf_dir: str, min_qty: int = 300, k: int = 100) -> pa.Tabl
             )
         ck_ref = ray.put(frozenset(matched["o_custkey"]))
 
-        class CustFilter:
-            def __init__(self):
-                self.keys = ray.get(ck_ref)
-
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                return batch[batch["c_custkey"].isin(self.keys)]
+        def cust_filter(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["c_custkey"].isin(_cached_get(ck_ref))]
 
         cust = _concat(
             _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
-                CustFilter, batch_format="pandas", batch_size=131072, concurrency=(1, 4)
+                cust_filter, batch_format="pandas", batch_size=131072
             )
         ).to_pandas()
         out = matched.merge(cust, left_on="o_custkey", right_on="c_custkey")
@@ -1666,16 +1632,12 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pa.Table:
 
     ck_ref = ray.put(frozenset(top["o_custkey"].to_numpy(dtype=np.int64)))
 
-    class NameLookup:
-        def __init__(self):
-            self.keys = ray.get(ck_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["c_custkey"].isin(self.keys)]
+    def name_lookup(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["c_custkey"].isin(_cached_get(ck_ref))]
 
     names = _concat(
         _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
-            NameLookup, batch_format="pandas", batch_size=131072, concurrency=(1, 4)
+            name_lookup, batch_format="pandas", batch_size=131072
         )
     ).to_pandas()
     out = top.merge(names, left_on="o_custkey", right_on="c_custkey").sort_values(
@@ -1736,34 +1698,30 @@ def revenue_rollup(sf_dir: str) -> pa.Table:
         order = np.argsort(ck)
         ref = ray.put((codes[order].astype(np.int32), ck[order]))
 
-    class Partial:
-        def __init__(self):
-            self.codes, self.keys = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ckb = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-            if self.keys is None:
-                cn = self.codes[ckb]
-            else:
-                pos = np.minimum(np.searchsorted(self.keys, ckb), len(self.keys) - 1)
-                cn = np.where(self.keys[pos] == ckb, self.codes[pos], -1)
-            yr = (
-                batch.column("o_orderdate")
-                .cast(pa.timestamp("us"))
-                .to_pandas()
-                .dt.year.to_numpy(dtype=np.int64)
-            )
-            rev_u = np.round(
-                batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 1e6
-            ).astype(np.int64)
-            df = pd.DataFrame({"cn": cn.astype(np.int64), "o_year": yr, "rev_u": rev_u})
-            return df.groupby(["cn", "o_year"], as_index=False)["rev_u"].sum()
+    def year_partial(batch: pa.Table) -> pd.DataFrame:
+        codes, keys = _cached_get(ref)
+        ckb = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        if keys is None:
+            cn = codes[ckb]
+        else:
+            pos = np.minimum(np.searchsorted(keys, ckb), len(keys) - 1)
+            cn = np.where(keys[pos] == ckb, codes[pos], -1)
+        yr = (
+            batch.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .to_pandas()
+            .dt.year.to_numpy(dtype=np.int64)
+        )
+        rev_u = np.round(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        df = pd.DataFrame({"cn": cn.astype(np.int64), "o_year": yr, "rev_u": rev_u})
+        return df.groupby(["cn", "o_year"], as_index=False)["rev_u"].sum()
 
     fine = _concat(
         bucketed_group_agg(
             _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
-            .map_batches(Partial, batch_format="pyarrow", batch_size=131072,
-                         concurrency=(1, 4)),
+            .map_batches(year_partial, batch_format="pyarrow", batch_size=131072),
             ["cn", "o_year"],
             {"rev_u": ("rev_u", "sum")},
             num_buckets=8,

@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     "rel_nation_trade_volume",
     "rel_returned_item_revenue",
     "ev_user_moving_avg",
+    # round-4 late additions
+    "rel_top_orders_per_customer",
+    "rel_revenue_cube",
+    "doc_split_assign",
+    "doc_dsir_weights",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

@@ -150,6 +150,79 @@ ORDER BY doc_id
 """
 
 
+def split_assign(sf_dir: str) -> pa.Table:
+    """Deterministic train/val/test split by consistent hash — the
+    holdout-assignment primitive of a training pipeline: a doc's split
+    never changes as the corpus grows or the job re-runs at different
+    parallelism. Rule: first hex char of md5(doc_id) — '0'-'b' → train
+    (12/16), 'c'-'d' → val (2/16), 'e'-'f' → test (2/16).
+
+    Scale shape: one column-pruned scan; md5 through DuckDB's C-vectorized
+    kernel per batch (the ``consistent_sample`` idiom, no per-row Python);
+    per-batch (source, split) count partials; one tiny bucketed reduce.
+    Output is <= sources x 3 rows."""
+    from ..bucket import bucketed_group_agg
+
+    def _md5_first_char(ids: np.ndarray) -> np.ndarray:
+        try:
+            import duckdb
+
+            t = pa.table({"v": pa.array(ids, pa.int64())})
+            return (
+                duckdb.sql("SELECT substr(md5(CAST(v AS VARCHAR)), 1, 1) AS c FROM t")
+                .arrow()
+                .column("c")
+                .to_numpy(zero_copy_only=False)
+            )
+        except ImportError:  # fallback: plain hashlib loop
+            return np.array(
+                [hashlib.md5(str(v).encode()).hexdigest()[0] for v in ids],
+                dtype=object,
+            )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = _md5_first_char(batch["doc_id"].to_numpy(np.int64))
+        split = np.where(c <= "b", "train", np.where(c <= "d", "val", "test"))
+        df = pd.DataFrame({"source": batch["source"].to_numpy(), "split": split})
+        return df.groupby(["source", "split"], as_index=False).size().rename(
+            columns={"size": "n_docs"}
+        )
+
+    parts = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+    out = _concat(
+        bucketed_group_agg(
+            parts, ["source", "split"], {"n_docs": ("n_docs", "sum")}, num_buckets=4
+        )
+    )
+    res = pa.table(
+        {
+            "source": out.column("source"),
+            "split": out.column("split"),
+            "n_docs": out.column("n_docs").cast(pa.int64()),
+        }
+    )
+    return res.take(
+        pc.sort_indices(
+            res, sort_keys=[("source", "ascending"), ("split", "ascending")]
+        )
+    )
+
+
+SPLIT_ASSIGN_SQL = """
+WITH s AS (
+  SELECT source,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, count(*) AS n_docs
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def curate_e2e(
     sf_dir: str,
     min_tokens: int = 50,

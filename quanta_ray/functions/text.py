@@ -1476,6 +1476,132 @@ def lm_perplexity(sf_dir: str) -> pa.Table:
     return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
 
 
+# --- DSIR importance weights ----------------------------------------------------
+
+
+_DSIR_H = 1 << 16  # hashed feature-table width (the DSIR paper's bucket trick)
+
+
+def _dsir_features(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(feature hash, doc index) for hashed unigram + bigram word features —
+    vectorized: one findall, one explode, one ``pd.util.hash_array`` (stable
+    across processes/runs), bigrams from consecutive unigram hashes masked
+    at doc boundaries."""
+    toks = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9']+")
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    flat = toks.explode().dropna().to_numpy(dtype=object)
+    h = pd.util.hash_array(flat)  # uint64, deterministic
+    doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    uni = (h % np.uint64(_DSIR_H)).astype(np.int64)
+    same = doc_of[:-1] == doc_of[1:] if total > 1 else np.empty(0, bool)
+    big = ((h[:-1][same] * _LM_P + h[1:][same]) % np.uint64(_DSIR_H)).astype(np.int64)
+    feats = np.concatenate([uni, big])
+    fdoc = np.concatenate([doc_of, doc_of[:-1][same]])
+    return feats, fdoc
+
+
+def dsir_weights(sf_dir: str, target_source: str = "src1") -> pa.Table:
+    """Per-document DSIR importance weight — Xie et al. 2023 ("Data
+    Selection for Language Models via Importance Resampling"): hashed
+    n-gram features, weight = mean log p_target(f)/p_corpus(f) over the
+    doc's features. Docs distributionally close to the target domain
+    (here: ``source == target_source``) score high; resampling by these
+    weights tilts a 100-TB crawl toward the target domain.
+
+    Two streaming passes, the ``lm_perplexity`` shape: (1) ONE scan emits
+    touched-bucket (bucket, kind, cnt) partials for BOTH the corpus and
+    target feature distributions, folded by a bucketed reduce; the driver
+    assembles one fixed-width (2^16) log-ratio table and broadcasts it
+    once. (2) score pass reads the table zero-copy per task. Collisions
+    smooth both distributions identically (the paper's own argument), so
+    this is a scorer -> rows-only check, pinned by the planted
+    two-vocabulary pytest."""
+    import ray
+
+    from ..bucket import bucketed_group_agg
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        feats, fdoc = _dsir_features(batch)
+        if not len(feats):
+            return pd.DataFrame(
+                {"bucket": np.empty(0, np.int64), "kind": np.empty(0, np.int64),
+                 "cnt": np.empty(0, np.int64)}
+            )
+        is_t = (batch["source"].to_numpy(dtype=object) == target_source)[fdoc]
+        cc = np.bincount(feats, minlength=_DSIR_H)
+        ct = np.bincount(feats[is_t], minlength=_DSIR_H)
+        uc = np.flatnonzero(cc)
+        ut = np.flatnonzero(ct)
+        return pd.DataFrame(
+            {
+                "bucket": np.concatenate([uc, ut]),
+                "kind": np.concatenate(
+                    [np.zeros(len(uc), np.int64), np.ones(len(ut), np.int64)]
+                ),
+                "cnt": np.concatenate([cc[uc], ct[ut]]).astype(np.int64),
+            }
+        )
+
+    parts = _docs(sf_dir, ["text", "source"]).map_batches(
+        count_partial, batch_format="pandas", batch_size=65536
+    )
+    folded = _concat(
+        bucketed_group_agg(parts, ["bucket", "kind"], {"cnt": ("cnt", "sum")},
+                           num_buckets=16)
+    ).to_pandas()
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_feats": pa.array([], pa.int64()),
+         "dsir_weight": pa.array([], pa.float64())}
+    )
+    if folded.empty:
+        return empty
+    corpus = np.zeros(_DSIR_H, np.int64)
+    target = np.zeros(_DSIR_H, np.int64)
+    fc = folded[folded["kind"] == 0]
+    ft = folded[folded["kind"] == 1]
+    corpus[fc["bucket"].to_numpy()] = fc["cnt"].to_numpy()
+    target[ft["bucket"].to_numpy()] = ft["cnt"].to_numpy()
+    # add-one smoothed log-ratio of normalized distributions (one float64
+    # table, 512 KB — broadcast once)
+    log_ratio = np.log(
+        (target + 1.0) / (target.sum() + _DSIR_H)
+    ) - np.log((corpus + 1.0) / (corpus.sum() + _DSIR_H))
+    table_ref = ray.put(log_ratio)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        lr = _cached_get(table_ref)
+        feats, fdoc = _dsir_features(batch)
+        n_docs = len(batch)
+        if not len(feats):
+            return pd.DataFrame(
+                {"doc_id": np.empty(0, np.int64),
+                 "n_feats": np.empty(0, np.int64),
+                 "dsir_weight": np.empty(0, np.float64)}
+            )
+        tot = np.bincount(fdoc, weights=lr[feats], minlength=n_docs)
+        cnt = np.bincount(fdoc, minlength=n_docs)
+        has = cnt > 0
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[has],
+                "n_feats": cnt[has].astype(np.int64),
+                "dsir_weight": np.round(tot[has] / cnt[has], 6),
+            }
+        )
+
+    out = _concat(
+        _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+            score, batch_format="pandas", batch_size=65536
+        )
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
 # --- per-language vocabulary statistics ----------------------------------------
 
 

@@ -1667,18 +1667,15 @@ LIMIT 20
 """
 
 
-# --- ROLLUP grouping-sets aggregate -------------------------------------------
+# --- ROLLUP / CUBE grouping-sets aggregates -------------------------------------
 
 
-def revenue_rollup(sf_dir: str) -> pa.Table:
-    """Order revenue by (nation, order-year) with ROLLUP subtotals — the
-    grouping-sets pattern: compute the FINEST grain once (per-batch
-    partials -> one bucketed reduce), then derive every coarser level by
-    re-aggregating the tiny finest-grain result on the driver. The corpus
-    is scanned once; subtotal levels cost nothing at scale.
-
-    Revenue is summed in integer micro-units (order-free addition) so all
-    three levels are bit-stable at any parallelism."""
+def _nation_year_fine(sf_dir: str) -> tuple[pd.DataFrame, np.ndarray]:
+    """Finest-grain (nation-code, order-year) revenue in integer micro-units
+    — the shared scan for the ROLLUP and CUBE grouping-sets queries. One
+    corpus pass: per-batch partials -> one bucketed reduce; the returned
+    frame is <= nations x years rows, so every coarser level is a free
+    driver-side re-aggregation."""
     from ..bucket import bucketed_group_agg
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
@@ -1727,6 +1724,31 @@ def revenue_rollup(sf_dir: str) -> pa.Table:
             num_buckets=8,
         )
     ).to_pandas()
+    return fine, n_names
+
+
+def _grouping_levels_out(levels: list[pd.DataFrame]) -> pa.Table:
+    out = pd.concat(
+        [lvl[["n_name", "o_year", "rev_u"]] for lvl in levels], ignore_index=True
+    )
+    out["revenue"] = out["rev_u"].astype(np.int64) / 1e6
+    out["o_year"] = out["o_year"].astype("Int64")
+    out = out.sort_values(
+        ["n_name", "o_year"], na_position="first", kind="mergesort"
+    ).reset_index(drop=True)
+    return _from_pandas(out[["n_name", "o_year", "revenue"]])
+
+
+def revenue_rollup(sf_dir: str) -> pa.Table:
+    """Order revenue by (nation, order-year) with ROLLUP subtotals — the
+    grouping-sets pattern: compute the FINEST grain once (per-batch
+    partials -> one bucketed reduce), then derive every coarser level by
+    re-aggregating the tiny finest-grain result on the driver. The corpus
+    is scanned once; subtotal levels cost nothing at scale.
+
+    Revenue is summed in integer micro-units (order-free addition) so all
+    three levels are bit-stable at any parallelism."""
+    fine, n_names = _nation_year_fine(sf_dir)
     # ROLLUP levels derived driver-side from the <= nations x years rows
     lvl0 = fine.copy()
     lvl0["n_name"] = n_names[lvl0["cn"].to_numpy(dtype=np.int64)]
@@ -1736,16 +1758,7 @@ def revenue_rollup(sf_dir: str) -> pa.Table:
     lvl2 = pd.DataFrame(
         {"n_name": [pd.NA], "o_year": [pd.NA], "rev_u": [fine["rev_u"].sum()]}
     )
-    out = pd.concat(
-        [lvl0[["n_name", "o_year", "rev_u"]], lvl1[["n_name", "o_year", "rev_u"]], lvl2],
-        ignore_index=True,
-    )
-    out["revenue"] = out["rev_u"].astype(np.int64) / 1e6
-    out["o_year"] = out["o_year"].astype("Int64")
-    out = out.sort_values(
-        ["n_name", "o_year"], na_position="first", kind="mergesort"
-    ).reset_index(drop=True)
-    return _from_pandas(out[["n_name", "o_year", "revenue"]])
+    return _grouping_levels_out([lvl0, lvl1, lvl2])
 
 
 REVENUE_ROLLUP_SQL = """
@@ -1757,4 +1770,87 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY ROLLUP (n.n_name, o_year)
 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+"""
+
+
+def revenue_cube(sf_dir: str) -> pa.Table:
+    """Order revenue by GROUP BY CUBE (nation, order-year): all four
+    grouping sets — (nation, year), (nation), (year), () — from the SAME
+    single corpus scan as ``revenue_rollup`` (the finest grain is computed
+    distributed once; every grouping set is a driver-side re-aggregation
+    of that <= nations x years frame)."""
+    fine, n_names = _nation_year_fine(sf_dir)
+    lvl0 = fine.copy()
+    lvl0["n_name"] = n_names[lvl0["cn"].to_numpy(dtype=np.int64)]
+    lvl1 = fine.groupby("cn", as_index=False)["rev_u"].sum()
+    lvl1["n_name"] = n_names[lvl1["cn"].to_numpy(dtype=np.int64)]
+    lvl1["o_year"] = pd.NA
+    lvl_year = fine.groupby("o_year", as_index=False)["rev_u"].sum()
+    lvl_year["n_name"] = pd.NA
+    lvl2 = pd.DataFrame(
+        {"n_name": [pd.NA], "o_year": [pd.NA], "rev_u": [fine["rev_u"].sum()]}
+    )
+    return _grouping_levels_out([lvl0, lvl1, lvl_year, lvl2])
+
+
+REVENUE_CUBE_SQL = """
+SELECT n.n_name,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(round(o.o_totalprice * 1000000) AS BIGINT)) / 1000000.0 AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY CUBE (n.n_name, o_year)
+ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+"""
+
+
+# --- windowed rank: top-k orders per customer -----------------------------------
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3) -> pa.Table:
+    """Per-customer top-k orders by total price with rank — the windowed
+    ``ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+    DESC, o_orderkey)`` shape (reference has no window operator; this is
+    the north-rule per-key ordered-state pattern applied to batch SQL).
+
+    Scale shape: orders hash-bucket by o_custkey (every order of a
+    customer meets in one bucket, ``auto_buckets`` bounds per-bucket
+    memory), each bucket ranks all its customers VECTORIZED (one sort +
+    groupby cumcount, no per-key loop) and emits <= k rows per customer.
+    Output is proportional to customers, never orders; one shuffle, no
+    broadcast, deterministic tie-break on o_orderkey."""
+    from ..bucket import bucketed_apply
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g.assign(rnk=(g.groupby("o_custkey").cumcount() + 1).astype(np.int64))
+        return g[g["rnk"] <= k]
+
+    out = _concat(
+        bucketed_apply(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]),
+            ["o_custkey"],
+            bucket_topk,
+        )
+    ).to_pandas()
+    out = out.sort_values(["o_custkey", "rnk"], kind="mergesort").reset_index(drop=True)
+    return _from_pandas(out[["o_custkey", "rnk", "o_orderkey", "o_totalprice"]])
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, rnk, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS BIGINT) AS rnk
+  FROM orders
+) t
+WHERE rnk <= 3
+ORDER BY o_custkey, rnk
 """

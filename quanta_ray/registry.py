@@ -105,6 +105,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "rel_top_orders_per_customer": relational.top_orders_per_customer,
+        "rel_revenue_cube": relational.revenue_cube,
+        "doc_split_assign": curation.split_assign,
+        "doc_dsir_weights": text.dsir_weights,
         "rel_big_spender_orders": relational.big_spender_orders,
         "rel_nation_trade_volume": relational.nation_trade_volume,
         "rel_returned_item_revenue": relational.returned_item_revenue,
@@ -286,6 +290,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_nation_trade_volume": relational.NATION_TRADE_VOLUME_SQL,
         "rel_returned_item_revenue": relational.RETURNED_ITEM_REVENUE_SQL,
         "rel_revenue_rollup": relational.REVENUE_ROLLUP_SQL,
+        "rel_revenue_cube": relational.REVENUE_CUBE_SQL,
+        "rel_top_orders_per_customer": relational.TOP_ORDERS_PER_CUSTOMER_SQL,
+        "doc_split_assign": curation.SPLIT_ASSIGN_SQL,
         "doc_vocab_stats": text.VOCAB_STATS_SQL,
         "rel_customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "rel_order_counts_outer": relational.CUSTOMER_ORDER_COUNTS_OUTER_SQL,

@@ -1493,6 +1493,46 @@ def test_lm_perplexity_separates_gibberish(ray_session, tmp_path_factory):
     assert out.equals(lm_perplexity(str(d)))        # deterministic rerun
 
 
+def test_dsir_weights_prefer_target_vocabulary(ray_session, tmp_path_factory):
+    """DSIR importance weights must rank docs written in the target
+    domain's vocabulary above docs from a disjoint vocabulary, score the
+    target docs themselves highest, and be deterministic."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.functions.text import dsir_weights
+
+    d = tmp_path_factory.mktemp("dsir_docs")
+    med = "patient dosage clinical trial symptom therapy diagnosis treatment "
+    web = "click subscribe channel video gaming stream meme viral trending "
+    docs, srcs = [], []
+    for i in range(20):                      # target domain sample
+        docs.append(med * 3)
+        srcs.append("src1")
+    for i in range(10):                      # in-domain docs OUTSIDE target
+        docs.append(med * 2 + "extra ")
+        srcs.append("src2")
+    for i in range(10):                      # out-of-domain docs
+        docs.append(web * 3)
+        srcs.append("src2")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array(docs, type=pa.string()),
+            "lang": pa.array(["en"] * len(docs), type=pa.string()),
+            "source": pa.array(srcs, type=pa.string()),
+            "n_chars": pa.array([len(s) for s in docs], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = dsir_weights(str(d), target_source="src1")
+    df = out.to_pandas().set_index("doc_id")
+    in_domain = df.loc[20:29, "dsir_weight"]
+    out_domain = df.loc[30:39, "dsir_weight"]
+    assert in_domain.min() > out_domain.max() + 0.5  # clear separation
+    assert df.loc[0:19, "dsir_weight"].min() >= in_domain.max() - 1e-9
+    assert out.equals(dsir_weights(str(d), target_source="src1"))
+
+
 def test_knn_pq_finds_planted_neighbor(ray_session, emb_dir):
     """PQ-ADC approximate search must still put the planted near-identical
     vector first for its query (quantization error << the planted margin),

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "rel_revenue_cube",
     "doc_split_assign",
     "doc_dsir_weights",
+    "doc_dup_spans",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

@@ -1226,3 +1226,103 @@ def near_dup_keep_best(
 
     t = _concat(bucketed_apply(joined, ["cluster_id"], pick, num_buckets=num_buckets))
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+# --- exact substring-duplication spans (Lee et al. 2022) -------------------------
+
+
+def dup_spans(sf_dir: str, width: int = 64, stride: int = 32) -> pa.Table:
+    """Per-document count of fixed-width character windows that appear
+    VERBATIM in at least one other document — the signal behind exact
+    substring deduplication ("Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022: repeated 50+-token spans are memorized
+    disproportionately; here the suffix-array is replaced by a
+    shuffle-friendly strided-window equivalent).
+
+    Shape (2 shuffles, no broadcast, no driver state):
+      1. explode each doc into width-``width`` windows at stride ``stride``
+         (vectorized ``str.slice`` per offset — offsets per batch are
+         bounded by the longest doc in it);
+      2. hash-shuffle on the WINDOW TEXT: all verbatim copies meet in one
+         bucket, a per-bucket distinct-doc count flags cross-doc windows
+         EXACTLY (strings compared, not hashes — no collision caveat), and
+         the bucket collapses to per-doc (n_windows, n_dup) partials;
+      3. one tiny doc-keyed reduce sums the partials.
+    Shuffle volume is ~(width/stride)x the text once; per-bucket memory is
+    bounded by ``auto_buckets``. Docs shorter than ``width`` have no
+    window and are absent from the output (the SQL oracle's join shape)."""
+    from ..bucket import bucketed_apply, bucketed_group_agg
+
+    def explode_windows(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        ids = batch["doc_id"].to_numpy(np.int64)
+        lens = texts.str.len().to_numpy(np.int64)
+        frames = []
+        max_k = int((lens.max() - width) // stride) if len(lens) and lens.max() >= width else -1
+        for k in range(max_k + 1):
+            s = k * stride
+            ok = lens >= s + width
+            if not ok.any():
+                break
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": ids[ok],
+                        "win": texts[ok].str.slice(s, s + width).to_numpy(),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"doc_id": np.empty(0, np.int64), "win": np.empty(0, object)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def flag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nun = g.groupby("win")["doc_id"].transform("nunique")
+        df = pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(np.int64),
+             "dup": (nun > 1).to_numpy(np.int64)}
+        )
+        return df.groupby("doc_id", as_index=False).agg(
+            n_windows=("dup", "size"), n_dup_windows=("dup", "sum")
+        )
+
+    wins = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode_windows, batch_format="pandas", batch_size=32768
+    )
+    parts = bucketed_apply(wins, ["win"], flag_bucket)
+    out = _concat(
+        bucketed_group_agg(
+            parts,
+            ["doc_id"],
+            {"n_windows": ("n_windows", "sum"), "n_dup_windows": ("n_dup_windows", "sum")},
+            num_buckets=8,
+        )
+    )
+    res = pa.table(
+        {
+            "doc_id": out.column("doc_id").cast(pa.int64()),
+            "n_windows": out.column("n_windows").cast(pa.int64()),
+            "n_dup_windows": out.column("n_dup_windows").cast(pa.int64()),
+        }
+    )
+    return res.take(pc.sort_indices(res, sort_keys=[("doc_id", "ascending")]))
+
+
+# static series bound: the driver's synthetic docs are well under 32 Ki
+# chars (DuckDB <=1.1 rejects lateral column bounds in generate_series)
+DUP_SPANS_SQL = """
+WITH w AS (
+  SELECT d.doc_id, substr(d.text, CAST(g.s AS INTEGER), 64) AS win
+  FROM documents d JOIN generate_series(1, 32768, 32) AS g(s)
+    ON g.s <= d.n_chars - 63
+),
+dupwin AS (
+  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1
+)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       count(*) FILTER (WHERE w.win IN (SELECT win FROM dupwin)) AS n_dup_windows
+FROM w GROUP BY 1 ORDER BY 1
+"""

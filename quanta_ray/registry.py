@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_revenue_cube": relational.revenue_cube,
         "doc_split_assign": curation.split_assign,
         "doc_dsir_weights": text.dsir_weights,
+        "doc_dup_spans": dedup.dup_spans,
         "rel_big_spender_orders": relational.big_spender_orders,
         "rel_nation_trade_volume": relational.nation_trade_volume,
         "rel_returned_item_revenue": relational.returned_item_revenue,
@@ -293,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_revenue_cube": relational.REVENUE_CUBE_SQL,
         "rel_top_orders_per_customer": relational.TOP_ORDERS_PER_CUSTOMER_SQL,
         "doc_split_assign": curation.SPLIT_ASSIGN_SQL,
+        "doc_dup_spans": dedup.DUP_SPANS_SQL,
         "doc_vocab_stats": text.VOCAB_STATS_SQL,
         "rel_customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "rel_order_counts_outer": relational.CUSTOMER_ORDER_COUNTS_OUTER_SQL,

@@ -1493,6 +1493,41 @@ def test_lm_perplexity_separates_gibberish(ray_session, tmp_path_factory):
     assert out.equals(lm_perplexity(str(d)))        # deterministic rerun
 
 
+def test_dup_spans_flags_shared_substring(ray_session, tmp_path_factory):
+    """A 64+-char span copied verbatim between two docs must be flagged in
+    BOTH (cross-doc windows counted), a unique doc must report zero dup
+    windows, and sub-width docs are absent (no window exists)."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.functions.dedup import dup_spans
+
+    d = tmp_path_factory.mktemp("span_docs")
+    shared = "x" * 30 + " this exact boilerplate sentence repeats verbatim " + "y" * 30
+    assert len(shared) >= 64
+    docs = [
+        "unique prefix alpha " * 8 + shared,   # 0: carries the span
+        shared + " unique suffix beta " * 8,   # 1: carries the span
+        "completely different text with no repeated content at all " * 4,  # 2
+        "tiny",                                # 3: shorter than width
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array(docs, type=pa.string()),
+            "lang": pa.array(["en"] * len(docs), type=pa.string()),
+            "source": pa.array(["web"] * len(docs), type=pa.string()),
+            "n_chars": pa.array([len(s) for s in docs], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = dup_spans(str(d)).to_pandas().set_index("doc_id")
+    assert 3 not in out.index
+    assert out.loc[0, "n_dup_windows"] >= 1
+    assert out.loc[1, "n_dup_windows"] >= 1
+    assert out.loc[2, "n_dup_windows"] == 0
+    assert (out["n_windows"] >= out["n_dup_windows"]).all()
+
+
 def test_dsir_weights_prefer_target_vocabulary(ray_session, tmp_path_factory):
     """DSIR importance weights must rank docs written in the target
     domain's vocabulary above docs from a disjoint vocabulary, score the

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "doc_split_assign",
     "doc_dsir_weights",
     "doc_dup_spans",
+    "emb_pca_project",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

@@ -760,3 +760,99 @@ def knn_ivfpq(
     return _from_pandas(
         df[["query_id", "rank", "neighbor_id", "cosine"]].reset_index(drop=True)
     )
+
+
+# --- PCA projection ---------------------------------------------------------------
+
+
+def pca_project(sf_dir: str, n_components: int = 2) -> pa.Table:
+    """Project every embedding onto the corpus' top principal components —
+    the dimensionality-reduction / visualization primitive of an embedding
+    pipeline (and the whitening step before many ANN indexes).
+
+    Scale shape (two streaming passes, nothing row-proportional anywhere):
+      1. MOMENTS — per batch: count, coordinate sums and X^T X partials,
+         quantized to integer MICRO-units (integer folding is order-free,
+         so results are bit-identical at any parallelism for a given batch
+         layout; re-batching can move moments by ~1e-6, which the rounded
+         output absorbs); partials are one (1 + d + d^2)-value row per
+         batch, folded by a tiny bucketed reduce, never the vectors.
+      2. The driver eigendecomposes the d x d covariance (d is model
+         width, not corpus size), fixes each eigenvector's sign so its
+         largest-|coordinate| entry is positive (removes eigh's sign
+         ambiguity -> deterministic output), broadcasts the d x k loading
+         matrix once, and a stateless map projects each batch.
+    PCA is over the ROW-NORMALIZED embeddings (the family's shared
+    ``_batch_matrix`` convention — cosine geometry, like every other op on
+    this table). Rows-only check (eigenvectors are not SQL-expressible),
+    pinned by the planted-variance pytest."""
+    from ..bucket import bucketed_group_agg
+    from ..broadcast import cached_get
+
+    U = 1e6  # micro-unit scale for order-free integer moment sums
+
+    def moments(batch: pa.Table) -> pd.DataFrame:
+        ids, mat = _batch_matrix(batch)
+        if not len(ids):
+            return pd.DataFrame(
+                {"b": np.empty(0, np.int64), "i": np.empty(0, np.int64),
+                 "v": np.empty(0, np.int64)}
+            )
+        d = mat.shape[1]
+        mu = np.round(mat.sum(axis=0) * U).astype(np.int64)          # d sums
+        xtx = np.round((mat.T @ mat).ravel() * U).astype(np.int64)   # d^2 sums
+        v = np.concatenate(([np.int64(len(ids))], mu, xtx))
+        return pd.DataFrame(
+            {"b": np.zeros(len(v), np.int64),
+             "i": np.arange(len(v), dtype=np.int64), "v": v}
+        )
+
+    folded = _concat(
+        bucketed_group_agg(
+            _emb(sf_dir).map_batches(moments, batch_format="pyarrow", batch_size=8192),
+            ["i"],
+            {"v": ("v", "sum")},
+            num_buckets=4,
+        )
+    ).to_pandas().sort_values("i")
+    if folded.empty:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             **{f"pc{j + 1}": pa.array([], pa.float64()) for j in range(n_components)}}
+        )
+    v = folded["v"].to_numpy(np.int64)
+    n = int(v[0])
+    # solve d from 1 + d + d^2 = len(v)
+    d = int((-1 + (1 + 4 * (len(v) - 1)) ** 0.5) / 2)
+    mean = v[1 : 1 + d] / (U * n)
+    xtx = v[1 + d :].reshape(d, d) / (U * n)
+    cov = xtx - np.outer(mean, mean)
+    w, vecs = np.linalg.eigh(cov)                       # ascending eigenvalues
+    comps = vecs[:, ::-1][:, :n_components]             # top-k columns
+    # sign convention: largest-|coordinate| entry of each component positive
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])])
+    flip[flip == 0] = 1.0
+    comps = comps * flip
+    load_ref = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        mean_, comps_ = cached_get(load_ref)
+        ids, mat = _batch_matrix(batch)
+        if not len(ids):
+            return pd.DataFrame(
+                {"vec_id": np.empty(0, np.int64),
+                 **{f"pc{j + 1}": np.empty(0, np.float64)
+                    for j in range(comps_.shape[1])}}
+            )
+        proj = (mat - mean_) @ comps_
+        out = {"vec_id": ids.astype(np.int64)}
+        for j in range(comps_.shape[1]):
+            out[f"pc{j + 1}"] = np.round(proj[:, j], 6)
+        return pd.DataFrame(out)
+
+    t = _concat(
+        _emb(sf_dir).map_batches(project, batch_format="pyarrow", batch_size=8192)
+    )
+    import pyarrow.compute as pc
+
+    return t.take(pc.sort_indices(t, sort_keys=[("vec_id", "ascending")]))

@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_assign": curation.split_assign,
         "doc_dsir_weights": text.dsir_weights,
         "doc_dup_spans": dedup.dup_spans,
+        "emb_pca_project": simsearch.pca_project,
         "rel_big_spender_orders": relational.big_spender_orders,
         "rel_nation_trade_volume": relational.nation_trade_volume,
         "rel_returned_item_revenue": relational.returned_item_revenue,

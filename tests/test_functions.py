@@ -1493,6 +1493,43 @@ def test_lm_perplexity_separates_gibberish(ray_session, tmp_path_factory):
     assert out.equals(lm_perplexity(str(d)))        # deterministic rerun
 
 
+def test_pca_project_recovers_planted_axis(ray_session, tmp_path_factory):
+    """With variance planted along axis 0 (and a little along axis 1), the
+    first principal component of the normalized vectors must align with
+    axis 0: pc1 ordering matches the axis-0 coordinate ordering, pc1
+    variance dominates pc2, and reruns are bit-identical (sign fixed)."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.functions.simsearch import pca_project
+
+    d = tmp_path_factory.mktemp("pca_emb")
+    rng = np.random.default_rng(7)
+    n, dim = 200, 8
+    mat = np.zeros((n, dim))
+    mat[:, 0] = rng.normal(0, 5.0, n)     # dominant axis
+    mat[:, 1] = rng.normal(0, 0.5, n)     # minor axis
+    mat[:, 2:] = rng.normal(0, 0.01, (n, dim - 2))
+    mat = mat + 10.0                       # offset: mean-centering must matter
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([0] * n, type=pa.int32()),
+        }
+    )
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    out = pca_project(str(d)).to_pandas().sort_values("vec_id")
+    assert len(out) == n and list(out.columns) == ["vec_id", "pc1", "pc2"]
+    # pc1 must carry (almost) all the variance
+    assert out["pc1"].var() > 20 * out["pc2"].var()
+    # pc1 must be (anti)correlated with the planted axis-0 NORMALIZED coord
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    corr = np.corrcoef(out["pc1"].to_numpy(), norm[:, 0])[0, 1]
+    assert abs(corr) > 0.99
+    assert out.equals(pca_project(str(d)).to_pandas().sort_values("vec_id"))
+
+
 def test_dup_spans_flags_shared_substring(ray_session, tmp_path_factory):
     """A 64+-char span copied verbatim between two docs must be flagged in
     BOTH (cross-doc windows counted), a unique doc must report zero dup

@@ -11,8 +11,6 @@ them.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -20,6 +18,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..hashutil import md5_hex
 from ..schema import read_parquet_clean as _read_pq
 
 
@@ -36,12 +35,9 @@ def _concat(ds: rd.Dataset) -> pa.Table:
 
 def _md5_keys(ids: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """(hex key, first-8-hex-digits-as-int) per id — the shared consistent
-    order/placement key. Per-row hashlib, same bounded cost as the md5
-    fingerprint ops (needed for SQL parity; a non-oracle variant would key
-    on ``pd.util.hash_array``)."""
-    hexs = ids.map(lambda v: hashlib.md5(str(v).encode()).hexdigest()).to_numpy(
-        dtype=object
-    )
+    order/placement key (needed for SQL parity; a non-oracle variant would
+    key on ``pd.util.hash_array``)."""
+    hexs = md5_hex(ids)
     pre = np.fromiter(
         (int(h[:8], 16) for h in hexs), dtype=np.int64, count=len(hexs)
     )
@@ -163,25 +159,8 @@ def split_assign(sf_dir: str) -> pa.Table:
     Output is <= sources x 3 rows."""
     from ..bucket import bucketed_group_agg
 
-    def _md5_first_char(ids: np.ndarray) -> np.ndarray:
-        try:
-            import duckdb
-
-            t = pa.table({"v": pa.array(ids, pa.int64())})
-            return (
-                duckdb.sql("SELECT substr(md5(CAST(v AS VARCHAR)), 1, 1) AS c FROM t")
-                .arrow()
-                .column("c")
-                .to_numpy(zero_copy_only=False)
-            )
-        except ImportError:  # fallback: plain hashlib loop
-            return np.array(
-                [hashlib.md5(str(v).encode()).hexdigest()[0] for v in ids],
-                dtype=object,
-            )
-
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        c = _md5_first_char(batch["doc_id"].to_numpy(np.int64))
+        c = pd.Series(md5_hex(batch["doc_id"].to_numpy(np.int64))).str[:1].to_numpy()
         split = np.where(c <= "b", "train", np.where(c <= "d", "val", "test"))
         df = pd.DataFrame({"source": batch["source"].to_numpy(), "split": split})
         return df.groupby(["source", "split"], as_index=False).size().rename(
@@ -268,9 +247,7 @@ def curate_e2e(
             kept = batch.loc[keep]
             return pd.DataFrame(
                 {
-                    "md5": kept["text"].map(
-                        lambda s: hashlib.md5(s.encode()).hexdigest()
-                    ),
+                    "md5": md5_hex(kept["text"].to_numpy(dtype=object)),
                     "doc_id": kept["doc_id"].to_numpy(),
                     "source": kept["source"].to_numpy(),
                 }
@@ -464,11 +441,7 @@ def curate_train_ready(
     def project_blk(batch: pd.DataFrame) -> pd.DataFrame:
         sel = batch["doc_id"].to_numpy() % 101 == 0
         return pd.DataFrame(
-            {
-                "md5": batch["text"][sel].map(
-                    lambda s: hashlib.md5(s.encode()).hexdigest()
-                )
-            }
+            {"md5": md5_hex(batch["text"].to_numpy(dtype=object)[sel])}
         )
 
     blk = _concat(
@@ -497,7 +470,9 @@ def curate_train_ready(
                 batch = batch.loc[
                     ~batch["text"].str.contains(self.rx, regex=True)
                 ]
-            md5s = batch["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+            md5s = pd.Series(
+                md5_hex(batch["text"].to_numpy(dtype=object)), index=batch.index
+            )
             batch = batch.loc[~md5s.isin(self.blocked)]
             md5s = md5s.loc[batch.index]
             toks = batch["text"].str.findall(self.word)

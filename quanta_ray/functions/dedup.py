@@ -1231,52 +1231,60 @@ def near_dup_keep_best(
 # --- exact substring-duplication spans (Lee et al. 2022) -------------------------
 
 
-def dup_spans(sf_dir: str, width: int = 64, stride: int = 32) -> pa.Table:
+def dup_spans(
+    sf_dir: str, width: int = 64, stride: int = 32, k: int = 8
+) -> pa.Table:
     """Per-document count of fixed-width character windows that appear
     VERBATIM in at least one other document — the signal behind exact
     substring deduplication ("Deduplicating Training Data Makes Language
     Models Better", Lee et al. 2022: repeated 50+-token spans are memorized
     disproportionately; here the suffix-array is replaced by a
-    shuffle-friendly strided-window equivalent).
+    shuffle-friendly sampled-window equivalent).
+
+    Windows are CONTENT-ANCHORED (0-mod-p sampling, the winnowing family —
+    Schleimer et al. 2003): position s starts a window iff
+    md5(text[s : s+k]) ≡ 0 (mod ``stride``). Anchors are a function of
+    LOCAL CONTENT only, so a span duplicated at ANY offset of another doc
+    anchors at the same in-span positions — unlike a doc-relative strided
+    grid, which only sees duplication whose offsets agree mod stride
+    (~1/stride of shifted duplication). Expected window rate is 1/stride,
+    i.e. the same shuffle volume as the grid it replaces; a shared span of
+    length L contains an anchor with prob ≈ 1-(1-1/stride)^(L-width+k).
 
     Shape (2 shuffles, no broadcast, no driver state):
-      1. explode each doc into width-``width`` windows at stride ``stride``
-         (vectorized ``str.slice`` per offset — offsets per batch are
-         bounded by the longest doc in it);
+      1. explode each doc into anchored windows — per batch ONE DuckDB
+         query (C-vectorized substr/md5 over zero-copy Arrow, the
+         ``hashutil.md5_hex`` idiom), bit-identical to the oracle's anchor
+         predicate by construction;
       2. hash-shuffle on the WINDOW TEXT: all verbatim copies meet in one
          bucket, a per-bucket distinct-doc count flags cross-doc windows
          EXACTLY (strings compared, not hashes — no collision caveat), and
          the bucket collapses to per-doc (n_windows, n_dup) partials;
       3. one tiny doc-keyed reduce sums the partials.
-    Shuffle volume is ~(width/stride)x the text once; per-bucket memory is
-    bounded by ``auto_buckets``. Docs shorter than ``width`` have no
-    window and are absent from the output (the SQL oracle's join shape)."""
+    Docs with no anchored window are absent from the output (the SQL
+    oracle's join shape)."""
     from ..bucket import bucketed_apply, bucketed_group_agg
 
-    def explode_windows(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].fillna("")
-        ids = batch["doc_id"].to_numpy(np.int64)
-        lens = texts.str.len().to_numpy(np.int64)
-        frames = []
-        max_k = int((lens.max() - width) // stride) if len(lens) and lens.max() >= width else -1
-        for k in range(max_k + 1):
-            s = k * stride
-            ok = lens >= s + width
-            if not ok.any():
-                break
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "doc_id": ids[ok],
-                        "win": texts[ok].str.slice(s, s + width).to_numpy(),
-                    }
-                )
-            )
-        if not frames:
+    def explode_windows(batch: pa.Table) -> pd.DataFrame:
+        import duckdb
+
+        lens = pc.utf8_length(batch.column("text"))
+        maxlen = pc.max(lens).as_py() if batch.num_rows else None
+        if not maxlen or maxlen < width:
             return pd.DataFrame(
                 {"doc_id": np.empty(0, np.int64), "win": np.empty(0, object)}
             )
-        return pd.concat(frames, ignore_index=True)
+        d = batch  # noqa: F841 - referenced by the DuckDB query below
+        return duckdb.sql(
+            f"""
+            SELECT d.doc_id, substr(d.text, CAST(g.s AS INTEGER), {width}) AS win
+            FROM d JOIN generate_series(1, {maxlen}) AS g(s)
+              ON g.s <= length(d.text) - {width - 1}
+            WHERE CAST(('0x' || left(
+                      md5(substr(d.text, CAST(g.s AS INTEGER), {k})), 8))
+                    AS BIGINT) % {stride} = 0
+            """
+        ).df()
 
     def flag_bucket(g: pd.DataFrame) -> pd.DataFrame:
         nun = g.groupby("win")["doc_id"].transform("nunique")
@@ -1289,7 +1297,7 @@ def dup_spans(sf_dir: str, width: int = 64, stride: int = 32) -> pa.Table:
         )
 
     wins = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        explode_windows, batch_format="pandas", batch_size=32768
+        explode_windows, batch_format="pyarrow", batch_size=32768
     )
     parts = bucketed_apply(wins, ["win"], flag_bucket)
     out = _concat(
@@ -1315,8 +1323,10 @@ def dup_spans(sf_dir: str, width: int = 64, stride: int = 32) -> pa.Table:
 DUP_SPANS_SQL = """
 WITH w AS (
   SELECT d.doc_id, substr(d.text, CAST(g.s AS INTEGER), 64) AS win
-  FROM documents d JOIN generate_series(1, 32768, 32) AS g(s)
+  FROM documents d JOIN generate_series(1, 32768) AS g(s)
     ON g.s <= d.n_chars - 63
+  WHERE CAST(('0x' || left(md5(substr(d.text, CAST(g.s AS INTEGER), 8)), 8))
+          AS BIGINT) % 32 = 0
 ),
 dupwin AS (
   SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1

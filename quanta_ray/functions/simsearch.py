@@ -795,17 +795,13 @@ def pca_project(sf_dir: str, n_components: int = 2) -> pa.Table:
         ids, mat = _batch_matrix(batch)
         if not len(ids):
             return pd.DataFrame(
-                {"b": np.empty(0, np.int64), "i": np.empty(0, np.int64),
-                 "v": np.empty(0, np.int64)}
+                {"i": np.empty(0, np.int64), "v": np.empty(0, np.int64)}
             )
         d = mat.shape[1]
         mu = np.round(mat.sum(axis=0) * U).astype(np.int64)          # d sums
         xtx = np.round((mat.T @ mat).ravel() * U).astype(np.int64)   # d^2 sums
         v = np.concatenate(([np.int64(len(ids))], mu, xtx))
-        return pd.DataFrame(
-            {"b": np.zeros(len(v), np.int64),
-             "i": np.arange(len(v), dtype=np.int64), "v": v}
-        )
+        return pd.DataFrame({"i": np.arange(len(v), dtype=np.int64), "v": v})
 
     folded = _concat(
         bucketed_group_agg(

@@ -1595,7 +1595,7 @@ def dsir_weights(sf_dir: str, target_source: str = "src1") -> pa.Table:
         )
 
     out = _concat(
-        _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
             score, batch_format="pandas", batch_size=65536
         )
     )

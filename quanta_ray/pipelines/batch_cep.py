@@ -750,26 +750,10 @@ def consistent_sample(sf_dir: str, k: int = 100) -> pa.Table:
     through DuckDB's C-vectorized ``md5()`` kernel over the whole batch
     (zero-copy Arrow in/out), not a per-row Python lambda."""
 
-    def _md5_keys(ids: np.ndarray) -> np.ndarray:
-        try:
-            import duckdb
-
-            t = pa.table({"v": pa.array(ids, pa.int64())})
-            return (
-                duckdb.sql("SELECT md5(CAST(v AS VARCHAR)) AS k FROM t")
-                .arrow()
-                .column("k")
-                .to_numpy(zero_copy_only=False)
-            )
-        except ImportError:  # fallback: plain hashlib loop
-            import hashlib
-
-            return np.array(
-                [hashlib.md5(str(v).encode()).hexdigest() for v in ids], dtype=object
-            )
+    from ..hashutil import md5_hex
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(_skey=_md5_keys(batch["event_id"].to_numpy(np.int64)))
+        batch = batch.assign(_skey=md5_hex(batch["event_id"].to_numpy(np.int64)))
         return batch.sort_values("_skey").head(k)
 
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts", "value"]).map_batches(

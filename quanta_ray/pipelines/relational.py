@@ -1675,7 +1675,12 @@ def _nation_year_fine(sf_dir: str) -> tuple[pd.DataFrame, np.ndarray]:
     — the shared scan for the ROLLUP and CUBE grouping-sets queries. One
     corpus pass: per-batch partials -> one bucketed reduce; the returned
     frame is <= nations x years rows, so every coarser level is a free
-    driver-side re-aggregation."""
+    driver-side re-aggregation. FK-miss orders (custkey absent from
+    customer) are dropped — inner-join semantics, matching the SQL oracle.
+
+    customer is only broadcast under ``_broadcast_limit()``; past it the
+    custkey→nation map is resolved by the hash-bucket shuffle join (the
+    ``revenue_by_nation`` fallback shape)."""
     from ..bucket import bucketed_group_agg
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
@@ -1684,47 +1689,109 @@ def _nation_year_fine(sf_dir: str) -> tuple[pd.DataFrame, np.ndarray]:
     dense_nation = np.full(int(nk.max()) + 1, -1, dtype=np.int32)
     dense_nation[nk] = np.arange(len(nk), dtype=np.int32)
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    ck = cust["c_custkey"].to_numpy(dtype=np.int64)
-    codes = dense_nation[cust["c_nationkey"].to_numpy(dtype=np.int64)]
-    if len(ck) and ck.max() <= 4 * len(ck) + 1024:
-        dense = np.full(int(ck.max()) + 1, -1, dtype=np.int32)
-        dense[ck] = codes
-        ref = ray.put((dense, None))
-    else:
-        order = np.argsort(ck)
-        ref = ray.put((codes[order].astype(np.int32), ck[order]))
-
-    def year_partial(batch: pa.Table) -> pd.DataFrame:
-        codes, keys = _cached_get(ref)
-        ckb = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        if keys is None:
-            cn = codes[ckb]
+    if _read(sf_dir, "customer", ["c_custkey"]).count() <= _broadcast_limit():
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        ck = cust["c_custkey"].to_numpy(dtype=np.int64)
+        codes = dense_nation[cust["c_nationkey"].to_numpy(dtype=np.int64)]
+        if len(ck) and ck.max() <= 4 * len(ck) + 1024:
+            dense = np.full(int(ck.max()) + 1, -1, dtype=np.int32)
+            dense[ck] = codes
+            ref = ray.put((dense, None))
         else:
-            pos = np.minimum(np.searchsorted(keys, ckb), len(keys) - 1)
-            cn = np.where(keys[pos] == ckb, codes[pos], -1)
-        yr = (
-            batch.column("o_orderdate")
-            .cast(pa.timestamp("us"))
-            .to_pandas()
-            .dt.year.to_numpy(dtype=np.int64)
+            order = np.argsort(ck)
+            ref = ray.put((codes[order].astype(np.int32), ck[order]))
+
+        def year_partial(batch: pa.Table) -> pd.DataFrame:
+            codes, keys = _cached_get(ref)
+            ckb = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            if keys is None:
+                # clamp so FK-miss custkeys beyond the dense table read as
+                # miss (-1) instead of indexing out of bounds
+                cn = np.where(
+                    (ckb >= 0) & (ckb < len(codes)),
+                    codes[np.clip(ckb, 0, len(codes) - 1)],
+                    -1,
+                )
+            else:
+                pos = np.minimum(np.searchsorted(keys, ckb), len(keys) - 1)
+                cn = np.where(keys[pos] == ckb, codes[pos], -1)
+            yr = (
+                batch.column("o_orderdate")
+                .cast(pa.timestamp("us"))
+                .to_pandas()
+                .dt.year.to_numpy(dtype=np.int64)
+            )
+            rev_u = np.round(
+                batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64)
+            df = pd.DataFrame({"cn": cn.astype(np.int64), "o_year": yr, "rev_u": rev_u})
+            return df.groupby(["cn", "o_year"], as_index=False)["rev_u"].sum()
+
+        fine_ds = _read(
+            sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+        ).map_batches(year_partial, batch_format="pyarrow", batch_size=131072)
+    else:
+        dref = ray.put(dense_nation)
+
+        def cust_code(batch: pd.DataFrame) -> pd.DataFrame:
+            dn = _cached_get(dref)
+            return pd.DataFrame(
+                {
+                    "c_custkey": batch["c_custkey"].to_numpy(),
+                    "cn": dn[batch["c_nationkey"].to_numpy(dtype=np.int64)],
+                }
+            )
+
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            cust_code, batch_format="pandas", batch_size=131072
         )
-        rev_u = np.round(
-            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 1e6
-        ).astype(np.int64)
-        df = pd.DataFrame({"cn": cn.astype(np.int64), "o_year": yr, "rev_u": rev_u})
-        return df.groupby(["cn", "o_year"], as_index=False)["rev_u"].sum()
+        joined = _bucket_join(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]),
+            cust_ds,
+            "o_custkey",
+            "c_custkey",
+            16,
+        )
+
+        def joined_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            yr = pd.to_datetime(batch["o_orderdate"]).dt.year.to_numpy(dtype=np.int64)
+            rev_u = np.round(
+                batch["o_totalprice"].to_numpy(dtype=np.float64) * 1e6
+            ).astype(np.int64)
+            df = pd.DataFrame(
+                {"cn": batch["cn"].to_numpy(dtype=np.int64), "o_year": yr, "rev_u": rev_u}
+            )
+            return df.groupby(["cn", "o_year"], as_index=False)["rev_u"].sum()
+
+        fine_ds = joined.map_batches(
+            joined_partial, batch_format="pandas", batch_size=262144
+        )
 
     fine = _concat(
         bucketed_group_agg(
-            _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
-            .map_batches(year_partial, batch_format="pyarrow", batch_size=131072),
-            ["cn", "o_year"],
-            {"rev_u": ("rev_u", "sum")},
-            num_buckets=8,
+            fine_ds, ["cn", "o_year"], {"rev_u": ("rev_u", "sum")}, num_buckets=8
         )
     ).to_pandas()
-    return fine, n_names
+    # drop FK-miss orders (cn == -1): the SQL oracle's inner join excludes
+    # them; without this they would wrap to n_names[-1] in the level maps
+    return fine[fine["cn"] >= 0].reset_index(drop=True), n_names
+
+
+def _rollup_levels(
+    fine: pd.DataFrame, n_names: np.ndarray
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """The three ROLLUP grouping sets — (nation, year), (nation), () —
+    derived driver-side from the <= nations x years finest grain. Shared by
+    ``revenue_rollup`` and ``revenue_cube`` (cube adds the (year) set)."""
+    lvl0 = fine.copy()
+    lvl0["n_name"] = n_names[lvl0["cn"].to_numpy(dtype=np.int64)]
+    lvl1 = fine.groupby("cn", as_index=False)["rev_u"].sum()
+    lvl1["n_name"] = n_names[lvl1["cn"].to_numpy(dtype=np.int64)]
+    lvl1["o_year"] = pd.NA
+    lvl2 = pd.DataFrame(
+        {"n_name": [pd.NA], "o_year": [pd.NA], "rev_u": [fine["rev_u"].sum()]}
+    )
+    return lvl0, lvl1, lvl2
 
 
 def _grouping_levels_out(levels: list[pd.DataFrame]) -> pa.Table:
@@ -1749,15 +1816,7 @@ def revenue_rollup(sf_dir: str) -> pa.Table:
     Revenue is summed in integer micro-units (order-free addition) so all
     three levels are bit-stable at any parallelism."""
     fine, n_names = _nation_year_fine(sf_dir)
-    # ROLLUP levels derived driver-side from the <= nations x years rows
-    lvl0 = fine.copy()
-    lvl0["n_name"] = n_names[lvl0["cn"].to_numpy(dtype=np.int64)]
-    lvl1 = fine.groupby("cn", as_index=False)["rev_u"].sum()
-    lvl1["n_name"] = n_names[lvl1["cn"].to_numpy(dtype=np.int64)]
-    lvl1["o_year"] = pd.NA
-    lvl2 = pd.DataFrame(
-        {"n_name": [pd.NA], "o_year": [pd.NA], "rev_u": [fine["rev_u"].sum()]}
-    )
+    lvl0, lvl1, lvl2 = _rollup_levels(fine, n_names)
     return _grouping_levels_out([lvl0, lvl1, lvl2])
 
 
@@ -1780,16 +1839,9 @@ def revenue_cube(sf_dir: str) -> pa.Table:
     distributed once; every grouping set is a driver-side re-aggregation
     of that <= nations x years frame)."""
     fine, n_names = _nation_year_fine(sf_dir)
-    lvl0 = fine.copy()
-    lvl0["n_name"] = n_names[lvl0["cn"].to_numpy(dtype=np.int64)]
-    lvl1 = fine.groupby("cn", as_index=False)["rev_u"].sum()
-    lvl1["n_name"] = n_names[lvl1["cn"].to_numpy(dtype=np.int64)]
-    lvl1["o_year"] = pd.NA
+    lvl0, lvl1, lvl2 = _rollup_levels(fine, n_names)
     lvl_year = fine.groupby("o_year", as_index=False)["rev_u"].sum()
     lvl_year["n_name"] = pd.NA
-    lvl2 = pd.DataFrame(
-        {"n_name": [pd.NA], "o_year": [pd.NA], "rev_u": [fine["rev_u"].sum()]}
-    )
     return _grouping_levels_out([lvl0, lvl1, lvl_year, lvl2])
 
 

@@ -1531,19 +1531,29 @@ def test_pca_project_recovers_planted_axis(ray_session, tmp_path_factory):
 
 
 def test_dup_spans_flags_shared_substring(ray_session, tmp_path_factory):
-    """A 64+-char span copied verbatim between two docs must be flagged in
-    BOTH (cross-doc windows counted), a unique doc must report zero dup
-    windows, and sub-width docs are absent (no window exists)."""
+    """A long span copied verbatim between two docs at offsets that DIFFER
+    by a non-multiple of the sampling rate (7 vs 0 — the phase-shifted
+    duplication a doc-relative strided grid structurally misses) must be
+    flagged in BOTH docs: content-defined anchors depend only on local
+    text, so the shared span anchors identically regardless of offset. A
+    unique doc must report zero dup windows, and sub-width docs are absent
+    (no window exists)."""
     import pyarrow.parquet as pq
 
     from quanta_ray.functions.dedup import dup_spans
 
     d = tmp_path_factory.mktemp("span_docs")
-    shared = "x" * 30 + " this exact boilerplate sentence repeats verbatim " + "y" * 30
-    assert len(shared) >= 64
+    words = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+        "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+        "victor", "whiskey", "xray",
+    ]
+    # 589 varied chars -> 19 content anchors whose windows fit in the span
+    shared = " ".join(w + str(i) for i, w in enumerate(words * 3))
     docs = [
-        "unique prefix alpha " * 8 + shared,   # 0: carries the span
-        shared + " unique suffix beta " * 8,   # 1: carries the span
+        "abcdefg" + shared,                    # 0: span at offset 7
+        shared + " unique suffix beta " * 8,   # 1: span at offset 0
         "completely different text with no repeated content at all " * 4,  # 2
         "tiny",                                # 3: shorter than width
     ]

@@ -42,6 +42,19 @@ def test_bucket_join_fallback_matches_broadcast(ray_session, monkeypatch, fn_nam
             assert a.equals(b), col
 
 
+@pytest.mark.parametrize("fn_name", ["revenue_rollup", "revenue_cube"])
+def test_grouping_sets_broadcast_vs_shuffle(ray_session, monkeypatch, fn_name):
+    """ROLLUP/CUBE: the broadcast plan and the forced hash-bucket shuffle
+    plan are bit-identical (integer micro-unit sums are order-free)."""
+    from quanta_ray.pipelines import relational as rel
+
+    fn = getattr(rel, fn_name)
+    monkeypatch.delenv("QUANTA_BROADCAST_ROW_LIMIT", raising=False)
+    broadcast = fn(SF)
+    monkeypatch.setenv("QUANTA_BROADCAST_ROW_LIMIT", "0")
+    assert broadcast.equals(fn(SF))
+
+
 def test_promo_share_dense_vs_shuffle(ray_session, monkeypatch):
     """promo_share_by_month: the dense bit-vector plan and the forced
     hash-bucket shuffle plan are bit-identical (integer micro-unit sums are
@@ -53,3 +66,35 @@ def test_promo_share_dense_vs_shuffle(ray_session, monkeypatch):
     monkeypatch.setenv("QUANTA_BROADCAST_ROW_LIMIT", "1")  # 64-bit budget
     shuffled = rel.promo_share_by_month(SF)
     assert dense.equals(shuffled)
+
+
+def test_rollup_drops_fk_miss_orders(ray_session, tmp_path):
+    """An order whose custkey is absent from customer must be excluded from
+    every grouping level (inner-join semantics), not wrapped to the last
+    nation via n_names[-1]."""
+    import pandas as pd
+
+    from quanta_ray.pipelines import relational as rel
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame({"n_nationkey": [0, 1], "n_name": ["ALGERIA", "ZAMBIA"]}).to_parquet(
+        d / "nation.parquet"
+    )
+    pd.DataFrame({"c_custkey": [1, 2], "c_nationkey": [0, 1]}).to_parquet(
+        d / "customer.parquet"
+    )
+    pd.DataFrame(
+        {
+            "o_custkey": [1, 2, 99],  # 99 has no customer row
+            "o_orderdate": pd.to_datetime(["1995-01-01", "1996-06-01", "1995-03-01"]),
+            "o_totalprice": [100.0, 200.0, 7777.0],
+        }
+    ).to_parquet(d / "orders.parquet")
+    out = rel.revenue_rollup(str(d)).to_pandas()
+    # grand total excludes the FK-miss order's 7777
+    grand = out[out["n_name"].isna() & out["o_year"].isna()]["revenue"].iloc[0]
+    assert grand == 300.0
+    # and no level attributes the miss revenue to ZAMBIA (the n_names[-1] wrap)
+    zam = out[(out["n_name"] == "ZAMBIA") & out["o_year"].isna()]["revenue"].iloc[0]
+    assert zam == 200.0

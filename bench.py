@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "doc_lm_perplexity",
     "rel_big_spender_orders",
     "rel_nation_trade_volume",
+    "rel_discounted_revenue",
+    "rel_profit_by_nation_year",
     "rel_returned_item_revenue",
     "ev_user_moving_avg",
     # round-4 late additions

@@ -339,6 +339,11 @@ def _bucket_join(left: rd.Dataset, right: rd.Dataset, lkey: str, rkey: str, buck
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0].dropna(axis=1, how="all")
         rg = g[g["_side"] == 1].dropna(axis=1, how="all")
+        if lg.empty or rg.empty:
+            # a one-sided bucket (sparse side missed it entirely): dropna
+            # erased the absent side's columns, so build the empty inner-join
+            # result from the union schema instead of merging
+            return g.drop(columns=["_bucket", "_side"]).iloc[0:0]
         m = lg.merge(rg, left_on=lkey, right_on=rkey)
         return m.drop(columns=[c for c in ("_bucket_x", "_bucket_y", "_side_x", "_side_y", "_bucket", "_side") if c in m.columns])
 
@@ -1557,6 +1562,360 @@ JOIN nation cn ON cn.n_nationkey = c.c_nationkey
 WHERE sn.n_name <> cn.n_name
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
+"""
+
+
+# --- TPC-H Q19-style: discounted revenue under an OR-of-ANDs predicate --------
+
+
+def discounted_revenue(sf_dir: str) -> pa.Table:
+    """Total discounted revenue of lineitems matching any of three
+    (brand, size-range, quantity-range) clauses — the TPC-H Q19 shape: a
+    fact x dimension join whose JOIN PREDICATE is a disjunction of
+    conjunctions spanning both sides.
+
+    Scale shape: the part side collapses to a 3-BIT CLAUSE MASK per partkey
+    (which brand+size halves of each clause the part satisfies) broadcast
+    once via ``ray.put`` — guarded by ``_broadcast_limit()`` with a
+    hash-bucket shuffle join fallback; each lineitem batch computes its
+    quantity-halves bitmask and keeps rows where the masks intersect.
+    Revenue is summed in integer micro-units (order-free), one int64 per
+    batch reaches the driver."""
+    CL = (  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+        ("Brand#13", 1, 15, 1, 11),
+        ("Brand#19", 10, 30, 10, 20),
+        ("Brand#5", 20, 50, 20, 30),
+    )
+
+    def part_bits(df: pd.DataFrame) -> np.ndarray:
+        brand = df["p_brand"].to_numpy(dtype=object)
+        size = df["p_size"].to_numpy(dtype=np.int64)
+        bits = np.zeros(len(df), dtype=np.uint8)
+        for i, (b, lo, hi, _, _) in enumerate(CL):
+            bits |= ((brand == b) & (size >= lo) & (size <= hi)).astype(
+                np.uint8
+            ) << i
+        return bits
+
+    def qty_bits(qty: np.ndarray) -> np.ndarray:
+        bits = np.zeros(len(qty), dtype=np.uint8)
+        for i, (_, _, _, lo, hi) in enumerate(CL):
+            bits |= ((qty >= lo) & (qty <= hi)).astype(np.uint8) << i
+        return bits
+
+    def rev_u_sum(pk_bits: np.ndarray, qb: np.ndarray, price, disc) -> np.int64:
+        keep = (pk_bits & qb) != 0
+        return np.round(price[keep] * (1.0 - disc[keep]) * 1e6).astype(np.int64).sum()
+
+    line_cols = ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    if _read(sf_dir, "part", ["p_partkey"]).count() <= _broadcast_limit():
+        part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+        pk = part["p_partkey"].to_numpy(dtype=np.int64)
+        bits = part_bits(part)
+        if len(pk) and pk.max() <= 4 * len(pk) + 1024:
+            dense = np.zeros(int(pk.max()) + 1, dtype=np.uint8)  # miss = no bits
+            dense[pk] = bits
+            ref = ray.put((dense, None))
+        else:
+            order = np.argsort(pk)
+            ref = ray.put((bits[order], pk[order]))
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            bits, keys = _cached_get(ref)
+            pkb = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            if keys is None:
+                pb = np.where(
+                    (pkb >= 0) & (pkb < len(bits)),
+                    bits[np.clip(pkb, 0, len(bits) - 1)],
+                    0,
+                )
+            else:
+                pos = np.minimum(np.searchsorted(keys, pkb), len(keys) - 1)
+                pb = np.where(keys[pos] == pkb, bits[pos], 0)
+            s = rev_u_sum(
+                pb,
+                qty_bits(batch.column("l_quantity").to_numpy(zero_copy_only=False)),
+                batch.column("l_extendedprice").to_numpy(zero_copy_only=False),
+                batch.column("l_discount").to_numpy(zero_copy_only=False),
+            )
+            return pd.DataFrame({"rev_u": [s]})
+
+        parts = _read(sf_dir, "lineitem", line_cols).map_batches(
+            partial, batch_format="pyarrow", batch_size=131072
+        )
+    else:
+        pside = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+            lambda df: pd.DataFrame(
+                {"p_partkey": df["p_partkey"].to_numpy(), "pb": part_bits(df)}
+            ),
+            batch_format="pandas",
+            batch_size=131072,
+        )
+
+        def line_proj(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "l_partkey": df["l_partkey"].to_numpy(),
+                    "qb": qty_bits(df["l_quantity"].to_numpy()),
+                    "l_extendedprice": df["l_extendedprice"].to_numpy(),
+                    "l_discount": df["l_discount"].to_numpy(),
+                }
+            )
+
+        joined = _bucket_join(
+            _read(sf_dir, "lineitem", line_cols).map_batches(
+                line_proj, batch_format="pandas", batch_size=131072
+            ),
+            pside,
+            "l_partkey",
+            "p_partkey",
+            16,
+        )
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            s = rev_u_sum(
+                df["pb"].to_numpy(dtype=np.uint8),
+                df["qb"].to_numpy(dtype=np.uint8),
+                df["l_extendedprice"].to_numpy(),
+                df["l_discount"].to_numpy(),
+            )
+            return pd.DataFrame({"rev_u": [s]})
+
+        parts = joined.map_batches(partial, batch_format="pandas", batch_size=262144)
+
+    total = int(_concat(parts).column("rev_u").to_pandas().sum())
+    return pa.table({"revenue": pa.array([total / 1e6], pa.float64())})
+
+
+DISCOUNTED_REVENUE_SQL = """
+SELECT coalesce(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000)
+                      AS BIGINT)), 0) / 1000000.0 AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- TPC-H Q9-style: profit by supplier nation and order year ------------------
+
+
+def profit_by_nation_year(sf_dir: str, name_substr: str = "widget") -> pa.Table:
+    """Discounted revenue of lineitems whose PART NAME contains a substring,
+    grouped by (supplier nation, order year) — the TPC-H Q9 shape (minus
+    partsupp, which this dataset does not carry).
+
+    Scale shape: part collapses to a 1-bit match mask and supplier to a
+    nation-code map, each broadcast once via ``ray.put`` under
+    ``_broadcast_limit()`` (hash-bucket shuffle join fallbacks past it);
+    the only large-large exchange is ONE bucketed hash join of the
+    pre-filtered lineitem partials against orders on orderkey. Batches
+    collapse to <= nations x years rows before the final tiny reduce;
+    revenue is summed in integer micro-units (order-free, bit-stable)."""
+    from ..bucket import bucketed_group_agg
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n_names = nation.sort_values("n_nationkey")["n_name"].to_numpy(dtype=object)
+    nk = nation.sort_values("n_nationkey")["n_nationkey"].to_numpy(dtype=np.int64)
+    dense_nation = np.full(int(nk.max()) + 1, -1, dtype=np.int32)
+    dense_nation[nk] = np.arange(len(nk), dtype=np.int32)
+
+    def _dense_map(table, key, vals_fn, cols, fill):
+        """key -> value dense array via one small-table read, or None when
+        the table exceeds the broadcast limit / keys are sparse."""
+        if _read(sf_dir, table, [key]).count() > _broadcast_limit():
+            return None
+        df = _read(sf_dir, table, cols).to_pandas()
+        keys = df[key].to_numpy(dtype=np.int64)
+        if len(keys) == 0 or keys.max() > 4 * len(keys) + 1024:
+            return None
+        vals = vals_fn(df)
+        dense = np.full(int(keys.max()) + 1, fill, dtype=vals.dtype)
+        dense[keys] = vals
+        return dense
+
+    part_mask = _dense_map(
+        "part",
+        "p_partkey",
+        lambda df: df["p_name"].str.contains(name_substr, regex=False)
+        .to_numpy()
+        .astype(np.int8),
+        ["p_partkey", "p_name"],
+        np.int8(0),
+    )
+    supp_map = _dense_map(
+        "supplier",
+        "s_suppkey",
+        lambda df: dense_nation[df["s_nationkey"].to_numpy(dtype=np.int64)],
+        ["s_suppkey", "s_nationkey"],
+        np.int32(-1),
+    )
+
+    line_cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+    ]
+
+    if part_mask is not None and supp_map is not None:
+        ref = ray.put((part_mask, supp_map))
+
+        def line_side(batch: pa.Table) -> pd.DataFrame:
+            pm, sm = _cached_get(ref)
+            pkb = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            skb = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            hit = (
+                ((pkb >= 0) & (pkb < len(pm)))
+                & (pm[np.clip(pkb, 0, len(pm) - 1)] > 0)
+            )
+            sn = np.where(
+                (skb >= 0) & (skb < len(sm)), sm[np.clip(skb, 0, len(sm) - 1)], -1
+            )
+            keep = hit & (sn >= 0)
+            rev_u = np.round(
+                batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+                * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False)[keep])
+                * 1e6
+            ).astype(np.int64)
+            df = pd.DataFrame(
+                {
+                    "l_orderkey": batch.column("l_orderkey").to_numpy(
+                        zero_copy_only=False
+                    )[keep],
+                    "sn": sn[keep].astype(np.int64),
+                    "rev_u": rev_u,
+                }
+            )
+            return df.groupby(["l_orderkey", "sn"], as_index=False)["rev_u"].sum()
+
+        line = _read(sf_dir, "lineitem", line_cols).map_batches(
+            line_side, batch_format="pyarrow", batch_size=131072
+        )
+    else:
+        pside = _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+            lambda df: pd.DataFrame(
+                {"p_partkey": df["p_partkey"].to_numpy()}
+            )[df["p_name"].str.contains(name_substr, regex=False).to_numpy()],
+            batch_format="pandas",
+            batch_size=131072,
+        )
+        sside = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "s_suppkey": df["s_suppkey"].to_numpy(),
+                    "sn": dense_nation[df["s_nationkey"].to_numpy(dtype=np.int64)],
+                }
+            ),
+            batch_format="pandas",
+        )
+
+        def line_proj(df: pd.DataFrame) -> pd.DataFrame:
+            rev_u = np.round(
+                df["l_extendedprice"].to_numpy()
+                * (1.0 - df["l_discount"].to_numpy())
+                * 1e6
+            ).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(),
+                    "l_partkey": df["l_partkey"].to_numpy(),
+                    "l_suppkey": df["l_suppkey"].to_numpy(),
+                    "rev_u": rev_u,
+                }
+            )
+
+        line = _bucket_join(
+            _bucket_join(
+                _read(sf_dir, "lineitem", line_cols).map_batches(
+                    line_proj, batch_format="pandas", batch_size=131072
+                ),
+                pside,
+                "l_partkey",
+                "p_partkey",
+                16,
+            ),
+            sside,
+            "l_suppkey",
+            "s_suppkey",
+            16,
+        ).map_batches(
+            # collapse to the broadcast path's (orderkey, sn) partial shape
+            # before the orderkey exchange
+            lambda df: df.groupby(["l_orderkey", "sn"], as_index=False)[
+                "rev_u"
+            ].sum(),
+            batch_format="pandas",
+            batch_size=262144,
+        )
+
+    def orders_proj(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch.column("o_orderkey").to_numpy(zero_copy_only=False),
+                "o_year": batch.column("o_orderdate")
+                .cast(pa.timestamp("us"))
+                .to_pandas()
+                .dt.year.to_numpy(dtype=np.int64),
+            }
+        )
+
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        orders_proj, batch_format="pyarrow", batch_size=131072
+    )
+    joined = _bucket_join(line, ords, "l_orderkey", "o_orderkey", 16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["sn", "o_year"], as_index=False)["rev_u"].sum()
+
+    t = _concat(
+        bucketed_group_agg(
+            joined.map_batches(partial, batch_format="pandas", batch_size=262144),
+            ["sn", "o_year"],
+            {"rev_u": ("rev_u", "sum")},
+            num_buckets=8,
+        )
+    )
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "n_name": pa.array([], pa.string()),
+                "o_year": pa.array([], pa.int64()),
+                "amount": pa.array([], pa.float64()),
+            }
+        )
+    sn = t.column("sn").to_numpy(zero_copy_only=False).astype(np.int64)
+    res = pa.table(
+        {
+            "n_name": pa.array(n_names[sn], pa.string()),
+            "o_year": t.column("o_year").cast(pa.int64()),
+            "amount": pa.array(
+                t.column("rev_u").to_numpy(zero_copy_only=False).astype(np.int64)
+                / 1e6,
+                pa.float64(),
+            ),
+        }
+    )
+    return res.take(
+        pc.sort_indices(
+            res, sort_keys=[("n_name", "ascending"), ("o_year", "ascending")]
+        )
+    )
+
+
+PROFIT_BY_NATION_YEAR_SQL = """
+SELECT n.n_name,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000)
+             AS BIGINT)) / 1000000.0 AS amount
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY 1, 2
 """
 
 

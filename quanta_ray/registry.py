@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "rel_discounted_revenue": relational.discounted_revenue,
+        "rel_profit_by_nation_year": relational.profit_by_nation_year,
         "rel_top_orders_per_customer": relational.top_orders_per_customer,
         "rel_revenue_cube": relational.revenue_cube,
         "doc_split_assign": curation.split_assign,
@@ -290,6 +292,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_promo_share_by_month": relational.PROMO_SHARE_SQL,
         "rel_big_spender_orders": relational.BIG_SPENDER_ORDERS_SQL,
         "rel_nation_trade_volume": relational.NATION_TRADE_VOLUME_SQL,
+        "rel_discounted_revenue": relational.DISCOUNTED_REVENUE_SQL,
+        "rel_profit_by_nation_year": relational.PROFIT_BY_NATION_YEAR_SQL,
         "rel_returned_item_revenue": relational.RETURNED_ITEM_REVENUE_SQL,
         "rel_revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "rel_revenue_cube": relational.REVENUE_CUBE_SQL,

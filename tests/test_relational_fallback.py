@@ -42,10 +42,13 @@ def test_bucket_join_fallback_matches_broadcast(ray_session, monkeypatch, fn_nam
             assert a.equals(b), col
 
 
-@pytest.mark.parametrize("fn_name", ["revenue_rollup", "revenue_cube"])
+@pytest.mark.parametrize(
+    "fn_name",
+    ["revenue_rollup", "revenue_cube", "discounted_revenue", "profit_by_nation_year"],
+)
 def test_grouping_sets_broadcast_vs_shuffle(ray_session, monkeypatch, fn_name):
-    """ROLLUP/CUBE: the broadcast plan and the forced hash-bucket shuffle
-    plan are bit-identical (integer micro-unit sums are order-free)."""
+    """ROLLUP/CUBE/Q19/Q9: the broadcast plan and the forced hash-bucket
+    shuffle plan are bit-identical (integer micro-unit sums are order-free)."""
     from quanta_ray.pipelines import relational as rel
 
     fn = getattr(rel, fn_name)

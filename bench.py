@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "rel_nation_trade_volume",
     "rel_discounted_revenue",
     "rel_profit_by_nation_year",
+    "doc_perplexity_buckets",
+    "emb_outlier_scores",
     "rel_returned_item_revenue",
     "ev_user_moving_avg",
     # round-4 late additions

@@ -253,3 +253,89 @@ def semdedup(
     )
     out = _concat(bucketed_apply(ds, ["cluster"], cluster_fn))
     return out.take(pc.sort_indices(out, sort_keys=[("vec_id", "ascending")]))
+
+
+def outlier_scores(
+    sf_dir: str, k: int = 8, iters: int = 5, seed: int = 11,
+    tail_frac: float = 0.05,
+) -> pa.Table:
+    """Per-vector cosine distance to its nearest k-means prototype, plus an
+    exact global top-``tail_frac`` outlier flag — the data-pruning signal
+    of SSL-prototype / D4-style curation (Sorscher et al. 2022 "Beyond
+    neural scaling laws"; Tirumala et al. 2023 D4): vectors far from every
+    prototype are noise/outlier candidates, vectors nearest are the
+    prototypical redundant core.
+
+    Shape: ``fit_centroids`` (iters streaming scans, centroids broadcast
+    per iteration); then ONE scan emitting per-batch exact integer
+    histograms of quantized distances (milli-units, domain [0, 2000] —
+    O(2001) ints per batch, corpus-size independent) which the driver
+    folds into the exact top-tail threshold; then ONE stateless assign
+    scan with (centroids, threshold) broadcast once. Nothing
+    row-proportional touches the driver; quantized thresholding is
+    bit-stable at any parallelism. Rows-only check (iterative fit has no
+    SQL form); pinned by the planted far-vector pytest."""
+    centroids = fit_centroids(sf_dir, k=k, iters=iters, seed=seed)
+    if centroids.size == 0:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64()),
+             "cos_dist": pa.array([], pa.float64()),
+             "is_outlier": pa.array([], pa.bool_())}
+        )
+    cref = ray.put(centroids)
+
+    def _dist_milli(batch: pa.Table):
+        ids, mat = _batch_matrix(batch)
+        c = ray.get(cref)
+        if not len(ids):
+            return ids, np.empty(0, np.int64), np.empty(0, np.int64)
+        sims = mat @ c.T
+        a = np.argmax(sims, axis=1)
+        d = 1.0 - sims[np.arange(len(ids)), a]
+        return ids, a.astype(np.int64), np.clip(
+            np.round(d * 1000.0).astype(np.int64), 0, 2000
+        )
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        _, _, dm = _dist_milli(batch)
+        h = np.bincount(dm, minlength=2001)
+        u = np.flatnonzero(h)
+        return pd.DataFrame({"q": u.astype(np.int64), "n": h[u].astype(np.int64)})
+
+    from ..bucket import bucketed_group_agg
+
+    hist = _concat(
+        bucketed_group_agg(
+            _emb(sf_dir).select_columns(["vec_id", "embedding"]).map_batches(
+                hist_partial, batch_format="pyarrow", batch_size=4096
+            ),
+            ["q"],
+            {"n": ("n", "sum")},
+            num_buckets=2,
+        )
+    ).to_pandas().sort_values("q")
+    n_total = int(hist["n"].sum())
+    # exact threshold: smallest quantized distance d* such that the count of
+    # vectors with dist > d* is <= tail_frac * n (outlier = dist > d*)
+    tail_target = int(tail_frac * n_total)
+    above = n_total - hist["n"].cumsum().to_numpy()
+    thr = int(hist["q"].to_numpy()[np.searchsorted(-above, -tail_target)])
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        ids, a, dm = _dist_milli(batch)
+        return pd.DataFrame(
+            {
+                "vec_id": ids.astype(np.int64),
+                "cluster": a,
+                "cos_dist": dm / 1000.0,
+                "is_outlier": dm > thr,
+            }
+        )
+
+    out = _concat(
+        _emb(sf_dir).select_columns(["vec_id", "embedding"]).map_batches(
+            assign, batch_format="pyarrow", batch_size=4096
+        )
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("vec_id", "ascending")]))

@@ -1376,25 +1376,12 @@ def _tri_bi_hashes(codes: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.
     return h3[ok].astype(np.int64), h2[ok].astype(np.int64), doc_of[: n - 2][ok]
 
 
-def lm_perplexity(sf_dir: str) -> pa.Table:
-    """Per-document char-trigram language-model perplexity — the CCNet-style
-    quality signal (Wenzek et al. 2020 score documents with a KenLM model;
-    here the LM is trained on the corpus itself in one distributed pass).
-
-    Two streaming passes, nothing row-proportional on the driver:
-    1. TRAIN — per batch, vectorized trigram/bigram hash counting emits only
-       the TOUCHED buckets as (bucket, cnt) partials; a bucketed reduce
-       folds them; the driver assembles two fixed-width (2^16) count tables
-       and broadcasts them once via ``ray.put``.
-    2. SCORE — per batch, mean -log2 p(c3|c1c2) per doc with add-one
-       smoothing, reading the tables zero-copy in each actor.
-
-    Integer count tables + deterministic hashing make reruns bit-identical.
-    Hash collisions only smooth the model (both passes share them), so this
-    is a scorer, not a probability oracle -> rows-only check, pinned by the
-    planted repetitive-vs-gibberish pytest."""
-    import ray
-
+def _lm_train(sf_dir: str) -> tuple[np.ndarray, np.ndarray] | None:
+    """Distributed char-trigram LM train pass (shared by ``lm_perplexity``
+    and ``perplexity_buckets``): per batch, vectorized trigram/bigram hash
+    counting emits only the TOUCHED buckets as (bucket, cnt) partials; a
+    bucketed reduce folds them; the driver assembles the two fixed-width
+    (2^16) integer count tables. Returns None on an empty corpus."""
     from ..bucket import bucketed_group_agg
 
     def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1428,49 +1415,169 @@ def lm_perplexity(sf_dir: str) -> pa.Table:
         bucketed_group_agg(parts, ["bucket", "kind"], {"cnt": ("cnt", "sum")},
                            num_buckets=16)
     ).to_pandas()
+    if folded.empty:
+        return None
     tri = np.zeros(_LM_H, np.int64)
     bi = np.zeros(_LM_H, np.int64)
-    if folded.empty:
+    t3 = folded[folded["kind"] == 0]
+    t2 = folded[folded["kind"] == 1]
+    tri[t3["bucket"].to_numpy()] = t3["cnt"].to_numpy()
+    bi[t2["bucket"].to_numpy()] = t2["cnt"].to_numpy()
+    return tri, bi
+
+
+def _lm_doc_bits(model: tuple[np.ndarray, np.ndarray], texts: pd.Series):
+    """(n_trigrams, mean -log2 p) per doc under the trained tables with
+    add-one smoothing — the shared score kernel."""
+    tri, bi = model
+    codes, lens = _char_codes(texts.fillna(""))
+    h3, h2, doc = _tri_bi_hashes(codes, lens)
+    n_docs = len(texts)
+    if not len(h3):
+        return np.zeros(n_docs, np.int64), np.zeros(n_docs, np.float64)
+    bits = -np.log2((tri[h3] + 1.0) / (bi[h2] + 256.0))
+    tot = np.bincount(doc, weights=bits, minlength=n_docs)
+    cnt = np.bincount(doc, minlength=n_docs)
+    return cnt.astype(np.int64), np.divide(
+        tot, cnt, out=np.zeros_like(tot), where=cnt > 0
+    )
+
+
+def lm_perplexity(sf_dir: str) -> pa.Table:
+    """Per-document char-trigram language-model perplexity — the CCNet-style
+    quality signal (Wenzek et al. 2020 score documents with a KenLM model;
+    here the LM is trained on the corpus itself in one distributed pass).
+
+    Two streaming passes, nothing row-proportional on the driver: TRAIN
+    (``_lm_train``) then SCORE — per batch, mean -log2 p(c3|c1c2) per doc
+    with add-one smoothing, reading the broadcast tables zero-copy.
+
+    Integer count tables + deterministic hashing make reruns bit-identical.
+    Hash collisions only smooth the model (both passes share them), so this
+    is a scorer, not a probability oracle -> rows-only check, pinned by the
+    planted repetitive-vs-gibberish pytest."""
+    import ray
+
+    model = _lm_train(sf_dir)
+    if model is None:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()),
              "n_trigrams": pa.array([], pa.int64()),
              "ppl_bits": pa.array([], pa.float64())}
         )
-    t3 = folded[folded["kind"] == 0]
-    t2 = folded[folded["kind"] == 1]
-    tri[t3["bucket"].to_numpy()] = t3["cnt"].to_numpy()
-    bi[t2["bucket"].to_numpy()] = t2["cnt"].to_numpy()
-    model_ref = ray.put((tri, bi))
+    model_ref = ray.put(model)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         # plain-function tasks reuse warm worker processes (no actor-pool
         # spin-up); the broadcast model is fetched zero-copy from plasma and
         # memoized per process, so repeat tasks on a worker pay nothing
-        tri, bi = _cached_get(model_ref)
-        codes, lens = _char_codes(batch["text"].fillna(""))
-        h3, h2, doc = _tri_bi_hashes(codes, lens)
-        n_docs = len(batch)
-        if not len(h3):
-            return pd.DataFrame(
-                {"doc_id": np.empty(0, np.int64),
-                 "n_trigrams": np.empty(0, np.int64),
-                 "ppl_bits": np.empty(0, np.float64)}
-            )
-        bits = -np.log2((tri[h3] + 1.0) / (bi[h2] + 256.0))
-        tot = np.bincount(doc, weights=bits, minlength=n_docs)
-        cnt = np.bincount(doc, minlength=n_docs)
+        cnt, mean_bits = _lm_doc_bits(_cached_get(model_ref), batch["text"])
         has = cnt > 0
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy()[has],
-                "n_trigrams": cnt[has].astype(np.int64),
-                "ppl_bits": np.round(tot[has] / cnt[has], 6),
+                "n_trigrams": cnt[has],
+                "ppl_bits": np.round(mean_bits[has], 6),
             }
         )
 
     out = _concat(
         _docs(sf_dir, ["doc_id", "text"]).map_batches(
             score, batch_format="pandas", batch_size=65536
+        )
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
+def perplexity_buckets(sf_dir: str) -> pa.Table:
+    """CCNet-style per-language perplexity TERCILE buckets (Wenzek et al.
+    2020 §4.4: within each language, split the corpus into head / middle /
+    tail thirds by LM perplexity — head is the cleanest third and what
+    most pipelines keep or upsample).
+
+    Three streaming passes, nothing row-proportional on the driver:
+      1. TRAIN — the shared ``_lm_train`` distributed count pass;
+      2. HISTOGRAM — per batch, docs collapse to (lang, ppl-milli-bits)
+         exact integer histogram partials; one tiny bucketed reduce gives
+         per-language cumulative counts, from which the driver takes the
+         1/3 and 2/3 thresholds (O(langs x distinct quantized values),
+         corpus-size independent);
+      3. ASSIGN — rescore each batch (model + thresholds broadcast once)
+         and emit (doc_id, lang, ppl_bits, ppl_bucket).
+    Quantization to integer milli-bits makes the thresholds and buckets
+    bit-stable at any parallelism. Rows-only check (the LM is not
+    SQL-expressible); pinned by the planted ordered-terciles pytest."""
+    import ray
+
+    from ..bucket import bucketed_group_agg
+
+    model = _lm_train(sf_dir)
+    if model is None:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "lang": pa.array([], pa.string()),
+             "ppl_bits": pa.array([], pa.float64()),
+             "ppl_bucket": pa.array([], pa.string())}
+        )
+    model_ref = ray.put(model)
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cnt, mean_bits = _lm_doc_bits(_cached_get(model_ref), batch["text"])
+        has = cnt > 0
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_numpy()[has],
+                "q": np.round(mean_bits[has] * 1000.0).astype(np.int64),
+            }
+        )
+        return df.groupby(["lang", "q"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    hist = _concat(
+        bucketed_group_agg(
+            _docs(sf_dir, ["text", "lang"]).map_batches(
+                hist_partial, batch_format="pandas", batch_size=65536
+            ),
+            ["lang", "q"],
+            {"n": ("n", "sum")},
+            num_buckets=4,
+        )
+    ).to_pandas()
+    # per-language tercile thresholds from the exact quantized histogram
+    thresholds: dict[str, tuple[int, int]] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("q")
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        qs = g["q"].to_numpy()
+        t1 = int(qs[np.searchsorted(cum, -(-n // 3))])       # ceil(n/3)
+        t2 = int(qs[np.searchsorted(cum, -(-2 * n // 3))])   # ceil(2n/3)
+        thresholds[str(lang)] = (t1, t2)
+    thr_ref = ray.put(thresholds)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cnt, mean_bits = _lm_doc_bits(_cached_get(model_ref), batch["text"])
+        thr = _cached_get(thr_ref)
+        has = cnt > 0
+        langs = batch["lang"].to_numpy(dtype=object)[has]
+        q = np.round(mean_bits[has] * 1000.0).astype(np.int64)
+        u, inv = np.unique(langs, return_inverse=True)
+        t1 = np.array([thr[l][0] for l in u], dtype=np.int64)[inv]
+        t2 = np.array([thr[l][1] for l in u], dtype=np.int64)[inv]
+        bucket = np.where(q <= t1, "head", np.where(q <= t2, "middle", "tail"))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[has],
+                "lang": langs,
+                "ppl_bits": np.round(mean_bits[has], 6),
+                "ppl_bucket": bucket,
+            }
+        )
+
+    out = _concat(
+        _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+            assign, batch_format="pandas", batch_size=65536
         )
     )
     return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))

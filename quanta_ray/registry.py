@@ -92,6 +92,12 @@ def _emb_semdedup(sf_dir: str) -> Any:
     return semdedup(sf_dir)
 
 
+def _emb_outlier_scores(sf_dir: str) -> Any:
+    from .functions.cluster import outlier_scores
+
+    return outlier_scores(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from .functions import contamination, curation, dedup, simsearch, text
     from .pipelines import batch_cep, relational
@@ -107,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- (1) new or changed since last driver verification ---
         "rel_discounted_revenue": relational.discounted_revenue,
         "rel_profit_by_nation_year": relational.profit_by_nation_year,
+        "doc_perplexity_buckets": text.perplexity_buckets,
+        "emb_outlier_scores": _emb_outlier_scores,
         "rel_top_orders_per_customer": relational.top_orders_per_customer,
         "rel_revenue_cube": relational.revenue_cube,
         "doc_split_assign": curation.split_assign,

@@ -1643,3 +1643,88 @@ def test_knn_ivfpq_finds_planted_neighbor(ray_session, emb_dir):
     assert out.equals(
         knn_ivfpq(d, query_ids=(5,), k=5, n_centroids=4, nprobe=2, m=4, ksub=8)
     )
+
+
+def test_perplexity_buckets_terciles_per_language(ray_session, tmp_path_factory):
+    """CCNet buckets: within each language the head/middle/tail thirds must
+    be ordered by perplexity (max head ppl <= min middle ppl <= min tail
+    ppl), gibberish must land in the tail, and reruns are bit-identical."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.functions.text import perplexity_buckets
+
+    d = tmp_path_factory.mktemp("ppl_bucket_docs")
+    common = "the quick brown fox jumps over the lazy dog and runs away again "
+    docs, langs = [], []
+    for i in range(24):                       # en: varying cleanliness
+        noise = " zqxj" * (i // 2)
+        docs.append(common * 3 + noise)
+        langs.append("en")
+    docs.append("zzqqxxjj vvkkww ppzz qqxxzz jjwwvv kkppzz mmnnbb")  # en gibberish
+    langs.append("en")
+    for i in range(9):                        # second language, its own terciles
+        docs.append("der schnelle braune fuchs springt " * (2 + i % 3))
+        langs.append("de")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array(docs, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+            "source": pa.array(["web"] * len(docs), type=pa.string()),
+            "n_chars": pa.array([len(s) for s in docs], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = perplexity_buckets(str(d))
+    df = out.to_pandas()
+    assert set(df.columns) == {"doc_id", "lang", "ppl_bits", "ppl_bucket"}
+    for lang, g in df.groupby("lang"):
+        by = {b: s["ppl_bits"] for b, s in g.groupby("ppl_bucket")}
+        assert set(by) <= {"head", "middle", "tail"} and "head" in by
+        if "middle" in by:
+            assert by["head"].max() <= by["middle"].min()
+        if "tail" in by:
+            assert by["tail"].min() >= max(
+                by[b].max() for b in ("head", "middle") if b in by
+            )
+    # the gibberish doc is the worst of its language -> tail
+    assert df.set_index("doc_id").loc[24, "ppl_bucket"] == "tail"
+    assert out.equals(perplexity_buckets(str(d)))
+
+
+def test_outlier_scores_flags_far_vector(ray_session, tmp_path_factory):
+    """A vector orthogonal to two tight planted clusters must get the
+    maximum distance-to-prototype and the outlier flag; in-cluster vectors
+    must not be flagged; reruns are bit-identical."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.functions.cluster import outlier_scores
+
+    d = tmp_path_factory.mktemp("outlier_emb")
+    rng = np.random.default_rng(3)
+    dim, per = 8, 40
+    a = np.zeros(dim); a[0] = 1.0
+    b = np.zeros(dim); b[1] = 1.0
+    rows = []
+    for base in (a, b):
+        for _ in range(per):
+            rows.append(base + rng.normal(0, 0.02, dim))
+    far = np.zeros(dim); far[7] = 1.0          # orthogonal to both clusters
+    rows.append(far)
+    mat = np.asarray(rows)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(rows)), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([0] * len(rows), type=pa.int32()),
+        }
+    )
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    out = outlier_scores(str(d), k=2, iters=4, tail_frac=0.02)
+    df = out.to_pandas().set_index("vec_id")
+    far_id = len(rows) - 1
+    assert df["cos_dist"].idxmax() == far_id
+    assert bool(df.loc[far_id, "is_outlier"])
+    assert not df.drop(index=far_id)["is_outlier"].any()
+    assert out.equals(outlier_scores(str(d), k=2, iters=4, tail_frac=0.02))

@@ -852,3 +852,79 @@ def pca_project(sf_dir: str, n_components: int = 2) -> pa.Table:
     import pyarrow.compute as pc
 
     return t.take(pc.sort_indices(t, sort_keys=[("vec_id", "ascending")]))
+
+
+# --- per-label centroids (vector aggregate with a real SQL oracle) ------------
+
+
+def centroid_per_label(sf_dir: str) -> pa.Table:
+    """Per-(label, dimension) mean of the RAW embedding vectors — the
+    distributed vector-mean every clustering/recall pipeline starts from.
+
+    Per-batch numpy partials: one (labels x dims) float64 sum matrix +
+    per-label counts via a single ``np.add.at`` scatter, emitted as
+    (label, dim, s, n) rows — the shuffle carries labels*dims rows per
+    batch, never vectors. The tiny driver-side reduce divides once and
+    rounds to 6 decimals (the established float-avg oracle convention,
+    cf. ``norm_stats``). DuckDB oracle uses positionally-aligned
+    ``unnest(embedding) / unnest(range(...))`` to reproduce the same
+    (label, dim) grid."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lab = batch.column("label").to_numpy()
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        if not len(lab):
+            return pd.DataFrame(
+                {"label": np.empty(0, np.int64), "dim": np.empty(0, np.int64),
+                 "s": np.empty(0, np.float64), "n": np.empty(0, np.int64)}
+            )
+        d = len(flat) // len(lab)
+        mat = flat.astype(np.float64).reshape(len(lab), d)
+        labels, inv = np.unique(lab, return_inverse=True)
+        acc = np.zeros((len(labels), d), np.float64)
+        np.add.at(acc, inv, mat)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(labels.astype(np.int64), d),
+                "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), len(labels)),
+                "s": acc.ravel(),
+                "n": np.repeat(cnt, d),
+            }
+        )
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    parts = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ),
+        promote_options="default",
+    ).to_pandas()
+    g = parts.groupby(["label", "dim"], as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum")
+    )
+    g = g.sort_values(["label", "dim"], kind="mergesort")
+    return pa.table(
+        {
+            "label": pa.array(g["label"].to_numpy(dtype=np.int64), pa.int64()),
+            "dim": pa.array(g["dim"].to_numpy(dtype=np.int64), pa.int64()),
+            "centroid": pa.array(
+                np.round(g["s"].to_numpy() / g["n"].to_numpy(), 6), pa.float64()
+            ),
+        }
+    )
+
+
+CENTROID_PER_LABEL_SQL = """
+SELECT label, dim, round(sum(val) / count(*), 6) AS centroid
+FROM (
+  SELECT label, unnest(embedding) AS val,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -2265,3 +2265,438 @@ FROM (
 WHERE rnk <= 3
 ORDER BY o_custkey, rnk
 """
+
+
+# --- Q15: top supplier(s) by quarterly revenue -------------------------------
+
+
+def top_supplier_revenue(
+    sf_dir: str, start: str = "1996-01-01", end: str = "1996-04-01"
+) -> pa.Table:
+    """Supplier(s) whose lineitem revenue over one ship-date quarter equals
+    the global maximum (ties kept) — the TPC-H Q15 shape: a view-style
+    per-supplier aggregate, a global MAX scalar, and a winners-only lookup.
+
+    Scale shape: the quarter predicate is pushed into the parquet scan, so
+    only qualifying rows leave storage; per-batch partials pre-reduce to
+    (suppkey, rev_u int-micro) rows before ONE bucketed shuffle; the global
+    max is taken over the already per-supplier-reduced output (rows ==
+    suppliers, never lineitems); the s_name lookup streams supplier once
+    with only the winner keys broadcast. Revenue in int micro-units end to
+    end: the sum is order-free, so the distributed reduce is bit-equal to
+    the sequential oracle."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    from ..bucket import bucketed_group_agg
+
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (pads.field("l_shipdate") >= pads.scalar(_dt.datetime.fromisoformat(start)))
+            & (pads.field("l_shipdate") < pads.scalar(_dt.datetime.fromisoformat(end)))
+        ),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev_u = np.round(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()) * 1e6
+        ).astype(np.int64)
+        g = pd.DataFrame({"l_suppkey": b["l_suppkey"].to_numpy(dtype=np.int64),
+                          "rev_u": rev_u}).groupby("l_suppkey", as_index=False)["rev_u"].sum()
+        return g
+
+    per_supp = _concat(
+        bucketed_group_agg(
+            li.map_batches(partial, batch_format="pandas", batch_size=131072),
+            ["l_suppkey"],
+            dict(rev_u=("rev_u", "sum")),
+        )
+    ).to_pandas()
+    if per_supp.empty:
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()),
+             "s_name": pa.array([], pa.string()),
+             "total_revenue": pa.array([], pa.float64())}
+        )
+    best = int(per_supp["rev_u"].max())
+    win = per_supp[per_supp["rev_u"] == best]
+    keys_ref = ray.put(frozenset(win["l_suppkey"].to_numpy(dtype=np.int64)))
+
+    def name_lookup(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["s_suppkey"].isin(_cached_get(keys_ref))]
+
+    names = _concat(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+            name_lookup, batch_format="pandas", batch_size=131072
+        )
+    ).to_pandas()
+    out = win.merge(names, left_on="l_suppkey", right_on="s_suppkey").sort_values(
+        "s_suppkey", kind="mergesort"
+    )
+    return pa.table(
+        {
+            "s_suppkey": pa.array(out["s_suppkey"].to_numpy(dtype=np.int64), pa.int64()),
+            "s_name": pa.array(out["s_name"].astype(str), pa.string()),
+            "total_revenue": pa.array(
+                out["rev_u"].to_numpy(dtype=np.int64) / 1e6, pa.float64()
+            ),
+        }
+    )
+
+
+TOP_SUPPLIER_REVENUE_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
+              AS BIGINT) AS rev_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.rev_u / 1000000.0 AS total_revenue
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rev_u = (SELECT max(rev_u) FROM r)
+ORDER BY s.s_suppkey
+"""
+
+
+# --- Q17: small-quantity-order "lost revenue" by brand ------------------------
+
+
+def small_qty_order_revenue(sf_dir: str) -> pa.Table:
+    """Per brand, the count and extended-price total of lineitems whose
+    quantity is below 20% of that part's average quantity — the TPC-H Q17
+    correlated-scalar shape (row vs its own group's aggregate).
+
+    Scale shape: ONE hash-bucket shuffle on l_partkey co-locates every row
+    of a part; inside each bucket the per-part (count, qty-sum) and the
+    row-level threshold test are one vectorized groupby-transform — the
+    comparison `qty * 5 * n < sum_qty` is all-integer (quantities are
+    integral), so no float-average boundary can diverge from the oracle.
+    Surviving rows reduce to per-part partials inside the bucket, then a
+    second tiny shuffle joins p_brand (part pruned to two columns) and the
+    25-row brand rollup finishes driver-side."""
+    from ..bucket import bucketed_apply
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def bucket_small(g: pd.DataFrame) -> pd.DataFrame:
+        qty = g["l_quantity"].to_numpy(dtype=np.int64)
+        pk = g["l_partkey"].to_numpy(dtype=np.int64)
+        grp = g.groupby("l_partkey")["l_quantity"]
+        n = grp.transform("size").to_numpy(dtype=np.int64)
+        s = grp.transform("sum").to_numpy(dtype=np.int64)
+        keep = qty * 5 * n < s
+        if not keep.any():
+            return pd.DataFrame(
+                {"l_partkey": pd.array([], dtype=np.int64),
+                 "n_small": pd.array([], dtype=np.int64),
+                 "rev_u": pd.array([], dtype=np.int64)}
+            )
+        rev_u = np.round(g["l_extendedprice"].to_numpy()[keep] * 1e6).astype(np.int64)
+        out = pd.DataFrame({"l_partkey": pk[keep], "rev_u": rev_u})
+        r = out.groupby("l_partkey", as_index=False).agg(
+            n_small=("rev_u", "size"), rev_u=("rev_u", "sum")
+        )
+        r["n_small"] = r["n_small"].astype(np.int64)
+        return r[["l_partkey", "n_small", "rev_u"]]
+
+    per_part = bucketed_apply(li, ["l_partkey"], bucket_small)
+    joined = _bucket_join(
+        per_part, _read(sf_dir, "part", ["p_partkey", "p_brand"]), "l_partkey",
+        "p_partkey", 16,
+    )
+
+    def brand_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("p_brand", as_index=False).agg(
+            n_small=("n_small", "sum"), rev_u=("rev_u", "sum")
+        )
+        return pd.DataFrame(
+            {"p_brand": g["p_brand"].astype(str),
+             "n_small": g["n_small"].to_numpy(dtype=np.int64),
+             "rev_u": g["rev_u"].to_numpy(dtype=np.int64)}
+        )
+
+    parts = _concat(
+        joined.map_batches(brand_partial, batch_format="pandas", batch_size=262144)
+    ).to_pandas()
+    if parts.empty:
+        return pa.table(
+            {"p_brand": pa.array([], pa.string()),
+             "n_small": pa.array([], pa.int64()),
+             "lost_revenue": pa.array([], pa.float64())}
+        )
+    out = parts.groupby("p_brand", as_index=False).agg(
+        n_small=("n_small", "sum"), rev_u=("rev_u", "sum")
+    ).sort_values("p_brand", kind="mergesort")
+    return pa.table(
+        {
+            "p_brand": pa.array(out["p_brand"].astype(str), pa.string()),
+            "n_small": pa.array(out["n_small"].to_numpy(dtype=np.int64), pa.int64()),
+            "lost_revenue": pa.array(
+                out["rev_u"].to_numpy(dtype=np.int64) / 1e6, pa.float64()
+            ),
+        }
+    )
+
+
+SMALL_QTY_ORDER_REVENUE_SQL = """
+WITH pq AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+  FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(CAST(round(l.l_extendedprice * 1000000) AS BIGINT)) AS BIGINT)
+         / 1000000.0 AS lost_revenue
+FROM lineitem l
+JOIN pq ON pq.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS BIGINT) * 5 * pq.n < pq.s
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q22: idle rich customers (global scalar + NOT EXISTS + rollup) -----------
+
+
+def idle_rich_customers(
+    sf_dir: str, since: str = "2000-01-01", buckets: int | None = None
+) -> pa.Table:
+    """Per nation, the count and balance total of customers whose account
+    balance exceeds the global positive-balance average AND who placed no
+    order on or after ``since`` — the TPC-H Q22 shape: global-scalar
+    filter + anti-join + tiny rollup (the recency predicate keeps the
+    anti-join non-degenerate at every SF; with the synthetic order
+    distribution every customer has SOME order).
+
+    Scale shape: pass A streams customer once, reducing to ONE
+    (cent-sum, count) pair per batch (the global average as exact
+    integers — `cents * N > S` replaces the float-average comparison, so
+    no summation-order boundary exists). Pass B reuses the bucketed
+    anti-join: the qualifying-customer side ships (nationkey, cents) only,
+    the probe side ships per-batch-DISTINCT custkeys, each bucket runs one
+    vectorized isin-negation and pre-reduces to per-nation partials. The
+    25-row nation rollup and name lookup finish driver-side."""
+    import numpy as np
+
+    cust_bal = _read(sf_dir, "customer", ["c_acctbal"])
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").to_numpy()
+        pos = bal[bal > 0]
+        cents = np.round(pos * 100).astype(np.int64)
+        return pa.table(
+            {"s": pa.array([int(cents.sum())], pa.int64()),
+             "n": pa.array([len(cents)], pa.int64())}
+        )
+
+    tot = _concat(cust_bal.map_batches(bal_partial, batch_format="pyarrow")).to_pandas()
+    S = int(tot["s"].sum())
+    N = int(tot["n"].sum())
+
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    okeys = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=(
+            pads.field("o_orderdate") >= pads.scalar(_dt.datetime.fromisoformat(since))
+        ),
+    ).select_columns(["o_custkey"])
+    if buckets is None:
+        from ..bucket import auto_buckets
+
+        buckets = max(auto_buckets(cust, floor=16), auto_buckets(okeys, floor=16))
+
+    def tag_c(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").to_numpy()
+        cents = np.round(bal * 100).astype(np.int64)
+        keep = cents * N > S
+        k = b.column("c_custkey").to_numpy()[keep]
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "nk": pa.array(
+                    b.column("c_nationkey").to_numpy()[keep].astype(np.int64), pa.int64()
+                ),
+                "cents": pa.array(cents[keep], pa.int64()),
+                "_side": pa.array(np.zeros(keep.sum(), np.int8)),
+                "_bucket": pa.array((pd.util.hash_array(k) % buckets).astype(np.int64)),
+            }
+        )
+
+    def tag_o(b: pa.Table) -> pa.Table:
+        k = np.unique(b.column("o_custkey").to_numpy())
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "nk": pa.nulls(len(k), pa.int64()),
+                "cents": pa.nulls(len(k), pa.int64()),
+                "_side": pa.array(np.ones(len(k), np.int8)),
+                "_bucket": pa.array((pd.util.hash_array(k) % buckets).astype(np.int64)),
+            }
+        )
+
+    both = cust.map_batches(tag_c, batch_format="pyarrow").union(
+        okeys.map_batches(tag_o, batch_format="pyarrow")
+    )
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        c = g[g["_side"] == 0]
+        have = g.loc[g["_side"] == 1, "key"].to_numpy(dtype=np.int64)
+        keep = c[~c["key"].isin(have)]
+        if keep.empty:
+            return pa.table(
+                {"nk": pa.array([], pa.int64()),
+                 "n_cust": pa.array([], pa.int64()),
+                 "cents": pa.array([], pa.int64())}
+            )
+        r = keep.groupby("nk", as_index=False).agg(
+            n_cust=("key", "size"), cents=("cents", "sum")
+        )
+        return pa.table(
+            {"nk": pa.array(r["nk"].to_numpy(dtype=np.int64), pa.int64()),
+             "n_cust": pa.array(r["n_cust"].to_numpy(dtype=np.int64), pa.int64()),
+             "cents": pa.array(r["cents"].to_numpy(dtype=np.int64), pa.int64())}
+        )
+
+    parts = _concat(both.groupby("_bucket").map_groups(anti, batch_format="pandas"))
+    df = parts.to_pandas()
+    nat = _concat(_read(sf_dir, "nation", ["n_nationkey", "n_name"])).to_pandas()
+    if df.empty:
+        return pa.table(
+            {"n_name": pa.array([], pa.string()),
+             "n_cust": pa.array([], pa.int64()),
+             "total_bal": pa.array([], pa.float64())}
+        )
+    agg = df.groupby("nk", as_index=False).agg(
+        n_cust=("n_cust", "sum"), cents=("cents", "sum")
+    )
+    out = agg.merge(nat, left_on="nk", right_on="n_nationkey").sort_values(
+        "n_name", kind="mergesort"
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"].astype(str), pa.string()),
+            "n_cust": pa.array(out["n_cust"].to_numpy(dtype=np.int64), pa.int64()),
+            "total_bal": pa.array(
+                out["cents"].to_numpy(dtype=np.int64) / 100.0, pa.float64()
+            ),
+        }
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = """
+WITH g AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_bal
+FROM customer c, g
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * g.n > g.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q11-style: parts holding an outsized share of total value ----------------
+
+
+def important_parts(sf_dir: str) -> pa.Table:
+    """Parts whose lineitem revenue exceeds 1.5x the AVERAGE per-part
+    revenue — the TPC-H Q11 HAVING-vs-global-scalar shape, with a
+    scale-invariant threshold (a fixed fraction-of-total cutoff selects
+    every part at small SF and none at large).
+
+    Scale shape: per-batch partials pre-reduce to (partkey, rev_u) before
+    ONE bucketed shuffle; the per-part reduced table (~30x smaller than
+    lineitem) is materialized ONCE so the global total + part count (a
+    streaming sum of its blocks) and the share filter read the same result
+    without recomputing the scan — the materialized set is the REDUCED
+    aggregate, never the input, and it spills rather than pinning heap.
+    The comparison `2 * rev_u * n_parts > 3 * total` is all-Python-int
+    exact at any scale (immune to int64 overflow at 100-TB revenue sums
+    and free of float-average boundaries)."""
+    from ..bucket import bucketed_group_agg
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev_u = np.round(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()) * 1e6
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"l_partkey": b["l_partkey"].to_numpy(dtype=np.int64), "rev_u": rev_u}
+        ).groupby("l_partkey", as_index=False)["rev_u"].sum()
+
+    per_part = bucketed_group_agg(
+        li.map_batches(partial, batch_format="pandas", batch_size=131072),
+        ["l_partkey"],
+        dict(rev_u=("rev_u", "sum")),
+    ).materialize()
+
+    def block_sum(b: pa.Table) -> pa.Table:
+        col = b.column("rev_u").to_numpy()
+        return pa.table(
+            {"s": pa.array([int(col.sum())], pa.int64()),
+             "c": pa.array([len(col)], pa.int64())}
+        )
+
+    tot = _concat(per_part.map_batches(block_sum, batch_format="pyarrow")).to_pandas()
+    total = int(tot["s"].sum())
+    n_parts = int(tot["c"].sum())
+    if n_parts == 0:
+        return pa.table(
+            {"p_partkey": pa.array([], pa.int64()), "value": pa.array([], pa.float64())}
+        )
+    # 2*rev_u*n_parts > 3*total  <=>  rev_u > (3*total)//(2*n_parts) for
+    # positive ints (strict > of an integer vs a real threshold is strict >
+    # of its floor) — Python-int scalars, no overflow, no float boundary.
+    thresh = (3 * total) // (2 * n_parts)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["rev_u"] > thresh]
+
+    out = _concat(per_part.map_batches(keep, batch_format="pandas")).to_pandas()
+    if out.empty:
+        return pa.table(
+            {"p_partkey": pa.array([], pa.int64()), "value": pa.array([], pa.float64())}
+        )
+    out = out.sort_values(
+        ["rev_u", "l_partkey"], ascending=[False, True], kind="mergesort"
+    )
+    return pa.table(
+        {
+            "p_partkey": pa.array(out["l_partkey"].to_numpy(dtype=np.int64), pa.int64()),
+            "value": pa.array(out["rev_u"].to_numpy(dtype=np.int64) / 1e6, pa.float64()),
+        }
+    )
+
+
+IMPORTANT_PARTS_SQL = """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
+              AS BIGINT) AS v
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT sum(v) AS t, count(*) AS c FROM pv)
+SELECT pv.l_partkey AS p_partkey, pv.v / 1000000.0 AS value
+FROM pv, tot
+WHERE 2 * pv.v * tot.c > 3 * tot.t
+ORDER BY pv.v DESC, pv.l_partkey
+"""

@@ -111,6 +111,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "rel_top_supplier_revenue": relational.top_supplier_revenue,
+        "rel_small_qty_order_revenue": relational.small_qty_order_revenue,
+        "rel_idle_rich_customers": relational.idle_rich_customers,
+        "rel_important_parts": relational.important_parts,
+        "emb_centroid_per_label": simsearch.centroid_per_label,
         "rel_discounted_revenue": relational.discounted_revenue,
         "rel_profit_by_nation_year": relational.profit_by_nation_year,
         "doc_perplexity_buckets": text.perplexity_buckets,
@@ -346,4 +351,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_blocklist_filter": contamination.BLOCKLIST_FILTER_SQL,
         "doc_script_stats": text.SCRIPT_STATS_SQL,
         "emb_knn_bruteforce": simsearch.KNN_BRUTEFORCE_SQL,
+        "rel_top_supplier_revenue": relational.TOP_SUPPLIER_REVENUE_SQL,
+        "rel_small_qty_order_revenue": relational.SMALL_QTY_ORDER_REVENUE_SQL,
+        "rel_idle_rich_customers": relational.IDLE_RICH_CUSTOMERS_SQL,
+        "rel_important_parts": relational.IMPORTANT_PARTS_SQL,
+        "emb_centroid_per_label": simsearch.CENTROID_PER_LABEL_SQL,
     }

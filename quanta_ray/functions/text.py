@@ -1784,3 +1784,100 @@ SELECT lang,
        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
 FROM cnt GROUP BY 1 ORDER BY 1
 """
+
+
+# --- filter-calibration sweep (threshold grid in ONE pass) --------------------
+
+_SWEEP_TOKEN_GRID = (10, 20, 50, 100, 200, 500)
+_SWEEP_TTR_GRID = tuple(range(1, 10))  # tenths: 0.1 .. 0.9
+
+
+def quality_threshold_sweep(sf_dir: str) -> pa.Table:
+    """Filter-calibration report: for a grid of min-token-count and
+    min-type-token-ratio thresholds, how many documents survive and what
+    corpus share that is — the sweep every curation pipeline runs BEFORE
+    committing to a quality filter, computed for the whole grid in ONE
+    streaming pass (not one scan per threshold).
+
+    Per-batch partials: token stats once per doc, then 15 vectorized
+    grid-point counts + the batch doc count -> a 16-row partial; the tiny
+    driver-side reduce sums and divides once. Both threshold families are
+    ALL-INTEGER comparisons (`n >= th`; `uniq*10 >= th*max(n,1)`), so no
+    float-ratio boundary can diverge from the SQL oracle at any scale."""
+
+    class Sweep:
+        def __init__(self):
+            import re
+
+            self.word = re.compile(r"[A-Za-z0-9]+")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            n, uniq, _ = _token_stats(batch["text"].str.findall(self.word))
+            n_safe = np.maximum(n, 1)
+            metrics, ths, counts = [], [], []
+            for th in _SWEEP_TOKEN_GRID:
+                metrics.append("min_tokens")
+                ths.append(th)
+                counts.append(int(np.count_nonzero(n >= th)))
+            for th in _SWEEP_TTR_GRID:
+                metrics.append("min_ttr_tenths")
+                ths.append(th)
+                counts.append(int(np.count_nonzero(uniq * 10 >= th * n_safe)))
+            metrics.append("_total")
+            ths.append(0)
+            counts.append(len(batch))
+            return pd.DataFrame(
+                {
+                    "metric": pd.array(metrics, dtype=str),
+                    "threshold": pd.array(ths, dtype=np.int64),
+                    "n_docs": pd.array(counts, dtype=np.int64),
+                }
+            )
+
+    parts = _concat(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            Sweep, batch_format="pandas", batch_size=4096, concurrency=2
+        )
+    ).to_pandas()
+    agg = parts.groupby(["metric", "threshold"], as_index=False)["n_docs"].sum()
+    total = int(agg.loc[agg["metric"] == "_total", "n_docs"].iloc[0])
+    out = agg[agg["metric"] != "_total"].sort_values(
+        ["metric", "threshold"], kind="mergesort"
+    )
+    return pa.table(
+        {
+            "metric": pa.array(out["metric"].astype(str), pa.string()),
+            "threshold": pa.array(out["threshold"].to_numpy(dtype=np.int64), pa.int64()),
+            "n_docs": pa.array(out["n_docs"].to_numpy(dtype=np.int64), pa.int64()),
+            "share": pa.array(
+                np.round(out["n_docs"].to_numpy(dtype=np.int64) / total, 6),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+QUALITY_THRESHOLD_SWEEP_SQL = """
+WITH s AS (
+  SELECT len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n,
+         len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS u
+  FROM documents
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s),
+a AS (
+  SELECT 'min_tokens' AS metric, CAST(g.th AS BIGINT) AS threshold,
+         CAST(sum(CASE WHEN s.n >= g.th THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+  FROM s, (SELECT unnest([10, 20, 50, 100, 200, 500]) AS th) g
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT 'min_ttr_tenths' AS metric, CAST(g.th AS BIGINT) AS threshold,
+         CAST(sum(CASE WHEN s.u * 10 >= g.th * greatest(s.n, 1) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_docs
+  FROM s, (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS th) g
+  GROUP BY 1, 2
+)
+SELECT u.metric, u.threshold, u.n_docs,
+       round(u.n_docs * 1.0 / tot.c, 6) AS share
+FROM (SELECT * FROM a UNION ALL SELECT * FROM b) u, tot
+ORDER BY u.metric, u.threshold
+"""

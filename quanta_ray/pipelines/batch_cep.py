@@ -2116,3 +2116,77 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 ORDER BY user_id, ts, event_id
 """
+
+
+# --- EXACT distributed quantiles per type (integer-cent histograms) -----------
+
+
+def value_quantiles_by_type(sf_dir: str) -> pa.Table:
+    """EXACT p50/p90/p99 of `value` per event_type — the complement of the
+    approximate sketch (`value_quantiles_approx`): values carry two decimal
+    digits, so a per-type INTEGER-CENT histogram is lossless and its size is
+    bounded by the VALUE RANGE (tens of thousands of bins), not the row
+    count — the classic trick that makes exact quantiles scale to 100 TB
+    without a global sort.
+
+    Per-batch partials: one bincount per (type, cent) -> nonzero
+    (event_type, cent, n) rows; one bucketed shuffle sums histograms; the
+    driver-side selection walks each type's cumulative histogram and picks
+    index ceil(q*n)-1 — bit-identical to DuckDB's quantile_disc."""
+    from ..bucket import bucketed_group_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["value"].to_numpy() * 100).astype(np.int64)
+        et = b["event_type"].astype(str)
+        g = pd.DataFrame({"event_type": et, "cent": cents}).groupby(
+            ["event_type", "cent"], as_index=False
+        ).size()
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].astype(str),
+                "cent": g["cent"].to_numpy(dtype=np.int64),
+                "n": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    hist = _concat(
+        bucketed_group_agg(
+            _events(sf_dir, ["event_type", "value"]).map_batches(
+                partial, batch_format="pandas", batch_size=262144
+            ),
+            ["event_type", "cent"],
+            dict(n=("n", "sum")),
+        )
+    ).to_pandas()
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("cent", kind="mergesort")
+        cents = g["cent"].to_numpy(dtype=np.int64)
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        qs = []
+        for q100 in (50, 90, 99):  # quantiles scaled x100: exact int ceil
+            target = -(-q100 * n // 100)  # ceil(q*n) without float q
+            qs.append(cents[np.searchsorted(cum, target)] / 100.0)
+        rows.append((et, n, *qs))
+    rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_events": pa.array([r[1] for r in rows], pa.int64()),
+            "p50": pa.array([r[2] for r in rows], pa.float64()),
+            "p90": pa.array([r[3] for r in rows], pa.float64()),
+            "p99": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
+VALUE_QUANTILES_BY_TYPE_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(quantile_disc(round(value * 100) / 100.0, 0.50), 2) AS p50,
+       round(quantile_disc(round(value * 100) / 100.0, 0.90), 2) AS p90,
+       round(quantile_disc(round(value * 100) / 100.0, 0.99), 2) AS p99
+FROM events
+GROUP BY 1 ORDER BY 1
+"""

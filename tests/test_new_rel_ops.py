@@ -163,3 +163,61 @@ def test_centroid_shape_and_mean(ray_session, tmp_path):
     got = {(r.label, r.dim): r.centroid for r in out.itertuples()}
     assert got[(0, 1)] == 2.0 and got[(0, 2)] == 4.0
     assert got[(1, 1)] == 10.0 and got[(1, 2)] == 20.0
+
+
+CASES2 = [
+    ("doc_quality_threshold_sweep", None),
+    ("ev_value_quantiles_by_type", None),
+]
+
+
+@pytest.mark.parametrize("qname", [c[0] for c in CASES2])
+def test_sweep_and_quantiles_match_duckdb(ray_session, qname):
+    from quanta_ray import registry
+
+    got = registry.queries()[qname](SF)
+    got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    want = con.sql(registry.oracle_sql()[qname]).df()
+    a, b = _canon(got), _canon(want)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_value_quantiles_disc_index_rule(ray_session, tmp_path):
+    """Pin the exact selection rule (index = ceil(q*n)-1, DuckDB
+    quantile_disc) on planted even- and odd-count groups."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "event_type": ["a"] * 4 + ["b"] * 5,
+            "value": [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    ).to_parquet(d / "events.parquet")
+    from quanta_ray.pipelines import batch_cep
+
+    out = batch_cep.value_quantiles_by_type(str(d)).to_pandas()
+    a = out[out["event_type"] == "a"].iloc[0]
+    b = out[out["event_type"] == "b"].iloc[0]
+    # n=4: ceil(.5*4)-1=1 -> 2.0 ; ceil(.9*4)-1=3 -> 4.0 ; ceil(.99*4)-1=3
+    assert (a["p50"], a["p90"], a["p99"]) == (2.0, 4.0, 4.0)
+    # n=5: ceil(2.5)-1=2 -> 3.0 ; ceil(4.5)-1=4 -> 5.0
+    assert (b["p50"], b["p90"], b["p99"]) == (3.0, 5.0, 5.0)
+
+
+def test_sweep_ttr_boundary_inclusive(ray_session, tmp_path):
+    """uniq*10 >= th*max(n,1) is inclusive: a doc EXACTLY at a tenths
+    threshold counts as surviving."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    # doc 1: 10 tokens, 3 distinct -> ttr 0.3 exactly: survives th=3, not 4.
+    text1 = " ".join(["aa"] * 8 + ["bb", "cc"])
+    pd.DataFrame({"doc_id": [1], "text": [text1]}).to_parquet(d / "documents.parquet")
+    from quanta_ray.functions import text as tx
+
+    out = tx.quality_threshold_sweep(str(d)).to_pandas()
+    ttr = out[out["metric"] == "min_ttr_tenths"].set_index("threshold")["n_docs"]
+    assert ttr[3] == 1 and ttr[4] == 0

@@ -1376,12 +1376,22 @@ def _tri_bi_hashes(codes: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.
     return h3[ok].astype(np.int64), h2[ok].astype(np.int64), doc_of[: n - 2][ok]
 
 
+_LM_MODEL_CACHE: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
+
+
 def _lm_train(sf_dir: str) -> tuple[np.ndarray, np.ndarray] | None:
     """Distributed char-trigram LM train pass (shared by ``lm_perplexity``
     and ``perplexity_buckets``): per batch, vectorized trigram/bigram hash
     counting emits only the TOUCHED buckets as (bucket, cnt) partials; a
     bucketed reduce folds them; the driver assembles the two fixed-width
-    (2^16) integer count tables. Returns None on an empty corpus."""
+    (2^16) integer count tables. Returns None on an empty corpus.
+
+    The trained tables are DETERMINISTIC for a given corpus (integer
+    counts, order-free sums), so they are memoized per sf_dir within the
+    process — a sweep that runs both LM consumers pays the train pass
+    once."""
+    if sf_dir in _LM_MODEL_CACHE:
+        return _LM_MODEL_CACHE[sf_dir]
     from ..bucket import bucketed_group_agg
 
     def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1416,6 +1426,7 @@ def _lm_train(sf_dir: str) -> tuple[np.ndarray, np.ndarray] | None:
                            num_buckets=16)
     ).to_pandas()
     if folded.empty:
+        _LM_MODEL_CACHE[sf_dir] = None
         return None
     tri = np.zeros(_LM_H, np.int64)
     bi = np.zeros(_LM_H, np.int64)
@@ -1423,6 +1434,7 @@ def _lm_train(sf_dir: str) -> tuple[np.ndarray, np.ndarray] | None:
     t2 = folded[folded["kind"] == 1]
     tri[t3["bucket"].to_numpy()] = t3["cnt"].to_numpy()
     bi[t2["bucket"].to_numpy()] = t2["cnt"].to_numpy()
+    _LM_MODEL_CACHE[sf_dir] = (tri, bi)
     return tri, bi
 
 

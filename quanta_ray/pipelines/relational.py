@@ -2700,3 +2700,258 @@ FROM pv, tot
 WHERE 2 * pv.v * tot.c > 3 * tot.t
 ORDER BY pv.v DESC, pv.l_partkey
 """
+
+
+# --- Q8: supplier-nation market share within a customer region ----------------
+
+
+def nation_market_share(
+    sf_dir: str, region: str = "ASIA", supp_nation: str = "NATION_3"
+) -> pa.Table:
+    """Per order-year: total revenue sold to customers of one REGION, the
+    slice supplied by one NATION, and that nation's market share — the
+    TPC-H Q8 two-fact multi-dimensional join (lineitem x orders x customer
+    x supplier x nation x region).
+
+    Scale shape: supplier collapses to a dense suppkey -> nation-code map
+    and customer to a dense custkey -> in-region bit, each broadcast once
+    via ``ray.put`` under ``_broadcast_limit()`` with a hash-bucket shuffle
+    join fallback past it (customer IS a fact table at 100 TB); the only
+    large-large exchange is ONE bucketed join of pre-reduced lineitem
+    (orderkey, supp-nation, rev_u) partials against in-region-filtered
+    (orderkey, year) order rows. Batches collapse to <= years x nations
+    rows before the tiny final reduce; the share divides two order-free
+    integer micro-unit sums once, driver-side."""
+    from ..bucket import bucketed_group_agg
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rk = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    nation = nation.sort_values("n_nationkey")
+    nk = nation["n_nationkey"].to_numpy(dtype=np.int64)
+    dense_code = np.full(int(nk.max()) + 1, -1, dtype=np.int32)
+    dense_code[nk] = np.arange(len(nk), dtype=np.int32)
+    dense_inreg = np.zeros(int(nk.max()) + 1, dtype=np.int8)
+    dense_inreg[nk] = (nation["n_regionkey"].to_numpy(dtype=np.int64) == rk).astype(
+        np.int8
+    )
+    target_code = int(
+        dense_code[int(nation.loc[nation["n_name"] == supp_nation, "n_nationkey"].iloc[0])]
+    )
+
+    def _dense(table, key, vals_fn, cols, fill):
+        if _read(sf_dir, table, [key]).count() > _broadcast_limit():
+            return None
+        df = _read(sf_dir, table, cols).to_pandas()
+        keys = df[key].to_numpy(dtype=np.int64)
+        if len(keys) == 0 or keys.max() > 4 * len(keys) + 1024:
+            return None
+        vals = vals_fn(df)
+        dense = np.full(int(keys.max()) + 1, fill, dtype=vals.dtype)
+        dense[keys] = vals
+        return dense
+
+    supp_map = _dense(
+        "supplier", "s_suppkey",
+        lambda df: dense_code[df["s_nationkey"].to_numpy(dtype=np.int64)],
+        ["s_suppkey", "s_nationkey"], np.int32(-1),
+    )
+    cust_map = _dense(
+        "customer", "c_custkey",
+        lambda df: dense_inreg[df["c_nationkey"].to_numpy(dtype=np.int64)],
+        ["c_custkey", "c_nationkey"], np.int8(0),
+    )
+
+    # --- lineitem side: pre-reduced (orderkey, supp-nation-code, rev_u) ---
+    line_cols = ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    if supp_map is not None:
+        sref = ray.put(supp_map)
+
+        def line_side(batch: pa.Table) -> pd.DataFrame:
+            sm = _cached_get(sref)
+            skb = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            sn = np.where(
+                (skb >= 0) & (skb < len(sm)), sm[np.clip(skb, 0, len(sm) - 1)], -1
+            )
+            keep = sn >= 0
+            rev_u = np.round(
+                batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+                * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False)[keep])
+                * 1e6
+            ).astype(np.int64)
+            df = pd.DataFrame(
+                {
+                    "l_orderkey": batch.column("l_orderkey").to_numpy(
+                        zero_copy_only=False
+                    )[keep],
+                    "sn": sn[keep].astype(np.int64),
+                    "rev_u": rev_u,
+                }
+            )
+            return df.groupby(["l_orderkey", "sn"], as_index=False)["rev_u"].sum()
+
+        line = _read(sf_dir, "lineitem", line_cols).map_batches(
+            line_side, batch_format="pyarrow", batch_size=131072
+        )
+    else:
+        sside = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "s_suppkey": df["s_suppkey"].to_numpy(),
+                    "sn": dense_code[df["s_nationkey"].to_numpy(dtype=np.int64)].astype(
+                        np.int64
+                    ),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+        def line_proj(df: pd.DataFrame) -> pd.DataFrame:
+            rev_u = np.round(
+                df["l_extendedprice"].to_numpy()
+                * (1.0 - df["l_discount"].to_numpy()) * 1e6
+            ).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(),
+                    "l_suppkey": df["l_suppkey"].to_numpy(),
+                    "rev_u": rev_u,
+                }
+            )
+
+        line = _bucket_join(
+            _read(sf_dir, "lineitem", line_cols).map_batches(
+                line_proj, batch_format="pandas", batch_size=131072
+            ),
+            sside, "l_suppkey", "s_suppkey", 16,
+        ).map_batches(
+            lambda df: df.groupby(["l_orderkey", "sn"], as_index=False)["rev_u"].sum(),
+            batch_format="pandas", batch_size=262144,
+        )
+
+    # --- orders side: in-region (orderkey, year) rows ---
+    if cust_map is not None:
+        cref = ray.put(cust_map)
+
+        def orders_side(batch: pa.Table) -> pd.DataFrame:
+            cm = _cached_get(cref)
+            ckb = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            keep = (ckb >= 0) & (ckb < len(cm)) & (
+                cm[np.clip(ckb, 0, len(cm) - 1)] > 0
+            )
+            return pd.DataFrame(
+                {
+                    "o_orderkey": batch.column("o_orderkey").to_numpy(
+                        zero_copy_only=False
+                    )[keep],
+                    "o_year": batch.column("o_orderdate")
+                    .cast(pa.timestamp("us"))
+                    .to_pandas()
+                    .dt.year.to_numpy(dtype=np.int64)[keep],
+                }
+            )
+
+        ords = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            orders_side, batch_format="pyarrow", batch_size=131072
+        )
+    else:
+        cside = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            lambda df: df[
+                dense_inreg[df["c_nationkey"].to_numpy(dtype=np.int64)] > 0
+            ][["c_custkey"]],
+            batch_format="pandas",
+        )
+
+        def orders_proj(batch: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": batch.column("o_orderkey").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "o_custkey": batch.column("o_custkey").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "o_year": batch.column("o_orderdate")
+                    .cast(pa.timestamp("us"))
+                    .to_pandas()
+                    .dt.year.to_numpy(dtype=np.int64),
+                }
+            )
+
+        ords = _bucket_join(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+                orders_proj, batch_format="pyarrow", batch_size=131072
+            ),
+            cside, "o_custkey", "c_custkey", 16,
+        ).map_batches(
+            lambda df: df[["o_orderkey", "o_year"]], batch_format="pandas"
+        )
+
+    joined = _bucket_join(line, ords, "l_orderkey", "o_orderkey", 16)
+
+    def year_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_year", "sn"], as_index=False)["rev_u"].sum()
+        return pd.DataFrame(
+            {
+                "o_year": g["o_year"].to_numpy(dtype=np.int64),
+                "sn": g["sn"].to_numpy(dtype=np.int64),
+                "rev_u": g["rev_u"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    parts = _concat(
+        joined.map_batches(year_partial, batch_format="pandas", batch_size=262144)
+    ).to_pandas()
+    if parts.empty:
+        return pa.table(
+            {"o_year": pa.array([], pa.int64()),
+             "total_revenue": pa.array([], pa.float64()),
+             "nation_revenue": pa.array([], pa.float64()),
+             "mkt_share": pa.array([], pa.float64())}
+        )
+    agg = parts.groupby(["o_year", "sn"], as_index=False)["rev_u"].sum()
+    tot = agg.groupby("o_year", as_index=False)["rev_u"].sum().rename(
+        columns={"rev_u": "tot_u"}
+    )
+    nat = (
+        agg[agg["sn"] == target_code]
+        .groupby("o_year", as_index=False)["rev_u"]
+        .sum()
+        .rename(columns={"rev_u": "nat_u"})
+    )
+    out = tot.merge(nat, on="o_year", how="left").fillna({"nat_u": 0})
+    out = out.sort_values("o_year", kind="mergesort")
+    tot_u = out["tot_u"].to_numpy(dtype=np.int64)
+    nat_u = out["nat_u"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "o_year": pa.array(out["o_year"].to_numpy(dtype=np.int64), pa.int64()),
+            "total_revenue": pa.array(tot_u / 1e6, pa.float64()),
+            "nation_revenue": pa.array(nat_u / 1e6, pa.float64()),
+            "mkt_share": pa.array(np.round(nat_u / tot_u, 6), pa.float64()),
+        }
+    )
+
+
+NATION_MARKET_SHARE_SQL = """
+WITH t AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000) AS BIGINT)
+           AS rev_u,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+)
+SELECT o_year,
+       CAST(sum(rev_u) AS BIGINT) / 1000000.0 AS total_revenue,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_u ELSE 0 END)
+            AS BIGINT) / 1000000.0 AS nation_revenue,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_u ELSE 0 END) * 1.0
+             / sum(rev_u), 6) AS mkt_share
+FROM t GROUP BY 1 ORDER BY 1
+"""

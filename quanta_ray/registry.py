@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_idle_rich_customers": relational.idle_rich_customers,
         "rel_important_parts": relational.important_parts,
         "emb_centroid_per_label": simsearch.centroid_per_label,
+        "rel_nation_market_share": relational.nation_market_share,
         "doc_quality_threshold_sweep": text.quality_threshold_sweep,
         "ev_value_quantiles_by_type": batch_cep.value_quantiles_by_type,
         "rel_discounted_revenue": relational.discounted_revenue,
@@ -358,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_idle_rich_customers": relational.IDLE_RICH_CUSTOMERS_SQL,
         "rel_important_parts": relational.IMPORTANT_PARTS_SQL,
         "emb_centroid_per_label": simsearch.CENTROID_PER_LABEL_SQL,
+        "rel_nation_market_share": relational.NATION_MARKET_SHARE_SQL,
         "doc_quality_threshold_sweep": text.QUALITY_THRESHOLD_SWEEP_SQL,
         "ev_value_quantiles_by_type": batch_cep.VALUE_QUANTILES_BY_TYPE_SQL,
     }

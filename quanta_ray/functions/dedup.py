@@ -1336,3 +1336,58 @@ SELECT w.doc_id,
        count(*) FILTER (WHERE w.win IN (SELECT win FROM dupwin)) AS n_dup_windows
 FROM w GROUP BY 1 ORDER BY 1
 """
+
+
+# --- incremental NEAR-dup: new shard vs immutable corpus ----------------------
+
+
+def near_dup_incremental(
+    sf_dir: str, jaccard_threshold: float = 0.7, num_buckets: int | None = None
+) -> pa.Table:
+    """NEAR-duplicate dedup of a NEW shard against an EXISTING corpus — the
+    day-2 MinHash operation of a rolling crawl (``dedup_incremental`` is
+    the exact-hash form; real crawls also need today's near-rewrites of
+    yesterday's pages dropped). Split is doc_id parity (even = existing
+    corpus, odd = new shard), matching ``dedup_incremental``'s convention.
+
+    A new document survives iff it has NO verified near-dup (exact Jaccard
+    >= threshold on the LSH candidates) in the existing corpus AND no
+    lower-id near-dup within the new shard.
+
+    Scale shape: rides the fully distributed ``minhash_lsh_pairs``
+    (signatures -> band buckets -> shuffle-join verify; the threshold-
+    independent verified-pair cache is shared with the other minhash
+    consumers); per verified pair the doomed id is computed vectorized
+    (parity rules, no chain logic); removal is the bucketed ANTI-JOIN on
+    doc_id — doomed ids enter the object store as Dataset blocks, never a
+    driver broadcast. Rows-only oracle (LSH recall); pinned by the planted
+    corpus-dup / in-shard-dup / fresh-doc pytest."""
+    from ..bucket import bucketed_apply
+
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold)
+    a = pairs.column("a").cast(pa.int64()).to_numpy()
+    b = pairs.column("b").cast(pa.int64()).to_numpy()
+    a_odd = (a % 2) == 1
+    b_odd = (b % 2) == 1
+    # even-even pairs doom nothing (the corpus is immutable); odd-even dooms
+    # the odd side; odd-odd dooms the larger id (b: pairs are a<b)
+    doomed = np.concatenate(
+        [a[a_odd & ~b_odd], b[b_odd & ~a_odd], b[a_odd & b_odd]]
+    )
+    dup = rd.from_arrow(
+        pa.table({"doc_id": pa.array(np.unique(doomed), pa.int64())})
+    ).map_batches(lambda t: t.assign(_dup=np.int8(1)), batch_format="pandas")
+    new_docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda t: t[t["doc_id"] % 2 == 1].assign(_dup=np.int8(0)),
+        batch_format="pandas",
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        dup_ids = g.loc[g["_dup"] == 1, "doc_id"]
+        keep = g.loc[g["_dup"] == 0, ["doc_id"]]
+        return keep[~keep["doc_id"].isin(set(dup_ids.to_numpy()))]
+
+    t = _concat(
+        bucketed_apply(new_docs.union(dup), ["doc_id"], anti, num_buckets=num_buckets)
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))

@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "doc_dedup_clusters": dedup.dedup_clusters,
         "doc_dedup_incremental": dedup.dedup_incremental,
+        "doc_near_dup_incremental": dedup.near_dup_incremental,
         "doc_near_dup_clusters": dedup.near_dup_clusters,
         "doc_near_dup_keep_best": dedup.near_dup_keep_best,
         "doc_tfidf_topk": text.tfidf_topk,

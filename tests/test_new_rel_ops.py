@@ -221,3 +221,40 @@ def test_sweep_ttr_boundary_inclusive(ray_session, tmp_path):
     out = tx.quality_threshold_sweep(str(d)).to_pandas()
     ttr = out[out["metric"] == "min_ttr_tenths"].set_index("threshold")["n_docs"]
     assert ttr[3] == 1 and ttr[4] == 0
+
+
+def test_near_dup_incremental_planted(ray_session, tmp_path_factory):
+    """Parity split: even = corpus, odd = new shard. A new doc near-duping
+    the corpus drops; a new doc near-duping a LOWER-id new doc drops; fresh
+    new docs survive; corpus docs never appear in the output."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("inc_docs")
+    rng = np.random.default_rng(11)
+    vocab = np.array("alpha beta gamma delta epsilon zeta eta theta".split())
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(20)]
+    # doc 1 (new) = near dup of doc 0 (corpus)
+    w = texts[0].split(); w[5] = "CHANGED"; texts[1] = " ".join(w)
+    # doc 5 (new) = near dup of doc 3 (new, lower id)
+    w = texts[3].split(); w[7] = "ALTERED"; texts[5] = " ".join(w)
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(20), type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 20,
+            "source": ["synthetic"] * 20,
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    from quanta_ray.functions.dedup import near_dup_incremental
+
+    ids = set(near_dup_incremental(str(d), jaccard_threshold=0.7)
+              .column("doc_id").to_pylist())
+    assert 1 not in ids          # corpus near-dup dropped
+    assert 3 in ids              # first of the in-shard pair survives
+    assert 5 not in ids          # in-shard near-dup dropped
+    assert 7 in ids and 9 in ids # fresh new docs survive
+    assert all(i % 2 == 1 for i in ids)  # corpus never emitted

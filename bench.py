@@ -82,6 +82,16 @@ BENCH_QUERIES = [
     "doc_dsir_weights",
     "doc_dup_spans",
     "emb_pca_project",
+    # round-4 final additions
+    "rel_nation_market_share",
+    "rel_small_qty_order_revenue",
+    "rel_idle_rich_customers",
+    "rel_important_parts",
+    "rel_top_supplier_revenue",
+    "emb_centroid_per_label",
+    "doc_quality_threshold_sweep",
+    "ev_value_quantiles_by_type",
+    "doc_near_dup_incremental",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

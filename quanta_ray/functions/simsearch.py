@@ -928,3 +928,52 @@ FROM (
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# --- ANN index-quality evaluation (recall@k vs exact) --------------------------
+
+
+def recall_eval(
+    sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 10
+) -> pa.Table:
+    """Recall@k of each approximate index (IVF, PQ, IVF+PQ) against the
+    exact brute-force cosine top-k — the index-quality report every vector
+    pipeline needs before trusting an ANN path at scale.
+
+    Each engine runs its normal distributed search (brute force is the
+    oracle and ships only tiny per-block top-k partials driver-side); the
+    comparison is a per-query set intersection over <= |queries| x k rows —
+    corpus-size independent. Deterministic: all four searches share the
+    seeded codebooks/permutations and vec_id tie-breaks. Rows-only
+    (the ANN outputs themselves have no SQL form); pinned by the
+    brute-vs-brute == 1.0 invariant and planted-neighbor tests of the
+    underlying searches."""
+    exact = knn_bruteforce(sf_dir, query_ids=query_ids, k=k).to_pandas()
+    truth = {
+        qid: set(g["neighbor_id"].to_numpy())
+        for qid, g in exact.groupby("query_id")
+    }
+    engines = {
+        "ivf": knn_ivf(sf_dir, query_ids=query_ids, k=k),
+        "pq": knn_pq(sf_dir, query_ids=query_ids, k=k),
+        "ivfpq": knn_ivfpq(sf_dir, query_ids=query_ids, k=k),
+    }
+    rows = []
+    for name in sorted(engines):
+        got = engines[name].to_pandas()
+        for qid in sorted(truth):
+            t = truth[qid]
+            g = set(got.loc[got["query_id"] == qid, "neighbor_id"].to_numpy())
+            rows.append(
+                (name, int(qid), len(t), len(g & t),
+                 round(len(g & t) / len(t), 6) if t else 1.0)
+            )
+    return pa.table(
+        {
+            "engine": pa.array([r[0] for r in rows], pa.string()),
+            "query_id": pa.array([r[1] for r in rows], pa.int64()),
+            "k_truth": pa.array([r[2] for r in rows], pa.int64()),
+            "n_hit": pa.array([r[3] for r in rows], pa.int64()),
+            "recall": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )

@@ -258,3 +258,17 @@ def test_near_dup_incremental_planted(ray_session, tmp_path_factory):
     assert 5 not in ids          # in-shard near-dup dropped
     assert 7 in ids and 9 in ids # fresh new docs survive
     assert all(i % 2 == 1 for i in ids)  # corpus never emitted
+
+
+def test_recall_eval_bounds_and_determinism(ray_session):
+    """recall in [0,1]; n_hit <= k_truth; covers all three engines x all
+    queries; deterministic rerun."""
+    from quanta_ray.functions.simsearch import recall_eval
+
+    a = recall_eval(SF).to_pandas()
+    assert set(a["engine"]) == {"ivf", "pq", "ivfpq"}
+    assert (a["n_hit"] <= a["k_truth"]).all()
+    assert ((a["recall"] >= 0) & (a["recall"] <= 1.0)).all()
+    assert len(a) == 3 * 4
+    b = recall_eval(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)

@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "doc_quality_threshold_sweep",
     "ev_value_quantiles_by_type",
     "doc_near_dup_incremental",
+    "doc_gopher_rules",
+    "emb_recall_eval",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

@@ -1893,3 +1893,161 @@ SELECT u.metric, u.threshold, u.n_docs,
 FROM (SELECT * FROM a UNION ALL SELECT * FROM b) u, tot
 ORDER BY u.metric, u.threshold
 """
+
+
+# --- Gopher quality rules (Rae et al. 2021, A1.1) ------------------------------
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(sf_dir: str) -> pa.Table:
+    """Per-document Gopher quality-rule flags (Rae et al. 2021 App. A1.1)
+    and the combined keep decision — the rule-based filter every web-scale
+    curation pipeline applies before model-based scoring.
+
+    Rules (each an ALL-INTEGER cross-multiplied comparison, so the
+    distributed result is bit-equal to the sequential SQL oracle):
+      r_wordcount  50 <= W <= 100000
+      r_meanlen    3*W <= total_word_chars <= 10*W        (false when W=0)
+      r_symbol     10*(#'#' + #'...' + #'…') <= W
+      r_bullet     10*bullet_lines <= 9*lines             (-, *, • starts)
+      r_ellipsis   10*ellipsis_lines <= 3*lines           (... or … ends)
+      r_alpha      5*alpha_words >= 4*W                   ([A-Za-z] word)
+      r_stop       >= 2 distinct of 8 required stopwords
+    One streaming pass; per-batch work is explode + bincount vectorized
+    (words tokenized by the SAME explicit whitespace class as the oracle's
+    regex — no engine/SQL tokenizer drift)."""
+
+    class Rules:
+        def __init__(self):
+            import re
+
+            self.word = re.compile(r"[^ \t\n\r\f\v]+")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            texts = batch["text"].fillna("").reset_index(drop=True)
+            n = len(texts)
+            words = texts.str.findall(self.word)
+            W = words.str.len().to_numpy(dtype=np.int64)
+            ex = words.explode().dropna()
+            L = np.zeros(n, np.int64)
+            A = np.zeros(n, np.int64)
+            stop_n = np.zeros(n, np.int64)
+            if len(ex):
+                doc = ex.index.to_numpy()
+                L = np.bincount(
+                    doc, weights=ex.str.len().to_numpy(np.float64), minlength=n
+                ).astype(np.int64)
+                A = np.bincount(
+                    doc,
+                    weights=ex.str.contains("[A-Za-z]", regex=True).to_numpy(
+                        np.float64
+                    ),
+                    minlength=n,
+                ).astype(np.int64)
+                low = ex.str.lower()
+                sw = low.isin(_GOPHER_STOPWORDS)
+                if sw.any():
+                    sdf = pd.DataFrame(
+                        {"doc": doc[sw.to_numpy()], "w": low[sw].to_numpy()}
+                    ).drop_duplicates()
+                    stop_n = np.bincount(
+                        sdf["doc"].to_numpy(), minlength=n
+                    ).astype(np.int64)
+            lines = texts.str.split("\n")
+            NL = lines.str.len().to_numpy(dtype=np.int64)
+            lex = lines.explode()
+            ldoc = lex.index.to_numpy()
+            lv = lex.fillna("")
+            B = np.bincount(
+                ldoc,
+                weights=lv.str.match(r"[-*•]").to_numpy(np.float64),
+                minlength=n,
+            ).astype(np.int64)
+            E = np.bincount(
+                ldoc,
+                weights=(
+                    lv.str.endswith("...") | lv.str.endswith("…")
+                ).to_numpy(np.float64),
+                minlength=n,
+            ).astype(np.int64)
+            S = (
+                texts.str.count("#").to_numpy(dtype=np.int64)
+                + texts.str.count(r"\.\.\.").to_numpy(dtype=np.int64)
+                + texts.str.count("…").to_numpy(dtype=np.int64)
+            )
+            r_wordcount = (W >= 50) & (W <= 100000)
+            r_meanlen = (W > 0) & (3 * W <= L) & (L <= 10 * W)
+            r_symbol = 10 * S <= W
+            r_bullet = 10 * B <= 9 * NL
+            r_ellipsis = 10 * E <= 3 * NL
+            r_alpha = 5 * A >= 4 * W
+            r_stop = stop_n >= 2
+            keep = (
+                r_wordcount & r_meanlen & r_symbol & r_bullet & r_ellipsis
+                & r_alpha & r_stop
+            )
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(),
+                    "n_words": W,
+                    "r_wordcount": r_wordcount,
+                    "r_meanlen": r_meanlen,
+                    "r_symbol": r_symbol,
+                    "r_bullet": r_bullet,
+                    "r_ellipsis": r_ellipsis,
+                    "r_alpha": r_alpha,
+                    "r_stop": r_stop,
+                    "keep": keep,
+                }
+            )
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Rules, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+    t = _concat(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+GOPHER_RULES_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS ws,
+         string_split(text, chr(10)) AS ls,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\.\.\.'))
+           + len(regexp_extract_all(text, '…')) AS sym
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS w,
+         CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+              AS BIGINT) AS l,
+         CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS a,
+         CAST(len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+                                 ['the','be','to','of','and','that','have','with']))
+              AS BIGINT) AS stop_n,
+         CAST(len(ls) AS BIGINT) AS nl,
+         CAST(len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))
+              AS BIGINT) AS b,
+         CAST(len(list_filter(ls, x -> x LIKE '%...' OR x LIKE '%…'))
+              AS BIGINT) AS e,
+         CAST(sym AS BIGINT) AS sym
+  FROM s
+)
+SELECT doc_id,
+       w AS n_words,
+       (w >= 50 AND w <= 100000) AS r_wordcount,
+       (w > 0 AND 3 * w <= l AND l <= 10 * w) AS r_meanlen,
+       (10 * sym <= w) AS r_symbol,
+       (10 * b <= 9 * nl) AS r_bullet,
+       (10 * e <= 3 * nl) AS r_ellipsis,
+       (5 * a >= 4 * w) AS r_alpha,
+       (stop_n >= 2) AS r_stop,
+       ((w >= 50 AND w <= 100000) AND (w > 0 AND 3 * w <= l AND l <= 10 * w)
+        AND (10 * sym <= w) AND (10 * b <= 9 * nl) AND (10 * e <= 3 * nl)
+        AND (5 * a >= 4 * w) AND (stop_n >= 2)) AS keep
+FROM m
+ORDER BY doc_id
+"""

@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_centroid_per_label": simsearch.centroid_per_label,
         "rel_nation_market_share": relational.nation_market_share,
         "doc_quality_threshold_sweep": text.quality_threshold_sweep,
+        "doc_gopher_rules": text.gopher_rules,
         "ev_value_quantiles_by_type": batch_cep.value_quantiles_by_type,
         "rel_discounted_revenue": relational.discounted_revenue,
         "rel_profit_by_nation_year": relational.profit_by_nation_year,
@@ -363,5 +364,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_centroid_per_label": simsearch.CENTROID_PER_LABEL_SQL,
         "rel_nation_market_share": relational.NATION_MARKET_SHARE_SQL,
         "doc_quality_threshold_sweep": text.QUALITY_THRESHOLD_SWEEP_SQL,
+        "doc_gopher_rules": text.GOPHER_RULES_SQL,
         "ev_value_quantiles_by_type": batch_cep.VALUE_QUANTILES_BY_TYPE_SQL,
     }

@@ -272,3 +272,34 @@ def test_recall_eval_bounds_and_determinism(ray_session):
     assert len(a) == 3 * 4
     b = recall_eval(SF).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_gopher_rules_planted(ray_session, tmp_path):
+    """Each rule trips on its planted violator; a clean doc passes all."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    stop = "the be to of and that have with"
+    clean = (" ".join(["word"] * 25) + " " + stop + " "
+             + " ".join(["more"] * 25))           # 58 words, all alpha, 2+ stops
+    short = "the of tiny"                          # fails wordcount
+    symbols = ("# " * 30 + stop + " " + " ".join(["w"] * 20))  # 10*30 > words
+    bullets = "\n".join(["- item " + stop] * 10)   # every line bullet
+    nostop = " ".join(["zzzz"] * 60)               # no stopwords
+    texts = [clean, short, symbols, bullets, nostop]
+    pd.DataFrame(
+        {
+            "doc_id": list(range(5)),
+            "text": texts,
+            "lang": ["en"] * 5,
+            "source": ["synthetic"] * 5,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(d / "documents.parquet")
+    from quanta_ray.functions import text as tx
+
+    out = tx.gopher_rules(str(d)).to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "keep"])
+    assert not bool(out.loc[1, "r_wordcount"])
+    assert not bool(out.loc[2, "r_symbol"])
+    assert not bool(out.loc[3, "r_bullet"])
+    assert not bool(out.loc[4, "r_stop"])

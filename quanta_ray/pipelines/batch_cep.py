@@ -2121,18 +2121,15 @@ ORDER BY user_id, ts, event_id
 # --- EXACT distributed quantiles per type (integer-cent histograms) -----------
 
 
-def value_quantiles_by_type(sf_dir: str) -> pa.Table:
-    """EXACT p50/p90/p99 of `value` per event_type — the complement of the
-    approximate sketch (`value_quantiles_approx`): values carry two decimal
-    digits, so a per-type INTEGER-CENT histogram is lossless and its size is
-    bounded by the VALUE RANGE (tens of thousands of bins), not the row
-    count — the classic trick that makes exact quantiles scale to 100 TB
-    without a global sort.
+def _cent_hist_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-(event_type, integer-cent) EXACT count histogram of `value` —
+    the shared distributed pass behind the exact quantile and robust-stats
+    operators. Values carry two decimal digits, so the cent histogram is
+    lossless and its size is bounded by the VALUE RANGE (tens of thousands
+    of bins), not the row count.
 
     Per-batch partials: one bincount per (type, cent) -> nonzero
-    (event_type, cent, n) rows; one bucketed shuffle sums histograms; the
-    driver-side selection walks each type's cumulative histogram and picks
-    index ceil(q*n)-1 — bit-identical to DuckDB's quantile_disc."""
+    (event_type, cent, n) rows; one bucketed shuffle sums histograms."""
     from ..bucket import bucketed_group_agg
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -2149,7 +2146,7 @@ def value_quantiles_by_type(sf_dir: str) -> pa.Table:
             }
         )
 
-    hist = _concat(
+    return _concat(
         bucketed_group_agg(
             _events(sf_dir, ["event_type", "value"]).map_batches(
                 partial, batch_format="pandas", batch_size=262144
@@ -2158,16 +2155,30 @@ def value_quantiles_by_type(sf_dir: str) -> pa.Table:
             dict(n=("n", "sum")),
         )
     ).to_pandas()
+
+
+def _hist_disc(cents: np.ndarray, cum: np.ndarray, q100: int) -> int:
+    """DuckDB quantile_disc over a sorted histogram: the value at 0-based
+    index ceil(q*n)-1 — integer q (x100), no float arithmetic."""
+    n = int(cum[-1])
+    target = -(-q100 * n // 100)
+    return int(cents[np.searchsorted(cum, target)])
+
+
+def value_quantiles_by_type(sf_dir: str) -> pa.Table:
+    """EXACT p50/p90/p99 of `value` per event_type — the complement of the
+    approximate sketch (`value_quantiles_approx`), via the shared
+    ``_cent_hist_by_type`` pass: no global sort at any scale; the
+    driver-side selection walks each type's cumulative histogram and picks
+    index ceil(q*n)-1 — bit-identical to DuckDB's quantile_disc."""
+    hist = _cent_hist_by_type(sf_dir)
     rows = []
     for et, g in hist.groupby("event_type"):
         g = g.sort_values("cent", kind="mergesort")
         cents = g["cent"].to_numpy(dtype=np.int64)
         cum = g["n"].to_numpy(dtype=np.int64).cumsum()
         n = int(cum[-1])
-        qs = []
-        for q100 in (50, 90, 99):  # quantiles scaled x100: exact int ceil
-            target = -(-q100 * n // 100)  # ceil(q*n) without float q
-            qs.append(cents[np.searchsorted(cum, target)] / 100.0)
+        qs = [_hist_disc(cents, cum, q100) / 100.0 for q100 in (50, 90, 99)]
         rows.append((et, n, *qs))
     rows.sort()
     return pa.table(
@@ -2188,5 +2199,71 @@ SELECT event_type,
        round(quantile_disc(round(value * 100) / 100.0, 0.90), 2) AS p90,
        round(quantile_disc(round(value * 100) / 100.0, 0.99), 2) AS p99
 FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def value_anomalies_mad(sf_dir: str) -> pa.Table:
+    """EXACT robust anomaly statistics per event_type: median, median
+    absolute deviation, and the count of events beyond 4.5x MAD — the
+    outlier monitor of a metrics pipeline, with NO global sort and NO
+    second pass: the |x - med| histogram is the value histogram FOLDED
+    around the median, so median, MAD and the anomaly count all come from
+    the one shared ``_cent_hist_by_type`` exchange.
+
+    Every comparison is integer (`2*dev > 9*mad` is 'dev > 4.5x MAD'
+    cross-multiplied), so the distributed result is bit-equal to the
+    sequential SQL oracle built from two chained quantile_disc calls."""
+    hist = _cent_hist_by_type(sf_dir)
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("cent", kind="mergesort")
+        cents = g["cent"].to_numpy(dtype=np.int64)
+        cnt = g["n"].to_numpy(dtype=np.int64)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        med = _hist_disc(cents, cum, 50)
+        # fold around the median: dev histogram = value histogram re-keyed
+        # by |cent - med| (bins at equal dev merge)
+        dev = np.abs(cents - med)
+        order = np.argsort(dev, kind="stable")
+        dsort, csort = dev[order], cnt[order]
+        starts = np.concatenate(([True], dsort[1:] != dsort[:-1]))
+        dvals = dsort[starts]
+        dcnt = np.add.reduceat(csort, np.flatnonzero(starts))
+        dcum = dcnt.cumsum()
+        mad = _hist_disc(dvals, dcum, 50)
+        n_anom = int(dcnt[2 * dvals > 9 * mad].sum())
+        rows.append((et, n, med / 100.0, mad / 100.0, n_anom))
+    rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_events": pa.array([r[1] for r in rows], pa.int64()),
+            "med": pa.array([r[2] for r in rows], pa.float64()),
+            "mad": pa.array([r[3] for r in rows], pa.float64()),
+            "n_anomalies": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+VALUE_ANOMALIES_MAD_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), m AS (
+  SELECT event_type, quantile_disc(cents, 0.5) AS med FROM c GROUP BY 1
+), d AS (
+  SELECT c.event_type, c.cents, m.med, abs(c.cents - m.med) AS dev
+  FROM c JOIN m USING (event_type)
+), md AS (
+  SELECT event_type, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(min(d.med) / 100.0, 2) AS med,
+       round(min(md.mad) / 100.0, 2) AS mad,
+       CAST(sum(CASE WHEN 2 * d.dev > 9 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
+FROM d JOIN md USING (event_type)
 GROUP BY 1 ORDER BY 1
 """

@@ -303,3 +303,23 @@ def test_gopher_rules_planted(ray_session, tmp_path):
     assert not bool(out.loc[2, "r_symbol"])
     assert not bool(out.loc[3, "r_bullet"])
     assert not bool(out.loc[4, "r_stop"])
+
+
+def test_value_anomalies_mad_planted(ray_session, tmp_path):
+    """Fold-around-median MAD: med/mad via the disc rule, anomaly = dev
+    beyond 4.5x MAD (integer cross-multiplied)."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "event_type": ["a"] * 5,
+            "value": [1.0, 2.0, 3.0, 4.0, 100.0],
+        }
+    ).to_parquet(d / "events.parquet")
+    from quanta_ray.pipelines import batch_cep
+
+    out = batch_cep.value_anomalies_mad(str(d)).to_pandas().iloc[0]
+    # cents [100,200,300,400,10000]: med=300 (idx ceil(2.5)-1=2);
+    # devs sorted [0,100,100,200,9700]: mad=100; 2*dev>9*100 only for 9700
+    assert out["med"] == 3.0 and out["mad"] == 1.0
+    assert out["n_events"] == 5 and out["n_anomalies"] == 1

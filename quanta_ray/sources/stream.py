@@ -217,9 +217,46 @@ class JsonlStreamDriver:
         return self._read(path)
 
 
+class CsvStreamDriver(JsonlStreamDriver):
+    """CSV epoch files with the same record envelope (``ts`` = int64
+    epoch-µs). Shares the JSONL driver's listing / sidecar-max-ts /
+    single-fragment contract — only the decode differs: ``pyarrow.csv``
+    with explicit column types (CSV text carries no type info at all, so
+    the whole transcript schema is pinned, not just the narrow columns;
+    quoted fields keep embedded commas/newlines in ``text`` intact)."""
+
+    ext = ".csv"
+
+    _TYPES = {
+        "conv_id": pa.string(),
+        "turn_idx": pa.int32(),
+        "role": pa.string(),
+        "text": pa.string(),
+        "tool": pa.string(),
+        "ts": pa.int64(),
+    }
+
+    def _read(self, path: str) -> pa.Table:
+        from pyarrow import csv as pa_csv
+
+        t = pa_csv.read_csv(
+            path,
+            convert_options=pa_csv.ConvertOptions(
+                column_types=self._TYPES, strings_can_be_null=False
+            ),
+        )
+        i = t.schema.get_field_index("ts")
+        t = t.set_column(i, "ts", t.column("ts").cast(pa.timestamp("us")))
+        # empty-string round-trip: csv writes "" and reads it back as ""
+        # only with strings_can_be_null=False (default would make it null,
+        # breaking byte-parity with the parquet driver)
+        return t
+
+
 SOURCE_DRIVERS = {
     "parquet-stream": ParquetStreamDriver(),
     "jsonl-stream": JsonlStreamDriver(),
+    "csv-stream": CsvStreamDriver(),
 }
 
 

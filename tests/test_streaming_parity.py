@@ -780,3 +780,49 @@ def test_jsonl_driver_matches_parquet_driver(ray_session, small_stream, tmp_path
             assert b is None or b.num_rows == 0, stream
             continue
         _assert_tables_equal(f"jsonl:{stream}", b, a, keys)
+
+
+def test_csv_driver_matches_parquet_driver(ray_session, small_stream, tmp_path_factory):
+    """Third registry driver: the same stream serialized as CSV epoch files
+    (ts = epoch-µs envelope ints, sidecar max-ts, quoted text fields) must
+    produce byte-identical committed streams to the Parquet driver."""
+    from pyarrow import csv as pa_csv
+
+    from quanta_ray.engine import run_pipeline
+
+    files, _params = small_stream
+    cd = tmp_path_factory.mktemp("csv_stream")
+    cfiles = []
+    for i, f in enumerate(files):
+        t = pq.read_table(f)
+        ts_i = t.schema.get_field_index("ts")
+        t = t.set_column(ts_i, "ts", t.column("ts").cast(pa.int64()))
+        path = str(cd / f"epoch-{i:05d}.csv")
+        pa_csv.write_csv(t, path)
+        import pyarrow.compute as pc2
+
+        with open(path + ".maxts", "w") as fh:
+            fh.write(str(pc2.max(t.column("ts")).as_py()))
+        cfiles.append(path)
+
+    cfg = CEPConfig(num_partitions=4)
+    outs = {}
+    for kind, paths in (("parquet-stream", files), ("csv-stream", cfiles)):
+        spec = PipelineSpec(
+            source=SourceSpec(kind=kind, paths=tuple(paths)),
+            transformers=(StageSpec(name="normalize"),),
+            sink=SinkSpec(),
+            cep=cfg,
+        )
+        out_dir = str(tmp_path_factory.mktemp(f"out_{kind}"))
+        summary = run_pipeline(spec, out_dir)
+        assert summary["status"] == "complete"
+        outs[kind] = out_dir
+
+    for stream, keys in SORT_KEYS.items():
+        a = read_committed(outs["parquet-stream"], stream)
+        b = read_committed(outs["csv-stream"], stream)
+        if a is None or a.num_rows == 0:
+            assert b is None or b.num_rows == 0, stream
+            continue
+        _assert_tables_equal(f"csv:{stream}", b, a, keys)

@@ -118,22 +118,33 @@ def main() -> int:
                 row_group_size=int(rng.choice([50, 65536])),
             )
             # source-kind cross-dimension: ~1/4 of trials run the SAME stream
-            # through the jsonl driver (ts as epoch-µs ints + .maxts sidecar),
-            # crossing it with every other dimension (ooo, scopes, chains, P)
+            # through a text driver (jsonl or csv; ts as epoch-µs ints +
+            # .maxts sidecar), crossing it with every other dimension
+            # (ooo, scopes, chains, P)
             src_kind = "parquet-stream"
             pfiles = files  # the oracle always reads the parquet form
-            if rng.integers(0, 4) == 0:
-                jfiles = []
+            kind_roll = int(rng.integers(0, 8))
+            if kind_roll < 2:
+                alt = "jsonl" if kind_roll == 0 else "csv"
+                afiles = []
                 for i, f in enumerate(files):
-                    df = pq.read_table(f).to_pandas()
-                    df["ts"] = df["ts"].astype("datetime64[us]").astype("int64")
-                    jp = f"{d}/s-epoch-{i:05d}.jsonl"
-                    df.to_json(jp, orient="records", lines=True)
-                    with open(jp + ".maxts", "w") as fh:
-                        fh.write(str(int(df["ts"].max())))
-                    jfiles.append(jp)
-                files = jfiles
-                src_kind = "jsonl-stream"
+                    t = pq.read_table(f)
+                    ts_i = t.schema.get_field_index("ts")
+                    t = t.set_column(ts_i, "ts", t.column("ts").cast(pa.int64()))
+                    ap = f"{d}/s-epoch-{i:05d}.{alt}"
+                    if alt == "jsonl":
+                        t.to_pandas().to_json(ap, orient="records", lines=True)
+                    else:
+                        from pyarrow import csv as pa_csv
+
+                        pa_csv.write_csv(t, ap)
+                    import pyarrow.compute as _pc
+
+                    with open(ap + ".maxts", "w") as fh:
+                        fh.write(str(_pc.max(t.column("ts")).as_py()))
+                    afiles.append(ap)
+                files = afiles
+                src_kind = f"{alt}-stream"
             chain_kind = int(rng.integers(0, 4))
             if chain_kind == 0:
                 tf = (StageSpec(name="normalize"),)

@@ -323,3 +323,52 @@ def test_value_anomalies_mad_planted(ray_session, tmp_path):
     # devs sorted [0,100,100,200,9700]: mad=100; 2*dev>9*100 only for 9700
     assert out["med"] == 3.0 and out["mad"] == 1.0
     assert out["n_events"] == 5 and out["n_anomalies"] == 1
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=-10000, max_value=10000), min_size=1,
+                max_size=200))
+def test_hist_disc_matches_duckdb_quantile_disc(vals):
+    """_hist_disc over a histogram == DuckDB quantile_disc over the raw
+    values, for every quantile the engine uses."""
+    from quanta_ray.pipelines.batch_cep import _hist_disc
+
+    arr = np.sort(np.asarray(vals, dtype=np.int64))
+    uniq, cnt = np.unique(arr, return_counts=True)
+    cum = cnt.cumsum()
+    con = duckdb.connect()
+    df = pd.DataFrame({"x": arr})
+    for q100 in (1, 25, 50, 90, 99, 100):
+        want = con.execute(
+            f"SELECT quantile_disc(x, {q100 / 100.0}) FROM df"
+        ).fetchone()[0]
+        got = _hist_disc(uniq, cum, q100)
+        assert got == want, (q100, got, want, vals)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=-5000, max_value=5000), min_size=1,
+                max_size=120))
+def test_mad_fold_matches_naive(vals):
+    """The folded-histogram MAD equals the naive disc-median of
+    |x - disc-median(x)|."""
+    from quanta_ray.pipelines.batch_cep import _hist_disc
+
+    arr = np.asarray(vals, dtype=np.int64)
+    uniq, cnt = np.unique(arr, return_counts=True)
+    cum = cnt.cumsum()
+    med = _hist_disc(uniq, cum, 50)
+    # naive: sort all deviations, pick index ceil(n/2)-1
+    dev_all = np.sort(np.abs(arr - med))
+    naive_mad = int(dev_all[-(-50 * len(arr) // 100) - 1])
+    # folded-histogram path (mirrors value_anomalies_mad)
+    dev = np.abs(uniq - med)
+    order = np.argsort(dev, kind="stable")
+    dsort, csort = dev[order], cnt[order]
+    starts = np.concatenate(([True], dsort[1:] != dsort[:-1]))
+    dvals = dsort[starts]
+    dcum = np.add.reduceat(csort, np.flatnonzero(starts)).cumsum()
+    assert _hist_disc(dvals, dcum, 50) == naive_mad

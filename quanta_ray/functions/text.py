@@ -2051,3 +2051,94 @@ SELECT doc_id,
 FROM m
 ORDER BY doc_id
 """
+
+
+# --- C4 line-level filters (Raffel et al. 2020, §2.2) --------------------------
+
+
+def c4_filters(sf_dir: str) -> pa.Table:
+    """C4-style line-level cleaning: keep lines that end in terminal
+    punctuation, have >= 3 whitespace words and don't mention javascript;
+    keep the DOCUMENT iff >= 3 lines survive and the raw text has neither
+    'lorem ipsum' nor '{' — the line-granular sibling of the doc-granular
+    ``gopher_rules``, emitting the CLEANED text (the downstream corpus),
+    not just flags.
+
+    One streaming pass: lines explode once per batch, every rule is a
+    vectorized string kernel over the exploded frame, kept lines reassemble
+    per doc with one C-level join. The oracle rebuilds the same text with
+    ``list_filter`` + ``array_to_string``, so the value comparison covers
+    the cleaned text byte-for-byte."""
+
+    class C4:
+        def __init__(self):
+            import re
+
+            self.term = re.compile(r'[.!?"]$')
+            self.word = re.compile(r"[^ \t]+")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            texts = batch["text"].fillna("").reset_index(drop=True)
+            n = len(texts)
+            lines = texts.str.split("\n")
+            nl = lines.str.len().to_numpy(dtype=np.int64)
+            lex = lines.explode()
+            ldoc = lex.index.to_numpy()
+            lv = lex.fillna("")
+            ok = (
+                lv.str.contains(self.term, regex=True)
+                & (lv.str.count(self.word) >= 3)
+                & ~lv.str.lower().str.contains("javascript", regex=False)
+            ).to_numpy()
+            n_kept = np.bincount(ldoc, weights=ok.astype(np.float64), minlength=n
+                                 ).astype(np.int64)
+            doc_ok = (
+                (n_kept >= 3)
+                & ~texts.str.lower().str.contains("lorem ipsum", regex=False).to_numpy()
+                & ~texts.str.contains("{", regex=False).to_numpy()
+            )
+            kept_lines = pd.DataFrame(
+                {"doc": ldoc[ok], "line": lv.to_numpy(dtype=object)[ok]}
+            )
+            joined = kept_lines.groupby("doc")["line"].agg("\n".join)
+            clean = np.full(n, "", dtype=object)
+            clean[joined.index.to_numpy()] = joined.to_numpy(dtype=object)
+            clean[~doc_ok] = ""
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(),
+                    "n_lines": nl,
+                    "n_lines_kept": n_kept,
+                    "kept": doc_ok,
+                    "clean_text": clean,
+                }
+            )
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        C4, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+    t = _concat(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+C4_FILTERS_SQL = r"""
+WITH s AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents
+), f AS (
+  SELECT doc_id, text, len(ls) AS nl,
+         list_filter(ls, x -> regexp_matches(x, '[.!?"]$')
+                          AND len(regexp_extract_all(x, '[^ \t]+')) >= 3
+                          AND NOT contains(lower(x), 'javascript')) AS kl
+  FROM s
+)
+SELECT doc_id,
+       CAST(nl AS BIGINT) AS n_lines,
+       CAST(len(kl) AS BIGINT) AS n_lines_kept,
+       (len(kl) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')) AS kept,
+       CASE WHEN (len(kl) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+                  AND NOT contains(text, '{'))
+            THEN array_to_string(kl, chr(10)) ELSE '' END AS clean_text
+FROM f
+ORDER BY doc_id
+"""

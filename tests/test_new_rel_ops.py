@@ -372,3 +372,41 @@ def test_mad_fold_matches_naive(vals):
     dvals = dsort[starts]
     dcum = np.add.reduceat(csort, np.flatnonzero(starts)).cumsum()
     assert _hist_disc(dvals, dcum, 50) == naive_mad
+
+
+def test_c4_filters_planted(ray_session, tmp_path):
+    """Line rules: terminal punctuation, >=3 words, no 'javascript';
+    doc rules: >=3 kept lines, no 'lorem ipsum', no '{'."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    good = "\n".join(
+        ["This is a fine sentence.", "Another good line here!",
+         'A quoted ending works too."', "no terminal punctuation here",
+         "Short one.", "Enable Javascript to view."]
+    )
+    brace = "One fine line.\nAnother fine line.\nThird fine line.\nx { y"
+    lorem = "Lorem Ipsum dolor sit amet.\nSecond fine line here.\nThird fine line."
+    thin = "Only one good line survives here.\nno punct\ntwo words."
+    texts = [good, brace, lorem, thin]
+    pd.DataFrame(
+        {
+            "doc_id": list(range(4)),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["synthetic"] * 4,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(d / "documents.parquet")
+    from quanta_ray.functions import text as tx
+
+    out = tx.c4_filters(str(d)).to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "kept"])
+    # doc 0 keeps exactly: fine sentence, good line, quoted — drops the
+    # no-punct line, the 2-word "Short one." and the javascript line
+    assert out.loc[0, "n_lines_kept"] == 3
+    assert "Javascript" not in out.loc[0, "clean_text"]
+    assert "no terminal" not in out.loc[0, "clean_text"]
+    assert not bool(out.loc[1, "kept"])  # '{'
+    assert not bool(out.loc[2, "kept"])  # lorem ipsum
+    assert not bool(out.loc[3, "kept"])  # < 3 kept lines
+    assert out.loc[3, "clean_text"] == ""

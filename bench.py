@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "doc_near_dup_incremental",
     "doc_gopher_rules",
     "emb_recall_eval",
+    "doc_c4_filters",
+    "ev_value_anomalies_mad",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

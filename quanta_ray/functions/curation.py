@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..broadcast import cached_get as _cached_get
 from ..hashutil import md5_hex
 from ..schema import read_parquet_clean as _read_pq
 
@@ -602,4 +603,118 @@ WITH RECURSIVE bench AS (
   FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
 )
 SELECT doc_id, source, shard, seq, n_tokens FROM packed ORDER BY doc_id
+"""
+
+
+# --- UniMax-style per-language budgeted sampling -------------------------------
+
+
+def _hex8_to_u64(hexes: np.ndarray) -> np.ndarray:
+    """First-8-hex-chars -> uint64, fully vectorized (one C-level join +
+    nibble table) — the integer form of the md5-consistent coin every
+    sampling op here uses, matching SQL
+    ``CAST(concat('0x', substr(md5(v), 1, 8)) AS BIGINT)``."""
+    b = np.frombuffer(
+        "".join([h[:8] for h in hexes]).encode("ascii"), dtype=np.uint8
+    ).reshape(-1, 8)
+    nib = np.where(b >= 97, b - 87, b - 48).astype(np.uint64)
+    pows = (np.uint64(16) ** np.arange(7, -1, -1, dtype=np.uint64))
+    return (nib * pows).sum(axis=1)
+
+
+def unimax_sample(sf_dir: str, budget_per_lang: int = 150) -> pa.Table:
+    """UniMax-style language-balanced sampling report (Chung et al. 2023):
+    each language keeps at most ~``budget_per_lang`` documents, selected by
+    a deterministic md5 coin — languages under budget keep everything,
+    over-budget languages are down-sampled to an (expected) uniform
+    budget-sized subset. The two-phase shape every budgeted-mixture policy
+    needs: global per-language counts parameterize a per-row decision.
+
+    Exactness: keep iff hash32 <= (budget * 2^32 - 1) // n_lang — the
+    threshold is a Python int per language (no float rate), the per-row
+    coin is the md5-hex prefix as an integer, so engine and SQL agree
+    bit-for-bit. Pass 1 reduces to one (lang, count) row per language;
+    pass 2 streams docs once, emitting per-(batch, lang) sampled-count
+    partials. Nothing driver-side grows with the corpus."""
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("lang", as_index=False).size()
+        return pd.DataFrame(
+            {"lang": g["lang"].astype(str),
+             "n": g["size"].to_numpy(dtype=np.int64)}
+        )
+
+    counts = (
+        pa.concat_tables(
+            docs.map_batches(count_partial, batch_format="pandas").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            ),
+            promote_options="default",
+        )
+        .to_pandas()
+        .groupby("lang", as_index=False)["n"]
+        .sum()
+    )
+    thresh = {
+        r.lang: (int(budget_per_lang) * (1 << 32) - 1) // int(r.n)
+        for r in counts.itertuples()
+    }
+    tref = ray.put(thresh)
+
+    def sample_partial(b: pd.DataFrame) -> pd.DataFrame:
+        th = _cached_get(tref)
+        v = _hex8_to_u64(md5_hex(b["doc_id"].to_numpy()))
+        lim = b["lang"].astype(str).map(th).to_numpy(dtype=np.uint64)
+        keep = v <= lim
+        g = pd.DataFrame({"lang": b["lang"].astype(str), "k": keep}).groupby(
+            "lang", as_index=False
+        ).agg(n_sampled=("k", "sum"))
+        g["n_sampled"] = g["n_sampled"].astype(np.int64)
+        return g
+
+    sampled = (
+        pa.concat_tables(
+            docs.map_batches(sample_partial, batch_format="pandas").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            ),
+            promote_options="default",
+        )
+        .to_pandas()
+        .groupby("lang", as_index=False)["n_sampled"]
+        .sum()
+    )
+    out = counts.merge(sampled, on="lang", how="left").fillna({"n_sampled": 0})
+    out = out.sort_values("lang", kind="mergesort")
+    n = out["n"].to_numpy(dtype=np.int64)
+    k = out["n_sampled"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"].astype(str), pa.string()),
+            "n_total": pa.array(n, pa.int64()),
+            "n_sampled": pa.array(k, pa.int64()),
+            "sample_rate": pa.array(np.round(k / n, 6), pa.float64()),
+        }
+    )
+
+
+UNIMAX_SAMPLE_SQL = """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+), t AS (
+  SELECT lang, n,
+         CAST((CAST(150 AS HUGEINT) * 4294967296 - 1) // n AS BIGINT) AS thresh
+  FROM c
+)
+SELECT d.lang,
+       CAST(min(t.n) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN CAST(concat('0x',
+                substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                <= t.thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       round(sum(CASE WHEN CAST(concat('0x',
+                substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                <= t.thresh THEN 1 ELSE 0 END) * 1.0 / min(t.n), 6)
+         AS sample_rate
+FROM documents d JOIN t USING (lang)
+GROUP BY 1 ORDER BY 1
 """

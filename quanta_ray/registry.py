@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_threshold_sweep": text.quality_threshold_sweep,
         "doc_gopher_rules": text.gopher_rules,
         "doc_c4_filters": text.c4_filters,
+        "doc_unimax_sample": curation.unimax_sample,
         "ev_value_quantiles_by_type": batch_cep.value_quantiles_by_type,
         "ev_value_anomalies_mad": batch_cep.value_anomalies_mad,
         "rel_discounted_revenue": relational.discounted_revenue,
@@ -368,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_threshold_sweep": text.QUALITY_THRESHOLD_SWEEP_SQL,
         "doc_gopher_rules": text.GOPHER_RULES_SQL,
         "doc_c4_filters": text.C4_FILTERS_SQL,
+        "doc_unimax_sample": curation.UNIMAX_SAMPLE_SQL,
         "ev_value_quantiles_by_type": batch_cep.VALUE_QUANTILES_BY_TYPE_SQL,
         "ev_value_anomalies_mad": batch_cep.VALUE_ANOMALIES_MAD_SQL,
     }

@@ -410,3 +410,29 @@ def test_c4_filters_planted(ray_session, tmp_path):
     assert not bool(out.loc[2, "kept"])  # lorem ipsum
     assert not bool(out.loc[3, "kept"])  # < 3 kept lines
     assert out.loc[3, "clean_text"] == ""
+
+
+def test_unimax_sample_budget_semantics(ray_session, tmp_path):
+    """Under-budget languages keep everything (rate 1.0); over-budget
+    languages land near the budget; deterministic rerun."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    langs = ["en"] * 400 + ["de"] * 20
+    pd.DataFrame(
+        {
+            "doc_id": list(range(420)),
+            "text": ["x"] * 420,
+            "lang": langs,
+            "source": ["s"] * 420,
+            "n_chars": [1] * 420,
+        }
+    ).to_parquet(d / "documents.parquet")
+    from quanta_ray.functions.curation import unimax_sample
+
+    out = unimax_sample(str(d), budget_per_lang=100).to_pandas().set_index("lang")
+    assert out.loc["de", "n_sampled"] == 20          # under budget: all kept
+    assert out.loc["de", "sample_rate"] == 1.0
+    en = int(out.loc["en", "n_sampled"])
+    assert 60 <= en <= 140                           # binomial(400, 0.25)
+    again = unimax_sample(str(d), budget_per_lang=100).to_pandas().set_index("lang")
+    assert int(again.loc["en", "n_sampled"]) == en   # deterministic coin

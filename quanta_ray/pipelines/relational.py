@@ -2919,7 +2919,11 @@ def nation_market_share(
         .sum()
         .rename(columns={"rev_u": "nat_u"})
     )
-    out = tot.merge(nat, on="o_year", how="left").fillna({"nat_u": 0})
+    # left-merge NaNs would upcast nat_u to float64 (precision loss past
+    # 2^53 micro-units at extreme scale) — keep it a nullable Int64
+    nat["nat_u"] = nat["nat_u"].astype("Int64")
+    out = tot.merge(nat, on="o_year", how="left")
+    out["nat_u"] = out["nat_u"].fillna(0)
     out = out.sort_values("o_year", kind="mergesort")
     tot_u = out["tot_u"].to_numpy(dtype=np.int64)
     nat_u = out["nat_u"].to_numpy(dtype=np.int64)

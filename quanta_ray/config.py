@@ -81,6 +81,14 @@ class CEPConfig:
     sess_quantiles: tuple = ()
     sess_hist_bin_us: int = 60 * US   # 1-minute duration resolution
     sess_hist_bins: int = 256         # durations >= bins*bin clip to the top bin
+    # windowed CONVERSATION-ACTIVITY HISTOGRAM stream (grouped global
+    # reduce): per final tumbling window, how many conversations had
+    # 1 / 2-3 / 4-7 / 8-15 / 16+ turns — the fan-out-distribution monitor.
+    # Like topk, a pure function of the final tumbling output: each worker
+    # returns one 5-int vector per newly-final window (complete for its
+    # convs), the driver vector-adds at commit; no cross-epoch state.
+    # False disables the stream.
+    conv_hist: bool = False
 
     def __post_init__(self) -> None:
         # JSON specs deliver lists; normalize so configs hash/compare stably

@@ -729,6 +729,42 @@ class StreamingRunner:
                     e_tk = write_part_file(tbl, self.out_dir, "topk", 0, epoch)
                     if e_tk:
                         topk_entries.append(e_tk)
+            # windowed conversation-activity histogram: vector-add the
+            # workers' per-window 5-int partials (convs are partition-
+            # disjoint → the sum is the exact global histogram), emit all
+            # five buckets per window. Like topk: windows finalize in
+            # exactly one epoch, so no cross-epoch reducer state.
+            convhist_entries: list[dict] = []
+            if spec.cep.conv_hist:
+                from ..schema import CONVHIST_BUCKETS, CONVHIST_SCHEMA
+                from ..sinks.exactly_once import write_part_file
+
+                merged_ch: dict[int, list[int]] = {}
+                for r in metas:
+                    for w, v in r.get("convhist_partials", {}).items():
+                        prev = merged_ch.get(int(w))
+                        merged_ch[int(w)] = (
+                            [a + b for a, b in zip(prev, v)] if prev else list(v)
+                        )
+                if merged_ch:
+                    ch_rows = [
+                        (w, b, int(merged_ch[w][i]))
+                        for w in sorted(merged_ch)
+                        for i, b in enumerate(CONVHIST_BUCKETS)
+                    ]
+                    tbl = pa.Table.from_arrays(
+                        [
+                            pa.array([r[0] for r in ch_rows], pa.int64()).cast(
+                                pa.timestamp("us")
+                            ),
+                            pa.array([r[1] for r in ch_rows], pa.string()),
+                            pa.array([r[2] for r in ch_rows], pa.int64()),
+                        ],
+                        schema=CONVHIST_SCHEMA,
+                    )
+                    e_ch = write_part_file(tbl, self.out_dir, "convhist", 0, epoch)
+                    if e_ch:
+                        convhist_entries.append(e_ch)
             # running session-duration quantiles: fold this epoch's histogram
             # partials into the cumulative state (vector add of integer bin
             # counts — mergeable by construction); if any session closed this
@@ -780,7 +816,7 @@ class StreamingRunner:
                 "watermark": wms[epoch] if epoch < len(files) else POS_INF,
                 "source_stats": stats,
                 "files": turns_entries + dead_entries + stream_files + alert_entries
-                + topk_entries + sessq_entries,
+                + topk_entries + convhist_entries + sessq_entries,
                 "checkpoints": checkpoints,
                 "last_checkpoint_epoch": last_ckpt_epoch["v"],
                 "alerts_state": {s: dict(v) for s, v in alert_state.items()},

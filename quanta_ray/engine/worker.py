@@ -897,6 +897,22 @@ class PartitionWorkerImpl:
                 )[:k]
                 topk_partial[int(w)] = best
 
+        # windowed conversation-activity histogram partials: per newly-final
+        # tumbling window, this partition's conv counts per activity bucket
+        # (complete for its convs) — one 5-int vector per window, never
+        # conv-proportional. Bucket edges are exact integer searchsorted.
+        convhist_partial: dict[int, list[int]] = {}
+        if self.cfg.conv_hist and win_tables["tumbling"] is not None:
+            tt = win_tables["tumbling"]
+            ws_ch = tt.column("w_start").cast(pa.int64()).to_numpy()
+            nt_ch = tt.column("n_turns").to_numpy()
+            edges = np.array([2, 4, 8, 16], dtype=np.int64)
+            bids = np.searchsorted(edges, nt_ch, side="right")
+            for w in np.unique(ws_ch):
+                m = ws_ch == w
+                cnt = np.bincount(bids[m], minlength=5)
+                convhist_partial[int(w)] = [int(x) for x in cnt]
+
         # build the emitted tables but DON'T write them here: the (zstd)
         # parquet writes run as tasks on the map slots so the stateful
         # worker chain — the scaling-critical path — stays compute-only
@@ -937,6 +953,7 @@ class PartitionWorkerImpl:
             "win_partial": win_partial,
             "topk_partial": topk_partial,
             "sessq_partial": sessq_partial,
+            "convhist_partial": convhist_partial,
         }
 
     def finish(self, epoch: int, do_checkpoint: bool = True) -> dict:
@@ -1393,6 +1410,7 @@ class MultiPartitionWorker:
         win_partials: dict[int, tuple[int, int, int, int]] = {}
         topk_partials: dict[int, list[tuple[str, int]]] = {}
         sessq_partials: dict[int, int] = {}
+        convhist_partials: dict[int, list[int]] = {}
         for i, pid in enumerate(self.pids):
             frag = list(tables[i * n_frags : (i + 1) * n_frags])
             nonempty = [t for t in frag if t.num_rows]
@@ -1416,13 +1434,19 @@ class MultiPartitionWorker:
                 topk_partials.setdefault(w, []).extend(lst)
             for b, c in r.get("sessq_partial", {}).items():
                 sessq_partials[b] = sessq_partials.get(b, 0) + c
+            for w, v in r.get("convhist_partial", {}).items():
+                prev = convhist_partials.get(w)
+                convhist_partials[w] = (
+                    [a + b2 for a, b2 in zip(prev, v)] if prev else list(v)
+                )
         _fold_topk(topk_partials, self.cfg.topk_k)
         # two returns (num_returns=2): small meta for the driver's commit;
         # emitted tables + checkpoint blobs go to the off-worker writer task
         # — the driver never pulls the heavy payload
         return (
             {"metrics": metrics, "win_partials": win_partials,
-             "topk_partials": topk_partials, "sessq_partials": sessq_partials},
+             "topk_partials": topk_partials, "sessq_partials": sessq_partials,
+             "convhist_partials": convhist_partials},
             {"tables": out_tables, "ckpt_blobs": blobs},
         )
 
@@ -1431,6 +1455,7 @@ class MultiPartitionWorker:
         win_partials: dict[int, tuple[int, int, int, int]] = {}
         topk_partials: dict[int, list[tuple[str, int]]] = {}
         sessq_partials: dict[int, int] = {}
+        convhist_partials: dict[int, list[int]] = {}
         for pid in self.pids:
             r = self.impls[pid].finish(epoch, do_checkpoint)
             out_tables.extend(r["tables"])
@@ -1444,10 +1469,16 @@ class MultiPartitionWorker:
                 topk_partials.setdefault(w, []).extend(lst)
             for b, c in r.get("sessq_partial", {}).items():
                 sessq_partials[b] = sessq_partials.get(b, 0) + c
+            for w, v in r.get("convhist_partial", {}).items():
+                prev = convhist_partials.get(w)
+                convhist_partials[w] = (
+                    [a + b2 for a, b2 in zip(prev, v)] if prev else list(v)
+                )
         _fold_topk(topk_partials, self.cfg.topk_k)
         return (
             {"metrics": metrics, "win_partials": win_partials,
-             "topk_partials": topk_partials, "sessq_partials": sessq_partials},
+             "topk_partials": topk_partials, "sessq_partials": sessq_partials,
+             "convhist_partials": convhist_partials},
             {"tables": out_tables, "ckpt_blobs": blobs},
         )
 

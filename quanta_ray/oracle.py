@@ -414,6 +414,28 @@ def run_oracle(
                 for i, (n, c) in enumerate(best, 1)
             ]
 
+    # windowed conversation-activity histogram: like topk, a pure function
+    # of the FINAL tumbling output — per w_start, conv counts per activity
+    # bucket (exact integer searchsorted edges), all five buckets emitted.
+    convhist: list[dict] = []
+    if cfg.conv_hist:
+        from .schema import CONVHIST_BUCKETS
+
+        edges = (2, 4, 8, 16)
+        byw_ch: dict[int, list[int]] = {}
+        for r in st.tumbling:
+            v = byw_ch.setdefault(r["w_start"], [0] * 5)
+            n = r["n_turns"]
+            b = 0
+            while b < 4 and n >= edges[b]:
+                b += 1
+            v[b] += 1
+        for w in sorted(byw_ch):
+            convhist += [
+                {"w_start": w, "bucket": lbl, "n_convs": byw_ch[w][i]}
+                for i, lbl in enumerate(CONVHIST_BUCKETS)
+            ]
+
     # running session-duration quantiles: replay the engine's commit-order
     # fold — per epoch that closed >= 1 session, fold those durations into
     # the cumulative histogram and emit the shared-spec estimates
@@ -442,12 +464,13 @@ def run_oracle(
                 )
             ]
 
-    from .schema import ALERT_SCHEMA, SESSQUANT_SCHEMA, TOPK_SCHEMA
+    from .schema import ALERT_SCHEMA, CONVHIST_SCHEMA, SESSQUANT_SCHEMA, TOPK_SCHEMA
 
     return {
         "turns": _to_table(st.turns, turn_schema, ["conv_id", "turn_idx"]),
         "alerts": _to_table(alerts, ALERT_SCHEMA, ["w_start", "scope"]),
         "topk": _to_table(topk, TOPK_SCHEMA, ["w_start", "rank"]),
+        "convhist": _to_table(convhist, CONVHIST_SCHEMA, ["w_start", "bucket"]),
         "sessquant": _to_table(sessquant, SESSQUANT_SCHEMA, ["epoch", "q"]),
         "tumbling": _to_table(st.tumbling, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),
         "sliding": _to_table(st.sliding, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),

@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cep_streaming_alerts": _streaming_stream("alerts"),
         "cep_streaming_topk": _streaming_stream("topk"),
         "cep_streaming_sessquant": _streaming_stream("sessquant"),
+        "cep_streaming_convhist": _streaming_stream("convhist"),
     }
 
 

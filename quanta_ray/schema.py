@@ -152,6 +152,19 @@ SESSQUANT_SCHEMA = pa.schema(
 )
 
 
+# windowed CONVERSATION-ACTIVITY HISTOGRAM stream: per final tumbling
+# window, the global count of conversations per activity bucket (all five
+# buckets emitted, zeros included — deterministic row count per window).
+CONVHIST_BUCKETS = ("1", "2-3", "4-7", "8-15", "16+")
+CONVHIST_SCHEMA = pa.schema(
+    [
+        ("w_start", pa.timestamp("us")),
+        ("bucket", pa.string()),
+        ("n_convs", pa.int64()),
+    ]
+)
+
+
 def from_pandas(df) -> pa.Table:
     """``pa.Table.from_pandas`` minus the auto-attached pandas schema
     metadata. The metadata dict makes the resulting ``pa.Schema`` unhashable,

@@ -57,6 +57,7 @@ SORT_KEYS = {
     "alerts": ["w_start", "scope"],
     "topk": ["w_start", "rank"],
     "sessquant": ["epoch", "q"],
+    "convhist": ["w_start", "bucket"],
 }
 
 
@@ -110,6 +111,7 @@ def main() -> int:
             topk_k=int(rng.choice([0, 1, 4])),
             sess_quantiles=[(), (0.5,), (0.25, 0.5, 0.95)][int(rng.integers(0, 3))],
             sess_hist_bin_us=int(rng.choice([30, 120])) * US,
+            conv_hist=bool(rng.integers(0, 2)),
         )
         d = tempfile.mkdtemp(dir="/tmp", prefix="fuzz-")
         try:

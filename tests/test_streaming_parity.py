@@ -43,6 +43,7 @@ SORT_KEYS = {
     "alerts": ["w_start", "scope"],
     "topk": ["w_start", "rank"],
     "sessquant": ["epoch", "q"],
+    "convhist": ["w_start", "bucket"],
 }
 
 
@@ -53,7 +54,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
     files, _params = small_stream
     cfg = CEPConfig(num_partitions=4, count_window_size=5, alert_ratio=0.5,
                     alert_scopes=("all", "user", "assistant", "tool"),
-                    topk_k=3, sess_quantiles=(0.5, 0.95))
+                    topk_k=3, sess_quantiles=(0.5, 0.95), conv_hist=True)
     spec = PipelineSpec(
         source=SourceSpec(paths=tuple(files)),
         transformers=(StageSpec(name="normalize"),),
@@ -74,7 +75,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
 
 @pytest.mark.parametrize(
     "stream",
-    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts", "sessquant"],
+    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts", "sessquant", "convhist"],
 )
 def test_stream_matches_oracle(engine_and_oracle, stream):
     out_dir, oracle = engine_and_oracle
@@ -826,3 +827,26 @@ def test_csv_driver_matches_parquet_driver(ray_session, small_stream, tmp_path_f
             assert b is None or b.num_rows == 0, stream
             continue
         _assert_tables_equal(f"csv:{stream}", b, a, keys)
+
+
+def test_convhist_stream_nonempty_and_consistent(engine_and_oracle):
+    """convhist parity isn't vacuous, buckets sum to the tumbling conv
+    count per window, and all five buckets appear for every window."""
+    _out_dir, oracle = engine_and_oracle
+    ch = oracle["convhist"]
+    assert ch.num_rows > 0 and ch.num_rows % 5 == 0
+    import collections
+
+    per_w = collections.Counter(
+        ch.column("w_start").cast(pa.int64()).to_pylist()
+    )
+    assert set(per_w.values()) == {5}
+    tumb = oracle["tumbling"]
+    tw = collections.Counter(tumb.column("w_start").cast(pa.int64()).to_pylist())
+    sums = collections.defaultdict(int)
+    for w, n in zip(
+        ch.column("w_start").cast(pa.int64()).to_pylist(),
+        ch.column("n_convs").to_pylist(),
+    ):
+        sums[w] += n
+    assert dict(sums) == dict(tw)

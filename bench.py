@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "emb_recall_eval",
     "doc_c4_filters",
     "ev_value_anomalies_mad",
+    "doc_unimax_sample",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

@@ -645,17 +645,15 @@ def unimax_sample(sf_dir: str, budget_per_lang: int = 150) -> pa.Table:
              "n": g["size"].to_numpy(dtype=np.int64)}
         )
 
-    counts = (
-        pa.concat_tables(
-            docs.map_batches(count_partial, batch_format="pandas").iter_batches(
-                batch_format="pyarrow", batch_size=None
-            ),
-            promote_options="default",
+    cparts = _concat(docs.map_batches(count_partial, batch_format="pandas"))
+    if cparts.num_rows == 0:
+        return pa.table(
+            {"lang": pa.array([], pa.string()),
+             "n_total": pa.array([], pa.int64()),
+             "n_sampled": pa.array([], pa.int64()),
+             "sample_rate": pa.array([], pa.float64())}
         )
-        .to_pandas()
-        .groupby("lang", as_index=False)["n"]
-        .sum()
-    )
+    counts = cparts.to_pandas().groupby("lang", as_index=False)["n"].sum()
     thresh = {
         r.lang: (int(budget_per_lang) * (1 << 32) - 1) // int(r.n)
         for r in counts.itertuples()
@@ -673,17 +671,8 @@ def unimax_sample(sf_dir: str, budget_per_lang: int = 150) -> pa.Table:
         g["n_sampled"] = g["n_sampled"].astype(np.int64)
         return g
 
-    sampled = (
-        pa.concat_tables(
-            docs.map_batches(sample_partial, batch_format="pandas").iter_batches(
-                batch_format="pyarrow", batch_size=None
-            ),
-            promote_options="default",
-        )
-        .to_pandas()
-        .groupby("lang", as_index=False)["n_sampled"]
-        .sum()
-    )
+    sparts = _concat(docs.map_batches(sample_partial, batch_format="pandas"))
+    sampled = sparts.to_pandas().groupby("lang", as_index=False)["n_sampled"].sum()
     out = counts.merge(sampled, on="lang", how="left").fillna({"n_sampled": 0})
     out = out.sort_values("lang", kind="mergesort")
     n = out["n"].to_numpy(dtype=np.int64)

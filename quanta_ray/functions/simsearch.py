@@ -897,12 +897,14 @@ def centroid_per_label(sf_dir: str) -> pa.Table:
         )
 
     ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
-    parts = pa.concat_tables(
-        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
-        ),
-        promote_options="default",
-    ).to_pandas()
+    pt = _concat(ds.map_batches(partial, batch_format="pyarrow"))
+    if pt.num_rows == 0:
+        return pa.table(
+            {"label": pa.array([], pa.int64()),
+             "dim": pa.array([], pa.int64()),
+             "centroid": pa.array([], pa.float64())}
+        )
+    parts = pt.to_pandas()
     g = parts.groupby(["label", "dim"], as_index=False).agg(
         s=("s", "sum"), n=("n", "sum")
     )

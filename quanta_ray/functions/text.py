@@ -1376,7 +1376,18 @@ def _tri_bi_hashes(codes: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.
     return h3[ok].astype(np.int64), h2[ok].astype(np.int64), doc_of[: n - 2][ok]
 
 
-_LM_MODEL_CACHE: dict[str, tuple[np.ndarray, np.ndarray] | None] = {}
+_LM_MODEL_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray] | None] = {}
+
+
+def _lm_cache_key(sf_dir: str) -> tuple:
+    """Source-identity cache key (abspath + mtime_ns + size — the same
+    convention as dedup's verified-pair cache), so a rewritten
+    documents.parquet at the same path never serves a stale model."""
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    return (os.path.abspath(p), st.st_mtime_ns, st.st_size)
 
 
 def _lm_train(sf_dir: str) -> tuple[np.ndarray, np.ndarray] | None:
@@ -1387,11 +1398,13 @@ def _lm_train(sf_dir: str) -> tuple[np.ndarray, np.ndarray] | None:
     (2^16) integer count tables. Returns None on an empty corpus.
 
     The trained tables are DETERMINISTIC for a given corpus (integer
-    counts, order-free sums), so they are memoized per sf_dir within the
-    process — a sweep that runs both LM consumers pays the train pass
-    once."""
-    if sf_dir in _LM_MODEL_CACHE:
-        return _LM_MODEL_CACHE[sf_dir]
+    counts, order-free sums), so they are memoized per SOURCE IDENTITY
+    (abspath + mtime + size) within the process — a sweep that runs both
+    LM consumers pays the train pass once, and a rewritten file at the
+    same path invalidates naturally."""
+    key = _lm_cache_key(sf_dir)
+    if key in _LM_MODEL_CACHE:
+        return _LM_MODEL_CACHE[key]
     from ..bucket import bucketed_group_agg
 
     def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1426,7 +1439,7 @@ def _lm_train(sf_dir: str) -> tuple[np.ndarray, np.ndarray] | None:
                            num_buckets=16)
     ).to_pandas()
     if folded.empty:
-        _LM_MODEL_CACHE[sf_dir] = None
+        _LM_MODEL_CACHE[key] = None
         return None
     tri = np.zeros(_LM_H, np.int64)
     bi = np.zeros(_LM_H, np.int64)
@@ -1434,7 +1447,7 @@ def _lm_train(sf_dir: str) -> tuple[np.ndarray, np.ndarray] | None:
     t2 = folded[folded["kind"] == 1]
     tri[t3["bucket"].to_numpy()] = t3["cnt"].to_numpy()
     bi[t2["bucket"].to_numpy()] = t2["cnt"].to_numpy()
-    _LM_MODEL_CACHE[sf_dir] = (tri, bi)
+    _LM_MODEL_CACHE[key] = (tri, bi)
     return tri, bi
 
 
@@ -1851,8 +1864,18 @@ def quality_threshold_sweep(sf_dir: str) -> pa.Table:
             Sweep, batch_format="pandas", batch_size=4096, concurrency=2
         )
     ).to_pandas()
+    empty = pa.table(
+        {"metric": pa.array([], pa.string()),
+         "threshold": pa.array([], pa.int64()),
+         "n_docs": pa.array([], pa.int64()),
+         "share": pa.array([], pa.float64())}
+    )
+    if parts.empty:
+        return empty
     agg = parts.groupby(["metric", "threshold"], as_index=False)["n_docs"].sum()
     total = int(agg.loc[agg["metric"] == "_total", "n_docs"].iloc[0])
+    if total == 0:
+        return empty
     out = agg[agg["metric"] != "_total"].sort_values(
         ["metric", "threshold"], kind="mergesort"
     )

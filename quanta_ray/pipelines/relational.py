@@ -2534,12 +2534,17 @@ def idle_rich_customers(
         )
 
     def tag_o(b: pa.Table) -> pa.Table:
+        # sentinel zeros, NOT nulls: a nullable int64 degrades to float64
+        # at the per-bucket arrow->pandas boundary, which would break the
+        # documented exact-integer cents guarantee past 2^53; probe rows'
+        # nk/cents are never read, only their keys
         k = np.unique(b.column("o_custkey").to_numpy())
+        z = pa.array(np.zeros(len(k), np.int64), pa.int64())
         return pa.table(
             {
                 "key": pa.array(k, pa.int64()),
-                "nk": pa.nulls(len(k), pa.int64()),
-                "cents": pa.nulls(len(k), pa.int64()),
+                "nk": z,
+                "cents": z,
                 "_side": pa.array(np.ones(len(k), np.int8)),
                 "_bucket": pa.array((pd.util.hash_array(k) % buckets).astype(np.int64)),
             }

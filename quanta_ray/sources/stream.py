@@ -241,6 +241,11 @@ class CsvStreamDriver(JsonlStreamDriver):
 
         t = pa_csv.read_csv(
             path,
+            # multiline quoted text: without newlines_in_values the chunked
+            # parser desyncs on any epoch file > one parse block whose text
+            # field contains a newline (pyarrow raises 'CSV parser got out
+            # of sync with chunker')
+            parse_options=pa_csv.ParseOptions(newlines_in_values=True),
             convert_options=pa_csv.ConvertOptions(
                 column_types=self._TYPES, strings_can_be_null=False
             ),

@@ -850,3 +850,36 @@ def test_convhist_stream_nonempty_and_consistent(engine_and_oracle):
     ):
         sums[w] += n
     assert dict(sums) == dict(tw)
+
+
+def test_csv_driver_multiline_text(ray_session, tmp_path):
+    """Quoted text with embedded newlines/commas survives the csv driver —
+    including files larger than one pyarrow parse block (the chunker
+    desyncs without ParseOptions(newlines_in_values=True))."""
+    import numpy as np
+    from pyarrow import csv as pa_csv
+
+    from quanta_ray.sources.stream import get_driver
+
+    n = 3000
+    texts = [f"line one {i},\nline two \"quoted\"\nline three" * 8 for i in range(n)]
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i % 7}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array([""] * n, pa.string()),
+            "ts": pa.array(np.arange(n, dtype=np.int64) * 1_000_000, pa.int64()),
+        }
+    )
+    path = str(tmp_path / "epoch-00000.csv")
+    pa_csv.write_csv(t, path)
+    import os
+
+    assert os.path.getsize(path) > 1 << 20  # larger than one parse block
+    d = get_driver("csv-stream")
+    got = d.read_fragment(path, 0, None)
+    assert got.num_rows == n
+    assert got.column("text").to_pylist() == texts
+    assert got.column("ts").type == pa.timestamp("us")

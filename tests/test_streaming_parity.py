@@ -220,7 +220,7 @@ def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
 
     files, _ = small_stream
     cfg = CEPConfig(num_partitions=3, count_window_size=4, alert_ratio=0.5,
-                    topk_k=3, sess_quantiles=(0.5, 0.9))
+                    topk_k=3, sess_quantiles=(0.5, 0.9), conv_hist=True)
     # checkpoint_every=2 exercises the restore-then-replay resume path
     # (crash after epoch 2 → state restored from epoch 1, epoch 2 replayed)
     spec = PipelineSpec(

@@ -149,7 +149,22 @@ def run_headline(num_cpus: int) -> dict:
     out_base = os.environ.get("QUANTA_BENCH_OUT_DIR", "/dev/shm/quanta-bench")
     out_dir = f"{out_base}-{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    cfg = CEPConfig(num_partitions=BENCH_PARTITIONS)
+    # FULL-featured flagship: every optional output stream enabled (count
+    # windows, burst alerts x4 scopes, windowed top-k, running session
+    # quantiles, conversation-activity histogram) so the headline measures
+    # the engine with all ELEVEN streams live — the honest form of the
+    # "full pipeline" protocol metric. (Headline records before 2026-08-18
+    # r4-extended ran with the optional reduce streams off; the measured
+    # cost of enabling them is small — see BASELINE.md.)
+    cfg = CEPConfig(
+        num_partitions=BENCH_PARTITIONS,
+        count_window_size=8,
+        alert_ratio=1.5,
+        alert_scopes=("all", "user", "assistant", "tool"),
+        topk_k=5,
+        sess_quantiles=(0.5, 0.95),
+        conv_hist=True,
+    )
     import dataclasses
 
     spec = default_spec(files, cfg)

@@ -959,6 +959,7 @@ def recall_eval(
         "ivf": knn_ivf(sf_dir, query_ids=query_ids, k=k),
         "pq": knn_pq(sf_dir, query_ids=query_ids, k=k),
         "ivfpq": knn_ivfpq(sf_dir, query_ids=query_ids, k=k),
+        "pq_rerank": knn_pq_rerank(sf_dir, query_ids=query_ids, k=k),
     }
     rows = []
     for name in sorted(engines):
@@ -977,5 +978,64 @@ def recall_eval(
             "k_truth": pa.array([r[2] for r in rows], pa.int64()),
             "n_hit": pa.array([r[3] for r in rows], pa.int64()),
             "recall": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
+def knn_pq_rerank(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 10,
+    depth: int = 50,
+) -> pa.Table:
+    """Two-stage retrieval — the standard production ANN shape: a cheap PQ
+    ADC pass produces a ``depth``-deep shortlist per query, then the
+    shortlist (and ONLY the shortlist) is exactly re-scored against the
+    raw query vectors. Recovers most of brute-force recall at PQ scan
+    cost: the exact stage touches <= |queries| x depth vectors regardless
+    of corpus size (fetched via a pushed-down id filter, never a second
+    full scan on the driver).
+
+    Approximate by construction (stage-1 recall) -> rows-only check,
+    pinned by the planted-neighbor + recall-dominance pytest."""
+    import pyarrow.dataset as pads
+
+    short = knn_pq(sf_dir, query_ids=query_ids, k=depth)
+    if short.num_rows == 0:
+        return short
+    cand_ids = sorted(
+        set(short.column("neighbor_id").to_pylist()) | set(query_ids)
+    )
+    fetched = _concat(
+        _read_pq(
+            f"{sf_dir}/embeddings.parquet",
+            filter=pads.field("vec_id").isin(cand_ids),
+        )
+    )
+    ids, mat = _batch_matrix(fetched)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    q_ids = sorted(q for q in query_ids if q in pos)
+    rows = []
+    sdf = short.to_pandas()
+    for qid in q_ids:
+        qv = mat[pos[qid]]
+        cands = [
+            int(c)
+            for c in sdf.loc[sdf["query_id"] == qid, "neighbor_id"]
+            if int(c) in pos and int(c) != qid
+        ]
+        if not cands:
+            continue
+        cm = mat[[pos[c] for c in cands]]
+        s = cm @ qv
+        order = np.lexsort((np.asarray(cands, dtype=np.int64), -s))[:k]
+        for r, i in enumerate(order, 1):
+            rows.append((qid, r, cands[i], round(float(s[i]), 4)))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
+            "cosine": pa.array([r[3] for r in rows], pa.float64()),
         }
     )

@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": simsearch.knn_ivf,
         "emb_knn_pq": simsearch.knn_pq,
         "emb_knn_ivfpq": simsearch.knn_ivfpq,
+        "emb_knn_pq_rerank": simsearch.knn_pq_rerank,
         "emb_recall_eval": simsearch.recall_eval,
         "emb_near_dup_cosine": simsearch.near_dup_cosine,
         "emb_kmeans": _emb_kmeans,

@@ -266,10 +266,15 @@ def test_recall_eval_bounds_and_determinism(ray_session):
     from quanta_ray.functions.simsearch import recall_eval
 
     a = recall_eval(SF).to_pandas()
-    assert set(a["engine"]) == {"ivf", "pq", "ivfpq"}
+    assert set(a["engine"]) == {"ivf", "pq", "ivfpq", "pq_rerank"}
     assert (a["n_hit"] <= a["k_truth"]).all()
     assert ((a["recall"] >= 0) & (a["recall"] <= 1.0)).all()
-    assert len(a) == 3 * 4
+    assert len(a) == 4 * 4
+    # exact re-ranking of the SAME PQ shortlist can only match or beat
+    # ADC ordering, per query
+    p = a[a["engine"] == "pq"].set_index("query_id")["recall"]
+    r = a[a["engine"] == "pq_rerank"].set_index("query_id")["recall"]
+    assert (r >= p).all(), (p, r)
     b = recall_eval(SF).to_pandas()
     pd.testing.assert_frame_equal(a, b)
 

@@ -2964,3 +2964,160 @@ SELECT o_year,
              / sum(rev_u), 6) AS mkt_share
 FROM t GROUP BY 1 ORDER BY 1
 """
+
+
+# --- window-ratio: supplier revenue share within its nation -------------------
+
+
+def supplier_share_in_nation(sf_dir: str) -> pa.Table:
+    """Per supplier: total lineitem revenue and its share of the supplier's
+    NATION total, in integer parts-per-million — the ``sum() OVER
+    (PARTITION BY nation)`` window-ratio shape (TPC-H Q15 flavoured, but
+    ratio-to-group-total rather than argmax).
+
+    Scale shape: lineitem collapses per batch to (suppkey, rev_c) partials
+    in integer CENTS, one bucketed group-agg on suppkey (shuffle carries
+    suppliers-count rows, not lineitem rows); supplier -> nation is a
+    broadcast of the small dimension pair; nation totals fold from the
+    per-supplier aggregate driver-side (suppliers-count rows — at 100 TB a
+    few million rows, fine on the driver; the heavy fact table never
+    leaves the cluster un-reduced). The ppm share divides two order-free
+    integer sums once: share_ppm = round-half-up(1e6 * rev_c / tot_c) via
+    (2*1e6*rev_c + tot_c) // (2*tot_c) — int64-safe while per-supplier
+    cents stay below ~4.6e12 (~46 B dollars/supplier)."""
+    from ..bucket import bucketed_group_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev_c = np.round(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
+            * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_suppkey": batch.column("l_suppkey").to_numpy(
+                    zero_copy_only=False
+                ),
+                "rev_c": rev_c,
+            }
+        )
+        return _from_pandas(df.groupby("l_suppkey", as_index=False)["rev_c"].sum())
+
+    per_supp = _concat(
+        bucketed_group_agg(
+            _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=131072),
+            ["l_suppkey"],
+            dict(rev_c=("rev_c", "sum")),
+        )
+    ).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    j = per_supp.merge(
+        supp, left_on="l_suppkey", right_on="s_suppkey", how="inner"
+    ).merge(nation, left_on="s_nationkey", right_on="n_nationkey", how="inner")
+    tot = j.groupby("n_name", as_index=False).agg(tot_c=("rev_c", "sum"))
+    j = j.merge(tot, on="n_name", how="left").sort_values(
+        ["n_name", "s_suppkey"], kind="mergesort"
+    )
+    rev_c = j["rev_c"].to_numpy(dtype=np.int64)
+    tot_c = j["tot_c"].to_numpy(dtype=np.int64)
+    share_ppm = (2 * 1_000_000 * rev_c + tot_c) // (2 * tot_c)
+    return pa.table(
+        {
+            "n_name": pa.array(j["n_name"].astype(str), pa.string()),
+            "s_suppkey": pa.array(j["s_suppkey"].to_numpy(dtype=np.int64), pa.int64()),
+            "s_name": pa.array(j["s_name"].astype(str), pa.string()),
+            "revenue": pa.array(rev_c / 100.0, pa.float64()),
+            "share_ppm": pa.array(share_ppm, pa.int64()),
+        }
+    )
+
+
+SUPPLIER_SHARE_SQL = """
+WITH s AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY l_suppkey
+), j AS (
+  SELECT n_name, su.s_suppkey, su.s_name, rev_c
+  FROM s
+  JOIN supplier su ON su.s_suppkey = s.l_suppkey
+  JOIN nation n ON n.n_nationkey = su.s_nationkey
+), t AS (
+  SELECT n_name, CAST(sum(rev_c) AS BIGINT) AS tot_c FROM j GROUP BY n_name
+)
+SELECT j.n_name, j.s_suppkey, j.s_name,
+       rev_c / 100.0 AS revenue,
+       (2 * 1000000 * rev_c + tot_c) // (2 * tot_c) AS share_ppm
+FROM j JOIN t ON t.n_name = j.n_name
+ORDER BY j.n_name, j.s_suppkey
+"""
+
+
+# --- lag window: per-customer order-over-order deltas -------------------------
+
+
+def customer_order_deltas(sf_dir: str) -> pa.Table:
+    """Per order (for customers with a prior order): days since the
+    customer's PREVIOUS order and the price delta in integer cents — the
+    ``lag() OVER (PARTITION BY custkey ORDER BY orderdate, orderkey)``
+    window on the relational side (churn / reorder-cadence features).
+
+    One hash shuffle of 3 projected columns on custkey (bucket count sized
+    to input bytes); inside each bucket one mergesort + vectorized diff
+    masked at customer boundaries — no per-key loop, no driver-side
+    window. Deltas are int64 (days, cents): association-free, so the
+    distributed result is bit-identical to the sequential window oracle."""
+    from ..bucket import bucketed_apply
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        ck = g["o_custkey"].to_numpy(dtype=np.int64)
+        day = (
+            g["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        price_c = np.round(g["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        ok = g["o_orderkey"].to_numpy(dtype=np.int64)
+        same = ck[1:] == ck[:-1]
+        return pd.DataFrame(
+            {
+                "o_custkey": ck[1:][same],
+                "o_orderkey": ok[1:][same],
+                "gap_days": (day[1:] - day[:-1])[same],
+                "delta_c": (price_c[1:] - price_c[:-1])[same],
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    t = _concat(bucketed_apply(ds, ["o_custkey"], bucket_fn))
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("o_custkey", "ascending"), ("o_orderkey", "ascending")]
+        )
+    )
+
+
+CUSTOMER_ORDER_DELTAS_SQL = """
+WITH w AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         lag(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS prev_day,
+         lag(CAST(round(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS prev_c
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       day - prev_day AS gap_days,
+       price_c - prev_c AS delta_c
+FROM w WHERE prev_day IS NOT NULL
+ORDER BY o_custkey, o_orderkey
+"""

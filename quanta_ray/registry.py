@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "rel_supplier_share_in_nation": relational.supplier_share_in_nation,
+        "rel_customer_order_deltas": relational.customer_order_deltas,
         "rel_top_supplier_revenue": relational.top_supplier_revenue,
         "rel_small_qty_order_revenue": relational.small_qty_order_revenue,
         "rel_idle_rich_customers": relational.idle_rich_customers,
@@ -302,6 +304,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_windowed_distinct_users": batch_cep.WINDOWED_DISTINCT_SQL,
         "ev_user_first_last": batch_cep.USER_FIRST_LAST_SQL,
         "ev_dau_mau_stickiness": batch_cep.DAU_MAU_SQL,
+        "rel_supplier_share_in_nation": relational.SUPPLIER_SHARE_SQL,
+        "rel_customer_order_deltas": relational.CUSTOMER_ORDER_DELTAS_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,
         "rel_shipped_qty_by_flag": relational.SHIPPED_QTY_SQL,
         "rel_top_parts_by_price": relational.TOP_PARTS_SQL,

@@ -2165,3 +2165,106 @@ SELECT doc_id,
 FROM f
 ORDER BY doc_id
 """
+
+
+# --- lexical diversity: type-token ratio per language --------------------------
+
+
+def ttr_by_lang(sf_dir: str) -> pa.Table:
+    """Per language: total token count, CORPUS-GLOBAL distinct token count,
+    and the type-token ratio in integer parts-per-million — the lexical
+    diversity profile (tokenizer-budget / vocab-size planning per language).
+
+    Distinct-across-documents needs tokens co-located: each batch first
+    collapses to its UNIQUE (lang, token) pairs with local occurrence
+    counts (one RE2 split + dictionary_encode + lexsort bincount — no
+    Python loop), then ONE shuffle keyed on hash(lang, token) delivers
+    every occurrence of a pair to the same bucket; per bucket a groupby
+    folds pairs to (lang, n_distinct_partial, n_tokens_partial) — distinct
+    counts are disjoint across buckets by construction, so the driver-side
+    per-lang sum is exact. Shuffle volume is per-batch-unique pairs (zipf:
+    far below token count), never raw text. ttr_ppm divides two order-free
+    integer sums once: (2*1e6*distinct + total) // (2*total)."""
+    from ..bucket import bucketed_apply
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), "[^A-Za-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)[parent]
+        if len(parent) == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        lcodes, linv = np.unique(lang, return_inverse=True)
+        tdict = flat.dictionary_encode()
+        tcodes = tdict.indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((tcodes, linv))
+        li, ti = linv[order], tcodes[order]
+        first = np.concatenate(([True], (li[1:] != li[:-1]) | (ti[1:] != ti[:-1])))
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(li))).astype(np.int64)
+        tok_vals = tdict.dictionary.take(pa.array(ti[first]))
+        return pa.table(
+            {
+                "lang": pa.array(lcodes[li[first]], pa.string()),
+                "token": tok_vals.cast(pa.string()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        per_pair = g.groupby(["lang", "token"], as_index=False)["cnt"].sum()
+        out = per_pair.groupby("lang", as_index=False).agg(
+            n_distinct=("token", "size"), n_tokens=("cnt", "sum")
+        )
+        return out
+
+    ds = _docs(sf_dir, ["lang", "text"]).map_batches(
+        pairs, batch_format="pyarrow", batch_size=4096
+    )
+    t = _concat(bucketed_apply(ds, ["lang", "token"], bucket_fn)).to_pandas()
+    if len(t) == 0:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "ttr_ppm": pa.array([], pa.int64()),
+            }
+        )
+    out = t.groupby("lang", as_index=False).agg(
+        n_tokens=("n_tokens", "sum"), n_distinct=("n_distinct", "sum")
+    ).sort_values("lang", kind="mergesort")
+    nt = out["n_tokens"].to_numpy(dtype=np.int64)
+    nd = out["n_distinct"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"].astype(str), pa.string()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_distinct": pa.array(nd, pa.int64()),
+            "ttr_ppm": pa.array((2 * 1_000_000 * nd + nt) // (2 * nt), pa.int64()),
+        }
+    )
+
+
+TTR_BY_LANG_SQL = """
+WITH t AS (
+  SELECT lang, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token
+  FROM documents
+)
+SELECT lang, count(*) AS n_tokens,
+       count(DISTINCT token) AS n_distinct,
+       (2 * 1000000 * count(DISTINCT token) + count(*)) // (2 * count(*))
+         AS ttr_ppm
+FROM t GROUP BY lang ORDER BY lang
+"""

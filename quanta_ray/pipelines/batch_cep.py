@@ -2267,3 +2267,73 @@ SELECT d.event_type,
 FROM d JOIN md USING (event_type)
 GROUP BY 1 ORDER BY 1
 """
+
+
+# --- calendar profile: activity heat-map by (weekday, hour) -------------------
+
+
+def weekday_hour_profile(sf_dir: str) -> pa.Table:
+    """Event count + exact value stats per (day-of-week, hour-of-day) — the
+    calendar heat-map aggregate (traffic shaping, anomaly baselines).
+
+    Per-batch partials collapse each batch to <= 168 rows before the tiny
+    bucketed reduce, so the all-to-all moves KBs at any scale. dow follows
+    DuckDB's ``dayofweek`` convention (Sunday=0; epoch day 0 was a
+    Thursday=4). The avg is computed entirely in integer micro-units
+    ((2*sum_u + n) // (2n), round-half-up) and divided once — order-free,
+    bit-identical to the sequential oracle at every scale."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        dow = ((ts // 86_400_000_000) + 4) % 7
+        hour = (ts // HOUR_US) % 24
+        val_u = np.round(batch.column("value").to_numpy() * 1e6).astype(np.int64)
+        df = pd.DataFrame({"dow": dow, "hour": hour, "value_u": val_u})
+        g = df.groupby(["dow", "hour"], as_index=False).agg(
+            n=("value_u", "size"), sum_value_u=("value_u", "sum")
+        )
+        return _from_pandas(g)
+
+    from ..bucket import bucketed_group_agg
+
+    partials = _events(sf_dir, ["ts", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=131072
+    )
+    t = _concat(
+        bucketed_group_agg(
+            partials,
+            ["dow", "hour"],
+            dict(n=("n", "sum"), sum_value_u=("sum_value_u", "sum")),
+            num_buckets=8,
+        )
+    )
+    su = t.column("sum_value_u").cast(pa.int64()).to_numpy()
+    n = t.column("n").cast(pa.int64()).to_numpy()
+    avg = pa.array(((2 * su + n) // (2 * n)) / 1e6, pa.float64())
+    out = pa.Table.from_arrays(
+        [
+            t.column("dow").cast(pa.int64()),
+            t.column("hour").cast(pa.int64()),
+            t.column("n").cast(pa.int64()),
+            pa.array(su / 1e6, pa.float64()),
+            avg,
+        ],
+        names=["dow", "hour", "n", "sum_value", "avg_value"],
+    )
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("dow", "ascending"), ("hour", "ascending")])
+    )
+
+
+WEEKDAY_HOUR_SQL = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0
+         AS sum_value,
+       ((2 * CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         + count(*)) // (2 * count(*))) / 1000000.0 AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "ev_weekday_hour_profile": batch_cep.weekday_hour_profile,
+        "doc_ttr_by_lang": text.ttr_by_lang,
         "rel_supplier_share_in_nation": relational.supplier_share_in_nation,
         "rel_customer_order_deltas": relational.customer_order_deltas,
         "rel_top_supplier_revenue": relational.top_supplier_revenue,
@@ -304,6 +306,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_windowed_distinct_users": batch_cep.WINDOWED_DISTINCT_SQL,
         "ev_user_first_last": batch_cep.USER_FIRST_LAST_SQL,
         "ev_dau_mau_stickiness": batch_cep.DAU_MAU_SQL,
+        "ev_weekday_hour_profile": batch_cep.WEEKDAY_HOUR_SQL,
+        "doc_ttr_by_lang": text.TTR_BY_LANG_SQL,
         "rel_supplier_share_in_nation": relational.SUPPLIER_SHARE_SQL,
         "rel_customer_order_deltas": relational.CUSTOMER_ORDER_DELTAS_SQL,
         "rel_orders_by_month": relational.ORDERS_BY_MONTH_SQL,

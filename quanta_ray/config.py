@@ -89,6 +89,16 @@ class CEPConfig:
     # convs), the driver vector-adds at commit; no cross-epoch state.
     # False disables the stream.
     conv_hist: bool = False
+    # FIRST-RESPONSE LATENCY stream (per-conversation event-time result,
+    # emitted exactly once): for every conversation, the first user turn's
+    # timestamp, the first assistant turn's timestamp, and their signed
+    # difference in microseconds (negative when the assistant spoke before
+    # any user turn). A conversation's row is FINAL — and emitted — once
+    # the watermark passes both per-role minima (late rows are ts < wm, so
+    # neither minimum can decrease afterwards); conversations that never
+    # see both roles emit nothing (final_flush emits the rest at close).
+    # O(1) integers per seen conversation of worker state. False disables.
+    resp_latency: bool = False
 
     def __post_init__(self) -> None:
         # JSON specs deliver lists; normalize so configs hash/compare stably

@@ -57,6 +57,7 @@ from ..schema import (
     COUNT_WINDOW_SCHEMA,
     JOIN_SCHEMA,
     PATTERN_SCHEMA,
+    RESPLAT_SCHEMA,
     SESSION_SCHEMA,
     WINDOW_AGG_SCHEMA,
 )
@@ -638,6 +639,99 @@ class _CountWindowState:
         return cw
 
 
+_RL_FIELDS = ("u_min", "a_min", "has_u", "has_a", "emitted")
+
+
+class _RespLatState:
+    """Per-conversation FIRST-RESPONSE LATENCY state, columnar by conv code.
+
+    Five dense arrays indexed by the partition's persistent conv interning
+    code: the running per-role first-turn minima (valid where ``has_*``)
+    and an emitted flag (each conversation's row is emitted exactly once).
+    O(1) integers per seen conversation — never row-proportional. The
+    minima are FINAL once ``min <= wm``: a late row is ``ts < wm`` and is
+    dropped at ingest, so no accepted arrival can lower a minimum the
+    watermark has passed; ties at ``ts == wm`` leave the minimum unchanged.
+    """
+
+    __slots__ = _RL_FIELDS
+
+    def __init__(self) -> None:
+        self.u_min = np.zeros(0, dtype=np.int64)
+        self.a_min = np.zeros(0, dtype=np.int64)
+        self.has_u = np.zeros(0, dtype=bool)
+        self.has_a = np.zeros(0, dtype=bool)
+        self.emitted = np.zeros(0, dtype=bool)
+
+    def _grow(self, n_codes: int) -> None:
+        if n_codes <= len(self.u_min):
+            return
+        for f in ("u_min", "a_min"):
+            grown = np.full(n_codes, POS_INF, dtype=np.int64)
+            old = getattr(self, f)
+            grown[: len(old)] = old
+            setattr(self, f, grown)
+        for f in ("has_u", "has_a", "emitted"):
+            grown_b = np.zeros(n_codes, dtype=bool)
+            old_b = getattr(self, f)
+            grown_b[: len(old_b)] = old_b
+            setattr(self, f, grown_b)
+
+    def add(
+        self,
+        codes: np.ndarray,
+        ts: np.ndarray,
+        is_user: np.ndarray,
+        is_assistant: np.ndarray,
+        n_codes: int,
+    ) -> None:
+        """Fold one ingested batch (already (code, ts, turn)-sorted, so the
+        first row of each (code, role-mask) run IS that code's batch
+        minimum — one boolean diff per role, no reduceat needed)."""
+        self._grow(n_codes)
+        for mask, vmin, has in (
+            (is_user, self.u_min, self.has_u),
+            (is_assistant, self.a_min, self.has_a),
+        ):
+            sel = np.flatnonzero(mask)
+            if not len(sel):
+                continue
+            d = codes[sel]
+            first = np.concatenate(([True], d[1:] != d[:-1]))
+            dc = d[first]
+            np.minimum.at(vmin, dc, ts[sel][first])
+            has[dc] = True
+
+    def pop_final(self, wm: int) -> tuple | None:
+        """Emit (once) every conversation whose BOTH minima the watermark
+        has passed — vectorized mask + filter."""
+        if not len(self.u_min):
+            return None
+        mask = (
+            self.has_u
+            & self.has_a
+            & ~self.emitted
+            & (self.u_min <= wm)
+            & (self.a_min <= wm)
+        )
+        idx = np.flatnonzero(mask)
+        if not len(idx):
+            return None
+        self.emitted[idx] = True
+        return idx, self.u_min[idx], self.a_min[idx]
+
+    def to_payload(self) -> tuple:
+        return tuple(getattr(self, f) for f in _RL_FIELDS)
+
+    @classmethod
+    def from_payload(cls, p: tuple) -> "_RespLatState":
+        st = cls()
+        for f, arr in zip(_RL_FIELDS, p):
+            # copy: payloads via the object store are read-only; mutated in place
+            setattr(st, f, np.array(arr))
+        return st
+
+
 def _window_partials(
     codes: np.ndarray,
     w: np.ndarray,
@@ -716,6 +810,7 @@ class PartitionWorkerImpl:
         self.sess = _SessionState()
         self.pat = _PatternState()
         self.cwin = _CountWindowState()
+        self.resplat = _RespLatState()
         # session ids are per-conv monotonic FOREVER (oracle semantics):
         # per-code counter indexed by the interning code
         self.sess_counter = np.zeros(0, dtype=np.int64)
@@ -741,6 +836,7 @@ class PartitionWorkerImpl:
             "sess_counter": self.sess_counter,
             "pat": self.pat.to_payload(),
             "cwin": self.cwin.to_payload(),
+            "resplat": self.resplat.to_payload(),
         }
 
     def load_state_payload(self, payload: dict) -> None:
@@ -757,6 +853,8 @@ class PartitionWorkerImpl:
             self.pat = _PatternState.from_payload(payload["pat"])
         if "cwin" in payload:
             self.cwin = _CountWindowState.from_payload(payload["cwin"])
+        if "resplat" in payload:
+            self.resplat = _RespLatState.from_payload(payload["resplat"])
         # copy: payloads arriving via the object store (migration) are
         # zero-copy READ-ONLY, and the counter is mutated in place
         self.sess_counter = np.array(payload["sess_counter"], dtype=np.int64)
@@ -821,6 +919,7 @@ class PartitionWorkerImpl:
         sess_table = self._pop_sessions_table(self.cfg.session_gap_us, self.wm)
         pat_table = self._pop_patterns_table(self.wm)
         cw_table = self._pop_count_windows_table(self.wm)
+        rl_table = self._pop_resplat_table(self.wm) if self.cfg.resp_latency else None
         t_emit = _time.perf_counter()
 
         n_emitted = {
@@ -829,6 +928,7 @@ class PartitionWorkerImpl:
             "sessions": sess_table.num_rows if sess_table is not None else 0,
             "patterns": pat_table.num_rows if pat_table is not None else 0,
             "count_windows": cw_table.num_rows if cw_table is not None else 0,
+            "resplat": rl_table.num_rows if rl_table is not None else 0,
             "joins": len(out["joins"]),
         }
         # totals accumulate on replay too, so a resumed run's checkpointed
@@ -923,6 +1023,7 @@ class PartitionWorkerImpl:
             ("sessions", sess_table),
             ("patterns", pat_table),
             ("count_windows", cw_table),
+            ("resplat", rl_table),
         ):
             if t is not None and t.num_rows:
                 tables.append((stream, self.partition, t))
@@ -1066,6 +1167,10 @@ class PartitionWorkerImpl:
         # and evicted vectorized at emission time, watermark-driven) ----
         if cfg.pattern_roles:
             self.pat.add(pcodes, ts, turn, role)
+
+        # ---- first-response latency: fold per-role first-turn minima ----
+        if cfg.resp_latency:
+            self.resplat.add(pcodes, ts, is_user, is_assistant, len(cn))
 
         # ---- count windows: append; folded at emission time ----
         if cfg.count_window_size:
@@ -1235,6 +1340,28 @@ class PartitionWorkerImpl:
             else:
                 self.pending[conv] = next_dl
         return out
+
+    def _pop_resplat_table(self, wm: int) -> pa.Table | None:
+        """Emit newly-final first-response-latency rows as a sorted Arrow
+        table (one row per conversation, ever)."""
+        popped = self.resplat.pop_final(wm)
+        if popped is None:
+            return None
+        import pyarrow.compute as pc
+
+        code, u_min, a_min = popped
+        names = np.array(self.conv_names, dtype=object)[code]
+        us = pa.timestamp("us")
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(names, type=pa.string()),
+                pa.array(u_min, type=pa.int64()).cast(us),
+                pa.array(a_min, type=pa.int64()).cast(us),
+                pa.array(a_min - u_min, type=pa.int64()),
+            ],
+            schema=RESPLAT_SCHEMA,
+        )
+        return tbl.take(pc.sort_indices(tbl, sort_keys=[("conv_id", "ascending")]))
 
     def _pop_sessions_table(self, gap: int, wm: int) -> pa.Table | None:
         """Emit all closed sessions as a sorted Arrow table; per-conv session

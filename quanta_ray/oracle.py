@@ -70,6 +70,7 @@ from .schema import (
     COUNT_WINDOW_SCHEMA,
     JOIN_SCHEMA,
     PATTERN_SCHEMA,
+    RESPLAT_SCHEMA,
     SESSION_SCHEMA,
     WINDOW_AGG_SCHEMA,
 )
@@ -464,6 +465,27 @@ def run_oracle(
                 )
             ]
 
+    # first-response latency: one row per conversation that has both a user
+    # and an assistant turn — per-role first-turn minima over all on-time
+    # rows, final (and emitted once) when the watermark passes both minima.
+    resplat: list[dict] = []
+    if cfg.resp_latency:
+        final_wm = (1 << 62) if cfg.final_flush else st.wm
+        for conv, rows in st.buf.items():
+            u_ts = [t for (t, _ti, role, _tx, _tl) in rows if role == "user"]
+            a_ts = [t for (t, _ti, role, _tx, _tl) in rows if role == "assistant"]
+            if u_ts and a_ts:
+                u, a = min(u_ts), min(a_ts)
+                if u <= final_wm and a <= final_wm:
+                    resplat.append(
+                        {
+                            "conv_id": conv,
+                            "first_user_ts": u,
+                            "first_assistant_ts": a,
+                            "latency_us": a - u,
+                        }
+                    )
+
     from .schema import ALERT_SCHEMA, CONVHIST_SCHEMA, SESSQUANT_SCHEMA, TOPK_SCHEMA
 
     return {
@@ -471,6 +493,7 @@ def run_oracle(
         "alerts": _to_table(alerts, ALERT_SCHEMA, ["w_start", "scope"]),
         "topk": _to_table(topk, TOPK_SCHEMA, ["w_start", "rank"]),
         "convhist": _to_table(convhist, CONVHIST_SCHEMA, ["w_start", "bucket"]),
+        "resplat": _to_table(resplat, RESPLAT_SCHEMA, ["conv_id"]),
         "sessquant": _to_table(sessquant, SESSQUANT_SCHEMA, ["epoch", "q"]),
         "tumbling": _to_table(st.tumbling, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),
         "sliding": _to_table(st.sliding, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),

@@ -164,6 +164,15 @@ CONVHIST_SCHEMA = pa.schema(
     ]
 )
 
+RESPLAT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("first_user_ts", pa.timestamp("us")),
+        ("first_assistant_ts", pa.timestamp("us")),
+        ("latency_us", pa.int64()),
+    ]
+)
+
 
 def from_pandas(df) -> pa.Table:
     """``pa.Table.from_pandas`` minus the auto-attached pandas schema

@@ -58,6 +58,7 @@ SORT_KEYS = {
     "topk": ["w_start", "rank"],
     "sessquant": ["epoch", "q"],
     "convhist": ["w_start", "bucket"],
+    "resplat": ["conv_id"],
 }
 
 
@@ -112,6 +113,7 @@ def main() -> int:
             sess_quantiles=[(), (0.5,), (0.25, 0.5, 0.95)][int(rng.integers(0, 3))],
             sess_hist_bin_us=int(rng.choice([30, 120])) * US,
             conv_hist=bool(rng.integers(0, 2)),
+            resp_latency=bool(rng.integers(0, 2)),
         )
         d = tempfile.mkdtemp(dir="/tmp", prefix="fuzz-")
         try:

@@ -25,6 +25,7 @@ SORT_KEYS = {
     "count_windows": ["conv_id", "window_id"],
     "topk": ["w_start", "rank"],
     "sessquant": ["epoch", "q"],
+    "resplat": ["conv_id"],
 }
 
 
@@ -90,6 +91,7 @@ def test_random_stream_matches_oracle(
         num_partitions=3,
         topk_k=topk_k,
         sess_quantiles=sessq,
+        resp_latency=True,
     )
     d = tmp_path_factory.mktemp("prop")
     table = generate_transcripts(params)

@@ -44,6 +44,7 @@ SORT_KEYS = {
     "topk": ["w_start", "rank"],
     "sessquant": ["epoch", "q"],
     "convhist": ["w_start", "bucket"],
+    "resplat": ["conv_id"],
 }
 
 
@@ -54,7 +55,8 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
     files, _params = small_stream
     cfg = CEPConfig(num_partitions=4, count_window_size=5, alert_ratio=0.5,
                     alert_scopes=("all", "user", "assistant", "tool"),
-                    topk_k=3, sess_quantiles=(0.5, 0.95), conv_hist=True)
+                    topk_k=3, sess_quantiles=(0.5, 0.95), conv_hist=True,
+                    resp_latency=True)
     spec = PipelineSpec(
         source=SourceSpec(paths=tuple(files)),
         transformers=(StageSpec(name="normalize"),),
@@ -75,7 +77,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
 
 @pytest.mark.parametrize(
     "stream",
-    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts", "sessquant", "convhist"],
+    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts", "sessquant", "convhist", "resplat"],
 )
 def test_stream_matches_oracle(engine_and_oracle, stream):
     out_dir, oracle = engine_and_oracle
@@ -220,7 +222,8 @@ def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
 
     files, _ = small_stream
     cfg = CEPConfig(num_partitions=3, count_window_size=4, alert_ratio=0.5,
-                    topk_k=3, sess_quantiles=(0.5, 0.9), conv_hist=True)
+                    topk_k=3, sess_quantiles=(0.5, 0.9), conv_hist=True,
+                    resp_latency=True)
     # checkpoint_every=2 exercises the restore-then-replay resume path
     # (crash after epoch 2 → state restored from epoch 1, epoch 2 replayed)
     spec = PipelineSpec(
@@ -883,3 +886,38 @@ def test_csv_driver_multiline_text(ray_session, tmp_path):
     assert got.num_rows == n
     assert got.column("text").to_pylist() == texts
     assert got.column("ts").type == pa.timestamp("us")
+
+
+def test_resplat_stream_nonempty_and_consistent(engine_and_oracle):
+    """resplat parity isn't vacuous: one row per conversation, the latency
+    column is exactly the difference of the two per-role first-turn
+    timestamps, and both match an independent recomputation from the
+    committed turns stream (final_flush=True here, so every conv with both
+    roles must appear)."""
+    out_dir, oracle = engine_and_oracle
+    rl = oracle["resplat"]
+    assert rl.num_rows > 0
+    convs = rl.column("conv_id").to_pylist()
+    assert len(convs) == len(set(convs))
+    u = rl.column("first_user_ts").cast(pa.int64()).to_pylist()
+    a = rl.column("first_assistant_ts").cast(pa.int64()).to_pylist()
+    lat = rl.column("latency_us").to_pylist()
+    assert lat == [ai - ui for ui, ai in zip(u, a)]
+
+    turns = read_committed(out_dir, "turns")
+    import collections
+
+    umin: dict[str, int] = {}
+    amin: dict[str, int] = {}
+    for c, ts, role in zip(
+        turns.column("conv_id").to_pylist(),
+        turns.column("ts").cast(pa.int64()).to_pylist(),
+        turns.column("role").to_pylist(),
+    ):
+        if role == "user":
+            umin[c] = min(umin.get(c, 1 << 62), ts)
+        elif role == "assistant":
+            amin[c] = min(amin.get(c, 1 << 62), ts)
+    want = {c: (umin[c], amin[c]) for c in umin if c in amin}
+    got = {c: (ui, ai) for c, ui, ai in zip(convs, u, a)}
+    assert got == want

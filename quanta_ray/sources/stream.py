@@ -258,10 +258,79 @@ class CsvStreamDriver(JsonlStreamDriver):
         return t
 
 
+class ArrowIpcStreamDriver(JsonlStreamDriver):
+    """Arrow IPC (Feather v2) epoch files — the zero-copy wire format.
+
+    Types survive natively (no envelope re-widening needed), and unlike the
+    text drivers IPC files fragment below file granularity: record batches
+    are the row-group analog, their row counts come from batch headers over
+    a memory map (lazy pages, no column data touched), so ``plan_fragments``
+    mirrors the Parquet driver's greedy metadata-only split. max-ts uses
+    the ``.maxts`` sidecar when the producer wrote one; the fallback scans
+    only the ``ts`` column's pages of each batch (mmap: other columns are
+    never faulted in)."""
+
+    ext = ".arrow"
+
+    def _open(self, path: str):
+        import pyarrow.ipc as pa_ipc
+
+        return pa_ipc.open_file(pa.memory_map(path))
+
+    def max_ts_us(self, path: str, ts_col: str = "ts") -> int:
+        side = path + ".maxts"
+        if os.path.exists(side):
+            with open(side) as f:
+                return int(f.read().strip())
+        import pyarrow.compute as pc
+
+        r = self._open(path)
+        mx = -(1 << 62)
+        for i in range(r.num_record_batches):
+            col = r.get_batch(i).column(ts_col)
+            if len(col):
+                mx = max(mx, pc.max(col.cast(pa.int64())).as_py())
+        return mx
+
+    def plan_fragments(self, path: str, target_rows: int) -> list[tuple[int, int, int]]:
+        r = self._open(path)
+        nb = r.num_record_batches
+        frags: list[tuple[int, int, int]] = []
+        lo = off = acc = frag_off = 0
+        for b in range(nb):
+            n = r.get_batch(b).num_rows
+            acc += n
+            off += n
+            if acc >= target_rows:
+                frags.append((lo, b + 1, frag_off))
+                lo, frag_off, acc = b + 1, off, 0
+        if lo < nb or not frags:
+            frags.append((lo, nb, frag_off))
+        return frags
+
+    def read_fragment(self, path: str, lo: int, hi: int | None) -> pa.Table:
+        r = self._open(path)
+        if hi is None:
+            hi = r.num_record_batches
+        batches = [r.get_batch(i) for i in range(lo, hi)]
+        if not batches:
+            return r.schema.empty_table()
+        t = pa.Table.from_batches(batches)
+        ts = t.column("ts")
+        if not pa.types.is_timestamp(ts.type):
+            t = t.set_column(
+                t.schema.get_field_index("ts"),
+                "ts",
+                ts.cast(pa.int64()).cast(pa.timestamp("us")),
+            )
+        return t
+
+
 SOURCE_DRIVERS = {
     "parquet-stream": ParquetStreamDriver(),
     "jsonl-stream": JsonlStreamDriver(),
     "csv-stream": CsvStreamDriver(),
+    "ipc-stream": ArrowIpcStreamDriver(),
 }
 
 

@@ -121,14 +121,32 @@ def main() -> int:
                 generate_transcripts(params), d + "/s", n_epochs,
                 row_group_size=int(rng.choice([50, 65536])),
             )
-            # source-kind cross-dimension: ~1/4 of trials run the SAME stream
-            # through a text driver (jsonl or csv; ts as epoch-µs ints +
-            # .maxts sidecar), crossing it with every other dimension
+            # source-kind cross-dimension: ~3/8 of trials run the SAME
+            # stream through an alternate driver (jsonl or csv: ts as
+            # epoch-µs ints + .maxts sidecar; arrow IPC: native types,
+            # multi-batch files, NO sidecar — exercises the batch-header
+            # max-ts fallback), crossing it with every other dimension
             # (ooo, scopes, chains, P)
             src_kind = "parquet-stream"
             pfiles = files  # the oracle always reads the parquet form
             kind_roll = int(rng.integers(0, 8))
-            if kind_roll < 2:
+            if kind_roll == 2:
+                import pyarrow.ipc as pa_ipc
+
+                afiles = []
+                for i, f in enumerate(files):
+                    t = pq.read_table(f)
+                    ap = f"{d}/s-epoch-{i:05d}.arrow"
+                    half = max(1, t.num_rows // 2)
+                    with pa_ipc.new_file(ap, t.schema) as w:
+                        for b in t.slice(0, half).to_batches():
+                            w.write_batch(b)
+                        for b in t.slice(half).to_batches():
+                            w.write_batch(b)
+                    afiles.append(ap)
+                files = afiles
+                src_kind = "ipc-stream"
+            elif kind_roll < 2:
                 alt = "jsonl" if kind_roll == 0 else "csv"
                 afiles = []
                 for i, f in enumerate(files):

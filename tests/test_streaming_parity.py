@@ -921,3 +921,49 @@ def test_resplat_stream_nonempty_and_consistent(engine_and_oracle):
     want = {c: (umin[c], amin[c]) for c in umin if c in amin}
     got = {c: (ui, ai) for c, ui, ai in zip(convs, u, a)}
     assert got == want
+
+
+def test_ipc_driver_matches_parquet_driver(ray_session, small_stream, tmp_path_factory):
+    """Fourth registry driver: the same stream serialized as Arrow IPC
+    (Feather v2) epoch files — types survive natively, record batches
+    fragment like row groups (two batches per epoch here, exercising the
+    sub-file fragment path and footer-free max-ts fallback: no sidecar)."""
+    import pyarrow.ipc as pa_ipc
+
+    from quanta_ray.engine import run_pipeline
+
+    files, _params = small_stream
+    ad = tmp_path_factory.mktemp("ipc_stream")
+    afiles = []
+    for i, f in enumerate(files):
+        t = pq.read_table(f)
+        path = str(ad / f"epoch-{i:05d}.arrow")
+        half = max(1, t.num_rows // 2)
+        with pa_ipc.new_file(path, t.schema) as w:
+            for b in t.slice(0, half).to_batches():
+                w.write_batch(b)
+            for b in t.slice(half).to_batches():
+                w.write_batch(b)
+        afiles.append(path)
+
+    cfg = CEPConfig(num_partitions=4)
+    outs = {}
+    for kind, paths in (("parquet-stream", files), ("ipc-stream", afiles)):
+        spec = PipelineSpec(
+            source=SourceSpec(kind=kind, paths=tuple(paths)),
+            transformers=(StageSpec(name="normalize"),),
+            sink=SinkSpec(),
+            cep=cfg,
+        )
+        out_dir = str(tmp_path_factory.mktemp(f"out_{kind}"))
+        summary = run_pipeline(spec, out_dir)
+        assert summary["status"] == "complete"
+        outs[kind] = out_dir
+
+    for stream, keys in SORT_KEYS.items():
+        a = read_committed(outs["parquet-stream"], stream)
+        b = read_committed(outs["ipc-stream"], stream)
+        if a is None or a.num_rows == 0:
+            assert b is None or b.num_rows == 0, stream
+            continue
+        _assert_tables_equal(f"ipc:{stream}", b, a, keys)

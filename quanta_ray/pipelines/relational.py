@@ -3121,3 +3121,72 @@ SELECT o_custkey, o_orderkey,
 FROM w WHERE prev_day IS NOT NULL
 ORDER BY o_custkey, o_orderkey
 """
+
+
+# --- exact grouped quantiles without a global sort -----------------------------
+
+
+def order_price_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT p25/p50/p75 of order totalprice per order priority — grouped
+    quantiles with NO global sort at any scale: per-batch (priority,
+    integer-cent) count histograms (lossless: prices carry 2 decimals, so
+    histogram size is bounded by the PRICE RANGE, not the row count), one
+    bucketed shuffle sums them, and the driver walks each priority's
+    cumulative histogram picking index ceil(q*n)-1 — bit-identical to
+    DuckDB's quantile_disc (same rule as ``ev_value_quantiles_by_type``)."""
+    from ..bucket import bucketed_group_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {"o_orderpriority": b["o_orderpriority"].astype(str), "cent": cents}
+        ).groupby(["o_orderpriority", "cent"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": g["o_orderpriority"].astype(str),
+                "cent": g["cent"].to_numpy(dtype=np.int64),
+                "n": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    hist = _concat(
+        bucketed_group_agg(
+            _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]).map_batches(
+                partial, batch_format="pandas", batch_size=262144
+            ),
+            ["o_orderpriority", "cent"],
+            dict(n=("n", "sum")),
+        )
+    ).to_pandas()
+
+    def _disc(cents: np.ndarray, cum: np.ndarray, q100: int) -> int:
+        n = int(cum[-1])
+        target = -(-q100 * n // 100)
+        return int(cents[np.searchsorted(cum, target)])
+
+    rows = []
+    for prio, g in hist.groupby("o_orderpriority"):
+        g = g.sort_values("cent", kind="mergesort")
+        cents = g["cent"].to_numpy(dtype=np.int64)
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        qs = [_disc(cents, cum, q) / 100.0 for q in (25, 50, 75)]
+        rows.append((prio, int(cum[-1]), *qs))
+    rows.sort()
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "p25": pa.array([r[2] for r in rows], pa.float64()),
+            "p50": pa.array([r[3] for r in rows], pa.float64()),
+            "p75": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
+ORDER_PRICE_QUANTILES_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) / 100.0 AS p25,
+       quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.50) / 100.0 AS p50,
+       quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) / 100.0 AS p75
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

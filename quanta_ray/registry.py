@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "rel_order_price_quantiles": relational.order_price_quantiles,
         "ev_weekday_hour_profile": batch_cep.weekday_hour_profile,
         "doc_ttr_by_lang": text.ttr_by_lang,
         "rel_supplier_share_in_nation": relational.supplier_share_in_nation,
@@ -307,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_windowed_distinct_users": batch_cep.WINDOWED_DISTINCT_SQL,
         "ev_user_first_last": batch_cep.USER_FIRST_LAST_SQL,
         "ev_dau_mau_stickiness": batch_cep.DAU_MAU_SQL,
+        "rel_order_price_quantiles": relational.ORDER_PRICE_QUANTILES_SQL,
         "ev_weekday_hour_profile": batch_cep.WEEKDAY_HOUR_SQL,
         "doc_ttr_by_lang": text.TTR_BY_LANG_SQL,
         "rel_supplier_share_in_nation": relational.SUPPLIER_SHARE_SQL,

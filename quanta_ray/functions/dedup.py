@@ -1391,3 +1391,131 @@ def near_dup_incremental(
         bucketed_apply(new_docs.union(dup), ["doc_id"], anti, num_buckets=num_buckets)
     )
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+# --- winnowing fingerprints (MOSS-style positional near-dup) -------------------
+
+
+def _winnow_doc(b: np.ndarray, k: int, w: int) -> np.ndarray:
+    """Winnowing fingerprint selection for ONE document's byte array
+    (Schleimer, Wilkerson & Aiken, SIGMOD'03): k-byte-gram rolling hashes,
+    then the minimum of every w-hash window (leftmost tie — any selection
+    that is a pure function of window content preserves the guarantee that
+    two documents sharing a substring of >= w+k-1 bytes share >= 1
+    fingerprint). Returns the UNIQUE selected hashes. All-numpy: k vector
+    multiply-adds for the gram hashes, one strided-view argmin for the
+    window minima — no per-char Python."""
+    n = len(b) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    h = np.zeros(n, dtype=np.uint64)
+    B = np.uint64(1000003)
+    for j in range(k):
+        h = h * B + b[j : j + n].astype(np.uint64)
+    # mix: distinct grams should not collide on low bytes (splitmix-ish)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    if n <= w:
+        return np.unique(h[h.argmin() : h.argmin() + 1])
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    pos = np.arange(len(win)) + win.argmin(axis=1)
+    return np.unique(h[np.unique(pos)])
+
+
+def winnow_pairs(
+    sf_dir: str, k: int = 8, w: int = 4, min_shared: int = 2, df_cap: int = 64
+) -> pa.Table:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    POSITIONAL near-duplication (shared verbatim passages: plagiarism,
+    quotation, boilerplate reuse), complementary to MinHash's bag-of-
+    shingles similarity which is blind to contiguity.
+
+    Scale shape (the LSH-pairs shape, with counting semantics):
+
+      per-batch numpy fingerprint extraction → explode (fp, doc_id) rows
+      → groupby fp buckets: per-fingerprint pair emit, with a DF CAP —
+        fingerprints appearing in > ``df_cap`` docs are dropped as
+        non-discriminative boilerplate (the standard MOSS/index stopword
+        rule; a cap keeps any one bucket from emitting O(n^2) pairs)
+      → groupby (a, b) buckets: count distinct shared fingerprints,
+        filter >= min_shared.
+
+    Both all-to-alls move (hash, id) integer rows only — never text — and
+    per-task memory is bucket-proportional. Rows-only oracle (no SQL
+    form); the w+k-1 shared-substring guarantee is pinned by a planted
+    pytest."""
+    from ..bucket import bucketed_apply, bucketed_group_agg
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_fp: list[np.ndarray] = []
+        out_id: list[np.ndarray] = []
+        for i, txt in enumerate(texts):
+            fps = _winnow_doc(
+                np.frombuffer(txt.encode("utf-8", "surrogatepass"), dtype=np.uint8),
+                k,
+                w,
+            )
+            if len(fps):
+                out_fp.append(fps)
+                out_id.append(np.full(len(fps), ids[i], dtype=np.int64))
+        if not out_fp:
+            return pa.table(
+                {"fp": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "fp": pa.array(
+                    np.concatenate(out_fp).view(np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            }
+        )
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        extract, batch_format="pyarrow", batch_size=2048
+    )
+
+    def pair_emit(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _fp, grp in g.groupby("fp"):
+            ids = np.unique(grp["doc_id"].to_numpy(dtype=np.int64))
+            if len(ids) < 2 or len(ids) > df_cap:
+                continue
+            ai, bi = np.triu_indices(len(ids), 1)
+            outs.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = bucketed_apply(rows, ["fp"], pair_emit)
+    counted = bucketed_group_agg(
+        pairs.map_batches(
+            lambda d: d.assign(n_shared=np.int64(1)), batch_format="pandas"
+        ),
+        ["a", "b"],
+        dict(n_shared=("n_shared", "sum")),
+    )
+    t = _concat(counted)
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+            }
+        )
+    t = t.filter(pc.greater_equal(t.column("n_shared"), pa.scalar(min_shared)))
+    t = pa.table(
+        {
+            "a": t.column("a").cast(pa.int64()),
+            "b": t.column("b").cast(pa.int64()),
+            "n_shared": t.column("n_shared").cast(pa.int64()),
+        }
+    )
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    )

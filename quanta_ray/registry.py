@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "doc_winnow_pairs": dedup.winnow_pairs,
         "rel_order_price_quantiles": relational.order_price_quantiles,
         "ev_weekday_hour_profile": batch_cep.weekday_hour_profile,
         "doc_ttr_by_lang": text.ttr_by_lang,

@@ -1728,3 +1728,38 @@ def test_outlier_scores_flags_far_vector(ray_session, tmp_path_factory):
     assert bool(df.loc[far_id, "is_outlier"])
     assert not df.drop(index=far_id)["is_outlier"].any()
     assert out.equals(outlier_scores(str(d), k=2, iters=4, tail_frac=0.02))
+
+
+def test_winnow_pairs_planted(ray_session, tmp_path_factory):
+    """Winnowing guarantee: two docs sharing a substring of >= w+k-1 bytes
+    share >= 1 fingerprint; with a long shared passage they share many, so
+    the planted pair must surface with a high n_shared while unrelated
+    random-vocab docs stay un-paired at min_shared=3."""
+    from quanta_ray.functions.dedup import winnow_pairs
+
+    d = tmp_path_factory.mktemp("winnow")
+    rng = np.random.default_rng(7)
+    vocab = np.array("kappa lambda mu nu xi omicron pi rho sigma tau".split())
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(20)]
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    texts[3] = texts[3][:50] + " " + shared + " " + texts[3][50:]
+    texts[9] = shared + " " + texts[9]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(20), type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 20,
+            "source": ["synthetic"] * 20,
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    out = winnow_pairs(str(d), min_shared=3).to_pandas()
+    planted = out[(out["a"] == 3) & (out["b"] == 9)]
+    assert len(planted) == 1, f"planted pair missing: {out}"
+    # the 60-byte shared passage yields many shared fingerprints
+    assert int(planted["n_shared"].iloc[0]) >= 5
+    # determinism: a second run returns the identical table
+    out2 = winnow_pairs(str(d), min_shared=3).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)

@@ -582,7 +582,8 @@ def _route_verify(
 
 _EMPTY_JACCARD = pa.table(
     {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-     "jaccard": pa.array([], pa.float64())}
+     "jaccard": pa.array([], pa.float64()),
+     "containment": pa.array([], pa.float64())}
 )
 
 # verified-candidate cache: the expensive part of the pipeline (signatures,
@@ -636,17 +637,24 @@ def _minhash_verified(
 
     def verify(m: pd.DataFrame) -> pd.DataFrame:
         jac = np.empty(len(m))
+        cont = np.empty(len(m))
         for i, (ba, bb) in enumerate(zip(m["_pay_a"], m["_pay_b"])):
             sa = np.frombuffer(ba, dtype=np.uint64)
             sb = np.frombuffer(bb, dtype=np.uint64)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             jac[i] = 1.0 if union == 0 else inter / union
+            # asymmetric CONTAINMENT of the smaller shingle set in the
+            # larger (Broder'97): catches a short doc quoted verbatim
+            # inside a long one, which Jaccard dilutes toward 0
+            small = min(sa.size, sb.size)
+            cont[i] = 1.0 if small == 0 else inter / small
         return pd.DataFrame(
             {
                 "a": m["a"].to_numpy(dtype=np.int64),
                 "b": m["b"].to_numpy(dtype=np.int64),
                 "jaccard": np.round(jac, 6),
+                "containment": np.round(cont, 6),
             }
         )
 
@@ -695,8 +703,40 @@ def minhash_lsh_pairs(
     if t is None:
         t = _minhash_verified(sf_dir, num_perm, bands, shingle_k)
         _cache_put(key, t)
-    return t.filter(
+    return t.select(["a", "b", "jaccard"]).filter(
         pc.greater_equal(t.column("jaccard"), pa.scalar(float(jaccard_threshold)))
+    ).combine_chunks()
+
+
+def minhash_containment(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    containment_threshold: float = 0.8,
+) -> pa.Table:
+    """LSH candidate pairs whose smaller shingle set is >= threshold
+    CONTAINED in the larger (Broder'97 containment) — the asymmetric
+    near-dup detector (short doc quoted inside a long one; Jaccard dilutes
+    such pairs toward 0 and misses them). Shares the cached verified-pair
+    computation with ``minhash_lsh_pairs`` (one signature + route-verify
+    pass serves both metrics). Rows-only oracle; planted pytest pins the
+    quote-inside-document case.
+
+    Honest recall note: candidates still come from MinHash-band LSH, whose
+    collision probability tracks JACCARD — a tiny doc inside a huge one may
+    never band-collide. At equal-ish sizes (the common curation case)
+    recall matches the pairs query; a containment-optimal index would
+    bucket by the smaller set's bands only."""
+    key = _source_key(sf_dir, "documents", "minhash", num_perm, bands, shingle_k)
+    t = _VERIFIED_CACHE.get(key)
+    if t is None:
+        t = _minhash_verified(sf_dir, num_perm, bands, shingle_k)
+        _cache_put(key, t)
+    return t.select(["a", "b", "containment"]).filter(
+        pc.greater_equal(
+            t.column("containment"), pa.scalar(float(containment_threshold))
+        )
     ).combine_chunks()
 
 

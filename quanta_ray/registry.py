@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
         "doc_winnow_pairs": dedup.winnow_pairs,
+        "doc_minhash_containment": dedup.minhash_containment,
         "rel_order_price_quantiles": relational.order_price_quantiles,
         "ev_weekday_hour_profile": batch_cep.weekday_hour_profile,
         "doc_ttr_by_lang": text.ttr_by_lang,

@@ -1763,3 +1763,42 @@ def test_winnow_pairs_planted(ray_session, tmp_path_factory):
     # determinism: a second run returns the identical table
     out2 = winnow_pairs(str(d), min_shared=3).to_pandas()
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_minhash_containment_planted(ray_session, tmp_path_factory):
+    """A short doc quoted VERBATIM inside a long doc: containment ~1.0
+    while Jaccard is diluted small — the asymmetric detector must surface
+    the pair that the Jaccard query misses."""
+    from quanta_ray.functions.dedup import minhash_containment, minhash_lsh_pairs
+
+    d = tmp_path_factory.mktemp("contain")
+    rng = np.random.default_rng(11)
+    vocab = np.array("ares bion ceto dia eos faun gaia hebe ixio kore".split())
+    texts = [" ".join(rng.choice(vocab, size=60)) for _ in range(15)]
+    quote = " ".join(rng.choice(vocab, size=45))
+    texts[4] = quote  # the short doc IS the quote
+    # long doc = quote + a 25-word tail: containment(smaller) ~ 1.0 but
+    # Jaccard ~ 0.6 — below the pairs query's 0.7 default, inside the LSH
+    # bands' near-certain collision range (recall caveat in the docstring)
+    texts[8] = quote + " " + " ".join(rng.choice(vocab, size=25))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(15), type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 15,
+            "source": ["synthetic"] * 15,
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    cont = minhash_containment(str(d), containment_threshold=0.9).to_pandas()
+    hit = cont[(cont["a"] == 4) & (cont["b"] == 8)]
+    assert len(hit) == 1, f"contained pair missing: {cont}"
+    assert float(hit["containment"].iloc[0]) >= 0.9
+    # the default-threshold Jaccard query MISSES the same pair (diluted)
+    jac = minhash_lsh_pairs(str(d), jaccard_threshold=0.7).to_pandas()
+    assert len(jac[(jac["a"] == 4) & (jac["b"] == 8)]) == 0
+    jall = minhash_lsh_pairs(str(d), jaccard_threshold=0.0).to_pandas()
+    jrow = jall[(jall["a"] == 4) & (jall["b"] == 8)]
+    assert len(jrow) == 1 and float(jrow["jaccard"].iloc[0]) < 0.7

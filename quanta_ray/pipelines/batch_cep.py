@@ -2337,3 +2337,69 @@ FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# --- distribution-rank window: per-event percentile within its type -----------
+
+
+def value_percentile_rank(sf_dir: str) -> pa.Table:
+    """Per event: the ``cume_dist()`` of its value within its event_type —
+    the distribution-rank window (``cume_dist() OVER (PARTITION BY type
+    ORDER BY value)``) WITHOUT a global sort: values carry 2 decimals, so
+    the per-type cumulative integer-cent histogram (the shared
+    ``_cent_hist_by_type`` exchange — bounded by the VALUE RANGE, not the
+    row count) is broadcast once via ``ray.put`` and each batch looks its
+    ranks up with one searchsorted per type present. cume_dist = (rows with
+    value <= v) / n_type: an exact-integer ratio whose float64 division is
+    IEEE-identical everywhere, so the distributed result is bit-equal to
+    the sequential window oracle."""
+    import ray
+
+    from ..broadcast import cached_get as _cget
+
+    hist = _cent_hist_by_type(sf_dir)
+    lut: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("cent", kind="mergesort")
+        cents = g["cent"].to_numpy(dtype=np.int64)
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        lut[str(et)] = (cents, cum, int(cum[-1]))
+    ref = ray.put(lut)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        m = _cget(ref)
+        et = np.asarray(batch.column("event_type").to_pandas())
+        cents = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        out = np.empty(len(et), dtype=np.float64)
+        for t in np.unique(et):
+            sel = np.flatnonzero(et == t)
+            tc, tcum, n = m[str(t)]
+            idx = np.searchsorted(tc, cents[sel], side="right") - 1
+            # every batch cent exists in the global histogram by construction
+            out[sel] = tcum[idx] / n
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+                "pct_rank": pa.array(out, pa.float64()),
+            }
+        )
+
+    t = _concat(
+        _events(sf_dir, ["event_id", "event_type", "value"]).map_batches(
+            rank, batch_format="pyarrow", batch_size=131072
+        )
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
+
+
+VALUE_PERCENTILE_RANK_SQL = """
+SELECT event_id, event_type, value,
+       cume_dist() OVER (
+         PARTITION BY event_type
+         ORDER BY CAST(round(value * 100) AS BIGINT)
+       ) AS pct_rank
+FROM events
+ORDER BY event_id
+"""

@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "ev_value_percentile_rank": batch_cep.value_percentile_rank,
         "doc_winnow_pairs": dedup.winnow_pairs,
         "doc_minhash_containment": dedup.minhash_containment,
         "rel_order_price_quantiles": relational.order_price_quantiles,
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_windowed_distinct_users": batch_cep.WINDOWED_DISTINCT_SQL,
         "ev_user_first_last": batch_cep.USER_FIRST_LAST_SQL,
         "ev_dau_mau_stickiness": batch_cep.DAU_MAU_SQL,
+        "ev_value_percentile_rank": batch_cep.VALUE_PERCENTILE_RANK_SQL,
         "rel_order_price_quantiles": relational.ORDER_PRICE_QUANTILES_SQL,
         "ev_weekday_hour_profile": batch_cep.WEEKDAY_HOUR_SQL,
         "doc_ttr_by_lang": text.TTR_BY_LANG_SQL,

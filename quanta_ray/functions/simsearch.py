@@ -938,7 +938,7 @@ ORDER BY 1, 2
 def recall_eval(
     sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 10
 ) -> pa.Table:
-    """Recall@k of each approximate index (IVF, PQ, IVF+PQ) against the
+    """Recall@k of each approximate index (IVF, PQ, IVF+PQ, PQ+rerank, SQ8) against the
     exact brute-force cosine top-k — the index-quality report every vector
     pipeline needs before trusting an ANN path at scale.
 
@@ -960,6 +960,7 @@ def recall_eval(
         "pq": knn_pq(sf_dir, query_ids=query_ids, k=k),
         "ivfpq": knn_ivfpq(sf_dir, query_ids=query_ids, k=k),
         "pq_rerank": knn_pq_rerank(sf_dir, query_ids=query_ids, k=k),
+        "sq8": knn_sq8(sf_dir, query_ids=query_ids, k=k),
     }
     rows = []
     for name in sorted(engines):
@@ -1038,4 +1039,107 @@ def knn_pq_rerank(
             "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
             "cosine": pa.array([r[3] for r in rows], pa.float64()),
         }
+    )
+
+
+def knn_sq8(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 10,
+    sample_rows: int = 2048,
+    seed: int = 31,
+) -> pa.Table:
+    """Scalar-quantized (SQ8) ANN: each row-normalized dimension is affinely
+    mapped to one uint8 code (FAISS 'SQ8' — the memory middle ground: 1
+    byte/dim vs float32's 4, no codebook training beyond per-dim ranges,
+    higher fidelity than PQ at the same byte budget for moderate d).
+
+    The approximate cosine decomposes affinely: with x ~= off + code*step
+    per dim, q.x ~= q.off (one scalar per query) + (q*step).codes (one
+    matvec over the uint8 code matrix) — so scoring is a single matmul per
+    batch against the broadcast (q*step) matrix, exactly the brute-force
+    shape at a quarter of the memory traffic.
+
+    Scale shape: per-dim min/max train on a bounded seeded driver sample
+    (clipping handles out-of-sample tails); (offsets, steps, query mats)
+    broadcast ONCE via ``ray.put``; one streaming pass quantizes each batch
+    and emits its local top-k per query; the driver merges tiny partials.
+    Approximate by construction -> rows-only driver check, pinned by the
+    recall_eval bounds test."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+
+    rbs, n = [], 0
+    for rb in _pq.ParquetFile(f"{sf_dir}/embeddings.parquet").iter_batches(
+        batch_size=sample_rows, columns=["vec_id", "embedding"]
+    ):
+        rbs.append(rb)
+        n += len(rb)
+        if n >= sample_rows:
+            break
+    if not rbs:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+        )
+    _, smat = _batch_matrix(pa.Table.from_batches(rbs).slice(0, sample_rows))
+    off = smat.min(axis=0)
+    rng_d = smat.max(axis=0) - off
+    step = np.where(rng_d > 0, rng_d / 255.0, 1.0)
+
+    qt = _concat(
+        _read_pq(
+            f"{sf_dir}/embeddings.parquet",
+            filter=pads.field("vec_id").isin(list(query_ids)),
+        )
+    )
+    q_ids, q_mat = _batch_matrix(qt)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], q_mat[order]
+    q_base = q_mat @ off            # (n_queries,) scalar terms
+    q_step = q_mat * step[None, :]  # (n_queries, d) matvec terms
+    ref = ray.put((q_ids, off, step, q_base, q_step))
+
+    class SQ8TopK:
+        def __init__(self):
+            (self.q_ids, self.off, self.step,
+             self.q_base, self.q_step) = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids, mat = _batch_matrix(batch)
+            if not len(ids):
+                return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+            codes = np.clip(
+                np.round((mat - self.off[None, :]) / self.step[None, :]),
+                0, 255,
+            ).astype(np.float64)
+            scores = codes @ self.q_step.T + self.q_base[None, :]
+            out = []
+            for qi, qid in enumerate(self.q_ids):
+                s = scores[:, qi]
+                cand = np.nonzero(ids != qid)[0]
+                if not len(cand):
+                    continue
+                top = cand[np.lexsort((ids[cand], -s[cand]))][:k]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids[top], "cosine": s[top]}
+                    )
+                )
+            if not out:
+                return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+            return pd.concat(out, ignore_index=True)
+
+    partials = _emb(sf_dir).map_batches(
+        SQ8TopK, batch_format="pyarrow", batch_size=4096, concurrency=2
+    )
+    df = _concat(partials).to_pandas()
+    df = df.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", as_index=False).head(k)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df["cosine"] = df["cosine"].round(4)
+    return _from_pandas(
+        df[["query_id", "rank", "neighbor_id", "cosine"]].reset_index(drop=True)
     )

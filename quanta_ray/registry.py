@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
         "ev_value_percentile_rank": batch_cep.value_percentile_rank,
+        "emb_knn_sq8": simsearch.knn_sq8,
         "doc_winnow_pairs": dedup.winnow_pairs,
         "doc_minhash_containment": dedup.minhash_containment,
         "rel_order_price_quantiles": relational.order_price_quantiles,

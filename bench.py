@@ -97,6 +97,16 @@ BENCH_QUERIES = [
     "doc_c4_filters",
     "ev_value_anomalies_mad",
     "doc_unimax_sample",
+    # round-4 continuation session
+    "rel_supplier_share_in_nation",
+    "rel_customer_order_deltas",
+    "ev_weekday_hour_profile",
+    "doc_ttr_by_lang",
+    "rel_order_price_quantiles",
+    "doc_winnow_pairs",
+    "doc_minhash_containment",
+    "ev_value_percentile_rank",
+    "emb_knn_sq8",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

@@ -3190,3 +3190,444 @@ SELECT o_orderpriority, count(*) AS n,
        quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) / 100.0 AS p75
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# --- Q12: shipping-speed vs order priority (join + conditional counts) --------
+
+
+def ship_speed_priority(sf_dir: str) -> pa.Table:
+    """Lineitems shipped in 1997 bucketed by shipping delay (FAST <= 30 d,
+    MEDIUM <= 90 d, SLOW beyond), counting high- vs low-priority order lines
+    per bucket — the TPC-H Q12 shape with the delay bucket standing in for
+    ``l_shipmode`` (the synthetic lineitem has no ship mode column).
+
+    Scale shape: both sides are pruned and projected BEFORE the single
+    orderkey hash-bucket join (lineitem to two columns inside the 1997
+    window, orders to key + orderdate + a precomputed boolean priority
+    flag); the joined rows reduce to per-(bucket) count partials per batch,
+    so the second shuffle moves at most 3 rows per map task. Delays are
+    whole days (all stamps are midnight), making the bucket edges exact
+    integer comparisons on both engines."""
+    from ..bucket import bucketed_group_agg
+
+    lo = np.datetime64("1997-01-01")
+    hi = np.datetime64("1998-01-01")
+
+    def li_proj(df: pd.DataFrame) -> pd.DataFrame:
+        ship = df["l_shipdate"].to_numpy()
+        keep = (ship >= lo) & (ship < hi)
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(dtype=np.int64)[keep],
+             "ship": ship[keep]}
+        )
+
+    def ord_proj(df: pd.DataFrame) -> pd.DataFrame:
+        prio = df["o_orderpriority"].astype(str)
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
+             "od": df["o_orderdate"].to_numpy(),
+             "high": prio.isin(["1-URGENT", "2-HIGH"]).to_numpy()}
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        li_proj, batch_format="pandas", batch_size=262144
+    )
+    ords = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(ord_proj, batch_format="pandas", batch_size=262144)
+    joined = _bucket_join(li, ords, "l_orderkey", "o_orderkey", 16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        delay = (df["ship"].to_numpy() - df["od"].to_numpy()) // np.timedelta64(1, "D")
+        speed = np.where(delay <= 30, "FAST", np.where(delay <= 90, "MEDIUM", "SLOW"))
+        high = df["high"].to_numpy(dtype=bool)
+        g = pd.DataFrame({"ship_speed": speed, "h": high.astype(np.int64),
+                          "l": (~high).astype(np.int64)}).groupby(
+            "ship_speed", as_index=False
+        ).agg(high_line_count=("h", "sum"), low_line_count=("l", "sum"))
+        return g
+
+    out = _concat(
+        bucketed_group_agg(
+            joined.map_batches(partial, batch_format="pandas", batch_size=262144),
+            ["ship_speed"],
+            dict(high_line_count=("high_line_count", "sum"),
+                 low_line_count=("low_line_count", "sum")),
+        )
+    ).to_pandas().sort_values("ship_speed", kind="mergesort")
+    return pa.table(
+        {"ship_speed": pa.array(out["ship_speed"].astype(str), pa.string()),
+         "high_line_count": pa.array(
+             out["high_line_count"].to_numpy(dtype=np.int64), pa.int64()),
+         "low_line_count": pa.array(
+             out["low_line_count"].to_numpy(dtype=np.int64), pa.int64())}
+    )
+
+
+SHIP_SPEED_PRIORITY_SQL = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+            WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN 'MEDIUM'
+            ELSE 'SLOW' END AS ship_speed,
+       CAST(count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+            AS BIGINT) AS high_line_count,
+       CAST(count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q16: distinct supplier counts per part attribute (double distinct) -------
+
+
+def part_supplier_counts(sf_dir: str) -> pa.Table:
+    """Per (p_brand, p_size) of non-PROMO parts, the number of DISTINCT
+    suppliers that ever shipped the part — TPC-H Q16's
+    count(distinct suppkey) with its supplier-exclusion subquery, adapted:
+    the excluded set is suppliers whose account balance is strictly below
+    the global supplier average (the synthetic table has no comment field
+    to grep for complaints).
+
+    Scale shape: the below-average test is two broadcast SCALARS (integer
+    cent sum + count, reduced from per-batch partials) applied as a
+    cross-multiplied integer filter on the supplier side — no quantile, no
+    float average, no supplier-list broadcast. The (partkey, suppkey) pair
+    set is deduped map-side per batch, then exactly in one pair-keyed
+    bucket shuffle; two bucket joins (qualifying suppliers, non-PROMO
+    parts) and a (brand, size)-bucketed second distinct finish it. No stage
+    holds more than one hash bucket."""
+    from ..bucket import bucketed_apply
+
+    # global scalar: sum/count of supplier acctbal in integer cents
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+
+    def acct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["s_acctbal"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"sum_c": [int(c.sum())], "n": [len(c)]})
+
+    sc = _concat(
+        sup.map_batches(acct_partial, batch_format="pandas", batch_size=262144)
+    ).to_pandas()
+    sum_c, n_sup = int(sc["sum_c"].sum()), int(sc["n"].sum())
+
+    def ok_suppliers(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["s_acctbal"].to_numpy() * 100).astype(np.int64)
+        keep = c * n_sup >= sum_c
+        return pd.DataFrame(
+            {"s_suppkey": df["s_suppkey"].to_numpy(dtype=np.int64)[keep]}
+        )
+
+    ok = sup.map_batches(ok_suppliers, batch_format="pandas")
+
+    pairs = bucketed_apply(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+            lambda df: df.drop_duplicates(["l_partkey", "l_suppkey"]),
+            batch_format="pandas", batch_size=262144,
+        ),
+        ["l_partkey", "l_suppkey"],
+        lambda g: g.drop_duplicates(["l_partkey", "l_suppkey"]),
+    )
+    pairs_ok = _bucket_join(pairs, ok, "l_suppkey", "s_suppkey", 16)
+
+    pf = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size", "p_type"]).map_batches(
+        lambda df: df[df["p_type"].astype(str) != "PROMO"][
+            ["p_partkey", "p_brand", "p_size"]
+        ],
+        batch_format="pandas",
+    )
+    tagged = _bucket_join(pairs_ok, pf, "l_partkey", "p_partkey", 16)
+
+    def brand_size_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["p_brand", "p_size", "l_suppkey"])
+        r = d.groupby(["p_brand", "p_size"], as_index=False).agg(
+            supplier_cnt=("l_suppkey", "size")
+        )
+        return pd.DataFrame(
+            {"p_brand": r["p_brand"].astype(str),
+             "p_size": r["p_size"].to_numpy(dtype=np.int64),
+             "supplier_cnt": r["supplier_cnt"].to_numpy(dtype=np.int64)}
+        )
+
+    out = _concat(
+        bucketed_apply(tagged, ["p_brand", "p_size"], brand_size_count)
+    ).to_pandas()
+    out = out.sort_values(
+        ["supplier_cnt", "p_brand", "p_size"],
+        ascending=[False, True, True], kind="mergesort",
+    )
+    return pa.table(
+        {"p_brand": pa.array(out["p_brand"].astype(str), pa.string()),
+         "p_size": pa.array(out["p_size"].to_numpy(dtype=np.int64), pa.int64()),
+         "supplier_cnt": pa.array(
+             out["supplier_cnt"].to_numpy(dtype=np.int64), pa.int64())}
+    )
+
+
+PART_SUPPLIER_COUNTS_SQL = """
+WITH sc AS (
+  SELECT CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM supplier
+), ok AS (
+  SELECT s_suppkey FROM supplier, sc
+  WHERE CAST(round(s_acctbal * 100) AS BIGINT) * sc.n >= sc.sum_c
+), ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey
+  FROM lineitem JOIN ok ON ok.s_suppkey = l_suppkey
+)
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_type <> 'PROMO'
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+# --- Q21: suppliers who were the sole late shipper of multi-supplier orders ---
+
+
+def waiting_suppliers(sf_dir: str) -> pa.Table:
+    """Per supplier, the number of finished ('F') multi-supplier orders in
+    which THIS supplier shipped late (> 60 days after the order date) and
+    no other supplier did — TPC-H Q21's exists/not-exists pair, with the
+    late test on l_shipdate vs o_orderdate (the synthetic lineitem has no
+    commit/receipt dates).
+
+    Scale shape: one orderkey bucket join (lineitem pruned to 3 columns,
+    'F' orders to 2), then ONE orderkey-bucketed pass computes, per order,
+    the distinct-supplier count and the distinct LATE-supplier set
+    vectorized, emitting at most one (suppkey) row per order; the final
+    per-supplier count is a bucketed group-agg over those partials and a
+    bucket join to supplier names. Late = whole-day integer comparison."""
+    from ..bucket import bucketed_apply, bucketed_group_agg
+
+    def ord_proj(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["o_orderstatus"].astype(str).to_numpy() == "F"
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64)[keep],
+             "od": df["o_orderdate"].to_numpy()[keep]}
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    ords = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"]
+    ).map_batches(ord_proj, batch_format="pandas", batch_size=262144)
+    joined = _bucket_join(li, ords, "l_orderkey", "o_orderkey", 16)
+
+    def sole_late(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["l_orderkey"].to_numpy(dtype=np.int64)
+        sk = g["l_suppkey"].to_numpy(dtype=np.int64)
+        late = g["l_shipdate"].to_numpy() > g["od"].to_numpy() + np.timedelta64(60, "D")
+        d = pd.DataFrame({"ok": ok, "sk": sk}).drop_duplicates()
+        ns = d.groupby("ok")["sk"].size()
+        dl = pd.DataFrame({"ok": ok[late], "sk": sk[late]}).drop_duplicates()
+        nl = dl.groupby("ok")["sk"].agg(["size", "first"])
+        hit = nl[(nl["size"] == 1) & (ns.reindex(nl.index).to_numpy() >= 2)]
+        return pd.DataFrame({"s_suppkey": hit["first"].to_numpy(dtype=np.int64)})
+
+    # the aggregate side keeps its own key name (wk): _bucket_join tags
+    # sides by key name, so identical names on both sides would collapse
+    # them into one
+    hits = bucketed_apply(joined, ["l_orderkey"], sole_late).map_batches(
+        lambda df: df.groupby("s_suppkey", as_index=False)
+        .agg(numwait=("s_suppkey", "size"))
+        .rename(columns={"s_suppkey": "wk"}),
+        batch_format="pandas", batch_size=262144,
+    )
+    per_sup = bucketed_group_agg(
+        hits, ["wk"], dict(numwait=("numwait", "sum"))
+    )
+    named = _concat(
+        _bucket_join(
+            per_sup, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+            "wk", "s_suppkey", 16,
+        )
+    ).to_pandas()
+    named = named.sort_values(
+        ["numwait", "s_name"], ascending=[False, True], kind="mergesort"
+    )
+    return pa.table(
+        {"s_name": pa.array(named["s_name"].astype(str), pa.string()),
+         "numwait": pa.array(named["numwait"].to_numpy(dtype=np.int64), pa.int64())}
+    )
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS ns,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl,
+         max(CASE WHEN late THEN l_suppkey END) AS ls
+  FROM lo GROUP BY 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per JOIN supplier ON s_suppkey = ls
+WHERE ns >= 2 AND nl = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name
+"""
+
+
+# --- Q20: suppliers dominating a part's 1997 volume (nested aggregates) -------
+
+
+def dominant_part_suppliers(sf_dir: str) -> pa.Table:
+    """Per supplier, how many contested parts (>= 2 suppliers shipped it in
+    1997) they DOMINATED — shipped strictly more than half the part's 1997
+    quantity. TPC-H Q20's nested half-of-total-quantity correlation,
+    re-based on lineitem because the synthetic schema has no partsupp.
+
+    Scale shape: one partkey-bucketed pass computes per-(part, supplier)
+    integer quantity sums AND the per-part total/supplier-count in the same
+    vectorized groupby-transform, emitting only the dominating (suppkey)
+    rows; a bucketed per-supplier count and a supplier-name bucket join
+    finish it. The dominance test is all-integer (2*q > total)."""
+    from ..bucket import bucketed_apply, bucketed_group_agg
+
+    lo = np.datetime64("1997-01-01")
+    hi = np.datetime64("1998-01-01")
+
+    def li_proj(df: pd.DataFrame) -> pd.DataFrame:
+        ship = df["l_shipdate"].to_numpy()
+        keep = (ship >= lo) & (ship < hi)
+        return pd.DataFrame(
+            {"pk": df["l_partkey"].to_numpy(dtype=np.int64)[keep],
+             "sk": df["l_suppkey"].to_numpy(dtype=np.int64)[keep],
+             "q": np.round(df["l_quantity"].to_numpy()[keep]).astype(np.int64)}
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+    ).map_batches(li_proj, batch_format="pandas", batch_size=262144)
+
+    def dominate(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.groupby(["pk", "sk"], as_index=False)["q"].sum()
+        grp = ps.groupby("pk")["q"]
+        tq = grp.transform("sum").to_numpy(dtype=np.int64)
+        nsup = grp.transform("size").to_numpy(dtype=np.int64)
+        win = (ps["q"].to_numpy(dtype=np.int64) * 2 > tq) & (nsup >= 2)
+        return pd.DataFrame({"wk": ps["sk"].to_numpy(dtype=np.int64)[win]})
+
+    # distinct key name (wk) on the aggregate side: _bucket_join tags sides
+    # by key name, so identical names on both sides would collapse them
+    wins = bucketed_apply(li, ["pk"], dominate).map_batches(
+        lambda df: df.groupby("wk", as_index=False).agg(n_parts=("wk", "size")),
+        batch_format="pandas", batch_size=262144,
+    )
+    per_sup = bucketed_group_agg(wins, ["wk"], dict(n_parts=("n_parts", "sum")))
+    named = _concat(
+        _bucket_join(
+            per_sup, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+            "wk", "s_suppkey", 16,
+        )
+    ).to_pandas().sort_values("s_name", kind="mergesort")
+    return pa.table(
+        {"s_name": pa.array(named["s_name"].astype(str), pa.string()),
+         "n_parts": pa.array(named["n_parts"].to_numpy(dtype=np.int64), pa.int64())}
+    )
+
+
+DOMINANT_PART_SUPPLIERS_SQL = """
+WITH s AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+), t AS (
+  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tq,
+         CAST(count(*) AS BIGINT) AS nsup
+  FROM s GROUP BY 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS n_parts
+FROM s JOIN t USING (l_partkey) JOIN supplier ON s_suppkey = l_suppkey
+WHERE s.q * 2 > t.tq AND t.nsup >= 2
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Q2: cheapest supplier per part (grouped argmin with tie-break) -----------
+
+
+def min_cost_supplier(sf_dir: str, max_size: int = 15) -> pa.Table:
+    """For every part of size <= ``max_size`` that ever shipped, the
+    supplier offering the minimum observed unit price (extendedprice /
+    quantity over lineitem, the synthetic stand-in for partsupp's
+    supplycost), ties broken by the lower suppkey — TPC-H Q2's grouped
+    argmin shape.
+
+    Scale shape: the argmin runs inside ONE partkey-bucketed pass (all
+    rows of a part are co-located, per-(part, supplier) min then a sorted
+    drop_duplicates argmin, all vectorized); part-filter and supplier-name
+    attachment are bucket joins. Unit price is a single float64 division
+    then min — order-free, so bit-identical to the SQL oracle."""
+    from ..bucket import bucketed_apply
+
+    def li_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pk": df["l_partkey"].to_numpy(dtype=np.int64),
+             "sk": df["l_suppkey"].to_numpy(dtype=np.int64),
+             "u": df["l_extendedprice"].to_numpy() / df["l_quantity"].to_numpy()}
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
+    ).map_batches(li_proj, batch_format="pandas", batch_size=262144)
+
+    def argmin(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.groupby(["pk", "sk"], as_index=False)["u"].min()
+        best = ps.sort_values(["pk", "u", "sk"], kind="mergesort").drop_duplicates(
+            "pk", keep="first"
+        )
+        return pd.DataFrame(
+            {"pk": best["pk"].to_numpy(dtype=np.int64),
+             # distinct key name (wk): _bucket_join tags sides by key name
+             "wk": best["sk"].to_numpy(dtype=np.int64),
+             "unit_cost": best["u"].to_numpy(dtype=np.float64)}
+        )
+
+    best = bucketed_apply(li, ["pk"], argmin)
+    pf = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda df: df[df["p_size"].to_numpy(dtype=np.int64) <= max_size][
+            ["p_partkey", "p_brand"]
+        ],
+        batch_format="pandas",
+    )
+    withpart = _bucket_join(best, pf, "pk", "p_partkey", 16)
+    named = _concat(
+        _bucket_join(
+            withpart, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+            "wk", "s_suppkey", 16,
+        )
+    ).to_pandas().sort_values("p_partkey", kind="mergesort")
+    return pa.table(
+        {"p_partkey": pa.array(named["p_partkey"].to_numpy(dtype=np.int64), pa.int64()),
+         "p_brand": pa.array(named["p_brand"].astype(str), pa.string()),
+         "s_name": pa.array(named["s_name"].astype(str), pa.string()),
+         "unit_cost": pa.array(named["unit_cost"].to_numpy(dtype=np.float64),
+                               pa.float64())}
+    )
+
+
+MIN_COST_SUPPLIER_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS u
+  FROM lineitem GROUP BY 1, 2
+), best AS (
+  SELECT l_partkey, l_suppkey, u,
+         row_number() OVER (PARTITION BY l_partkey ORDER BY u, l_suppkey) AS rn
+  FROM cost
+)
+SELECT p.p_partkey, p.p_brand, s.s_name, b.u AS unit_cost
+FROM best b
+JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size <= 15
+JOIN supplier s ON s.s_suppkey = b.l_suppkey
+WHERE b.rn = 1
+ORDER BY p.p_partkey
+"""

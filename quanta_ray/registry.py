@@ -111,6 +111,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "rel_ship_speed_priority": relational.ship_speed_priority,
+        "rel_part_supplier_counts": relational.part_supplier_counts,
+        "rel_waiting_suppliers": relational.waiting_suppliers,
+        "rel_dominant_part_suppliers": relational.dominant_part_suppliers,
+        "rel_min_cost_supplier": relational.min_cost_supplier,
         "ev_value_percentile_rank": batch_cep.value_percentile_rank,
         "emb_knn_sq8": simsearch.knn_sq8,
         "doc_winnow_pairs": dedup.winnow_pairs,
@@ -313,6 +318,11 @@ def oracle_sql() -> dict[str, str]:
         "ev_user_first_last": batch_cep.USER_FIRST_LAST_SQL,
         "ev_dau_mau_stickiness": batch_cep.DAU_MAU_SQL,
         "ev_value_percentile_rank": batch_cep.VALUE_PERCENTILE_RANK_SQL,
+        "rel_ship_speed_priority": relational.SHIP_SPEED_PRIORITY_SQL,
+        "rel_part_supplier_counts": relational.PART_SUPPLIER_COUNTS_SQL,
+        "rel_waiting_suppliers": relational.WAITING_SUPPLIERS_SQL,
+        "rel_dominant_part_suppliers": relational.DOMINANT_PART_SUPPLIERS_SQL,
+        "rel_min_cost_supplier": relational.MIN_COST_SUPPLIER_SQL,
         "rel_order_price_quantiles": relational.ORDER_PRICE_QUANTILES_SQL,
         "ev_weekday_hour_profile": batch_cep.WEEKDAY_HOUR_SQL,
         "doc_ttr_by_lang": text.TTR_BY_LANG_SQL,

@@ -315,7 +315,7 @@ def _bucket_join(left: rd.Dataset, right: rd.Dataset, lkey: str, rkey: str, buck
     per-bucket pandas merge inside map_groups."""
     import pandas as pd
 
-    def tag(key: str):
+    def tag(key: str, side: int):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             # nullable Int64 so the union's schema alignment pads missing
             # columns with NA instead of upcasting int64 → float64 (which
@@ -327,13 +327,13 @@ def _bucket_join(left: rd.Dataset, right: rd.Dataset, lkey: str, rkey: str, buck
                 pd.util.hash_array(batch[key].to_numpy(dtype="int64")) % buckets,
                 dtype="Int64",
             )
-            batch["_side"] = pd.array([0 if key == lkey else 1] * len(batch), dtype="Int64")
+            batch["_side"] = pd.array([side] * len(batch), dtype="Int64")
             return batch
 
         return fn
 
-    lt = left.map_batches(tag(lkey), batch_format="pandas")
-    rt = right.map_batches(tag(rkey), batch_format="pandas")
+    lt = left.map_batches(tag(lkey, 0), batch_format="pandas")
+    rt = right.map_batches(tag(rkey, 1), batch_format="pandas")
     both = lt.union(rt)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -3385,6 +3385,22 @@ ORDER BY supplier_cnt DESC, p_brand, p_size
 """
 
 
+def _supplier_named_count(partials, sf_dir: str, count_col: str) -> pd.DataFrame:
+    """Shared tail for the per-supplier count queries (Q20/Q21 shapes): sum
+    per-batch (``wk`` = suppkey, count) partials in a suppkey-bucketed
+    reduce, attach supplier names with a bucket join, and return the tiny
+    (<= |supplier| rows) driver-side frame for the caller to sort."""
+    from ..bucket import bucketed_group_agg
+
+    per_sup = bucketed_group_agg(partials, ["wk"], {count_col: (count_col, "sum")})
+    return _concat(
+        _bucket_join(
+            per_sup, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+            "wk", "s_suppkey", 16,
+        )
+    ).to_pandas()
+
+
 # --- Q21: suppliers who were the sole late shipper of multi-supplier orders ---
 
 
@@ -3401,7 +3417,7 @@ def waiting_suppliers(sf_dir: str) -> pa.Table:
     vectorized, emitting at most one (suppkey) row per order; the final
     per-supplier count is a bucketed group-agg over those partials and a
     bucket join to supplier names. Late = whole-day integer comparison."""
-    from ..bucket import bucketed_apply, bucketed_group_agg
+    from ..bucket import bucketed_apply
 
     def ord_proj(df: pd.DataFrame) -> pd.DataFrame:
         keep = df["o_orderstatus"].astype(str).to_numpy() == "F"
@@ -3427,24 +3443,13 @@ def waiting_suppliers(sf_dir: str) -> pa.Table:
         hit = nl[(nl["size"] == 1) & (ns.reindex(nl.index).to_numpy() >= 2)]
         return pd.DataFrame({"s_suppkey": hit["first"].to_numpy(dtype=np.int64)})
 
-    # the aggregate side keeps its own key name (wk): _bucket_join tags
-    # sides by key name, so identical names on both sides would collapse
-    # them into one
     hits = bucketed_apply(joined, ["l_orderkey"], sole_late).map_batches(
         lambda df: df.groupby("s_suppkey", as_index=False)
         .agg(numwait=("s_suppkey", "size"))
         .rename(columns={"s_suppkey": "wk"}),
         batch_format="pandas", batch_size=262144,
     )
-    per_sup = bucketed_group_agg(
-        hits, ["wk"], dict(numwait=("numwait", "sum"))
-    )
-    named = _concat(
-        _bucket_join(
-            per_sup, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
-            "wk", "s_suppkey", 16,
-        )
-    ).to_pandas()
+    named = _supplier_named_count(hits, sf_dir, "numwait")
     named = named.sort_values(
         ["numwait", "s_name"], ascending=[False, True], kind="mergesort"
     )
@@ -3488,7 +3493,7 @@ def dominant_part_suppliers(sf_dir: str) -> pa.Table:
     vectorized groupby-transform, emitting only the dominating (suppkey)
     rows; a bucketed per-supplier count and a supplier-name bucket join
     finish it. The dominance test is all-integer (2*q > total)."""
-    from ..bucket import bucketed_apply, bucketed_group_agg
+    from ..bucket import bucketed_apply
 
     lo = np.datetime64("1997-01-01")
     hi = np.datetime64("1998-01-01")
@@ -3514,19 +3519,13 @@ def dominant_part_suppliers(sf_dir: str) -> pa.Table:
         win = (ps["q"].to_numpy(dtype=np.int64) * 2 > tq) & (nsup >= 2)
         return pd.DataFrame({"wk": ps["sk"].to_numpy(dtype=np.int64)[win]})
 
-    # distinct key name (wk) on the aggregate side: _bucket_join tags sides
-    # by key name, so identical names on both sides would collapse them
     wins = bucketed_apply(li, ["pk"], dominate).map_batches(
         lambda df: df.groupby("wk", as_index=False).agg(n_parts=("wk", "size")),
         batch_format="pandas", batch_size=262144,
     )
-    per_sup = bucketed_group_agg(wins, ["wk"], dict(n_parts=("n_parts", "sum")))
-    named = _concat(
-        _bucket_join(
-            per_sup, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
-            "wk", "s_suppkey", 16,
-        )
-    ).to_pandas().sort_values("s_name", kind="mergesort")
+    named = _supplier_named_count(wins, sf_dir, "n_parts").sort_values(
+        "s_name", kind="mergesort"
+    )
     return pa.table(
         {"s_name": pa.array(named["s_name"].astype(str), pa.string()),
          "n_parts": pa.array(named["n_parts"].to_numpy(dtype=np.int64), pa.int64())}
@@ -3565,11 +3564,25 @@ def min_cost_supplier(sf_dir: str, max_size: int = 15) -> pa.Table:
     Scale shape: the argmin runs inside ONE partkey-bucketed pass (all
     rows of a part are co-located, per-(part, supplier) min then a sorted
     drop_duplicates argmin, all vectorized); part-filter and supplier-name
-    attachment are bucket joins. Unit price is a single float64 division
+    attachment are bucket joins. While the part dimension fits the
+    broadcast limit, the qualifying (size <= max) key set is shipped once
+    via ``ray.put`` and prunes the fact projection MAP-SIDE — with uniform
+    sizes 1..50 and max_size=15 that keeps ~70 % of lineitem out of the
+    partkey shuffle; past the limit the unpruned shuffle + filter join is
+    the bit-identical fallback. Unit price is a single float64 division
     then min — order-free, so bit-identical to the SQL oracle."""
     from ..bucket import bucketed_apply
 
+    prune_ref = None
+    if _read(sf_dir, "part", ["p_partkey"]).count() <= _broadcast_limit():
+        pdim = _read(sf_dir, "part", ["p_partkey", "p_size"]).to_pandas()
+        prune_ref = ray.put(
+            frozenset(pdim.loc[pdim["p_size"] <= max_size, "p_partkey"].astype(int))
+        )
+
     def li_proj(df: pd.DataFrame) -> pd.DataFrame:
+        if prune_ref is not None:
+            df = df[df["l_partkey"].isin(_cached_get(prune_ref))]
         return pd.DataFrame(
             {"pk": df["l_partkey"].to_numpy(dtype=np.int64),
              "sk": df["l_suppkey"].to_numpy(dtype=np.int64),
@@ -3587,7 +3600,6 @@ def min_cost_supplier(sf_dir: str, max_size: int = 15) -> pa.Table:
         )
         return pd.DataFrame(
             {"pk": best["pk"].to_numpy(dtype=np.int64),
-             # distinct key name (wk): _bucket_join tags sides by key name
              "wk": best["sk"].to_numpy(dtype=np.int64),
              "unit_cost": best["u"].to_numpy(dtype=np.float64)}
         )

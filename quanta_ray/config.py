@@ -99,6 +99,15 @@ class CEPConfig:
     # see both roles emit nothing (final_flush emits the rest at close).
     # O(1) integers per seen conversation of worker state. False disables.
     resp_latency: bool = False
+    # RUN-LENGTH QUANTIFIER stream (CEP times(K,) / MATCH_RECOGNIZE A{K,}):
+    # emit every MAXIMAL run of >= run_min_len consecutive same-role turns
+    # of a conversation (final (ts, turn_idx) order) — the runaway
+    # same-role-loop detector. A run is final (and emitted, once) when a
+    # different-role turn follows it strictly below the watermark (nothing
+    # can insert under wm), or at final flush for still-open runs. Worker
+    # state is O(convs + rows above wm): the finalized prefix compacts to
+    # one (role, len, start, end) tail summary per conversation. 0 disables.
+    run_min_len: int = 0
 
     def __post_init__(self) -> None:
         # JSON specs deliver lists; normalize so configs hash/compare stably
@@ -124,6 +133,8 @@ class CEPConfig:
             )
         if self.topk_k < 0:
             raise ValueError(f"topk_k must be >= 0, got {self.topk_k}")
+        if self.run_min_len < 0:
+            raise ValueError(f"run_min_len must be >= 0, got {self.run_min_len}")
         if self.sliding_size_us % self.sliding_slide_us != 0:
             raise ValueError(
                 "sliding_size_us must be a multiple of sliding_slide_us "

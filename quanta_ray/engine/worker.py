@@ -58,6 +58,7 @@ from ..schema import (
     JOIN_SCHEMA,
     PATTERN_SCHEMA,
     RESPLAT_SCHEMA,
+    RUNS_SCHEMA,
     SESSION_SCHEMA,
     WINDOW_AGG_SCHEMA,
 )
@@ -732,6 +733,176 @@ class _RespLatState:
         return st
 
 
+_RUN_PENDING = ("code", "ts", "turn", "role")
+_RUN_TAILS = ("t_role", "t_len", "t_s_ts", "t_s_turn", "t_e_ts", "t_e_turn")
+
+
+class _RunState:
+    """CEP run-length quantifier (Flink CEP ``times(K,)`` / MATCH_RECOGNIZE
+    ``A{K,}`` family): emit every MAXIMAL run of >= ``min_len`` consecutive
+    same-role turns of a conversation (final (ts, turn_idx) order) — the
+    'runaway same-role loop' detector.
+
+    Finality: all rows with ``ts < wm`` are in final order (a late row is
+    ``ts < wm`` and is dropped at the source, so nothing can ever insert
+    below the watermark). A run is therefore maximal — and emitted, once —
+    when a DIFFERENT-role row follows it within the final region; the last
+    (unbroken) run of each conv compacts to an O(1) per-conv tail summary
+    (role, length, start, end) that future rows extend or break. State is
+    O(convs + rows above wm), never O(stream): each pop lexsorts the
+    pending arrays once, folds the sub-wm prefix into tails, and keeps only
+    the at-or-above-wm suffix. At final flush (wm = +inf) the surviving
+    tails themselves are emitted.
+
+    Equal-(ts, turn) duplicates (byte-identical fan-out copies) extend the
+    run they sit in, matching the oracle's row semantics; distinct roles on
+    an equal (ts, turn) key sort by lexicographic role rank (the
+    _PatternState convention), which keeps engine and oracle byte-equal."""
+
+    __slots__ = (*_RUN_PENDING, *_RUN_TAILS, "role_code", "role_names")
+
+    def __init__(self) -> None:
+        for f in _RUN_PENDING:
+            setattr(self, f, np.empty(0, np.int64))
+        for f in _RUN_TAILS:
+            setattr(self, f, np.empty(0, np.int64))
+        self.role_code: dict = {}
+        self.role_names: list = []
+
+    def _grow_tails(self, n_codes: int) -> None:
+        if n_codes <= len(self.t_role):
+            return
+        for f in _RUN_TAILS:
+            old = getattr(self, f)
+            grown = np.full(n_codes, -1, np.int64) if f == "t_role" else np.zeros(
+                n_codes, np.int64
+            )
+            grown[: len(old)] = old
+            setattr(self, f, grown)
+
+    def add(self, code: np.ndarray, ts: np.ndarray, turn: np.ndarray, role: np.ndarray) -> None:
+        rc_local, uniq = pd.factorize(np.asarray(role, dtype=object))
+        lut = np.empty(len(uniq), np.int64)
+        for i, u in enumerate(uniq):
+            c = self.role_code.get(u)
+            if c is None:
+                c = len(self.role_names)
+                self.role_code[u] = c
+                self.role_names.append(u)
+            lut[i] = c
+        self.code = np.concatenate([self.code, code])
+        self.ts = np.concatenate([self.ts, ts])
+        self.turn = np.concatenate([self.turn, turn.astype(np.int64)])
+        self.role = np.concatenate([self.role, lut[rc_local]])
+
+    def pop_runs(self, min_len: int, wm: int, n_codes: int) -> tuple | None:
+        """Fold the finalized (< wm) pending prefix into per-conv tails and
+        return the newly-maximal runs with length >= min_len as arrays
+        (code, role_code, length, start_ts, start_turn, end_ts, end_turn),
+        or None. ``wm >= POS_INF`` (final flush) also drains the tails."""
+        self._grow_tails(n_codes)
+        final = wm >= POS_INF
+        out: list[tuple] = []
+        n = len(self.code)
+        if n:
+            rank = np.empty(len(self.role_names), np.int64)
+            rank[np.argsort(np.asarray(self.role_names, dtype=object))] = np.arange(
+                len(self.role_names)
+            )
+            order = np.lexsort((rank[self.role], self.turn, self.ts, self.code))
+            code, ts = self.code[order], self.ts[order]
+            turn, role = self.turn[order], self.role[order]
+            fin = ts < wm
+            if fin.any():
+                keep = ~fin
+                cf, tsf = code[fin], ts[fin]
+                tnf, rlf = turn[fin], role[fin]
+                self.code, self.ts = code[keep], ts[keep]
+                self.turn, self.role = turn[keep], role[keep]
+                m = len(cf)
+                first = np.concatenate(([True], cf[1:] != cf[:-1]))
+                brk = first | np.concatenate(([True], rlf[1:] != rlf[:-1]))
+                starts = np.flatnonzero(brk)
+                counts = np.diff(np.append(starts, m)).astype(np.int64)
+                ends = starts + counts - 1
+                r_code, r_role = cf[starts], rlf[starts]
+                is_first = first[starts]
+                is_last = np.append(r_code[1:] != r_code[:-1], True)
+                # merge each conv's first run with its stored tail (same
+                # role: lengths add, start comes from the tail); a
+                # different-role first row BREAKS the tail -> emit it now,
+                # before the conv's last run overwrites the slot
+                tr = self.t_role[r_code]
+                merged = is_first & (tr == r_role)
+                broken_tail = is_first & (tr != -1) & ~merged
+                if broken_tail.any():
+                    bc = r_code[broken_tail]
+                    ok = self.t_len[bc] >= min_len
+                    if ok.any():
+                        sel = bc[ok]
+                        out.append(
+                            (sel, self.t_role[sel], self.t_len[sel],
+                             self.t_s_ts[sel], self.t_s_turn[sel],
+                             self.t_e_ts[sel], self.t_e_turn[sel])
+                        )
+                r_len = counts.copy()
+                r_s_ts, r_s_turn = tsf[starts].copy(), tnf[starts].copy()
+                if merged.any():
+                    mc = r_code[merged]
+                    r_len[merged] += self.t_len[mc]
+                    r_s_ts[merged] = self.t_s_ts[mc]
+                    r_s_turn[merged] = self.t_s_turn[mc]
+                # runs broken WITHIN the final region are maximal: emit
+                emit = ~is_last & (r_len >= min_len)
+                if emit.any():
+                    out.append(
+                        (r_code[emit], r_role[emit], r_len[emit],
+                         r_s_ts[emit], r_s_turn[emit],
+                         tsf[ends[emit]], tnf[ends[emit]])
+                    )
+                # each conv's last run becomes (or replaces) its tail
+                lc = r_code[is_last]
+                self.t_role[lc] = r_role[is_last]
+                self.t_len[lc] = r_len[is_last]
+                self.t_s_ts[lc] = r_s_ts[is_last]
+                self.t_s_turn[lc] = r_s_turn[is_last]
+                self.t_e_ts[lc] = tsf[ends[is_last]]
+                self.t_e_turn[lc] = tnf[ends[is_last]]
+            else:
+                self.code, self.ts = code, ts
+                self.turn, self.role = turn, role
+        if final and len(self.t_role):
+            live = np.flatnonzero((self.t_role != -1) & (self.t_len >= min_len))
+            if len(live):
+                out.append(
+                    (live, self.t_role[live], self.t_len[live],
+                     self.t_s_ts[live], self.t_s_turn[live],
+                     self.t_e_ts[live], self.t_e_turn[live])
+                )
+            self.t_role[:] = -1
+        if not out:
+            return None
+        return tuple(np.concatenate([p[i] for p in out]) for i in range(7))
+
+    def to_payload(self) -> tuple:
+        return (
+            *(getattr(self, f) for f in _RUN_PENDING),
+            *(getattr(self, f) for f in _RUN_TAILS),
+            list(self.role_names),
+        )
+
+    @classmethod
+    def from_payload(cls, p: tuple) -> "_RunState":
+        st = cls()
+        fields = (*_RUN_PENDING, *_RUN_TAILS)
+        for f, arr in zip(fields, p):
+            # copy: payloads via the object store are read-only; mutated in place
+            setattr(st, f, np.array(arr))
+        st.role_names = list(p[len(fields)])
+        st.role_code = {r: i for i, r in enumerate(st.role_names)}
+        return st
+
+
 def _window_partials(
     codes: np.ndarray,
     w: np.ndarray,
@@ -811,6 +982,7 @@ class PartitionWorkerImpl:
         self.pat = _PatternState()
         self.cwin = _CountWindowState()
         self.resplat = _RespLatState()
+        self.runs = _RunState()
         # session ids are per-conv monotonic FOREVER (oracle semantics):
         # per-code counter indexed by the interning code
         self.sess_counter = np.zeros(0, dtype=np.int64)
@@ -837,6 +1009,7 @@ class PartitionWorkerImpl:
             "pat": self.pat.to_payload(),
             "cwin": self.cwin.to_payload(),
             "resplat": self.resplat.to_payload(),
+            "runs": self.runs.to_payload(),
         }
 
     def load_state_payload(self, payload: dict) -> None:
@@ -855,6 +1028,8 @@ class PartitionWorkerImpl:
             self.cwin = _CountWindowState.from_payload(payload["cwin"])
         if "resplat" in payload:
             self.resplat = _RespLatState.from_payload(payload["resplat"])
+        if "runs" in payload:
+            self.runs = _RunState.from_payload(payload["runs"])
         # copy: payloads arriving via the object store (migration) are
         # zero-copy READ-ONLY, and the counter is mutated in place
         self.sess_counter = np.array(payload["sess_counter"], dtype=np.int64)
@@ -920,6 +1095,7 @@ class PartitionWorkerImpl:
         pat_table = self._pop_patterns_table(self.wm)
         cw_table = self._pop_count_windows_table(self.wm)
         rl_table = self._pop_resplat_table(self.wm) if self.cfg.resp_latency else None
+        run_table = self._pop_runs_table(self.wm) if self.cfg.run_min_len else None
         t_emit = _time.perf_counter()
 
         n_emitted = {
@@ -929,6 +1105,7 @@ class PartitionWorkerImpl:
             "patterns": pat_table.num_rows if pat_table is not None else 0,
             "count_windows": cw_table.num_rows if cw_table is not None else 0,
             "resplat": rl_table.num_rows if rl_table is not None else 0,
+            "runs": run_table.num_rows if run_table is not None else 0,
             "joins": len(out["joins"]),
         }
         # totals accumulate on replay too, so a resumed run's checkpointed
@@ -1024,6 +1201,7 @@ class PartitionWorkerImpl:
             ("patterns", pat_table),
             ("count_windows", cw_table),
             ("resplat", rl_table),
+            ("runs", run_table),
         ):
             if t is not None and t.num_rows:
                 tables.append((stream, self.partition, t))
@@ -1171,6 +1349,10 @@ class PartitionWorkerImpl:
         # ---- first-response latency: fold per-role first-turn minima ----
         if cfg.resp_latency:
             self.resplat.add(pcodes, ts, is_user, is_assistant, len(cn))
+
+        # ---- run-length quantifier: append; compacted at emission time ----
+        if cfg.run_min_len:
+            self.runs.add(pcodes, ts, turn, role)
 
         # ---- count windows: append; folded at emission time ----
         if cfg.count_window_size:
@@ -1362,6 +1544,37 @@ class PartitionWorkerImpl:
             schema=RESPLAT_SCHEMA,
         )
         return tbl.take(pc.sort_indices(tbl, sort_keys=[("conv_id", "ascending")]))
+
+    def _pop_runs_table(self, wm: int) -> pa.Table | None:
+        """Emit newly-maximal same-role runs (length >= cfg.run_min_len) as
+        a sorted Arrow table."""
+        popped = self.runs.pop_runs(self.cfg.run_min_len, wm, len(self.conv_names))
+        if popped is None:
+            return None
+        import pyarrow.compute as pc
+
+        code, role, rlen, s_ts, s_turn, e_ts, e_turn = popped
+        names = np.array(self.conv_names, dtype=object)[code]
+        roles = np.array(self.runs.role_names, dtype=object)[role]
+        us = pa.timestamp("us")
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(names, type=pa.string()),
+                pa.array(roles, type=pa.string()),
+                pa.array(rlen, type=pa.int64()),
+                pa.array(s_ts, type=pa.int64()).cast(us),
+                pa.array(e_ts, type=pa.int64()).cast(us),
+                pa.array(s_turn, type=pa.int64()),
+                pa.array(e_turn, type=pa.int64()),
+            ],
+            schema=RUNS_SCHEMA,
+        )
+        idx = pc.sort_indices(
+            tbl,
+            sort_keys=[("conv_id", "ascending"), ("start_ts", "ascending"),
+                       ("start_turn_idx", "ascending")],
+        )
+        return tbl.take(idx)
 
     def _pop_sessions_table(self, gap: int, wm: int) -> pa.Table | None:
         """Emit all closed sessions as a sorted Arrow table; per-conv session

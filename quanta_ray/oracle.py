@@ -71,6 +71,7 @@ from .schema import (
     JOIN_SCHEMA,
     PATTERN_SCHEMA,
     RESPLAT_SCHEMA,
+    RUNS_SCHEMA,
     SESSION_SCHEMA,
     WINDOW_AGG_SCHEMA,
 )
@@ -486,6 +487,39 @@ def run_oracle(
                         }
                     )
 
+    # run-length quantifier: maximal same-role runs over each conv's final
+    # (ts, turn_idx, role)-sorted sequence (lexicographic role tie-break —
+    # the engine's _PatternState/_RunState convention) with length >=
+    # run_min_len. A run is emitted iff a different-role row follows it
+    # strictly below the final watermark (nothing can ever insert under
+    # wm), or unconditionally at final flush, which also drains the
+    # still-open last runs.
+    runs: list[dict] = []
+    if cfg.run_min_len > 0:
+        final_wm = (1 << 62) if cfg.final_flush else st.wm
+        for conv, rows in st.buf.items():
+            seq = sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+            i, n = 0, len(seq)
+            while i < n:
+                j = i
+                while j + 1 < n and seq[j + 1][2] == seq[i][2]:
+                    j += 1
+                broken_final = j + 1 < n and seq[j + 1][0] < final_wm
+                at_flush = j + 1 == n and cfg.final_flush
+                if j - i + 1 >= cfg.run_min_len and (broken_final or at_flush):
+                    runs.append(
+                        {
+                            "conv_id": conv,
+                            "role": seq[i][2],
+                            "run_len": j - i + 1,
+                            "start_ts": seq[i][0],
+                            "end_ts": seq[j][0],
+                            "start_turn_idx": seq[i][1],
+                            "end_turn_idx": seq[j][1],
+                        }
+                    )
+                i = j + 1
+
     from .schema import ALERT_SCHEMA, CONVHIST_SCHEMA, SESSQUANT_SCHEMA, TOPK_SCHEMA
 
     return {
@@ -494,6 +528,7 @@ def run_oracle(
         "topk": _to_table(topk, TOPK_SCHEMA, ["w_start", "rank"]),
         "convhist": _to_table(convhist, CONVHIST_SCHEMA, ["w_start", "bucket"]),
         "resplat": _to_table(resplat, RESPLAT_SCHEMA, ["conv_id"]),
+        "runs": _to_table(runs, RUNS_SCHEMA, ["conv_id", "start_ts", "start_turn_idx"]),
         "sessquant": _to_table(sessquant, SESSQUANT_SCHEMA, ["epoch", "q"]),
         "tumbling": _to_table(st.tumbling, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),
         "sliding": _to_table(st.sliding, WINDOW_AGG_SCHEMA, ["conv_id", "w_start"]),

@@ -173,6 +173,18 @@ RESPLAT_SCHEMA = pa.schema(
     ]
 )
 
+RUNS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("role", pa.string()),
+        ("run_len", pa.int64()),
+        ("start_ts", pa.timestamp("us")),
+        ("end_ts", pa.timestamp("us")),
+        ("start_turn_idx", pa.int64()),
+        ("end_turn_idx", pa.int64()),
+    ]
+)
+
 
 def from_pandas(df) -> pa.Table:
     """``pa.Table.from_pandas`` minus the auto-attached pandas schema

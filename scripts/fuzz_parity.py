@@ -59,6 +59,7 @@ SORT_KEYS = {
     "sessquant": ["epoch", "q"],
     "convhist": ["w_start", "bucket"],
     "resplat": ["conv_id"],
+    "runs": ["conv_id", "start_ts", "start_turn_idx"],
 }
 
 
@@ -114,6 +115,7 @@ def main() -> int:
             sess_hist_bin_us=int(rng.choice([30, 120])) * US,
             conv_hist=bool(rng.integers(0, 2)),
             resp_latency=bool(rng.integers(0, 2)),
+            run_min_len=int(rng.choice([0, 2, 3])),
         )
         d = tempfile.mkdtemp(dir="/tmp", prefix="fuzz-")
         try:

@@ -26,6 +26,7 @@ SORT_KEYS = {
     "topk": ["w_start", "rank"],
     "sessquant": ["epoch", "q"],
     "resplat": ["conv_id"],
+    "runs": ["conv_id", "start_ts", "start_turn_idx"],
 }
 
 
@@ -92,6 +93,7 @@ def test_random_stream_matches_oracle(
         topk_k=topk_k,
         sess_quantiles=sessq,
         resp_latency=True,
+        run_min_len=2,
     )
     d = tmp_path_factory.mktemp("prop")
     table = generate_transcripts(params)

@@ -45,6 +45,7 @@ SORT_KEYS = {
     "sessquant": ["epoch", "q"],
     "convhist": ["w_start", "bucket"],
     "resplat": ["conv_id"],
+    "runs": ["conv_id", "start_ts", "start_turn_idx"],
 }
 
 
@@ -56,7 +57,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
     cfg = CEPConfig(num_partitions=4, count_window_size=5, alert_ratio=0.5,
                     alert_scopes=("all", "user", "assistant", "tool"),
                     topk_k=3, sess_quantiles=(0.5, 0.95), conv_hist=True,
-                    resp_latency=True)
+                    resp_latency=True, run_min_len=2)
     spec = PipelineSpec(
         source=SourceSpec(paths=tuple(files)),
         transformers=(StageSpec(name="normalize"),),
@@ -77,7 +78,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
 
 @pytest.mark.parametrize(
     "stream",
-    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts", "sessquant", "convhist", "resplat"],
+    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts", "sessquant", "convhist", "resplat", "runs"],
 )
 def test_stream_matches_oracle(engine_and_oracle, stream):
     out_dir, oracle = engine_and_oracle
@@ -139,6 +140,78 @@ def test_topk_planted_winner_and_tie(ray_session, tmp_path):
     assert list(t["n_turns"]) == [5, 3]
 
 
+def test_runs_stream_nonempty(engine_and_oracle):
+    """runs parity isn't vacuous: the fixture produces >= 1 maximal
+    same-role run of length >= 2, and every row respects the min-length."""
+    _out_dir, oracle = engine_and_oracle
+    t = oracle["runs"]
+    assert t.num_rows > 0
+    assert min(t.column("run_len").to_pylist()) >= 2
+
+
+def test_runs_planted_merge_break_flush(ray_session, tmp_path):
+    """Ground-truth pin for the run-length quantifier: a user run that
+    straddles epochs merges through the compacted tail (len 4), the
+    trailing assistant run emits at final flush (len 2), a tail broken by
+    a different-role row in a later epoch emits exactly once, alternating
+    roles emit nothing, and sub-threshold runs are suppressed."""
+    import pandas as pd
+
+    from quanta_ray.engine import run_pipeline
+    from quanta_ray.sinks.exactly_once import read_committed
+
+    S = 1_000_000  # 1 s in µs
+
+    def mk(rows):
+        df = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        df["ts"] = pd.to_datetime(df["ts"], unit="us").astype("datetime64[us]")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    e0 = [
+        ("x", 0, "user", "x0", "", 0 * S),
+        ("x", 1, "user", "x1", "", 10 * S),
+        ("z", 0, "assistant", "z0", "", 5 * S),
+        ("z", 1, "assistant", "z1", "", 6 * S),
+        ("y", 0, "user", "y0", "", 3 * S),
+    ]
+    e1 = [
+        ("x", 2, "user", "x2", "", 7200 * S),
+        ("x", 3, "user", "x3", "", 7210 * S),
+        ("x", 4, "assistant", "x4", "", 7220 * S),
+        ("x", 5, "assistant", "x5", "", 7230 * S),
+        ("z", 2, "user", "z2", "", 7200 * S),
+        ("y", 1, "assistant", "y1", "", 7201 * S),
+        ("y", 2, "user", "y2", "", 7202 * S),
+    ]
+    f0, f1 = str(tmp_path / "epoch-00000.parquet"), str(tmp_path / "epoch-00001.parquet")
+    pq.write_table(mk(e0), f0)
+    pq.write_table(mk(e1), f1)
+
+    spec = PipelineSpec(
+        source=SourceSpec(paths=(f0, f1)),
+        transformers=(StageSpec(name="normalize"),),
+        sink=SinkSpec(),
+        cep=CEPConfig(num_partitions=2, run_min_len=2,
+                      allowed_lateness_us=3600 * S),
+    )
+    out = str(tmp_path / "out")
+    assert run_pipeline(spec, out)["status"] == "complete"
+    t = read_committed(out, "runs").to_pandas().sort_values(
+        ["conv_id", "start_turn_idx"]
+    )
+    got = list(
+        zip(t["conv_id"], t["role"], t["run_len"],
+            t["start_turn_idx"], t["end_turn_idx"])
+    )
+    assert got == [
+        ("x", "user", 4, 0, 3),       # straddles epochs: tail-merge path
+        ("x", "assistant", 2, 4, 5),  # unbroken at close: final-flush drain
+        ("z", "assistant", 2, 0, 1),  # tail broken by a later-epoch user row
+    ]
+
+
 def test_late_rows_were_dropped(engine_and_oracle):
     out_dir, oracle = engine_and_oracle
     assert oracle["metrics"]["n_late_dropped"] > 0, "fixture should contain late rows"
@@ -195,7 +268,7 @@ def test_migration_parity_under_skew(ray_session, tmp_path_factory):
     d = tmp_path_factory.mktemp("stream_skewed")
     params = TranscriptParams(n_convs=40, seed=7, zipf_a=1.2, n_epochs=6)
     files = make_stream(str(d), params)
-    cfg = CEPConfig(num_partitions=4)
+    cfg = CEPConfig(num_partitions=4, run_min_len=2)
     spec = PipelineSpec(
         source=SourceSpec(paths=tuple(files)),
         transformers=(StageSpec(name="normalize"),),
@@ -223,7 +296,7 @@ def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
     files, _ = small_stream
     cfg = CEPConfig(num_partitions=3, count_window_size=4, alert_ratio=0.5,
                     topk_k=3, sess_quantiles=(0.5, 0.9), conv_hist=True,
-                    resp_latency=True)
+                    resp_latency=True, run_min_len=2)
     # checkpoint_every=2 exercises the restore-then-replay resume path
     # (crash after epoch 2 → state restored from epoch 1, epoch 2 replayed)
     spec = PipelineSpec(

@@ -3643,3 +3643,140 @@ JOIN supplier s ON s.s_suppkey = b.l_suppkey
 WHERE b.rn = 1
 ORDER BY p.p_partkey
 """
+
+
+# --- Q6: forecasting revenue change (pure filtered aggregate) -----------------
+
+
+def forecast_revenue(sf_dir: str) -> pa.Table:
+    """Revenue that would be recovered by dropping the 5-7 % discount band
+    on small (< 24 qty) 1997 shipments: ``sum(extendedprice * discount)``
+    under three conjunctive predicates — TPC-H Q6, the pure
+    filtered-aggregate shape with no join at all.
+
+    Scale shape: every predicate is pushed INTO the parquet scan
+    (row-group statistics prune whole groups; only 4 columns are read and
+    2 leave the scan), the product is summed per batch in exact integer
+    cent*cent units (order-free), and only one (sum, count) pair per batch
+    reaches the driver. A 100-TB lineitem reads the 1997 row groups only."""
+    import pyarrow.dataset as pads
+
+    lo = np.datetime64("1997-01-01")
+    f = (
+        (pads.field("l_shipdate") >= pads.scalar(pd.Timestamp("1997-01-01")))
+        & (pads.field("l_shipdate") < pads.scalar(pd.Timestamp("1998-01-01")))
+        & (pads.field("l_quantity") < pads.scalar(24.0))
+    )
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_shipdate", "l_quantity"],
+        filter=f,
+    ).select_columns(["l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d_c = np.round(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        keep = (d_c >= 5) & (d_c <= 7)
+        ep_c = np.round(
+            t.column("l_extendedprice").to_numpy()[keep] * 100
+        ).astype(np.int64)
+        # cent*cent units: exact int64 (ep < 10^6 cents, d <= 10 -> < 10^7
+        # per row; 2^63 allows ~10^12 such rows per partial)
+        return pd.DataFrame(
+            {"s": [int((ep_c * d_c[keep]).sum())], "n": [int(keep.sum())]}
+        )
+
+    sc = _concat(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+    ).to_pandas()
+    return pa.table(
+        {"revenue": pa.array([sc["s"].sum() / 1e4], pa.float64()),
+         "n_items": pa.array([int(sc["n"].sum())], pa.int64())}
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 1e4
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_quantity < 24
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+"""
+
+
+# --- Q4: order-priority checking (EXISTS semi-join, distinct orders) ----------
+
+
+def late_order_priority(sf_dir: str) -> pa.Table:
+    """Per order priority, how many Q1-1997 orders had AT LEAST ONE
+    lineitem shipped more than 45 days after the order date — TPC-H Q4's
+    EXISTS-semi-join + distinct-order count (late = shipdate vs orderdate;
+    the synthetic lineitem has no commit/receipt dates).
+
+    Scale shape: orders are pruned to the quarter AT THE SCAN (row-group
+    statistics), lineitem leaves the scan as 2 columns; after ONE orderkey
+    bucket join the per-order EXISTS collapses map-side to (order,
+    priority, any-late) partials, exact in a second orderkey-bucketed max,
+    and the final per-priority count moves <= 5 rows per task. Late is a
+    whole-day integer comparison on both engines."""
+    import pyarrow.dataset as pads
+
+    from ..bucket import bucketed_group_agg
+
+    f = (
+        (pads.field("o_orderdate") >= pads.scalar(pd.Timestamp("1997-01-01")))
+        & (pads.field("o_orderdate") < pads.scalar(pd.Timestamp("1997-04-01")))
+    )
+    ords = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=f,
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    joined = _bucket_join(li, ords, "l_orderkey", "o_orderkey", 16)
+
+    def exists_partial(df: pd.DataFrame) -> pd.DataFrame:
+        late = (
+            df["l_shipdate"].to_numpy()
+            > df["o_orderdate"].to_numpy() + np.timedelta64(45, "D")
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
+             "o_orderpriority": df["o_orderpriority"].astype(str),
+             "late": late}
+        ).groupby(["o_orderkey", "o_orderpriority"], as_index=False).agg(
+            late=("late", "max")
+        )
+        return g
+
+    per_order = bucketed_group_agg(
+        joined.map_batches(exists_partial, batch_format="pandas", batch_size=262144),
+        ["o_orderkey", "o_orderpriority"],
+        dict(late=("late", "max")),
+    )
+    counts = per_order.map_batches(
+        lambda df: df[df["late"] > 0]
+        .groupby("o_orderpriority", as_index=False)
+        .agg(n_orders=("o_orderpriority", "size")),
+        batch_format="pandas", batch_size=262144,
+    )
+    out = _concat(
+        bucketed_group_agg(counts, ["o_orderpriority"], dict(n_orders=("n_orders", "sum")))
+    ).to_pandas().sort_values("o_orderpriority", kind="mergesort")
+    return pa.table(
+        {"o_orderpriority": pa.array(out["o_orderpriority"].astype(str), pa.string()),
+         "n_orders": pa.array(out["n_orders"].to_numpy(dtype=np.int64), pa.int64())}
+    )
+
+
+LATE_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+GROUP BY 1 ORDER BY 1
+"""

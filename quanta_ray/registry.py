@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "rel_forecast_revenue": relational.forecast_revenue,
+        "rel_late_order_priority": relational.late_order_priority,
         "rel_ship_speed_priority": relational.ship_speed_priority,
         "rel_part_supplier_counts": relational.part_supplier_counts,
         "rel_waiting_suppliers": relational.waiting_suppliers,
@@ -319,6 +321,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_user_first_last": batch_cep.USER_FIRST_LAST_SQL,
         "ev_dau_mau_stickiness": batch_cep.DAU_MAU_SQL,
         "ev_value_percentile_rank": batch_cep.VALUE_PERCENTILE_RANK_SQL,
+        "rel_forecast_revenue": relational.FORECAST_REVENUE_SQL,
+        "rel_late_order_priority": relational.LATE_ORDER_PRIORITY_SQL,
         "rel_ship_speed_priority": relational.SHIP_SPEED_PRIORITY_SQL,
         "rel_part_supplier_counts": relational.PART_SUPPLIER_COUNTS_SQL,
         "rel_waiting_suppliers": relational.WAITING_SUPPLIERS_SQL,

@@ -107,6 +107,14 @@ BENCH_QUERIES = [
     "doc_minhash_containment",
     "ev_value_percentile_rank",
     "emb_knn_sq8",
+    # round-4 third continuation session
+    "rel_ship_speed_priority",
+    "rel_part_supplier_counts",
+    "rel_waiting_suppliers",
+    "rel_dominant_part_suppliers",
+    "rel_min_cost_supplier",
+    "rel_forecast_revenue",
+    "rel_late_order_priority",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)
@@ -166,7 +174,7 @@ def run_headline(num_cpus: int) -> dict:
     # every recorded round, so BENCH_r* are comparable. The optional
     # second-level reduce streams (count windows, alerts, top-k, session
     # quantiles, conv histogram) are deliberately NOT in the headline:
-    # QUANTA_BENCH_ALL_STREAMS=1 enables all twelve for the separately
+    # QUANTA_BENCH_ALL_STREAMS=1 enables all thirteen for the separately
     # recorded cost measurement (~3% busy, BASELINE.md) and for scaling
     # experiments on the full surface.
     if os.environ.get("QUANTA_BENCH_ALL_STREAMS"):
@@ -179,6 +187,7 @@ def run_headline(num_cpus: int) -> dict:
             sess_quantiles=(0.5, 0.95),
             conv_hist=True,
             resp_latency=True,
+            run_min_len=3,
         )
     else:
         cfg = CEPConfig(num_partitions=BENCH_PARTITIONS)

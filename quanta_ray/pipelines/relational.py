@@ -3201,55 +3201,95 @@ def ship_speed_priority(sf_dir: str) -> pa.Table:
     per bucket — the TPC-H Q12 shape with the delay bucket standing in for
     ``l_shipmode`` (the synthetic lineitem has no ship mode column).
 
-    Scale shape: both sides are pruned and projected BEFORE the single
-    orderkey hash-bucket join (lineitem to two columns inside the 1997
-    window, orders to key + orderdate + a precomputed boolean priority
-    flag); the joined rows reduce to per-(bucket) count partials per batch,
-    so the second shuffle moves at most 3 rows per map task. Delays are
-    whole days (all stamps are midnight), making the bucket edges exact
-    integer comparisons on both engines."""
+    Scale shape: while the orders side fits ``_broadcast_limit()`` and its
+    keys are dense, it collapses to ONE packed int32 per order
+    (orderdate-day * 2 + priority-bit) broadcast once via ``ray.put`` —
+    lineitem is then a single no-shuffle pass emitting <= 3 count rows per
+    batch. Past the limit (100-TB orders is a fact table) the bit-identical
+    fallback prunes and projects both sides BEFORE one orderkey hash-bucket
+    join. Delays are whole days (all stamps are midnight), making the
+    bucket edges exact integer comparisons on both engines."""
     from ..bucket import bucketed_group_agg
 
     lo = np.datetime64("1997-01-01")
     hi = np.datetime64("1998-01-01")
 
-    def li_proj(df: pd.DataFrame) -> pd.DataFrame:
-        ship = df["l_shipdate"].to_numpy()
-        keep = (ship >= lo) & (ship < hi)
-        return pd.DataFrame(
-            {"l_orderkey": df["l_orderkey"].to_numpy(dtype=np.int64)[keep],
-             "ship": ship[keep]}
-        )
-
-    def ord_proj(df: pd.DataFrame) -> pd.DataFrame:
-        prio = df["o_orderpriority"].astype(str)
-        return pd.DataFrame(
-            {"o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
-             "od": df["o_orderdate"].to_numpy(),
-             "high": prio.isin(["1-URGENT", "2-HIGH"]).to_numpy()}
-        )
-
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
-        li_proj, batch_format="pandas", batch_size=262144
-    )
-    ords = _read(
-        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
-    ).map_batches(ord_proj, batch_format="pandas", batch_size=262144)
-    joined = _bucket_join(li, ords, "l_orderkey", "o_orderkey", 16)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        delay = (df["ship"].to_numpy() - df["od"].to_numpy()) // np.timedelta64(1, "D")
+    def _speed_counts(ship, od_day, high):
+        delay = ship.astype("datetime64[D]").astype(np.int64) - od_day
         speed = np.where(delay <= 30, "FAST", np.where(delay <= 90, "MEDIUM", "SLOW"))
-        high = df["high"].to_numpy(dtype=bool)
-        g = pd.DataFrame({"ship_speed": speed, "h": high.astype(np.int64),
-                          "l": (~high).astype(np.int64)}).groupby(
-            "ship_speed", as_index=False
-        ).agg(high_line_count=("h", "sum"), low_line_count=("l", "sum"))
-        return g
+        return pd.DataFrame(
+            {"ship_speed": speed, "h": high.astype(np.int64),
+             "l": (~high).astype(np.int64)}
+        ).groupby("ship_speed", as_index=False).agg(
+            high_line_count=("h", "sum"), low_line_count=("l", "sum")
+        )
+
+    packed = None
+    if _read(sf_dir, "orders", ["o_orderkey"]).count() <= _broadcast_limit():
+        odf = _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).to_pandas()
+        keys = odf["o_orderkey"].to_numpy(dtype=np.int64)
+        if len(keys) and keys.max() <= 4 * len(keys) + 1024:
+            od_day = odf["o_orderdate"].to_numpy().astype("datetime64[D]").astype(
+                np.int64
+            )
+            high = odf["o_orderpriority"].astype(str).isin(
+                ["1-URGENT", "2-HIGH"]
+            ).to_numpy()
+            dense = np.full(int(keys.max()) + 1, np.iinfo(np.int32).min, np.int32)
+            dense[keys] = (od_day * 2 + high).astype(np.int32)
+            packed = ray.put(dense)
+
+    if packed is not None:
+        def fused(df: pd.DataFrame) -> pd.DataFrame:
+            ship = df["l_shipdate"].to_numpy()
+            keep = (ship >= lo) & (ship < hi)
+            pm = _cached_get(packed)
+            p = pm[df["l_orderkey"].to_numpy(dtype=np.int64)[keep]]
+            return _speed_counts(ship[keep], p >> 1, (p & 1).astype(bool))
+
+        partials = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            fused, batch_format="pandas", batch_size=262144
+        )
+    else:
+        def li_proj(df: pd.DataFrame) -> pd.DataFrame:
+            ship = df["l_shipdate"].to_numpy()
+            keep = (ship >= lo) & (ship < hi)
+            return pd.DataFrame(
+                {"l_orderkey": df["l_orderkey"].to_numpy(dtype=np.int64)[keep],
+                 "ship": ship[keep]}
+            )
+
+        def ord_proj(df: pd.DataFrame) -> pd.DataFrame:
+            prio = df["o_orderpriority"].astype(str)
+            return pd.DataFrame(
+                {"o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
+                 "od": df["o_orderdate"].to_numpy(),
+                 "high": prio.isin(["1-URGENT", "2-HIGH"]).to_numpy()}
+            )
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            li_proj, batch_format="pandas", batch_size=262144
+        )
+        ords = _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(ord_proj, batch_format="pandas", batch_size=262144)
+        joined = _bucket_join(li, ords, "l_orderkey", "o_orderkey", 16)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            od_day = df["od"].to_numpy().astype("datetime64[D]").astype(np.int64)
+            return _speed_counts(
+                df["ship"].to_numpy(), od_day, df["high"].to_numpy(dtype=bool)
+            )
+
+        partials = joined.map_batches(
+            partial, batch_format="pandas", batch_size=262144
+        )
 
     out = _concat(
         bucketed_group_agg(
-            joined.map_batches(partial, batch_format="pandas", batch_size=262144),
+            partials,
             ["ship_speed"],
             dict(high_line_count=("high_line_count", "sum"),
                  low_line_count=("low_line_count", "sum")),
@@ -3716,11 +3756,15 @@ def late_order_priority(sf_dir: str) -> pa.Table:
     the synthetic lineitem has no commit/receipt dates).
 
     Scale shape: orders are pruned to the quarter AT THE SCAN (row-group
-    statistics), lineitem leaves the scan as 2 columns; after ONE orderkey
-    bucket join the per-order EXISTS collapses map-side to (order,
-    priority, any-late) partials, exact in a second orderkey-bucketed max,
-    and the final per-priority count moves <= 5 rows per task. Late is a
-    whole-day integer comparison on both engines."""
+    statistics). While the quarter's orders fit ``_broadcast_limit()`` and
+    keys are dense, they collapse to ONE packed int32 per order
+    (orderdate-day * 8 + priority-code, -1 elsewhere) broadcast once via
+    ``ray.put`` — lineitem is then a single pass emitting per-batch-deduped
+    LATE (order, priority) pairs only, so the orderkey-bucketed distinct
+    shuffles late orders, not the join. Past the limit the bit-identical
+    fallback is ONE orderkey bucket join with the per-order EXISTS
+    collapsed map-side. Late is a whole-day integer comparison on both
+    engines."""
     import pyarrow.dataset as pads
 
     from ..bucket import bucketed_group_agg
@@ -3735,24 +3779,73 @@ def late_order_priority(sf_dir: str) -> pa.Table:
         filter=f,
     )
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
-    joined = _bucket_join(li, ords, "l_orderkey", "o_orderkey", 16)
 
-    def exists_partial(df: pd.DataFrame) -> pd.DataFrame:
-        late = (
-            df["l_shipdate"].to_numpy()
-            > df["o_orderdate"].to_numpy() + np.timedelta64(45, "D")
-        ).astype(np.int64)
-        g = pd.DataFrame(
-            {"o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
-             "o_orderpriority": df["o_orderpriority"].astype(str),
-             "late": late}
-        ).groupby(["o_orderkey", "o_orderpriority"], as_index=False).agg(
-            late=("late", "max")
+    prios = np.array(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"], dtype=object
+    )
+    packed = None
+    n_ord = _read(sf_dir, "orders", ["o_orderkey"]).count()
+    if n_ord <= _broadcast_limit():
+        odf = ords.to_pandas()
+        keys = odf["o_orderkey"].to_numpy(dtype=np.int64)
+        # density guard on the FILTERED key range (<= global max, so no
+        # extra full-column max scan); out-of-range lineitem keys are
+        # clipped and masked at lookup
+        mx = int(keys.max()) if len(keys) else -1
+        if 0 <= mx <= 4 * n_ord + 1024:
+            od_day = odf["o_orderdate"].to_numpy().astype("datetime64[D]").astype(
+                np.int64
+            )
+            pcode = pd.Categorical(
+                odf["o_orderpriority"].astype(str), categories=list(prios)
+            ).codes.astype(np.int64)
+            dense = np.full(mx + 1, -1, np.int32)
+            dense[keys] = (od_day * 8 + pcode).astype(np.int32)
+            packed = ray.put(dense)
+
+    if packed is not None:
+        def late_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            pm = _cached_get(packed)
+            ok = df["l_orderkey"].to_numpy(dtype=np.int64)
+            p = pm[np.minimum(ok, len(pm) - 1)]
+            hit = (ok < len(pm)) & (p >= 0)
+            late = hit & (
+                df["l_shipdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+                > (p >> 3) + 45
+            )
+            g = pd.DataFrame(
+                {"o_orderkey": ok[late],
+                 "o_orderpriority": prios[(p[late] & 7).astype(np.int64)],
+                 "late": np.ones(int(late.sum()), dtype=np.int64)}
+            ).drop_duplicates("o_orderkey")
+            return g
+
+        late_ds = li.map_batches(
+            late_pairs, batch_format="pandas", batch_size=262144
         )
-        return g
+    else:
+        joined = _bucket_join(li, ords, "l_orderkey", "o_orderkey", 16)
+
+        def exists_partial(df: pd.DataFrame) -> pd.DataFrame:
+            late = (
+                df["l_shipdate"].to_numpy()
+                > df["o_orderdate"].to_numpy() + np.timedelta64(45, "D")
+            ).astype(np.int64)
+            g = pd.DataFrame(
+                {"o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
+                 "o_orderpriority": df["o_orderpriority"].astype(str),
+                 "late": late}
+            ).groupby(["o_orderkey", "o_orderpriority"], as_index=False).agg(
+                late=("late", "max")
+            )
+            return g
+
+        late_ds = joined.map_batches(
+            exists_partial, batch_format="pandas", batch_size=262144
+        )
 
     per_order = bucketed_group_agg(
-        joined.map_batches(exists_partial, batch_format="pandas", batch_size=262144),
+        late_ds,
         ["o_orderkey", "o_orderpriority"],
         dict(late=("late", "max")),
     )

@@ -45,7 +45,8 @@ def test_bucket_join_fallback_matches_broadcast(ray_session, monkeypatch, fn_nam
 @pytest.mark.parametrize(
     "fn_name",
     ["revenue_rollup", "revenue_cube", "discounted_revenue", "profit_by_nation_year",
-     "nation_market_share", "min_cost_supplier"],
+     "nation_market_share", "min_cost_supplier", "ship_speed_priority",
+     "late_order_priority"],
 )
 def test_grouping_sets_broadcast_vs_shuffle(ray_session, monkeypatch, fn_name):
     """ROLLUP/CUBE/Q19/Q9: the broadcast plan and the forced hash-bucket

@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "rel_min_cost_supplier",
     "rel_forecast_revenue",
     "rel_late_order_priority",
+    "mm_image_phash_near_dups",
+    "mm_audio_segments",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

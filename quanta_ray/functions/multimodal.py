@@ -455,3 +455,291 @@ def doc_y4m_frames(sf_dir: str) -> pa.Table:
             res, sort_keys=[("media_id", "ascending"), ("frame_idx", "ascending")]
         )
     )
+
+
+# --- image perceptual-hash near-dup (DCT pHash + banded hamming) --------------
+
+
+def noisy_bmp_groups(sf_dir: str, group: int = 4) -> rd.Dataset:
+    """One genuine BMP per document where every ``group`` consecutive
+    doc_ids share the SAME low-frequency base image plus per-doc +/-4
+    pixel noise — the planted near-dup structure for the pHash query
+    (same-group pairs are perceptual dups; cross-group images are
+    independent random fields)."""
+    from .media_codec import write_bmp
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        payloads = []
+        for did in ids:
+            gid = int(did) // group
+            base_rng = np.random.default_rng(900_000 + gid)
+            # low-frequency field: 6x6 normal upsampled 8x -> 48x48, so
+            # small pixel noise cannot flip the top DCT coefficients
+            low = base_rng.normal(0.0, 1.0, (6, 6))
+            field = np.kron(low, np.ones((8, 8)))
+            field = (field - field.min()) / max(field.ptp(), 1e-9) * 220.0 + 16.0
+            noise = np.random.default_rng(int(did)).integers(-4, 5, field.shape)
+            img = np.clip(field + noise, 0, 255).astype(np.uint8)
+            payloads.append(write_bmp(np.stack([img, img, img], axis=2)))
+        n = len(ids)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(["image"] * n, type=pa.string()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array(["image/bmp"] * n),
+                pa.array([48] * n, type=pa.int32()),
+                pa.array([48] * n, type=pa.int32()),
+                pa.array([-1] * n, type=pa.int32()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(synth, batch_format="pyarrow", batch_size=256)
+
+
+class PHasher:
+    """Actor-pool stage: BMP payload -> 64-bit DCT perceptual hash (classic
+    pHash: luma -> 32x32 area resize -> 2D DCT-II -> top-left 8x8 low-
+    frequency block -> bit per coefficient vs the block median, DC
+    excluded). The DCT basis matrix is built ONCE per actor in __init__;
+    per image the transform is two 32x32 matmuls. Emits the hash as a
+    16-hex-char string (the simhash signature convention, so the banded
+    hamming candidate machinery is shared)."""
+
+    def __init__(self, size: int = 32, keep: int = 8):
+        self.size, self.keep = size, keep
+        n = size
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        self.dct = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+        self.dct[0] /= np.sqrt(2.0)
+
+    def _hash(self, buf: bytes) -> str:
+        from .media_codec import block_resize, read_bmp
+
+        img = read_bmp(buf)
+        luma = img.mean(axis=2, keepdims=True)
+        small = block_resize(luma, self.size, self.size)[:, :, 0]
+        coef = self.dct @ small @ self.dct.T
+        block = coef[: self.keep, : self.keep].reshape(-1)[1:]  # drop DC
+        bits = (block > np.median(block)).astype(np.uint64)
+        h = np.uint64(0)
+        for b in bits:
+            h = (h << np.uint64(1)) | b
+        return f"{int(h):016x}"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        hashes = [self._hash(buf.as_py()) for buf in batch.column("payload")]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "phash": pa.array(hashes, pa.string())}
+        )
+
+
+def image_phash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
+    the image-side analog of ``doc_simhash_near_dups``, sharing its
+    banded-candidate + shuffle-verify machinery: pHash signatures from an
+    actor pool (DCT basis built once per actor), 4x16-bit band buckets
+    (hamming <= 3 banding guarantee), pair emit inside bucket groups,
+    fused route/verify with vectorized hamming. Rows-only oracle: the
+    planted pytest pins that every same-group noisy pair is found and no
+    cross-group pair survives."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .dedup import _pairs_from_buckets, _route_verify
+
+    sig_ds = noisy_bmp_groups(sf_dir).map_batches(
+        PHasher, batch_format="pyarrow", batch_size=64, concurrency=2
+    ).materialize()
+
+    def explode_bands(batch: pa.Table) -> "pd.DataFrame":
+        sig = np.array(
+            [int(h, 16) for h in batch.column("phash").to_pylist()], dtype=np.uint64
+        )
+        n = len(sig)
+        shifts = np.array([0, 16, 32, 48], dtype=np.uint64)
+        bval = (sig[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
+        return pd.DataFrame(
+            {"doc_id": np.repeat(batch.column("doc_id").to_numpy(), 4),
+             "band": np.tile(np.arange(4, dtype=np.int64), n),
+             "bval": bval.reshape(-1).astype(np.int64)}
+        )
+
+    bands_ds = sig_ds.map_batches(explode_bands, batch_format="pyarrow", batch_size=8192)
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "hamming": pa.array([], pa.int64())}
+    )
+    pairs_ds = _pairs_from_buckets(
+        bands_ds, ["band", "bval"], "doc_id", global_dedup=False
+    ).materialize()
+    if pairs_ds.count() == 0:
+        return empty
+
+    def verify(m: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(m):
+            return pd.DataFrame(
+                {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+                 "hamming": np.empty(0, np.int64)}
+            )
+        sa = np.array([int(h, 16) for h in m["_pay_a"]], dtype=np.uint64)
+        sb = np.array([int(h, 16) for h in m["_pay_b"]], dtype=np.uint64)
+        x = (sa ^ sb).view(np.uint8).reshape(len(m), 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+        out = pd.DataFrame(
+            {"a": m["a"].to_numpy(dtype=np.int64),
+             "b": m["b"].to_numpy(dtype=np.int64), "hamming": ham}
+        )
+        return out[out["hamming"] <= max_hamming]
+
+    verified = _route_verify(
+        pairs_ds,
+        sig_ds,
+        {"phash": ""},
+        lambda sel: sel["phash"].to_numpy(),
+        verify,
+        payload_fill="",
+    )
+    tables = list(verified.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return empty
+    t = pa.concat_tables(tables, promote_options="default").combine_chunks()
+    if t.num_rows == 0:
+        return empty
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    ).combine_chunks()
+
+
+# --- audio energy segmentation (VAD-style activity detection) -----------------
+
+
+def burst_wav_from_documents(sf_dir: str) -> rd.Dataset:
+    """One genuine PCM WAV per document containing ``1 + doc_id % 4`` tone
+    BURSTS (150 ms each) separated by 100 ms of silence — the planted
+    activity structure the segmentation query recovers."""
+    from .media_codec import write_wav
+
+    SR = 8000
+    BURST, GAP = SR * 150 // 1000, SR * 100 // 1000
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        payloads, durs = [], []
+        for did in ids:
+            k = 1 + int(did) % 4
+            freq = 200.0 + (did % 20) * 30.0
+            t = np.arange(BURST) / SR
+            tone = (7000 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+            gap = np.zeros(GAP, dtype=np.int16)
+            parts = [gap]
+            for _ in range(k):
+                parts += [tone, gap]
+            s = np.concatenate(parts)
+            payloads.append(write_wav(s, SR))
+            durs.append(int(1000 * len(s) / SR))
+        n = len(ids)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(["audio"] * n, type=pa.string()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array(["audio/wav"] * n),
+                pa.array([-1] * n, type=pa.int32()),
+                pa.array([-1] * n, type=pa.int32()),
+                pa.array(durs, type=pa.int32()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(synth, batch_format="pyarrow", batch_size=256)
+
+
+class AudioSegmenter:
+    """Actor-pool stage: WAV payload -> activity segments (VAD-style).
+    Frames the signal into ``frame_ms`` windows, computes per-frame RMS
+    vectorized (reshape + mean of squares), thresholds, and merges
+    consecutive active frames into segments. 1->N fan-out: one input row
+    yields one row per detected segment."""
+
+    def __init__(self, frame_ms: int = 20, rms_threshold: float = 500.0):
+        self.frame_ms = frame_ms
+        self.thr = rms_threshold
+
+    def _segments(self, buf: bytes) -> list[tuple[int, int, float]]:
+        from .media_codec import read_wav
+
+        sr, s = read_wav(buf)
+        f = sr * self.frame_ms // 1000
+        n = len(s) // f
+        if n == 0:
+            return []
+        frames = s[: n * f].astype(np.float64).reshape(n, f)
+        rms = np.sqrt((frames * frames).mean(axis=1))
+        active = rms > self.thr
+        if not active.any():
+            return []
+        brk = np.flatnonzero(np.diff(active.astype(np.int8)) != 0) + 1
+        edges = np.concatenate(([0], brk, [n]))
+        segs = []
+        for a, b in zip(edges[:-1], edges[1:]):
+            if active[a]:
+                segs.append(
+                    (int(a * f * 1000 / sr), int(b * f * 1000 / sr),
+                     float(rms[a:b].mean()))
+                )
+        return segs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, seg_idx, starts, ends, rmss = [], [], [], [], []
+        for mid, buf in zip(
+            batch.column("media_id").to_numpy(), batch.column("payload")
+        ):
+            for i, (a, b, r) in enumerate(self._segments(buf.as_py())):
+                ids.append(int(mid))
+                seg_idx.append(i)
+                starts.append(a)
+                ends.append(b)
+                rmss.append(round(r, 3))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "seg_idx": pa.array(seg_idx, pa.int64()),
+             "start_ms": pa.array(starts, pa.int64()),
+             "end_ms": pa.array(ends, pa.int64()),
+             "rms": pa.array(rmss, pa.float64())}
+        )
+
+
+def audio_segments(sf_dir: str) -> pa.Table:
+    """VAD-style activity segmentation over the synthetic burst corpus:
+    decode + frame + threshold + merge in an actor pool (1->N segment
+    fan-out), sorted (doc_id, seg_idx). Rows-only oracle; the planted
+    pytest pins segment COUNT (= 1 + doc_id % 4) and boundary accuracy
+    (within one frame of the planted burst edges) for every document."""
+    import pyarrow.compute as pc
+
+    out = burst_wav_from_documents(sf_dir).map_batches(
+        AudioSegmenter, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    tables = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "seg_idx": pa.array([], pa.int64()),
+             "start_ms": pa.array([], pa.int64()), "end_ms": pa.array([], pa.int64()),
+             "rms": pa.array([], pa.float64())}
+        )
+    t = pa.concat_tables(tables, promote_options="default").combine_chunks()
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("doc_id", "ascending"), ("seg_idx", "ascending")]
+        )
+    ).combine_chunks()

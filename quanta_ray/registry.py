@@ -44,6 +44,18 @@ def _streaming_stream(stream: str):
     return q
 
 
+def _image_phash_near_dups(sf_dir: str) -> Any:
+    from .functions.multimodal import image_phash_near_dups
+
+    return image_phash_near_dups(sf_dir)
+
+
+def _audio_segments(sf_dir: str) -> Any:
+    from .functions.multimodal import audio_segments
+
+    return audio_segments(sf_dir)
+
+
 def _media_features(sf_dir: str) -> Any:
     from .functions.multimodal import media_features
 
@@ -111,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "mm_image_phash_near_dups": _image_phash_near_dups,
+        "mm_audio_segments": _audio_segments,
         "rel_forecast_revenue": relational.forecast_revenue,
         "rel_late_order_priority": relational.late_order_priority,
         "rel_ship_speed_priority": relational.ship_speed_priority,

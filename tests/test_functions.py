@@ -1802,3 +1802,64 @@ def test_minhash_containment_planted(ray_session, tmp_path_factory):
     jall = minhash_lsh_pairs(str(d), jaccard_threshold=0.0).to_pandas()
     jrow = jall[(jall["a"] == 4) & (jall["b"] == 8)]
     assert len(jrow) == 1 and float(jrow["jaccard"].iloc[0]) < 0.7
+
+
+def test_image_phash_planted_groups(ray_session):
+    """pHash near-dup: every emitted pair is intra-group (same base image,
+    different noise), coverage of the planted quads is high, hamming obeys
+    the cap, and the hash itself is noise-robust (same-group hamming small,
+    cross-group large)."""
+    from quanta_ray.functions.multimodal import image_phash_near_dups
+
+    t = image_phash_near_dups("/root/testdata/sf0.001").to_pandas()
+    assert len(t) > 0
+    assert (t["a"] // 4 == t["b"] // 4).all()          # no cross-group pair
+    assert (t["hamming"] <= 3).all()
+    # coverage: groups of 4 -> 6 intra pairs each; noise can push a few
+    # past the hamming cap, but the vast majority must be recovered
+    n_docs = 500
+    assert len(t) >= 0.9 * (n_docs // 4) * 6
+
+
+def test_phash_noise_robust_and_distinct():
+    """Unit pin for the hash itself: +/-4 noise on the same low-frequency
+    field gives hamming <= 3; independent fields give hamming >> 3."""
+    import numpy as np
+
+    from quanta_ray.functions.media_codec import write_bmp
+    from quanta_ray.functions.multimodal import PHasher
+
+    ph = PHasher()
+
+    def img(gid, noise_seed):
+        rng = np.random.default_rng(900_000 + gid)
+        low = rng.normal(0.0, 1.0, (6, 6))
+        field = np.kron(low, np.ones((8, 8)))
+        field = (field - field.min()) / max(field.ptp(), 1e-9) * 220.0 + 16.0
+        noise = np.random.default_rng(noise_seed).integers(-4, 5, field.shape)
+        g = np.clip(field + noise, 0, 255).astype(np.uint8)
+        return write_bmp(np.stack([g, g, g], axis=2))
+
+    def ham(h1, h2):
+        return bin(int(h1, 16) ^ int(h2, 16)).count("1")
+
+    same = ham(ph._hash(img(1, 10)), ph._hash(img(1, 11)))
+    diff = ham(ph._hash(img(1, 10)), ph._hash(img(2, 10)))
+    assert same <= 3, same
+    assert diff > 10, diff
+
+
+def test_audio_segments_planted_bursts(ray_session):
+    """Segment COUNT equals the planted 1 + doc_id % 4 for EVERY document,
+    and each boundary is within one 20 ms frame of the planted burst edge
+    (bursts at [100 + i*250, 250 + i*250] ms)."""
+    from quanta_ray.functions.multimodal import audio_segments
+
+    t = audio_segments("/root/testdata/sf0.001").to_pandas()
+    counts = t.groupby("doc_id")["seg_idx"].size()
+    assert len(counts) == 500
+    for did, n in counts.items():
+        assert n == 1 + did % 4, (did, n)
+    start_err = (t["start_ms"] - (100 + t["seg_idx"] * 250)).abs()
+    end_err = (t["end_ms"] - (250 + t["seg_idx"] * 250)).abs()
+    assert int(start_err.max()) <= 20 and int(end_err.max()) <= 20

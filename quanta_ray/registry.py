@@ -44,6 +44,26 @@ def _streaming_stream(stream: str):
     return q
 
 
+def _doc_export_jsonl(sf_dir: str) -> Any:
+    """Sharded JSONL(.gz) export of the documents table into a fresh scratch
+    dir; returns the byte-deterministic shard manifest (resume-skip behavior
+    is pinned by the sink's pytest)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from .schema import read_parquet_clean
+    from .sinks.batch_write import export_jsonl_shards
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "text"]
+    )
+    work = _tf.mkdtemp(prefix="quanta-export-", dir="/tmp")
+    try:
+        return export_jsonl_shards(ds, work, key="doc_id", num_shards=8)
+    finally:
+        _sh.rmtree(work, ignore_errors=True)
+
+
 def _image_phash_near_dups(sf_dir: str) -> Any:
     from .functions.multimodal import image_phash_near_dups
 
@@ -123,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "doc_export_jsonl": _doc_export_jsonl,
         "mm_image_phash_near_dups": _image_phash_near_dups,
         "mm_audio_segments": _audio_segments,
         "rel_forecast_revenue": relational.forecast_revenue,

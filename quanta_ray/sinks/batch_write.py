@@ -125,3 +125,152 @@ def read_back(out_dir: str, num_buckets: int = 32) -> rd.Dataset:
     # from the part=<i>/ path (the files themselves carry the real columns)
     cols = pq.read_schema(paths[0]).names
     return read_parquet_clean(paths).select_columns(cols)
+
+
+# --- sharded JSONL export (training-data handoff) -----------------------------
+
+
+def _shard_dir(out_dir: str, i: int) -> str:
+    return os.path.join(out_dir, f"shard={i}")
+
+
+def _shard_done(out_dir: str, i: int) -> str:
+    return os.path.join(_shard_dir(out_dir, i), "_DONE")
+
+
+def export_jsonl_shards(
+    ds: rd.Dataset,
+    out_dir: str,
+    key: str,
+    num_shards: int = 8,
+    sort_cols: list[str] | None = None,
+    compress: bool = True,
+) -> pa.Table:
+    """Export ``ds`` as ``num_shards`` hash-sharded JSONL(.gz) files — the
+    dataloader-handoff format at the end of a curation pipeline — resumable
+    and byte-deterministic.
+
+    - Each shard is written BY ITS OWN map task (the shard's rows are
+      co-located by a ``groupby(_shard)``), sorted on ``sort_cols``
+      (default: the shard key) so the file bytes are independent of block
+      arrival order; gzip uses ``mtime=0`` so reruns produce identical
+      bytes.
+    - A shard is COMMITTED by writing the file under a temp name, then
+      renaming and dropping a ``_DONE`` marker that CARRIES the shard's
+      manifest row (rows, bytes, sha256). On rerun, committed shards are
+      pruned right after the scan and their manifest rows are read back
+      from the markers — the returned manifest is identical whether the
+      run wrote 0 or all shards.
+
+    Returns the full manifest as an Arrow table sorted by shard id."""
+    import gzip
+    import hashlib
+    import json as _json
+
+    sort_cols = sort_cols or [key]
+    os.makedirs(out_dir, exist_ok=True)
+    done = {
+        i for i in range(num_shards) if os.path.exists(_shard_done(out_dir, i))
+    }
+    todo = frozenset(range(num_shards)) - done
+    for i in todo:  # clear uncommitted partials from a crashed run
+        if os.path.isdir(_shard_dir(out_dir, i)):
+            shutil.rmtree(_shard_dir(out_dir, i))
+
+    ext = "jsonl.gz" if compress else "jsonl"
+    manifest_rows: list[dict] = []
+    if todo:
+        def tag_and_prune(b: pd.DataFrame) -> pd.DataFrame:
+            shard = (
+                pd.util.hash_array(np.asarray(b[key])) % np.uint64(num_shards)
+            ).astype(np.int64)
+            b = b.assign(_shard=shard)
+            return b[b["_shard"].isin(todo)]
+
+        def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+            i = int(g["_shard"].iloc[0])
+            g = g.drop(columns=["_shard"]).sort_values(
+                sort_cols, kind="mergesort"
+            )
+            payload = (
+                g.to_json(orient="records", lines=True, force_ascii=True)
+                .encode("utf-8")
+            )
+            if compress:
+                payload = gzip.compress(payload, compresslevel=6, mtime=0)
+            sdir = _shard_dir(out_dir, i)
+            os.makedirs(sdir, exist_ok=True)
+            tmp = os.path.join(sdir, f".tmp-data.{ext}")
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.rename(tmp, os.path.join(sdir, f"data.{ext}"))
+            row = {
+                "shard": i,
+                "n_rows": len(g),
+                "n_bytes": len(payload),
+                "sha256": hashlib.sha256(payload).hexdigest(),
+            }
+            with open(_shard_done(out_dir, i), "w") as f:
+                f.write(_json.dumps(row) + "\n")
+            return pd.DataFrame([row])
+
+        written = _collect(
+            ds.map_batches(tag_and_prune, batch_format="pandas")
+            .groupby("_shard")
+            .map_groups(write_shard, batch_format="pandas")
+        )
+        manifest_rows.extend(written.to_pylist())
+        written_ids = {r["shard"] for r in manifest_rows}
+        for i in todo - written_ids:  # empty shard: commit an empty marker
+            os.makedirs(_shard_dir(out_dir, i), exist_ok=True)
+            row = {"shard": i, "n_rows": 0, "n_bytes": 0, "sha256": ""}
+            with open(_shard_done(out_dir, i), "w") as f:
+                f.write(_json.dumps(row) + "\n")
+            manifest_rows.append(row)
+
+    for i in sorted(done):  # manifest rows of already-committed shards
+        with open(_shard_done(out_dir, i)) as f:
+            manifest_rows.append(_json.loads(f.readline()))
+
+    manifest_rows.sort(key=lambda r: r["shard"])
+    return pa.table(
+        {
+            "shard": pa.array([r["shard"] for r in manifest_rows], pa.int64()),
+            "n_rows": pa.array([r["n_rows"] for r in manifest_rows], pa.int64()),
+            "n_bytes": pa.array([r["n_bytes"] for r in manifest_rows], pa.int64()),
+            "sha256": pa.array([r["sha256"] for r in manifest_rows], pa.string()),
+        }
+    )
+
+
+def _collect(ds: rd.Dataset) -> pa.Table:
+    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return pa.table(
+            {"shard": pa.array([], pa.int64()), "n_rows": pa.array([], pa.int64()),
+             "n_bytes": pa.array([], pa.int64()), "sha256": pa.array([], pa.string())}
+        )
+    return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
+def read_jsonl_shards(out_dir: str, num_shards: int = 8) -> pd.DataFrame:
+    """Read back COMMITTED shards into one DataFrame (test/verification
+    helper; a dataloader would stream shard files directly)."""
+    import gzip
+
+    frames = []
+    for i in range(num_shards):
+        if not os.path.exists(_shard_done(out_dir, i)):
+            continue
+        sdir = _shard_dir(out_dir, i)
+        for name in sorted(os.listdir(sdir)):
+            if name.startswith("data.jsonl"):
+                path = os.path.join(sdir, name)
+                if name.endswith(".gz"):
+                    with gzip.open(path, "rt", encoding="utf-8") as f:
+                        frames.append(pd.read_json(f, lines=True))
+                else:
+                    frames.append(pd.read_json(path, lines=True))
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)

@@ -59,3 +59,56 @@ def test_read_back_ignores_uncommitted(ray_session, tmp_path_factory):
             if os.path.exists(p):
                 os.remove(p)
         read_back(d, 4)
+
+
+def test_export_jsonl_shards_deterministic_and_resumable(ray_session, tmp_path_factory):
+    """Byte-deterministic sharded JSONL export: two fresh exports produce
+    identical manifests (incl. sha256); a rerun over a committed dir writes
+    nothing and returns the SAME manifest; read-back equals the input; a
+    crashed (uncommitted) shard is rewritten on resume."""
+    import numpy as np
+    import ray.data as rd
+
+    from quanta_ray.sinks.batch_write import (
+        export_jsonl_shards,
+        read_jsonl_shards,
+    )
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(200, dtype=np.int64),
+         "text": [f"line {i} é" for i in range(200)]}
+    )
+
+    d1 = str(tmp_path_factory.mktemp("ex1"))
+    d2 = str(tmp_path_factory.mktemp("ex2"))
+    m1 = export_jsonl_shards(rd.from_pandas(df), d1, "doc_id", num_shards=4)
+    m2 = export_jsonl_shards(rd.from_pandas(df), d2, "doc_id", num_shards=4)
+    assert m1.equals(m2)                      # byte-identical across dirs
+    assert m1.num_rows == 4
+    assert sum(m1.column("n_rows").to_pylist()) == 200
+
+    # rerun over the committed dir: nothing rewritten, same manifest
+    mtimes = {
+        i: os.path.getmtime(os.path.join(d1, f"shard={i}", "data.jsonl.gz"))
+        for i in range(4)
+    }
+    m3 = export_jsonl_shards(rd.from_pandas(df), d1, "doc_id", num_shards=4)
+    assert m3.equals(m1)
+    for i in range(4):
+        assert os.path.getmtime(
+            os.path.join(d1, f"shard={i}", "data.jsonl.gz")
+        ) == mtimes[i]
+
+    # read-back equality
+    back = read_jsonl_shards(d1, 4).sort_values("doc_id").reset_index(drop=True)
+    assert back["doc_id"].tolist() == df["doc_id"].tolist()
+    assert back["text"].tolist() == df["text"].tolist()
+
+    # crash simulation: remove one _DONE -> only that shard is rewritten
+    os.remove(os.path.join(d1, "shard=3", "_DONE"))
+    m4 = export_jsonl_shards(rd.from_pandas(df), d1, "doc_id", num_shards=4)
+    assert m4.equals(m1)
+    for i in range(3):
+        assert os.path.getmtime(
+            os.path.join(d1, f"shard={i}", "data.jsonl.gz")
+        ) == mtimes[i]

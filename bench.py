@@ -176,7 +176,7 @@ def run_headline(num_cpus: int) -> dict:
     # every recorded round, so BENCH_r* are comparable. The optional
     # second-level reduce streams (count windows, alerts, top-k, session
     # quantiles, conv histogram) are deliberately NOT in the headline:
-    # QUANTA_BENCH_ALL_STREAMS=1 enables all thirteen for the separately
+    # QUANTA_BENCH_ALL_STREAMS=1 enables all fourteen for the separately
     # recorded cost measurement (~3% busy, BASELINE.md) and for scaling
     # experiments on the full surface.
     if os.environ.get("QUANTA_BENCH_ALL_STREAMS"):
@@ -188,6 +188,7 @@ def run_headline(num_cpus: int) -> dict:
             topk_k=5,
             sess_quantiles=(0.5, 0.95),
             conv_hist=True,
+            tool_usage=True,
             resp_latency=True,
             run_min_len=3,
         )

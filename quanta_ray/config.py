@@ -89,6 +89,17 @@ class CEPConfig:
     # convs), the driver vector-adds at commit; no cross-epoch state.
     # False disables the stream.
     conv_hist: bool = False
+    # windowed TOOL-USAGE stream (multi-key grouped global reduce): per
+    # final tumbling window AND tool name, the global number of tool-call
+    # rows and the EXACT number of distinct conversations that called the
+    # tool in the window. Convs are partition-disjoint under the conv_id
+    # hash shuffle, so each worker's per-(window, tool) (n_calls,
+    # n_distinct_convs) partial is complete for its convs and the driver's
+    # commit fold just SUMS — exact distinct with no sketch and no extra
+    # shuffle. Worker state is O(open windows x tools x touched convs),
+    # the same order as the window state itself; windows finalize in
+    # exactly one epoch, so no cross-epoch reducer state. False disables.
+    tool_usage: bool = False
     # FIRST-RESPONSE LATENCY stream (per-conversation event-time result,
     # emitted exactly once): for every conversation, the first user turn's
     # timestamp, the first assistant turn's timestamp, and their signed

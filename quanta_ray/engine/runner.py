@@ -765,6 +765,45 @@ class StreamingRunner:
                     e_ch = write_part_file(tbl, self.out_dir, "convhist", 0, epoch)
                     if e_ch:
                         convhist_entries.append(e_ch)
+            # windowed tool usage: sum the workers' per-(window, tool)
+            # (n_calls, n_distinct_convs) partials — convs are partition-
+            # disjoint, so both sums are exact global values. Like convhist:
+            # windows finalize in exactly one epoch, no cross-epoch state.
+            tooluse_entries: list[dict] = []
+            if spec.cep.tool_usage:
+                from ..schema import TOOLUSE_SCHEMA
+                from ..sinks.exactly_once import write_part_file
+
+                merged_tu: dict[int, dict[str, list[int]]] = {}
+                for r in metas:
+                    for w, by_tool in r.get("tooluse_partials", {}).items():
+                        cur = merged_tu.setdefault(int(w), {})
+                        for t, v in by_tool.items():
+                            prev = cur.get(t)
+                            cur[t] = (
+                                [prev[0] + v[0], prev[1] + v[1]]
+                                if prev else [int(v[0]), int(v[1])]
+                            )
+                if merged_tu:
+                    tu_rows = [
+                        (w, t, merged_tu[w][t][0], merged_tu[w][t][1])
+                        for w in sorted(merged_tu)
+                        for t in sorted(merged_tu[w])
+                    ]
+                    tbl = pa.Table.from_arrays(
+                        [
+                            pa.array([r[0] for r in tu_rows], pa.int64()).cast(
+                                pa.timestamp("us")
+                            ),
+                            pa.array([r[1] for r in tu_rows], pa.string()),
+                            pa.array([r[2] for r in tu_rows], pa.int64()),
+                            pa.array([r[3] for r in tu_rows], pa.int64()),
+                        ],
+                        schema=TOOLUSE_SCHEMA,
+                    )
+                    e_tu = write_part_file(tbl, self.out_dir, "tooluse", 0, epoch)
+                    if e_tu:
+                        tooluse_entries.append(e_tu)
             # running session-duration quantiles: fold this epoch's histogram
             # partials into the cumulative state (vector add of integer bin
             # counts — mergeable by construction); if any session closed this
@@ -816,7 +855,7 @@ class StreamingRunner:
                 "watermark": wms[epoch] if epoch < len(files) else POS_INF,
                 "source_stats": stats,
                 "files": turns_entries + dead_entries + stream_files + alert_entries
-                + topk_entries + convhist_entries + sessq_entries,
+                + topk_entries + convhist_entries + tooluse_entries + sessq_entries,
                 "checkpoints": checkpoints,
                 "last_checkpoint_epoch": last_ckpt_epoch["v"],
                 "alerts_state": {s: dict(v) for s, v in alert_state.items()},

@@ -983,6 +983,10 @@ class PartitionWorkerImpl:
         self.cwin = _CountWindowState()
         self.resplat = _RespLatState()
         self.runs = _RunState()
+        # windowed tool usage: w_start -> tool -> [n_calls, set(pcodes)].
+        # Popped (and deleted) when the watermark passes w_start + size;
+        # tiny — open windows x small tool vocab x touched convs.
+        self.toolw: dict[int, dict[str, list]] = {}
         # session ids are per-conv monotonic FOREVER (oracle semantics):
         # per-code counter indexed by the interning code
         self.sess_counter = np.zeros(0, dtype=np.int64)
@@ -1010,6 +1014,10 @@ class PartitionWorkerImpl:
             "cwin": self.cwin.to_payload(),
             "resplat": self.resplat.to_payload(),
             "runs": self.runs.to_payload(),
+            "toolw": {
+                w: {t: [v[0], sorted(v[1])] for t, v in by_tool.items()}
+                for w, by_tool in self.toolw.items()
+            },
         }
 
     def load_state_payload(self, payload: dict) -> None:
@@ -1030,6 +1038,10 @@ class PartitionWorkerImpl:
             self.resplat = _RespLatState.from_payload(payload["resplat"])
         if "runs" in payload:
             self.runs = _RunState.from_payload(payload["runs"])
+        self.toolw = {
+            int(w): {t: [int(v[0]), set(v[1])] for t, v in by_tool.items()}
+            for w, by_tool in payload.get("toolw", {}).items()
+        }
         # copy: payloads arriving via the object store (migration) are
         # zero-copy READ-ONLY, and the counter is mutated in place
         self.sess_counter = np.array(payload["sess_counter"], dtype=np.int64)
@@ -1190,6 +1202,19 @@ class PartitionWorkerImpl:
                 cnt = np.bincount(bids[m], minlength=5)
                 convhist_partial[int(w)] = [int(x) for x in cnt]
 
+        # windowed tool-usage partials: per newly-final tumbling window,
+        # this partition's per-tool (n_calls, n_distinct_convs) — complete
+        # for its convs (a conv lives in exactly one partition), so the
+        # driver's merge SUMS per (window, tool) to the exact global row.
+        tooluse_partial: dict[int, list[tuple[str, int, int]]] = {}
+        if self.cfg.tool_usage and self.toolw:
+            tsize_tu = self.cfg.tumbling_size_us
+            for w in [w for w in self.toolw if w + tsize_tu <= self.wm]:
+                by_tool = self.toolw.pop(w)
+                tooluse_partial[int(w)] = sorted(
+                    (t, int(v[0]), len(v[1])) for t, v in by_tool.items()
+                )
+
         # build the emitted tables but DON'T write them here: the (zstd)
         # parquet writes run as tasks on the map slots so the stateful
         # worker chain — the scaling-critical path — stays compute-only
@@ -1233,6 +1258,7 @@ class PartitionWorkerImpl:
             "topk_partial": topk_partial,
             "sessq_partial": sessq_partial,
             "convhist_partial": convhist_partial,
+            "tooluse_partial": tooluse_partial,
         }
 
     def finish(self, epoch: int, do_checkpoint: bool = True) -> dict:
@@ -1353,6 +1379,29 @@ class PartitionWorkerImpl:
         # ---- run-length quantifier: append; compacted at emission time ----
         if cfg.run_min_len:
             self.runs.add(pcodes, ts, turn, role)
+
+        # ---- windowed tool usage: fold (window, tool) partials. A row
+        # contributes iff its tool value is non-null and non-empty; the
+        # python loop touches one (window, tool) GROUP per batch, never a
+        # row (grouping itself is pandas-C) ----
+        if cfg.tool_usage:
+            tsel = np.flatnonzero(pd.notna(tool) & (tool != ""))
+            if len(tsel):
+                df_t = pd.DataFrame(
+                    {"w": ts[tsel] // tsize * tsize, "t": tool[tsel],
+                     "c": pcodes[tsel]}
+                )
+                gb = df_t.groupby(["w", "t"], sort=False)["c"]
+                cnts = gb.size()
+                uniqs = gb.unique()
+                for (w, t), n_c, cs in zip(
+                    cnts.index, cnts.to_numpy(), uniqs.to_numpy()
+                ):
+                    ent = self.toolw.setdefault(int(w), {}).setdefault(
+                        t, [0, set()]
+                    )
+                    ent[0] += int(n_c)
+                    ent[1].update(int(c) for c in cs)
 
         # ---- count windows: append; folded at emission time ----
         if cfg.count_window_size:
@@ -1751,6 +1800,7 @@ class MultiPartitionWorker:
         topk_partials: dict[int, list[tuple[str, int]]] = {}
         sessq_partials: dict[int, int] = {}
         convhist_partials: dict[int, list[int]] = {}
+        tooluse_partials: dict[int, dict[str, list[int]]] = {}
         for i, pid in enumerate(self.pids):
             frag = list(tables[i * n_frags : (i + 1) * n_frags])
             nonempty = [t for t in frag if t.num_rows]
@@ -1779,6 +1829,14 @@ class MultiPartitionWorker:
                 convhist_partials[w] = (
                     [a + b2 for a, b2 in zip(prev, v)] if prev else list(v)
                 )
+            for w, lst in r.get("tooluse_partial", {}).items():
+                cur = tooluse_partials.setdefault(w, {})
+                for t, n_c, n_v in lst:
+                    prev_t = cur.get(t)
+                    cur[t] = (
+                        [prev_t[0] + n_c, prev_t[1] + n_v]
+                        if prev_t else [n_c, n_v]
+                    )
         _fold_topk(topk_partials, self.cfg.topk_k)
         # two returns (num_returns=2): small meta for the driver's commit;
         # emitted tables + checkpoint blobs go to the off-worker writer task
@@ -1786,7 +1844,8 @@ class MultiPartitionWorker:
         return (
             {"metrics": metrics, "win_partials": win_partials,
              "topk_partials": topk_partials, "sessq_partials": sessq_partials,
-             "convhist_partials": convhist_partials},
+             "convhist_partials": convhist_partials,
+             "tooluse_partials": tooluse_partials},
             {"tables": out_tables, "ckpt_blobs": blobs},
         )
 
@@ -1796,6 +1855,7 @@ class MultiPartitionWorker:
         topk_partials: dict[int, list[tuple[str, int]]] = {}
         sessq_partials: dict[int, int] = {}
         convhist_partials: dict[int, list[int]] = {}
+        tooluse_partials: dict[int, dict[str, list[int]]] = {}
         for pid in self.pids:
             r = self.impls[pid].finish(epoch, do_checkpoint)
             out_tables.extend(r["tables"])
@@ -1814,11 +1874,20 @@ class MultiPartitionWorker:
                 convhist_partials[w] = (
                     [a + b2 for a, b2 in zip(prev, v)] if prev else list(v)
                 )
+            for w, lst in r.get("tooluse_partial", {}).items():
+                cur = tooluse_partials.setdefault(w, {})
+                for t, n_c, n_v in lst:
+                    prev_t = cur.get(t)
+                    cur[t] = (
+                        [prev_t[0] + n_c, prev_t[1] + n_v]
+                        if prev_t else [n_c, n_v]
+                    )
         _fold_topk(topk_partials, self.cfg.topk_k)
         return (
             {"metrics": metrics, "win_partials": win_partials,
              "topk_partials": topk_partials, "sessq_partials": sessq_partials,
-             "convhist_partials": convhist_partials},
+             "convhist_partials": convhist_partials,
+             "tooluse_partials": tooluse_partials},
             {"tables": out_tables, "ckpt_blobs": blobs},
         )
 

@@ -438,6 +438,32 @@ def run_oracle(
                 for i, lbl in enumerate(CONVHIST_BUCKETS)
             ]
 
+    # windowed tool usage: a pure function of the final on-time rows — per
+    # (tumbling window, non-empty tool name), the call count and the number
+    # of distinct conversations, for every window the final watermark
+    # closed (all windows at final flush). Engine analog: per-partition
+    # (window, tool) partials summed at the runner's commit fold (convs are
+    # partition-disjoint, so the distinct-conv sum is exact).
+    tooluse: list[dict] = []
+    if cfg.tool_usage:
+        final_wm = (1 << 62) if cfg.final_flush else st.wm
+        tsize = cfg.tumbling_size_us
+        agg_tu: dict[tuple[int, str], list] = {}
+        for conv, rows in st.buf.items():
+            for (t, _ti, _role, _tx, tl) in rows:
+                if tl is None or tl == "":
+                    continue
+                w = t // tsize * tsize
+                if w + tsize > final_wm:
+                    continue
+                ent = agg_tu.setdefault((w, tl), [0, set()])
+                ent[0] += 1
+                ent[1].add(conv)
+        tooluse = [
+            {"w_start": w, "tool": tl, "n_calls": v[0], "n_convs": len(v[1])}
+            for (w, tl), v in sorted(agg_tu.items())
+        ]
+
     # running session-duration quantiles: replay the engine's commit-order
     # fold — per epoch that closed >= 1 session, fold those durations into
     # the cumulative histogram and emit the shared-spec estimates
@@ -520,13 +546,17 @@ def run_oracle(
                     )
                 i = j + 1
 
-    from .schema import ALERT_SCHEMA, CONVHIST_SCHEMA, SESSQUANT_SCHEMA, TOPK_SCHEMA
+    from .schema import (
+        ALERT_SCHEMA, CONVHIST_SCHEMA, SESSQUANT_SCHEMA, TOOLUSE_SCHEMA,
+        TOPK_SCHEMA,
+    )
 
     return {
         "turns": _to_table(st.turns, turn_schema, ["conv_id", "turn_idx"]),
         "alerts": _to_table(alerts, ALERT_SCHEMA, ["w_start", "scope"]),
         "topk": _to_table(topk, TOPK_SCHEMA, ["w_start", "rank"]),
         "convhist": _to_table(convhist, CONVHIST_SCHEMA, ["w_start", "bucket"]),
+        "tooluse": _to_table(tooluse, TOOLUSE_SCHEMA, ["w_start", "tool"]),
         "resplat": _to_table(resplat, RESPLAT_SCHEMA, ["conv_id"]),
         "runs": _to_table(runs, RUNS_SCHEMA, ["conv_id", "start_ts", "start_turn_idx"]),
         "sessquant": _to_table(sessquant, SESSQUANT_SCHEMA, ["epoch", "q"]),

@@ -164,6 +164,21 @@ CONVHIST_SCHEMA = pa.schema(
     ]
 )
 
+# windowed TOOL-USAGE stream: per final tumbling window and tool name, the
+# global call count and the EXACT count of distinct conversations that used
+# the tool in the window. Multi-key grouped global reduce: a conversation
+# lives in exactly one partition, so per-partition distinct-conv counts per
+# (window, tool) SUM to the exact global distinct — no sketch, no extra
+# shuffle. Rows exist only for (window, tool) pairs with >= 1 call.
+TOOLUSE_SCHEMA = pa.schema(
+    [
+        ("w_start", pa.timestamp("us")),
+        ("tool", pa.string()),
+        ("n_calls", pa.int64()),
+        ("n_convs", pa.int64()),
+    ]
+)
+
 RESPLAT_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),

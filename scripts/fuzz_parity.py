@@ -58,6 +58,7 @@ SORT_KEYS = {
     "topk": ["w_start", "rank"],
     "sessquant": ["epoch", "q"],
     "convhist": ["w_start", "bucket"],
+    "tooluse": ["w_start", "tool"],
     "resplat": ["conv_id"],
     "runs": ["conv_id", "start_ts", "start_turn_idx"],
 }
@@ -114,6 +115,7 @@ def main() -> int:
             sess_quantiles=[(), (0.5,), (0.25, 0.5, 0.95)][int(rng.integers(0, 3))],
             sess_hist_bin_us=int(rng.choice([30, 120])) * US,
             conv_hist=bool(rng.integers(0, 2)),
+            tool_usage=bool(rng.integers(0, 2)),
             resp_latency=bool(rng.integers(0, 2)),
             run_min_len=int(rng.choice([0, 2, 3])),
         )

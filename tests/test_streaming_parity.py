@@ -44,6 +44,7 @@ SORT_KEYS = {
     "topk": ["w_start", "rank"],
     "sessquant": ["epoch", "q"],
     "convhist": ["w_start", "bucket"],
+    "tooluse": ["w_start", "tool"],
     "resplat": ["conv_id"],
     "runs": ["conv_id", "start_ts", "start_turn_idx"],
 }
@@ -57,7 +58,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
     cfg = CEPConfig(num_partitions=4, count_window_size=5, alert_ratio=0.5,
                     alert_scopes=("all", "user", "assistant", "tool"),
                     topk_k=3, sess_quantiles=(0.5, 0.95), conv_hist=True,
-                    resp_latency=True, run_min_len=2)
+                    tool_usage=True, resp_latency=True, run_min_len=2)
     spec = PipelineSpec(
         source=SourceSpec(paths=tuple(files)),
         transformers=(StageSpec(name="normalize"),),
@@ -78,7 +79,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
 
 @pytest.mark.parametrize(
     "stream",
-    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts", "sessquant", "convhist", "resplat", "runs"],
+    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts", "sessquant", "convhist", "tooluse", "resplat", "runs"],
 )
 def test_stream_matches_oracle(engine_and_oracle, stream):
     out_dir, oracle = engine_and_oracle
@@ -296,7 +297,7 @@ def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
     files, _ = small_stream
     cfg = CEPConfig(num_partitions=3, count_window_size=4, alert_ratio=0.5,
                     topk_k=3, sess_quantiles=(0.5, 0.9), conv_hist=True,
-                    resp_latency=True, run_min_len=2)
+                    tool_usage=True, resp_latency=True, run_min_len=2)
     # checkpoint_every=2 exercises the restore-then-replay resume path
     # (crash after epoch 2 → state restored from epoch 1, epoch 2 replayed)
     spec = PipelineSpec(
@@ -1040,3 +1041,77 @@ def test_ipc_driver_matches_parquet_driver(ray_session, small_stream, tmp_path_f
             assert b is None or b.num_rows == 0, stream
             continue
         _assert_tables_equal(f"ipc:{stream}", b, a, keys)
+
+
+def test_tooluse_stream_nonempty_and_consistent(engine_and_oracle):
+    """tooluse parity isn't vacuous: rows exist, and per window the sum of
+    n_calls over tools equals the tumbling stream's total tool-turn count
+    (the fixture sets ``tool`` exactly on role=='tool' rows)."""
+    import collections
+
+    _out_dir, oracle = engine_and_oracle
+    tu = oracle["tooluse"]
+    assert tu.num_rows > 0
+    calls = collections.defaultdict(int)
+    for w, n in zip(
+        tu.column("w_start").cast(pa.int64()).to_pylist(),
+        tu.column("n_calls").to_pylist(),
+    ):
+        calls[w] += n
+    tool_turns = collections.defaultdict(int)
+    tumb = oracle["tumbling"]
+    for w, n in zip(
+        tumb.column("w_start").cast(pa.int64()).to_pylist(),
+        tumb.column("n_tool").to_pylist(),
+    ):
+        tool_turns[w] += n
+    assert dict(calls) == {w: n for w, n in tool_turns.items() if n}
+    # distinct-conv counts are bounded by the window's conv count
+    n_convs_per_w = collections.Counter(
+        tumb.column("w_start").cast(pa.int64()).to_pylist()
+    )
+    for w, nv in zip(
+        tu.column("w_start").cast(pa.int64()).to_pylist(),
+        tu.column("n_convs").to_pylist(),
+    ):
+        assert 1 <= nv <= n_convs_per_w[w]
+
+
+def test_tooluse_planted_cross_partition_distinct(ray_session, tmp_path):
+    """Ground-truth pin: five convs spread over three partitions call
+    'search' (one of them twice), one conv also calls 'fetch' — the
+    committed rows prove the per-(window, tool) distinct-conv merge is the
+    exact global count, not a per-partition one."""
+    import pandas as pd
+
+    from quanta_ray.engine import run_pipeline
+    from quanta_ray.sinks.exactly_once import read_committed
+
+    base = 3_600_000_000 * 1000  # hour boundary, µs
+    rows = []
+    for j, conv in enumerate(("c-a", "c-b", "c-c", "c-d", "c-e")):
+        rows.append((conv, 0, "user", "q", "", base + j * 1_000_000))
+        rows.append((conv, 1, "tool", "r", "search", base + j * 1_000_000 + 1))
+    # c-a calls search AGAIN (n_calls=6, n_convs stays 5) and also fetch
+    rows.append(("c-a", 2, "tool", "r2", "search", base + 10_000_000))
+    rows.append(("c-a", 3, "tool", "r3", "fetch", base + 11_000_000))
+    df = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"], unit="us").astype("datetime64[us]")
+    f = str(tmp_path / "epoch-00000.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), f)
+
+    spec = PipelineSpec(
+        source=SourceSpec(paths=(f,)),
+        transformers=(StageSpec(name="normalize"),),
+        sink=SinkSpec(),
+        cep=CEPConfig(num_partitions=3, tool_usage=True),
+    )
+    out = str(tmp_path / "out")
+    assert run_pipeline(spec, out)["status"] == "complete"
+    t = read_committed(out, "tooluse").to_pandas().sort_values("tool")
+    assert list(t["tool"]) == ["fetch", "search"]
+    assert list(t["n_calls"]) == [1, 6]
+    assert list(t["n_convs"]) == [1, 5]
+    assert (t["w_start"].astype("int64") == base).all()

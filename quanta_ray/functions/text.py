@@ -985,6 +985,196 @@ LIMIT 20
 """
 
 
+def pmi_collocations(
+    sf_dir: str, k: int = 50, m_cand: int = 500, min_count: int = 5
+) -> pa.Table:
+    """Top-k PMI-scored word COLLOCATIONS among the corpus's ``m_cand``
+    most frequent bigrams — the classic phrase/vocabulary-mining statistic
+    (Church & Hanks 1990) a tokenizer-training pipeline runs before BPE.
+
+    A bigram (x, y) qualifies when p(xy)/(p(x)p(y)) >= 7/5 (PMI >= ln 1.4)
+    AND n_xy >= ``min_count``; emitted columns are the raw integer counts
+    (n_xy, n_x, n_y) so any consumer can recompute PMI at full precision.
+    The threshold is evaluated as the cross-multiplied INTEGER comparison
+    5*n_xy*N^2 >= 7*B*n_x*n_y (python ints on the tiny candidate set; the
+    SQL oracle uses HUGEINT) — order-free and bit-exact vs the oracle, the
+    repo-wide exactness convention.
+
+    Distributed shape (2 all-to-alls, no vocabulary broadcast, driver work
+    O(m_cand x buckets)):
+    - map: per-batch fused partials — bigram counts keyed by the LEFT word
+      and unigram counts keyed by the token (the ``tfidf_topk`` union
+      trick, so pass A's bucket holds every partial of its keys);
+    - pass A (bucket by key): exact (w1, w2, n_xy) sums with n_x attached
+      (w1 and its unigram rows share the bucket), cut to the bucket-local
+      top-``m_cand`` by (n_xy desc, w1, w2) — a superset of the global cut
+      — then REKEYED by w2; exact (token, c) unigram rows and two
+      per-bucket scalar partials (total tokens N, total bigrams B) pass
+      through;
+    - pass B (bucket by key): attach n_y to the candidates;
+    - driver: sum the scalar partials, take the global top-``m_cand``
+      (deterministic (n_xy desc, w1, w2) order, matching the oracle's
+      LIMIT), apply the integer PMI + min-count filter, emit the top-k.
+    """
+    from ..bucket import bucketed_apply
+
+    class PmiPartials:
+        """kind 0: (key=w1, w2, n)=bigram partial; kind 1: (key=token, n)."""
+
+        def __init__(self):
+            import re
+
+            self.word = re.compile(r"[a-z0-9]+")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["text"].str.lower().str.findall(self.word)
+            toks = toks.reset_index(drop=True)
+            ex = toks.explode().dropna()
+            uc = ex.value_counts()
+            key = [uc.index.to_numpy(dtype=object)]
+            w2 = [np.full(len(uc), "", dtype=object)]
+            n = [uc.to_numpy(dtype=np.int64)]
+            kind = [np.ones(len(uc), dtype=np.int64)]
+            if len(ex) >= 2:
+                doc = ex.index.to_numpy()
+                w = ex.to_numpy(dtype=object)
+                same = doc[1:] == doc[:-1]
+                if same.any():
+                    bg = pd.DataFrame({"w1": w[:-1][same], "w2": w[1:][same]})
+                    bc = bg.groupby(["w1", "w2"]).size()
+                    key.append(bc.index.get_level_values(0).to_numpy(dtype=object))
+                    w2.append(bc.index.get_level_values(1).to_numpy(dtype=object))
+                    n.append(bc.to_numpy(dtype=np.int64))
+                    kind.append(np.zeros(len(bc), dtype=np.int64))
+            return pd.DataFrame(
+                {"key": np.concatenate(key), "w2": np.concatenate(w2),
+                 "n": np.concatenate(n), "kind": np.concatenate(kind)}
+            )
+
+    parts = _docs(sf_dir, ["text"]).map_batches(
+        PmiPartials, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+
+    def join_left(g: pd.DataFrame) -> pd.DataFrame:
+        uni = g[g["kind"] == 1].groupby("key", as_index=False)["n"].sum()
+        big = g[g["kind"] == 0]
+        out_key, out_w1, out_nxy, out_nx, out_kind = [], [], [], [], []
+        # unigram pass-through (exact totals: a token lives in one bucket)
+        out_key.append(uni["key"].to_numpy(dtype=object))
+        out_w1.append(np.full(len(uni), "", dtype=object))
+        out_nxy.append(uni["n"].to_numpy(dtype=np.int64))
+        out_nx.append(np.zeros(len(uni), dtype=np.int64))
+        out_kind.append(np.ones(len(uni), dtype=np.int64))
+        # scalar partials: total tokens (kind 2) / total bigrams (kind 3)
+        n_big_total = 0
+        if len(big):
+            bc = big.groupby(["key", "w2"], as_index=False)["n"].sum()
+            n_big_total = int(bc["n"].sum())
+            cmap = dict(zip(uni["key"], uni["n"]))
+            bc = bc.sort_values(
+                ["n", "key", "w2"], ascending=[False, True, True],
+                kind="mergesort",
+            ).head(m_cand)
+            out_key.append(bc["w2"].to_numpy(dtype=object))  # REKEY by w2
+            out_w1.append(bc["key"].to_numpy(dtype=object))
+            out_nxy.append(bc["n"].to_numpy(dtype=np.int64))
+            out_nx.append(
+                bc["key"].map(cmap).to_numpy(dtype=np.int64)
+            )
+            out_kind.append(np.zeros(len(bc), dtype=np.int64))
+        out_key.append(np.array(["", ""], dtype=object))
+        out_w1.append(np.array(["", ""], dtype=object))
+        out_nxy.append(
+            np.array([int(uni["n"].sum()), n_big_total], dtype=np.int64)
+        )
+        out_nx.append(np.zeros(2, dtype=np.int64))
+        out_kind.append(np.array([2, 3], dtype=np.int64))
+        return pd.DataFrame(
+            {"key": np.concatenate(out_key), "w1": np.concatenate(out_w1),
+             "n_xy": np.concatenate(out_nxy), "n_x": np.concatenate(out_nx),
+             "kind": np.concatenate(out_kind)}
+        )
+
+    def join_right(g: pd.DataFrame) -> pd.DataFrame:
+        uni = g[g["kind"] == 1]
+        cmap = dict(zip(uni["key"], uni["n_xy"]))
+        cand = g[g["kind"] == 0].copy()
+        scal = g[g["kind"] >= 2]
+        cand["n_y"] = cand["key"].map(cmap).to_numpy(dtype=np.int64)
+        scal = scal.assign(n_y=np.zeros(len(scal), dtype=np.int64))
+        return pd.concat(
+            [cand[["w1", "key", "n_xy", "n_x", "n_y", "kind"]].rename(
+                columns={"key": "w2"}
+            ),
+             scal[["w1", "key", "n_xy", "n_x", "n_y", "kind"]].rename(
+                 columns={"key": "w2"}
+             )],
+            ignore_index=True,
+        )
+
+    passed = bucketed_apply(
+        bucketed_apply(parts, ["key"], join_left), ["key"], join_right
+    )
+    df = _concat(passed).to_pandas()
+    n_tok = int(df.loc[df["kind"] == 2, "n_xy"].sum())
+    n_bg = int(df.loc[df["kind"] == 3, "n_xy"].sum())
+    cand = (
+        df[df["kind"] == 0]
+        .sort_values(["n_xy", "w1", "w2"], ascending=[False, True, True],
+                     kind="mergesort")
+        .head(m_cand)
+    )
+    keep = [
+        5 * int(r.n_xy) * n_tok * n_tok >= 7 * n_bg * int(r.n_x) * int(r.n_y)
+        and int(r.n_xy) >= min_count
+        for r in cand.itertuples()
+    ]
+    out = cand[np.asarray(keep, dtype=bool)].head(k).reset_index(drop=True)
+    return pa.table(
+        {
+            "w1": pa.array(out["w1"].to_numpy(dtype=object), pa.string()),
+            "w2": pa.array(out["w2"].to_numpy(dtype=object), pa.string()),
+            "n_xy": pa.array(out["n_xy"].to_numpy(dtype=np.int64), pa.int64()),
+            "n_x": pa.array(out["n_x"].to_numpy(dtype=np.int64), pa.int64()),
+            "n_y": pa.array(out["n_y"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+PMI_COLLOCATIONS_SQL = """
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+), uni AS (
+  SELECT unnest(toks) AS w FROM t
+), ucnt AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+  FROM t
+), bg2 AS (
+  SELECT b.w1 AS w1, b.w2 AS w2 FROM bg
+), bcnt AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy FROM bg2 GROUP BY w1, w2
+), tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS n_tok,
+         (SELECT CAST(count(*) AS BIGINT) FROM bg2) AS n_bg
+), cand AS (
+  SELECT w1, w2, n_xy FROM bcnt ORDER BY n_xy DESC, w1, w2 LIMIT 500
+)
+SELECT w1, w2, n_xy, u1.c AS n_x, u2.c AS n_y
+FROM cand
+JOIN ucnt u1 ON u1.w = cand.w1
+JOIN ucnt u2 ON u2.w = cand.w2
+CROSS JOIN tot
+WHERE n_xy >= 5
+  AND 5 * CAST(n_xy AS HUGEINT) * n_tok * n_tok
+      >= 7 * CAST(n_bg AS HUGEINT) * u1.c * u2.c
+ORDER BY n_xy DESC, w1, w2
+LIMIT 50
+"""
+
+
 def repetition_stats(sf_dir: str) -> pa.Table:
     """Per-document REPETITION signals (Gopher-style quality rules):
     duplicate-bigram fraction and top-bigram fraction — high values flag

@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "doc_pmi_collocations": text.pmi_collocations,
         "doc_export_jsonl": _doc_export_jsonl,
         "mm_image_phash_near_dups": _image_phash_near_dups,
         "mm_audio_segments": _audio_segments,
@@ -412,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "doc_tfidf_topk": text.TFIDF_TOPK_SQL,
         "doc_bigram_topk": text.BIGRAM_TOPK_SQL,
+        "doc_pmi_collocations": text.PMI_COLLOCATIONS_SQL,
         "doc_shuffle_shards": curation.SHUFFLE_SHARDS_SQL,
         "doc_mixture_sample": curation.MIXTURE_SAMPLE_SQL,
         "doc_curate_e2e": curation.CURATE_E2E_SQL,

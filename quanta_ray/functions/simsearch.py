@@ -935,6 +935,106 @@ ORDER BY 1, 2
 # --- ANN index-quality evaluation (recall@k vs exact) --------------------------
 
 
+def matryoshka_recall(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 10,
+    fractions: tuple[float, ...] = (1.0, 0.5, 0.25, 0.125),
+) -> pa.Table:
+    """Recall@k of TRUNCATED-dimension exact search vs the full-dimension
+    truth — the Matryoshka-embedding question (Kusupati et al. 2022): how
+    many dims can a pipeline drop (for 2-8x cheaper storage/ANN) before
+    neighbor quality degrades?
+
+    ONE streaming pass over the embeddings computes every truncation level
+    at once: per batch, the row block is L2-normalized per level on its
+    first ``d`` dims (a slice of the same zero-copy matrix — the matmul is
+    the cost, and it shrinks with d) and emits a per-(level, query) local
+    top-k; the driver merges tiny partials and intersects each level's
+    top-k with the full-dim set. Corpus-size-independent driver work;
+    query matrix broadcast once via ``ray.put``. Deterministic (vec_id
+    tie-breaks); the full-dim row's recall is 1.0 by construction (the
+    pinned invariant)."""
+    import pyarrow.dataset as pads
+
+    qt = _read_pq(
+        f"{sf_dir}/embeddings.parquet",
+        filter=pads.field("vec_id").isin(list(query_ids)),
+    )
+    q_tbl = _concat(qt)
+    q_ids, q_mat = _batch_matrix(q_tbl)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], q_mat[order]
+    dim = q_mat.shape[1]
+    dims = sorted({max(1, int(dim * f)) for f in fractions}, reverse=True)
+    ref = ray.put((q_ids, q_mat, dims))
+
+    def _rownorm(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    class LevelTopK:
+        def __init__(self):
+            self.q_ids, q_mat, self.dims = ray.get(ref)
+            self.q_by_dim = {d: _rownorm(q_mat[:, :d]) for d in self.dims}
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids, mat = _batch_matrix(batch)
+            out = []
+            for d in self.dims:
+                sims = _rownorm(mat[:, :d]) @ self.q_by_dim[d].T
+                for qi, qid in enumerate(self.q_ids):
+                    s = sims[:, qi]
+                    cand = np.nonzero(ids != qid)[0]
+                    if len(cand) == 0:
+                        continue
+                    top = cand[np.lexsort((ids[cand], -s[cand]))][:k]
+                    out.append(
+                        pd.DataFrame(
+                            {"dims": np.int64(d), "query_id": np.int64(qid),
+                             "neighbor_id": ids[top], "cosine": s[top]}
+                        )
+                    )
+            if not out:
+                return pd.DataFrame(
+                    columns=["dims", "query_id", "neighbor_id", "cosine"]
+                )
+            return pd.concat(out, ignore_index=True)
+
+    partials = _emb(sf_dir).map_batches(
+        LevelTopK, batch_format="pyarrow", batch_size=4096, concurrency=2
+    )
+    df = _concat(partials).to_pandas()
+    df = df.sort_values(
+        ["dims", "query_id", "cosine", "neighbor_id"],
+        ascending=[True, True, False, True],
+    )
+    df = df.groupby(["dims", "query_id"], as_index=False).head(k)
+    truth = {
+        qid: set(g["neighbor_id"].to_numpy())
+        for qid, g in df[df["dims"] == dim].groupby("query_id")
+    }
+    rows = []
+    for (d, qid), g in df.groupby(["dims", "query_id"]):
+        t = truth.get(qid, set())
+        got = set(g["neighbor_id"].to_numpy())
+        rows.append(
+            (int(d), int(qid), len(t), len(got & t),
+             round(len(got & t) / len(t), 6) if t else 1.0)
+        )
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    return pa.table(
+        {
+            "dims": pa.array([r[0] for r in rows], pa.int64()),
+            "query_id": pa.array([r[1] for r in rows], pa.int64()),
+            "k_truth": pa.array([r[2] for r in rows], pa.int64()),
+            "n_hit": pa.array([r[3] for r in rows], pa.int64()),
+            "recall": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
 def recall_eval(
     sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 10
 ) -> pa.Table:

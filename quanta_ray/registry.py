@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
         "doc_pmi_collocations": text.pmi_collocations,
+        "emb_matryoshka_recall": simsearch.matryoshka_recall,
         "doc_export_jsonl": _doc_export_jsonl,
         "mm_image_phash_near_dups": _image_phash_near_dups,
         "mm_audio_segments": _audio_segments,

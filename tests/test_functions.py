@@ -1863,3 +1863,35 @@ def test_audio_segments_planted_bursts(ray_session):
     start_err = (t["start_ms"] - (100 + t["seg_idx"] * 250)).abs()
     end_err = (t["end_ms"] - (250 + t["seg_idx"] * 250)).abs()
     assert int(start_err.max()) <= 20 and int(end_err.max()) <= 20
+
+
+def test_matryoshka_recall_matches_numpy(ray_session, emb_dir):
+    """Full-dim recall is 1.0 by construction, and every truncated level's
+    recall equals a from-scratch numpy recomputation (truncate -> renorm ->
+    exact top-k -> intersect with the full-dim set)."""
+    from quanta_ray.functions.simsearch import matryoshka_recall
+
+    d, mat = emb_dir
+    out = matryoshka_recall(d, query_ids=(3, 5), k=4).to_pandas()
+    assert set(out["dims"]) == {16, 8, 4, 2}
+    assert (out.loc[out["dims"] == 16, "recall"] == 1.0).all()
+
+    m = mat.astype(np.float64)
+
+    def topk(dd, qid, k=4):
+        sub = m[:, :dd]
+        n = np.linalg.norm(sub, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sub = sub / n
+        s = sub @ sub[qid]
+        ids = np.arange(len(m))
+        cand = ids[ids != qid]
+        order = cand[np.lexsort((ids[cand], -s[cand]))]
+        return set(order[:k])
+
+    for qid in (3, 5):
+        truth = topk(16, qid)
+        for dd in (16, 8, 4, 2):
+            got_row = out[(out["dims"] == dd) & (out["query_id"] == qid)]
+            want = len(topk(dd, qid) & truth) / len(truth)
+            assert float(got_row["recall"].iloc[0]) == round(want, 6), (dd, qid)

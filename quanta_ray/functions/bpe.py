@@ -1,0 +1,192 @@
+"""Byte-pair-encoding MERGE-TABLE training — the tokenizer-vocabulary
+step every LLM data pipeline runs before anything is tokenized.
+
+Algorithm (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+with Subword Units"): BPE over a WORD-FREQUENCY table, not the raw corpus —
+for whitespace-bounded merges the two are exactly equivalent, and the word
+table is VOCABULARY-sized (grows ~log-ish with corpus bytes), so after one
+streaming count pass the merge rounds never touch the corpus again.
+
+Distributed shape:
+  1. ONE streaming pass over ``documents`` -> exact (word, freq) counts
+     (per-batch ``value_counts`` partials, hash-bucketed exact sum — the
+     ``bigram_topk`` shape);
+  2. the vocabulary is consistent-hash SHARDED across a pool of plain Ray
+     actors (``_VocabShard``), each holding its words' current symbol
+     sequences — the one piece of state the Dataset API cannot express
+     (mutable across rounds);
+  3. each merge round: every shard returns its pair-count partial
+     (dict[pair, freq], O(distinct pairs in shard)); the driver sums and
+     takes the argmax under the deterministic (count desc, left asc,
+     right asc) order, then broadcasts the winning pair; shards apply the
+     merge to the words that contain it (a per-shard pair->words index
+     makes rounds incremental, not full rescans).
+
+Partitioning assumption (documented per the north rule): the merge loop is
+vocab-bounded, not corpus-bounded — at web scale the word table is millions
+of rows spread over the shard pool while the corpus is petabytes; driver
+traffic per round is one small dict per shard. Exactly the structure of a
+production wordpiece/BPE trainer.
+
+Determinism: integer freqs, order-free sums, lexicographic tie-breaks ->
+the merge TABLE is a pure function of the corpus. Not SQL-expressible
+(iterative argmax); pinned by the classic low/lower/lowest planted test
+against a from-scratch single-threaded reference in pytest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..schema import read_parquet_clean as _read_pq
+
+_EOW = "</w>"
+
+
+def _word_counts(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus-wide (word, freq) via one bucketed streaming pass."""
+    from ..bucket import bucketed_group_agg
+
+    class WordPartial:
+        def __init__(self):
+            import re
+
+            self.word = re.compile(r"[a-z0-9]+")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vc = (
+                batch["text"].str.lower().str.findall(self.word)
+                .explode().dropna().value_counts()
+            )
+            return pd.DataFrame(
+                {"word": vc.index.to_numpy(dtype=object),
+                 "freq": vc.to_numpy(dtype=np.int64)}
+            )
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    parts = docs.map_batches(
+        WordPartial, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+    out = []
+    for t in bucketed_group_agg(
+        parts, ["word"], {"freq": ("freq", "sum")}
+    ).iter_batches(batch_format="pandas", batch_size=None):
+        out.append(t)
+    if not out:
+        return pd.DataFrame({"word": [], "freq": []})
+    return pd.concat(out, ignore_index=True)
+
+
+@ray.remote(num_cpus=1)
+class _VocabShard:
+    """One consistent-hash shard of the word table: current symbol
+    sequences + freq, with a pair -> word-index inverted index so a merge
+    round touches only the words that contain the winning pair."""
+
+    def __init__(self, words: list[str], freqs: list[int]):
+        self.freq = np.asarray(freqs, dtype=np.int64)
+        self.seqs: list[list[str]] = [list(w) + [_EOW] for w in words]
+        self.pair_words: dict[tuple[str, str], set[int]] = {}
+        self.pair_cnt: dict[tuple[str, str], int] = {}
+        for i, seq in enumerate(self.seqs):
+            self._index_word(i, seq, +1)
+
+    def _index_word(self, i: int, seq: list[str], sign: int) -> None:
+        f = int(self.freq[i]) * sign
+        for a, b in zip(seq[:-1], seq[1:]):
+            p = (a, b)
+            self.pair_cnt[p] = self.pair_cnt.get(p, 0) + f
+            s = self.pair_words.setdefault(p, set())
+            if sign > 0:
+                s.add(i)
+            # on removal the membership set is rebuilt lazily below
+
+    def pair_counts(self) -> dict[tuple[str, str], int]:
+        return {p: c for p, c in self.pair_cnt.items() if c > 0}
+
+    def apply_merge(self, pair: tuple[str, str]) -> None:
+        pair = tuple(pair)
+        new_sym = pair[0] + pair[1]
+        for i in list(self.pair_words.get(pair, ())):
+            seq = self.seqs[i]
+            self._index_word(i, seq, -1)
+            out: list[str] = []
+            j = 0
+            while j < len(seq):
+                if (
+                    j + 1 < len(seq)
+                    and seq[j] == pair[0]
+                    and seq[j + 1] == pair[1]
+                ):
+                    out.append(new_sym)
+                    j += 2
+                else:
+                    out.append(seq[j])
+                    j += 1
+            self.seqs[i] = out
+            self._index_word(i, out, +1)
+        # drop dead entries so partials stay O(live pairs)
+        self.pair_words = {
+            p: s for p, s in self.pair_words.items() if self.pair_cnt.get(p, 0) > 0
+        }
+        self.pair_cnt = {p: c for p, c in self.pair_cnt.items() if c > 0}
+
+    def ping(self) -> bool:
+        return True
+
+
+def bpe_merges_from_counts(
+    words: list[str], freqs: list[int], n_merges: int, n_shards: int = 8
+) -> list[tuple[str, str, int]]:
+    """Run the distributed merge loop over an explicit word table."""
+    if not words:
+        return []
+    n_shards = max(1, min(n_shards, len(words)))
+    h = pd.util.hash_array(np.asarray(words, dtype=object)) % np.uint64(n_shards)
+    shards = []
+    for s in range(n_shards):
+        idx = np.flatnonzero(h == s)
+        shards.append(
+            _VocabShard.remote(
+                [words[i] for i in idx], [int(freqs[i]) for i in idx]
+            )
+        )
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            partials = ray.get([sh.pair_counts.remote() for sh in shards])
+            total: dict[tuple[str, str], int] = {}
+            for p_dict in partials:
+                for p, c in p_dict.items():
+                    total[p] = total.get(p, 0) + c
+            if not total:
+                break
+            best = min(total.items(), key=lambda kv: (-kv[1], kv[0]))
+            (left, right), cnt = best
+            if cnt <= 1:
+                break  # nothing repeats: further merges are noise
+            merges.append((left, right, int(cnt)))
+            ray.get([sh.apply_merge.remote((left, right)) for sh in shards])
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+    return merges
+
+
+def bpe_merges(sf_dir: str, n_merges: int = 40, n_shards: int = 8) -> pa.Table:
+    """Top-``n_merges`` BPE merge rules learned from the corpus."""
+    wc = _word_counts(sf_dir)
+    merges = bpe_merges_from_counts(
+        wc["word"].tolist(), wc["freq"].tolist(), n_merges, n_shards
+    )
+    return pa.table(
+        {
+            "round": pa.array(range(1, len(merges) + 1), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )

@@ -64,6 +64,12 @@ def _doc_export_jsonl(sf_dir: str) -> Any:
         _sh.rmtree(work, ignore_errors=True)
 
 
+def _doc_bpe_merges(sf_dir: str) -> Any:
+    from .functions.bpe import bpe_merges
+
+    return bpe_merges(sf_dir)
+
+
 def _image_phash_near_dups(sf_dir: str) -> Any:
     from .functions.multimodal import image_phash_near_dups
 
@@ -145,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- (1) new or changed since last driver verification ---
         "doc_pmi_collocations": text.pmi_collocations,
         "emb_matryoshka_recall": simsearch.matryoshka_recall,
+        "doc_bpe_merges": _doc_bpe_merges,
         "doc_export_jsonl": _doc_export_jsonl,
         "mm_image_phash_near_dups": _image_phash_near_dups,
         "mm_audio_segments": _audio_segments,

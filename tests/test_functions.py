@@ -1895,3 +1895,60 @@ def test_matryoshka_recall_matches_numpy(ray_session, emb_dir):
             got_row = out[(out["dims"] == dd) & (out["query_id"] == qid)]
             want = len(topk(dd, qid) & truth) / len(truth)
             assert float(got_row["recall"].iloc[0]) == round(want, 6), (dd, qid)
+
+
+def _bpe_reference(word_freqs: dict, n_merges: int):
+    """From-scratch single-threaded Sennrich-style BPE for the planted pin."""
+    seqs = {w: list(w) + ["</w>"] for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        cnt = {}
+        for w, seq in seqs.items():
+            f = word_freqs[w]
+            for p in zip(seq[:-1], seq[1:]):
+                cnt[p] = cnt.get(p, 0) + f
+        if not cnt:
+            break
+        (l, r), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c <= 1:
+            break
+        merges.append((l, r, c))
+        for w, seq in seqs.items():
+            out, j = [], 0
+            while j < len(seq):
+                if j + 1 < len(seq) and seq[j] == l and seq[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(seq[j])
+                    j += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_merges_match_reference_and_shard_invariant(ray_session):
+    """The distributed merge table equals the single-threaded reference on
+    the classic low/lower/newest/widest corpus, and is IDENTICAL at 1 and 4
+    shards (the cross-shard pair-count sum is exact, not approximate)."""
+    from quanta_ray.functions.bpe import bpe_merges_from_counts
+
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    want = _bpe_reference(wf, 12)
+    got1 = bpe_merges_from_counts(list(wf), list(wf.values()), 12, n_shards=1)
+    got4 = bpe_merges_from_counts(list(wf), list(wf.values()), 12, n_shards=4)
+    assert got1 == want
+    assert got4 == want
+    # the classic first merges: ('e','s') then ('es','t') then ('est','</w>')
+    assert want[0][:2] == ("e", "s")
+    assert want[1][:2] == ("es", "t")
+
+
+def test_bpe_merges_corpus_smoke(ray_session, doc_dir):
+    from quanta_ray.functions.bpe import bpe_merges
+
+    t = bpe_merges(doc_dir, n_merges=10, n_shards=3)
+    assert t.num_rows > 0
+    assert t.column("round").to_pylist() == list(range(1, t.num_rows + 1))
+    # counts are non-increasing is NOT guaranteed for BPE, but every
+    # emitted merge must have repeated at least twice
+    assert min(t.column("pair_count").to_pylist()) >= 2

@@ -117,6 +117,11 @@ BENCH_QUERIES = [
     "rel_late_order_priority",
     "mm_image_phash_near_dups",
     "mm_audio_segments",
+    # round-4 fourth continuation session
+    "doc_pmi_collocations",
+    "emb_matryoshka_recall",
+    "doc_bpe_merges",
+    "doc_bpe_token_counts",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

@@ -144,7 +144,12 @@ def bpe_merges_from_counts(
     """Run the distributed merge loop over an explicit word table."""
     if not words:
         return []
-    n_shards = max(1, min(n_shards, len(words)))
+    # cap the pool by the cluster's CPUs (leave one for the driver): the
+    # merge table is shard-count-invariant (pinned in pytest), so a small
+    # cluster just runs fewer shards instead of deadlocking ray.get on
+    # forever-pending actors.
+    avail = int(ray.cluster_resources().get("CPU", n_shards + 1))
+    n_shards = max(1, min(n_shards, len(words), max(1, avail - 1)))
     h = pd.util.hash_array(np.asarray(words, dtype=object)) % np.uint64(n_shards)
     shards = []
     for s in range(n_shards):
@@ -190,3 +195,76 @@ def bpe_merges(sf_dir: str, n_merges: int = 40, n_shards: int = 8) -> pa.Table:
             "pair_count": pa.array([m[2] for m in merges], pa.int64()),
         }
     )
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Token count of one word under the merge table (classic BPE encode:
+    repeatedly merge the lowest-rank adjacent pair)."""
+    seq = list(word) + [_EOW]
+    while len(seq) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+    return len(seq)
+
+
+def bpe_token_counts(sf_dir: str, n_merges: int = 40) -> pa.Table:
+    """Per-document token count under the corpus-trained BPE merge table —
+    the 'what will this cost to train on' statistic (packing budgets, token
+    accounting) computed with the real tokenizer, not a whitespace proxy.
+
+    The merge table (O(n_merges), trained by ``bpe_merges``) is broadcast
+    once via ``ray.put``; each map task encodes with a per-WORD memo dict —
+    encode cost is vocabulary-bounded, not occurrence-bounded (zipf: a few
+    thousand distinct words cover almost every token of a shard). Rows-only
+    (the tokenizer is iterative, no SQL form); pinned by the
+    reference-equality pytest of the shared ``_encode_word``."""
+    merges = bpe_merges(sf_dir, n_merges=n_merges)
+    ranks = {
+        (l, r): i
+        for i, (l, r) in enumerate(
+            zip(merges.column("left").to_pylist(),
+                merges.column("right").to_pylist())
+        )
+    }
+    ref = ray.put(ranks)
+
+    class Encode:
+        def __init__(self):
+            import re
+
+            self.word = re.compile(r"[a-z0-9]+")
+            self.ranks = ray.get(ref)
+            self.memo: dict[str, int] = {}
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["text"].str.lower().str.findall(self.word)
+            memo, ranks = self.memo, self.ranks
+            counts = np.empty(len(toks), dtype=np.int64)
+            for i, words in enumerate(toks.to_numpy()):
+                c = 0
+                for w in words:
+                    n = memo.get(w)
+                    if n is None:
+                        n = memo[w] = _encode_word(w, ranks)
+                    c += n
+                counts[i] = c
+            return pd.DataFrame(
+                {"doc_id": batch["doc_id"].to_numpy(), "n_bpe_tokens": counts}
+            )
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = []
+    for t in docs.map_batches(
+        Encode, batch_format="pandas", batch_size=4096, concurrency=2
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        out.append(t)
+    tbl = pa.concat_tables(out, promote_options="default").combine_chunks()
+    import pyarrow.compute as pc
+
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")]))

@@ -70,6 +70,12 @@ def _doc_bpe_merges(sf_dir: str) -> Any:
     return bpe_merges(sf_dir)
 
 
+def _doc_bpe_token_counts(sf_dir: str) -> Any:
+    from .functions.bpe import bpe_token_counts
+
+    return bpe_token_counts(sf_dir)
+
+
 def _image_phash_near_dups(sf_dir: str) -> Any:
     from .functions.multimodal import image_phash_near_dups
 
@@ -149,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "doc_bpe_token_counts": _doc_bpe_token_counts,
         "doc_pmi_collocations": text.pmi_collocations,
         "emb_matryoshka_recall": simsearch.matryoshka_recall,
         "doc_bpe_merges": _doc_bpe_merges,

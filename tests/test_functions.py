@@ -1952,3 +1952,43 @@ def test_bpe_merges_corpus_smoke(ray_session, doc_dir):
     # counts are non-increasing is NOT guaranteed for BPE, but every
     # emitted merge must have repeated at least twice
     assert min(t.column("pair_count").to_pylist()) >= 2
+
+
+def test_bpe_token_counts_match_reference(ray_session, doc_dir):
+    """Every doc's BPE token count equals a from-scratch recompute: train
+    the reference merge table on the same word counts, encode each doc
+    word-by-word with the reference merges."""
+    import re
+
+    import pyarrow.parquet as pq2
+
+    from quanta_ray.functions.bpe import bpe_token_counts
+
+    got = bpe_token_counts(doc_dir, n_merges=10).to_pandas()
+    docs = pq2.read_table(doc_dir + "/documents.parquet").to_pandas()
+    word = re.compile(r"[a-z0-9]+")
+    wf = {}
+    for t in docs["text"]:
+        for w in word.findall(t.lower()):
+            wf[w] = wf.get(w, 0) + 1
+    merges = _bpe_reference(wf, 10)
+    ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
+
+    def enc(w):
+        seq = list(w) + ["</w>"]
+        while len(seq) > 1:
+            best, bi = None, -1
+            for i in range(len(seq) - 1):
+                r = ranks.get((seq[i], seq[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            seq[bi : bi + 2] = [seq[bi] + seq[bi + 1]]
+        return len(seq)
+
+    want = {
+        int(d): sum(enc(w) for w in word.findall(t.lower()))
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    assert {int(d): int(n) for d, n in zip(got["doc_id"], got["n_bpe_tokens"])} == want

@@ -100,6 +100,18 @@ class CEPConfig:
     # the same order as the window state itself; windows finalize in
     # exactly one epoch, so no cross-epoch reducer state. False disables.
     tool_usage: bool = False
+    # windowed ROLE-MIX DRIFT stream (chained global reduce): per final
+    # non-empty tumbling window with a predecessor, the EXACT L1 distance
+    # between the window's global role distribution and the previous
+    # non-empty window's — the distribution-shift monitor. Reuses the
+    # alert stream's per-window (n_turns, n_user, n_assistant, n_tool)
+    # partials (O(windows/epoch) scalars, never row-proportional); the
+    # driver chains windows in w_start order and emits the cross-multiplied
+    # integer form (l1_num = Σ|n_r·M − m_r·N|, l1_den = N·M — order-free,
+    # bit-exact vs the sequential oracle). The O(1) reducer state (last
+    # window, last 4 counts) rides in every manifest, so resume continues
+    # the chain exactly. False disables the stream.
+    role_drift: bool = False
     # FIRST-RESPONSE LATENCY stream (per-conversation event-time result,
     # emitted exactly once): for every conversation, the first user turn's
     # timestamp, the first assistant turn's timestamp, and their signed

@@ -462,6 +462,11 @@ class StreamingRunner:
         alert_state: dict[str, Any] = {
             s: {"last_w": None, "last_n": 0} for s in spec.cep.alert_scopes
         }
+        # role-mix drift reducer state: the last non-empty tumbling window's
+        # start and its 4 global counts (n_turns, n_user, n_assistant,
+        # n_tool). O(1); persisted in every manifest so resume continues
+        # the drift chain exactly where the last committed epoch left it.
+        drift_state: dict[str, Any] = {"last_w": None, "last": [0, 0, 0, 0]}
         # running session-duration quantile reducer state: the cumulative
         # duration histogram (O(sess_hist_bins) ints) — persisted in every
         # manifest so resume continues the running estimates exactly.
@@ -472,6 +477,12 @@ class StreamingRunner:
             assert m["num_partitions"] == P, "partition count changed across resume"
             for s, st_s in (m.get("alerts_state") or {}).items():
                 alert_state[s] = dict(st_s)
+            saved_dr = m.get("drift_state")
+            if saved_dr:
+                drift_state = {
+                    "last_w": saved_dr["last_w"],
+                    "last": [int(v) for v in saved_dr["last"]],
+                }
             saved_sq = m.get("sessq_state")
             if saved_sq:
                 assert len(saved_sq) == len(sessq_state), (
@@ -651,16 +662,17 @@ class StreamingRunner:
             # strict epoch order (both modes), so the fold order — and
             # therefore the alert stream — is deterministic.
             alert_entries: list[dict] = []
-            if spec.cep.alert_ratio > 0:
-                from ..schema import ALERT_SCHEMA
-                from ..sinks.exactly_once import write_part_file
-
-                merged: dict[int, list[int]] = {}
+            merged: dict[int, list[int]] = {}
+            if spec.cep.alert_ratio > 0 or spec.cep.role_drift:
                 for r in metas:
                     for w, t in r.get("win_partials", {}).items():
                         m_w = merged.setdefault(int(w), [0, 0, 0, 0])
                         for i, v in enumerate(t):
                             m_w[i] += int(v)
+            if spec.cep.alert_ratio > 0:
+                from ..schema import ALERT_SCHEMA
+                from ..sinks.exactly_once import write_part_file
+
                 scope_col = {"all": 0, "user": 1, "assistant": 2, "tool": 3}
                 alert_rows: list[tuple[str, int, int, int]] = []
                 for w in sorted(merged):
@@ -692,6 +704,55 @@ class StreamingRunner:
                     e_a = write_part_file(tbl, self.out_dir, "alerts", 0, epoch)
                     if e_a:
                         alert_entries.append(e_a)
+            # role-mix drift: chain the same global per-window role counts
+            # through non-empty windows in w_start order (commits run in
+            # strict epoch order, so the chain — and the stream — is
+            # deterministic); emit the exact cross-multiplied integer L1
+            # vs the previous non-empty window. Python-int arithmetic in
+            # the fold, int64 on emit.
+            drift_entries: list[dict] = []
+            if spec.cep.role_drift:
+                from ..schema import DRIFT_SCHEMA
+                from ..sinks.exactly_once import write_part_file
+
+                dr_rows: list[tuple[int, int, int, int, int, int]] = []
+                for w in sorted(merged):
+                    cur = merged[w]
+                    n_tot = cur[0]
+                    if n_tot == 0:
+                        continue  # empty window: chain unmoved
+                    if drift_state["last_w"] is not None:
+                        prev = drift_state["last"]
+                        m_tot = prev[0]
+                        l1 = sum(
+                            abs(cur[i] * m_tot - prev[i] * n_tot)
+                            for i in (1, 2, 3)
+                        )
+                        dr_rows.append(
+                            (w, drift_state["last_w"], n_tot, m_tot,
+                             l1, n_tot * m_tot)
+                        )
+                    drift_state["last_w"] = w
+                    drift_state["last"] = list(cur)
+                if dr_rows:
+                    tbl = pa.Table.from_arrays(
+                        [
+                            pa.array([r[0] for r in dr_rows], pa.int64()).cast(
+                                pa.timestamp("us")
+                            ),
+                            pa.array([r[1] for r in dr_rows], pa.int64()).cast(
+                                pa.timestamp("us")
+                            ),
+                            pa.array([r[2] for r in dr_rows], pa.int64()),
+                            pa.array([r[3] for r in dr_rows], pa.int64()),
+                            pa.array([r[4] for r in dr_rows], pa.int64()),
+                            pa.array([r[5] for r in dr_rows], pa.int64()),
+                        ],
+                        schema=DRIFT_SCHEMA,
+                    )
+                    e_d = write_part_file(tbl, self.out_dir, "drift", 0, epoch)
+                    if e_d:
+                        drift_entries.append(e_d)
             # windowed exact top-k: merge the workers' per-window k-sized
             # lists (convs are partition-disjoint → merge of complete local
             # top-ks is the exact global top-k), emit rank rows. All
@@ -855,10 +916,17 @@ class StreamingRunner:
                 "watermark": wms[epoch] if epoch < len(files) else POS_INF,
                 "source_stats": stats,
                 "files": turns_entries + dead_entries + stream_files + alert_entries
-                + topk_entries + convhist_entries + tooluse_entries + sessq_entries,
+                + drift_entries + topk_entries + convhist_entries
+                + tooluse_entries + sessq_entries,
                 "checkpoints": checkpoints,
                 "last_checkpoint_epoch": last_ckpt_epoch["v"],
                 "alerts_state": {s: dict(v) for s, v in alert_state.items()},
+                "drift_state": (
+                    {"last_w": drift_state["last_w"],
+                     "last": list(drift_state["last"])}
+                    if spec.cep.role_drift
+                    else None
+                ),
                 "sessq_state": list(sessq_state) if spec.cep.sess_quantiles else None,
                 "metrics": [pm for r in metas for pm in r["metrics"]],
             }

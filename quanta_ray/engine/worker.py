@@ -1137,7 +1137,9 @@ class PartitionWorkerImpl:
         # partition's total turn count — O(windows/epoch) scalars for the
         # driver's second-level reduce, never row- or conv-proportional
         win_partial: dict[int, tuple[int, int, int, int]] = {}
-        if self.cfg.alert_ratio > 0 and win_tables["tumbling"] is not None:
+        if (
+            self.cfg.alert_ratio > 0 or self.cfg.role_drift
+        ) and win_tables["tumbling"] is not None:
             tt = win_tables["tumbling"]
             ws = tt.column("w_start").cast(pa.int64()).to_numpy()
             uw, inv = np.unique(ws, return_inverse=True)

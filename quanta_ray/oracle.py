@@ -400,6 +400,43 @@ def run_oracle(
                     )
                 chains[s] = (w, n)
 
+    # role-mix drift: like alerts, a pure function of the FINAL tumbling
+    # output — global per-window role counts, chained through non-empty
+    # windows in w_start order; each emitted row is the exact
+    # cross-multiplied integer L1 distance vs the previous non-empty
+    # window (engine analog: runner commit fold over the same alert
+    # partials, chain state manifest-carried).
+    drift: list[dict] = []
+    if cfg.role_drift:
+        totals_d: dict[int, list[int]] = {}
+        for r in st.tumbling:
+            t_d = totals_d.setdefault(r["w_start"], [0, 0, 0, 0])
+            t_d[0] += r["n_turns"]
+            t_d[1] += r["n_user"]
+            t_d[2] += r["n_assistant"]
+            t_d[3] += r["n_tool"]
+        last_w: int | None = None
+        last: list[int] = [0, 0, 0, 0]
+        for w in sorted(totals_d):
+            cur = totals_d[w]
+            n_tot = cur[0]
+            if n_tot == 0:
+                continue  # empty window: chain unmoved
+            if last_w is not None:
+                m_tot = last[0]
+                l1 = sum(abs(cur[i] * m_tot - last[i] * n_tot) for i in (1, 2, 3))
+                drift.append(
+                    {
+                        "w_start": w,
+                        "prev_w": last_w,
+                        "n_turns": n_tot,
+                        "prev_turns": m_tot,
+                        "l1_num": l1,
+                        "l1_den": n_tot * m_tot,
+                    }
+                )
+            last_w, last = w, cur
+
     # windowed exact top-k: like alerts, a pure function of the FINAL
     # tumbling output — per w_start, the k most active convs, ties broken
     # (n_turns desc, conv_id asc) (engine analog: per-partition local top-k
@@ -547,13 +584,14 @@ def run_oracle(
                 i = j + 1
 
     from .schema import (
-        ALERT_SCHEMA, CONVHIST_SCHEMA, SESSQUANT_SCHEMA, TOOLUSE_SCHEMA,
-        TOPK_SCHEMA,
+        ALERT_SCHEMA, CONVHIST_SCHEMA, DRIFT_SCHEMA, SESSQUANT_SCHEMA,
+        TOOLUSE_SCHEMA, TOPK_SCHEMA,
     )
 
     return {
         "turns": _to_table(st.turns, turn_schema, ["conv_id", "turn_idx"]),
         "alerts": _to_table(alerts, ALERT_SCHEMA, ["w_start", "scope"]),
+        "drift": _to_table(drift, DRIFT_SCHEMA, ["w_start"]),
         "topk": _to_table(topk, TOPK_SCHEMA, ["w_start", "rank"]),
         "convhist": _to_table(convhist, CONVHIST_SCHEMA, ["w_start", "bucket"]),
         "tooluse": _to_table(tooluse, TOOLUSE_SCHEMA, ["w_start", "tool"]),

@@ -179,6 +179,28 @@ TOOLUSE_SCHEMA = pa.schema(
     ]
 )
 
+# windowed ROLE-MIX DRIFT stream: per final non-empty tumbling window that
+# has a predecessor (the previous non-empty final window, chained in
+# w_start order), the EXACT L1 distance between the two windows' global
+# role distributions — the distribution-shift monitor for a transcript
+# stream. Exactness convention: with current counts (N; n_user,
+# n_assistant, n_tool) and previous (M; m_*), the distance
+# Σ|n_r/N − m_r/M| is emitted as the integer pair
+#   l1_num = Σ_r |n_r·M − m_r·N|,  l1_den = N·M
+# (order-free integer arithmetic; num/den overflow int64 only beyond
+# ~3e9 turns per window). First non-empty window seeds the chain and
+# emits nothing.
+DRIFT_SCHEMA = pa.schema(
+    [
+        ("w_start", pa.timestamp("us")),
+        ("prev_w", pa.timestamp("us")),
+        ("n_turns", pa.int64()),
+        ("prev_turns", pa.int64()),
+        ("l1_num", pa.int64()),
+        ("l1_den", pa.int64()),
+    ]
+)
+
 RESPLAT_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),

@@ -133,6 +133,104 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def range_search(sf_dir: str, tau_num: int = 7, tau_den: int = 20) -> pa.Table:
+    """Exact cosine RANGE search (radius query): every unordered vector
+    pair with cosine similarity >= tau (default 7/20 = 0.35) over
+    INTEGER-QUANTIZED embeddings — the "all neighbors within a radius"
+    primitive (the pair-generation step of SemDeDup-style dedup and graph
+    building), with a full DuckDB oracle.
+
+    Exactness convention: both sides quantize q = floor(x*100 + 0.5) as
+    int64 (identical float64 op sequence -> bit-identical quantization),
+    then test  dot > 0  AND  den^2 * dot^2 >= num^2 * |qa|^2 * |qb|^2  in
+    exact integer arithmetic (dot <= ~2e5 here, every term < 2^53, so the
+    numpy int64 and DuckDB HUGEINT/double paths are all exact; the
+    emitted dot is an exact int). Zero-norm quantized vectors never match
+    (dot > 0 fails), identically on both sides.
+
+    Shape: the quantized corpus matrix doubles as the query matrix
+    (bounded here; a corpus-scale radius query would use the LSH-bucketed
+    ``near_dup_cosine`` path instead) — broadcast ONCE via ``ray.put``,
+    fetched per actor; each batch does one int64 matmul against it and
+    emits only passing (a < b) pairs, so the stream is one linear pass."""
+    q_tbl = _concat(_emb(sf_dir))
+
+    def _quant(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = batch.column("vec_id").to_numpy()
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return ids, np.empty((0, 0), dtype=np.int64)
+        mat = flat.astype(np.float64, copy=True).reshape(len(ids), -1)
+        return ids, np.floor(mat * 100.0 + 0.5).astype(np.int64)
+
+    q_ids, q_mat = _quant(q_tbl)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], q_mat[order]
+    q_norm2 = (q_mat * q_mat).sum(axis=1)  # int64, exact
+    ref = ray.put((q_ids, q_mat, q_norm2))
+    num2, den2 = tau_num * tau_num, tau_den * tau_den
+
+    class RangePairs:
+        def __init__(self):
+            self.q_ids, self.q_mat, self.q_norm2 = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids, mat = _quant(batch)
+            if len(ids) == 0:
+                return pd.DataFrame(
+                    {"a_id": pd.Series(dtype=np.int64),
+                     "b_id": pd.Series(dtype=np.int64),
+                     "dot": pd.Series(dtype=np.int64)}
+                )
+            dots = mat @ self.q_mat.T  # (n, q) int64, exact
+            n2 = (mat * mat).sum(axis=1)
+            # a < b emits each unordered pair exactly once; dot > 0 guards
+            # the squared comparison's sign (and zero-norm rows)
+            ok = (
+                (self.q_ids[None, :] < ids[:, None])
+                & (dots > 0)
+                & (den2 * dots * dots >= num2 * n2[:, None] * self.q_norm2[None, :])
+            )
+            bi, qi = np.nonzero(ok)
+            return pd.DataFrame(
+                {
+                    "a_id": self.q_ids[qi].astype(np.int64),
+                    "b_id": ids[bi].astype(np.int64),
+                    "dot": dots[bi, qi].astype(np.int64),
+                }
+            )
+
+    out = _emb(sf_dir).map_batches(
+        RangePairs, batch_format="pyarrow", batch_size=4096, concurrency=2
+    )
+    df = _concat(out).to_pandas()
+    df = df.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    return _from_pandas(df[["a_id", "b_id", "dot"]])
+
+
+RANGE_SEARCH_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * 100 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(list_inner_product(a.qv, b.qv) AS HUGEINT) AS dot,
+         CAST(list_inner_product(a.qv, a.qv) AS HUGEINT) AS na,
+         CAST(list_inner_product(b.qv, b.qv) AS HUGEINT) AS nb
+  FROM q a JOIN q b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, CAST(dot AS BIGINT) AS dot
+FROM pairs
+WHERE dot > 0 AND 400 * dot * dot >= 49 * na * nb
+ORDER BY a_id, b_id
+"""
+
+
 def knn_ivf(
     sf_dir: str,
     query_ids: tuple[int, ...] = (0, 1, 2, 3),

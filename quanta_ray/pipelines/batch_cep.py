@@ -968,6 +968,219 @@ ORDER BY a_event_id, b_event_id
 """
 
 
+# --- absence anti-join: A NOT followed by B within a time window --------------
+
+
+def absence_join(
+    sf_dir: str,
+    first: str = "click",
+    then: str = "purchase",
+    minutes: int = 30,
+    buckets: int = 32,
+) -> pa.Table:
+    """ABSENCE detection in batch form — every ``first`` event with NO
+    same-user ``then`` event in ``(ts, ts + minutes]``: the negative
+    (``NOT EXISTS`` / Flink-CEP ``notFollowedBy``) twin of
+    ``followup_range_join``, the abandonment/no-conversion query.
+
+    Shape: same two-sided user-key hash bucket as the positive join (type
+    predicates pushed to the scan, one all-to-all of pruned columns); per
+    bucket each side is sorted once by (user, ts) and existence is decided
+    with two vectorized ``searchsorted`` probes per A row against the
+    B side's (user, ts) composite key — no A x B pair materialization, so
+    a hot user with many As and Bs costs O((|A|+|B|) log |B|), not
+    |A| x |B|. Emits the absent A rows only."""
+    import pyarrow.dataset as pads
+
+    def side(ev_type: str, sid: int) -> rd.Dataset:
+        ds = _read_pq(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+            filter=(pads.field("event_type") == pads.scalar(ev_type)),
+        ).select_columns(["event_id", "ts", "user_id"])
+
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            k = b["user_id"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "user_id": k,
+                    "ts": b["ts"].astype("datetime64[us]"),
+                    "event_id": b["event_id"].astype(np.int64),
+                    "_side": np.int64(sid),
+                    "_bucket": (pd.util.hash_array(k) % buckets).astype(np.int64),
+                }
+            )
+
+        return ds.map_batches(tag, batch_format="pandas")
+
+    both = side(first, 0).union(side(then, 1))
+    span_us = np.int64(minutes) * 60 * US
+
+    def absent(g: pd.DataFrame) -> pa.Table:
+        a = g[g["_side"] == 0]
+        b = g[g["_side"] == 1]
+        a_uid = a["user_id"].to_numpy(dtype=np.int64)
+        a_ts = a["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(b) == 0:
+            keep = np.ones(len(a), dtype=bool)
+        elif len(a) == 0:
+            keep = np.zeros(0, dtype=bool)
+        else:
+            b_uid = b["user_id"].to_numpy(dtype=np.int64)
+            b_ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            # one monotonic composite key (user, ts-offset): offsets are
+            # bounded by the bucket's time extent + window, so the shifted
+            # user id and the offset pack into int64 without overflow for
+            # any realistic (users x time-extent) — asserted, not assumed.
+            tmin = min(b_ts.min(), a_ts.min())
+            width = np.int64(
+                max(b_ts.max(), a_ts.max() + span_us) - tmin
+            ) + 2  # +2: room for the exclusive probe bound
+            umax = np.int64(max(b_uid.max(), a_uid.max()))
+            assert (umax + 1) < (2**63 - 1) // width, (
+                "absence_join composite key would overflow; sub-bucket by "
+                "coarse time range for this extent"
+            )
+            b_key = b_uid * width + (b_ts - tmin)
+            b_key.sort()
+            lo = np.searchsorted(b_key, a_uid * width + (a_ts - tmin), side="right")
+            hi = np.searchsorted(
+                b_key, a_uid * width + (a_ts + span_us - tmin), side="right"
+            )
+            keep = hi <= lo  # no B strictly inside (a_ts, a_ts + span]
+        out = a[keep]
+        return pa.table(
+            {
+                "event_id": pa.array(out["event_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "user_id": pa.array(out["user_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "ts": pa.array(
+                    out["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                    pa.int64(),
+                ).cast(pa.timestamp("us")),
+            }
+        )
+
+    t = _concat(both.groupby("_bucket").map_groups(absent, batch_format="pandas"))
+    if t.num_rows == 0:
+        t = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+    return t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
+
+
+ABSENCE_JOIN_SQL = """
+SELECT a.event_id, a.user_id, a.ts
+FROM events a
+WHERE a.event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM events b
+    WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+      AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+  )
+ORDER BY a.event_id
+"""
+
+
+# --- interval-overlap counts: concurrent sessions per session -----------------
+
+
+def session_overlap_counts(
+    sf_dir: str, gap_us: int = 30 * 60 * US, buckets: int = 32
+) -> pa.Table:
+    """INTERVAL-OVERLAP join, collapsed to the stabbing count — for every
+    gap-sessionized (user, session) interval, how many OTHER sessions (any
+    user) overlap it in time. The concurrency / co-presence query; the
+    overlap condition is the classic closed-interval test
+    (other.start <= my.end AND other.end >= my.start).
+
+    Shape: sessions are built with the one-shuffle sessionize kernel (user
+    hash bucket -> mergesort -> gap-break cumsum), reduced to O(sessions)
+    (user, session, start, end, n_events) rows. The pairwise overlap count
+    then needs NO pair materialization: with the global sorted arrays of
+    starts and ends,  n_overlap = #(starts <= my_end) - #(ends < my_start)
+    - 1  (exact integer-microsecond arithmetic, self excluded). The two
+    endpoint arrays are result-sized (the same order as the output itself),
+    so they are computed where the result already lives; a corpus where
+    sessions outgrow one node would range-partition time and keep per-range
+    endpoint prefix sums (the cent-histogram exchange pattern) instead."""
+    from ..bucket import bucketed_apply
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        brk = np.concatenate(([False], np.diff(ts) > gap_us)) & ~new_user
+        c = np.cumsum(brk.astype(np.int64))
+        first_idx = np.flatnonzero(new_user)
+        sizes = np.diff(np.append(first_idx, len(uid)))
+        sid = c - np.repeat(c[first_idx], sizes)
+        # collapse the labeled stream to per-session rows
+        df = pd.DataFrame(
+            {"user_id": uid, "session_id": sid.astype(np.int64), "ts": ts}
+        )
+        s = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            start=("ts", "min"), end=("ts", "max"), n_events=("ts", "size")
+        )
+        return s
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+    t = _concat(bucketed_apply(ds, ["user_id"], bucket_fn, num_buckets=buckets))
+    df = t.to_pandas()
+    starts = np.sort(df["start"].to_numpy(dtype=np.int64))
+    ends = np.sort(df["end"].to_numpy(dtype=np.int64))
+    n_le_end = np.searchsorted(starts, df["end"].to_numpy(dtype=np.int64), side="right")
+    n_lt_start = np.searchsorted(ends, df["start"].to_numpy(dtype=np.int64), side="left")
+    df["n_overlap"] = (n_le_end - n_lt_start - 1).astype(np.int64)
+    df = df.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "user_id": pa.array(df["user_id"].to_numpy(dtype=np.int64), pa.int64()),
+            "session_id": pa.array(df["session_id"].to_numpy(dtype=np.int64), pa.int64()),
+            "start_ts": pa.array(df["start"].to_numpy(dtype=np.int64), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "end_ts": pa.array(df["end"].to_numpy(dtype=np.int64), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "n_events": pa.array(df["n_events"].to_numpy(dtype=np.int64), pa.int64()),
+            "n_overlap": pa.array(df["n_overlap"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+SESSION_OVERLAP_COUNTS_SQL = """
+WITH lab AS (
+  SELECT user_id, ts,
+         CAST(sum(CASE WHEN gap_us IS NULL OR gap_us <= 1800000000 THEN 0 ELSE 1 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM (
+    SELECT event_id, user_id, ts,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_us
+    FROM events
+  )
+), sess AS (
+  SELECT user_id, session_id,
+         min(ts) AS start_ts, max(ts) AS end_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM lab GROUP BY user_id, session_id
+)
+SELECT a.user_id, a.session_id, a.start_ts, a.end_ts, a.n_events,
+       CAST(count(*) - 1 AS BIGINT) AS n_overlap
+FROM sess a
+JOIN sess b ON b.start_ts <= a.end_ts AND b.end_ts >= a.start_ts
+GROUP BY a.user_id, a.session_id, a.start_ts, a.end_ts, a.n_events
+ORDER BY a.user_id, a.session_id
+"""
+
+
 # --- pivot: hourly counts, one column per event type -------------------------
 
 

@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "emb_range_search": simsearch.range_search,
+        "ev_absence_join": batch_cep.absence_join,
+        "ev_session_overlap_counts": batch_cep.session_overlap_counts,
         "doc_bpe_token_counts": _doc_bpe_token_counts,
         "doc_pmi_collocations": text.pmi_collocations,
         "emb_matryoshka_recall": simsearch.matryoshka_recall,
@@ -344,6 +347,9 @@ def oracle_sql() -> dict[str, str]:
     from .pipelines import batch_cep, relational
 
     return {
+        "emb_range_search": simsearch.RANGE_SEARCH_SQL,
+        "ev_absence_join": batch_cep.ABSENCE_JOIN_SQL,
+        "ev_session_overlap_counts": batch_cep.SESSION_OVERLAP_COUNTS_SQL,
         "ev_tumbling": batch_cep.TUMBLING_SQL,
         "ev_sliding": batch_cep.SLIDING_SQL,
         "ev_session": batch_cep.SESSION_SQL,

@@ -1992,3 +1992,110 @@ def test_bpe_token_counts_match_reference(ray_session, doc_dir):
         for d, t in zip(docs["doc_id"], docs["text"])
     }
     assert {int(d): int(n) for d, n in zip(got["doc_id"], got["n_bpe_tokens"])} == want
+
+
+def test_absence_join_planted(ray_session, tmp_path_factory):
+    """Absence (notFollowedBy) semantics pinned: window is half-open
+    (simultaneous B does NOT answer), inclusive at +30min, same-user only,
+    and a B before A never answers."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.pipelines.batch_cep import absence_join
+
+    d = tmp_path_factory.mktemp("absence")
+    t0 = pd.Timestamp("2024-03-01 12:00:00")
+    mins = lambda m: t0 + pd.Timedelta(minutes=m)
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8, 9], pa.int64()),
+            "ts": pa.array(
+                [
+                    mins(0),   # 1: u1 click, answered by 2
+                    mins(10),  # 2: u1 purchase
+                    mins(60),  # 3: u1 click, purchase at exactly +30 -> answered
+                    mins(90),  # 4: u1 purchase (60 + 30)
+                    mins(200), # 5: u2 click, simultaneous purchase does NOT answer
+                    mins(200), # 6: u2 purchase (same ts)
+                    mins(300), # 7: u3 click, only OTHER-user purchase follows
+                    mins(310), # 8: u4 purchase (different user)
+                    mins(400), # 9: u5 click, purchase exists but BEFORE it
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 3, 4, 5], pa.int64()),
+            "event_type": [
+                "click", "purchase", "click", "purchase", "click",
+                "purchase", "click", "purchase", "click",
+            ],
+            "value": [0.0] * 9,
+            "props": ["{}"] * 9,
+        }
+    )
+    pq.write_table(ev, str(d / "events.parquet"))
+    out = absence_join(str(d))
+    assert out.column("event_id").to_pylist() == [5, 7, 9]
+
+
+def test_session_overlap_counts_planted(ray_session, tmp_path_factory):
+    """Interval-overlap stabbing count pinned: closed intervals (touching
+    endpoints overlap), self excluded, single-event sessions are points."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.pipelines.batch_cep import session_overlap_counts
+
+    d = tmp_path_factory.mktemp("overlap")
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    mins = lambda m: t0 + pd.Timedelta(minutes=m)
+    # u1: [0, 10]; u2: [5, 15]; u3: [20, 30]; u4: point at exactly 10
+    rows = [
+        (1, 1, 0), (2, 1, 10),
+        (3, 2, 5), (4, 2, 15),
+        (5, 3, 20), (6, 3, 30),
+        (7, 4, 10),
+    ]
+    ev = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([mins(r[2]) for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": ["view"] * len(rows),
+            "value": [0.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(ev, str(d / "events.parquet"))
+    out = session_overlap_counts(str(d)).to_pandas().set_index("user_id")
+    # u1 [0,10] overlaps u2 [5,15] and the point u4 {10} -> 2
+    assert out.loc[1, "n_overlap"] == 2
+    # u2 [5,15] overlaps u1 and u4 -> 2; u3 [20,30] nothing -> 0
+    assert out.loc[2, "n_overlap"] == 2
+    assert out.loc[3, "n_overlap"] == 0
+    assert out.loc[4, "n_overlap"] == 2
+    assert out.loc[1, "n_events"] == 2 and out.loc[4, "n_events"] == 1
+
+
+def test_emb_range_search_planted(ray_session, tmp_path_factory):
+    """Quantized-cosine range search pinned: near-parallel pair passes with
+    the exact integer dot, orthogonal and sub-threshold pairs are excluded,
+    each unordered pair emitted once (a_id < b_id)."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.functions.simsearch import range_search
+
+    d = tmp_path_factory.mktemp("rsearch")
+    emb = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [1.0, 0.1], [0.0, 1.0]], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0, 0, 1], pa.int32()),
+        }
+    )
+    pq.write_table(emb, str(d / "embeddings.parquet"))
+    out = range_search(str(d))
+    # q0=[100,0], q1=[100,10], q2=[0,100]: only (0,1) passes tau=0.35
+    # (0,2): dot=0 excluded; (1,2): 400*1000^2 < 49*10100*10000 excluded
+    assert out.column("a_id").to_pylist() == [0]
+    assert out.column("b_id").to_pylist() == [1]
+    assert out.column("dot").to_pylist() == [10000]

@@ -131,6 +131,18 @@ class CEPConfig:
     # state is O(convs + rows above wm): the finalized prefix compacts to
     # one (role, len, start, end) tail summary per conversation. 0 disables.
     run_min_len: int = 0
+    # ABSENCE / TIMEOUT stream (CEP notFollowedBy + event-time timers):
+    # emit every USER turn with NO assistant turn of the same conversation
+    # in (ts, ts + noreply_timeout_us] — the abandonment/no-reply monitor.
+    # The window is half-open (a simultaneous assistant turn does not
+    # answer) and inclusive at +timeout. A pending user turn is FINAL (and
+    # emitted, once) when wm > ts + timeout: any later accepted assistant
+    # row has a_ts >= wm > ts + timeout and can no longer answer it.
+    # Worker state is two bounded sets: pending user turns (live at most
+    # timeout past the watermark) and retained assistant timestamps with
+    # a_ts > wm (older ones can answer no future-accepted user turn, since
+    # answering needs a_ts > u_ts >= wm). 0 disables the stream.
+    noreply_timeout_us: int = 0
 
     def __post_init__(self) -> None:
         # JSON specs deliver lists; normalize so configs hash/compare stably

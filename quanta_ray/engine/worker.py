@@ -56,6 +56,7 @@ from ..config import CEPConfig
 from ..schema import (
     COUNT_WINDOW_SCHEMA,
     JOIN_SCHEMA,
+    NOREPLY_SCHEMA,
     PATTERN_SCHEMA,
     RESPLAT_SCHEMA,
     RUNS_SCHEMA,
@@ -733,6 +734,122 @@ class _RespLatState:
         return st
 
 
+_NR_FIELDS = ("p_code", "p_ts", "p_turn", "a_code", "a_ts")
+
+
+class _NoReplyState:
+    """ABSENCE / event-time-timeout state (CEP ``notFollowedBy``), columnar.
+
+    Two bounded row sets per partition:
+
+    - pending USER turns ``(code, ts, turn)`` — unanswered so far; a pending
+      row lives at most ``timeout`` past the watermark (then it times out
+      and emits) so the set is O(rows in the last timeout horizon);
+    - retained ASSISTANT timestamps ``(code, ts)`` with ``ts > wm`` — an
+      older assistant can answer no future-accepted user turn (answering
+      needs ``a_ts > u_ts >= wm``), so it is pruned after each match pass.
+
+    Matching is one vectorized pass per pop: assistants are sorted by
+    ``(code, ts)`` and each pending probes the count of assistants in
+    ``(u_ts, u_ts + timeout]`` of its own code via two ``searchsorted``
+    calls on a DENSE composite key ``code * (R + 2) + rank(ts)`` (ranks
+    over the retained assistants' unique timestamps, so the composite
+    stays far below 2^63 regardless of absolute stream time — asserted).
+    Exact-duplicate pendings (fan-out copies) collapse at emission, which
+    matches the oracle's set-keyed spec; a copy can never arrive after its
+    twin was answered or emitted (the late filter bounds arrivals below by
+    the watermark that resolved the twin).
+    """
+
+    __slots__ = _NR_FIELDS
+
+    def __init__(self) -> None:
+        self.p_code = np.zeros(0, dtype=np.int64)
+        self.p_ts = np.zeros(0, dtype=np.int64)
+        self.p_turn = np.zeros(0, dtype=np.int64)
+        self.a_code = np.zeros(0, dtype=np.int64)
+        self.a_ts = np.zeros(0, dtype=np.int64)
+
+    def add(
+        self,
+        codes: np.ndarray,
+        ts: np.ndarray,
+        turn: np.ndarray,
+        is_user: np.ndarray,
+        is_assistant: np.ndarray,
+    ) -> None:
+        u = np.flatnonzero(is_user)
+        if len(u):
+            self.p_code = np.concatenate([self.p_code, codes[u]])
+            self.p_ts = np.concatenate([self.p_ts, ts[u]])
+            self.p_turn = np.concatenate([self.p_turn, turn[u]])
+        a = np.flatnonzero(is_assistant)
+        if len(a):
+            self.a_code = np.concatenate([self.a_code, codes[a]])
+            self.a_ts = np.concatenate([self.a_ts, ts[a]])
+
+    def pop_timeouts(self, timeout: int, wm: int) -> tuple | None:
+        """Match, emit newly-final timeouts, prune. Returns unique
+        ``(code, ts, turn)`` arrays of emitted rows, or None."""
+        if len(self.p_code) and len(self.a_code):
+            uniq = np.unique(self.a_ts)
+            R = len(uniq)
+            max_code = int(max(self.p_code.max(), self.a_code.max()))
+            assert (max_code + 1) < (2**63 - 1) // (R + 2), (
+                "noreply composite key would overflow (convs x retained "
+                "assistant rows); shrink the epoch/lateness horizon"
+            )
+            a_key = self.a_code * (R + 2) + np.searchsorted(uniq, self.a_ts)
+            a_key.sort()
+            lo = np.searchsorted(
+                a_key,
+                self.p_code * (R + 2) + np.searchsorted(uniq, self.p_ts, side="right"),
+            )
+            hi = np.searchsorted(
+                a_key,
+                self.p_code * (R + 2)
+                + np.searchsorted(uniq, self.p_ts + timeout, side="right"),
+            )
+            unanswered = hi <= lo
+            if not unanswered.all():
+                self.p_code = self.p_code[unanswered]
+                self.p_ts = self.p_ts[unanswered]
+                self.p_turn = self.p_turn[unanswered]
+        out = None
+        if len(self.p_code):
+            final = self.p_ts + timeout < wm
+            idx = np.flatnonzero(final)
+            if len(idx):
+                c, t, n = self.p_code[idx], self.p_ts[idx], self.p_turn[idx]
+                order = np.lexsort((n, t, c))
+                c, t, n = c[order], t[order], n[order]
+                first = np.concatenate(
+                    ([True], (c[1:] != c[:-1]) | (t[1:] != t[:-1]) | (n[1:] != n[:-1]))
+                )
+                out = (c[first], t[first], n[first])
+                keep = ~final
+                self.p_code = self.p_code[keep]
+                self.p_ts = self.p_ts[keep]
+                self.p_turn = self.p_turn[keep]
+        if len(self.a_code):
+            keep_a = self.a_ts > wm
+            if not keep_a.all():
+                self.a_code = self.a_code[keep_a]
+                self.a_ts = self.a_ts[keep_a]
+        return out
+
+    def to_payload(self) -> tuple:
+        return tuple(getattr(self, f) for f in _NR_FIELDS)
+
+    @classmethod
+    def from_payload(cls, p: tuple) -> "_NoReplyState":
+        st = cls()
+        for f, arr in zip(_NR_FIELDS, p):
+            # copy: payloads via the object store are read-only; mutated in place
+            setattr(st, f, np.array(arr, dtype=np.int64))
+        return st
+
+
 _RUN_PENDING = ("code", "ts", "turn", "role")
 _RUN_TAILS = ("t_role", "t_len", "t_s_ts", "t_s_turn", "t_e_ts", "t_e_turn")
 
@@ -983,6 +1100,7 @@ class PartitionWorkerImpl:
         self.cwin = _CountWindowState()
         self.resplat = _RespLatState()
         self.runs = _RunState()
+        self.noreply = _NoReplyState()
         # windowed tool usage: w_start -> tool -> [n_calls, set(pcodes)].
         # Popped (and deleted) when the watermark passes w_start + size;
         # tiny — open windows x small tool vocab x touched convs.
@@ -1014,6 +1132,7 @@ class PartitionWorkerImpl:
             "cwin": self.cwin.to_payload(),
             "resplat": self.resplat.to_payload(),
             "runs": self.runs.to_payload(),
+            "noreply": self.noreply.to_payload(),
             "toolw": {
                 w: {t: [v[0], sorted(v[1])] for t, v in by_tool.items()}
                 for w, by_tool in self.toolw.items()
@@ -1038,6 +1157,8 @@ class PartitionWorkerImpl:
             self.resplat = _RespLatState.from_payload(payload["resplat"])
         if "runs" in payload:
             self.runs = _RunState.from_payload(payload["runs"])
+        if "noreply" in payload:
+            self.noreply = _NoReplyState.from_payload(payload["noreply"])
         self.toolw = {
             int(w): {t: [int(v[0]), set(v[1])] for t, v in by_tool.items()}
             for w, by_tool in payload.get("toolw", {}).items()
@@ -1108,6 +1229,9 @@ class PartitionWorkerImpl:
         cw_table = self._pop_count_windows_table(self.wm)
         rl_table = self._pop_resplat_table(self.wm) if self.cfg.resp_latency else None
         run_table = self._pop_runs_table(self.wm) if self.cfg.run_min_len else None
+        nr_table = (
+            self._pop_noreply_table(self.wm) if self.cfg.noreply_timeout_us else None
+        )
         t_emit = _time.perf_counter()
 
         n_emitted = {
@@ -1118,6 +1242,7 @@ class PartitionWorkerImpl:
             "count_windows": cw_table.num_rows if cw_table is not None else 0,
             "resplat": rl_table.num_rows if rl_table is not None else 0,
             "runs": run_table.num_rows if run_table is not None else 0,
+            "noreply": nr_table.num_rows if nr_table is not None else 0,
             "joins": len(out["joins"]),
         }
         # totals accumulate on replay too, so a resumed run's checkpointed
@@ -1229,6 +1354,7 @@ class PartitionWorkerImpl:
             ("count_windows", cw_table),
             ("resplat", rl_table),
             ("runs", run_table),
+            ("noreply", nr_table),
         ):
             if t is not None and t.num_rows:
                 tables.append((stream, self.partition, t))
@@ -1381,6 +1507,12 @@ class PartitionWorkerImpl:
         # ---- run-length quantifier: append; compacted at emission time ----
         if cfg.run_min_len:
             self.runs.add(pcodes, ts, turn, role)
+
+        # ---- absence/timeout: append pendings + retained assistants ----
+        if cfg.noreply_timeout_us:
+            self.noreply.add(
+                pcodes, ts, turn.astype(np.int64), is_user, is_assistant
+            )
 
         # ---- windowed tool usage: fold (window, tool) partials. A row
         # contributes iff its tool value is non-null and non-empty; the
@@ -1595,6 +1727,28 @@ class PartitionWorkerImpl:
             schema=RESPLAT_SCHEMA,
         )
         return tbl.take(pc.sort_indices(tbl, sort_keys=[("conv_id", "ascending")]))
+
+    def _pop_noreply_table(self, wm: int) -> pa.Table | None:
+        """Emit newly-final absence rows (user turns whose reply window the
+        watermark has strictly passed) as a sorted Arrow table."""
+        popped = self.noreply.pop_timeouts(self.cfg.noreply_timeout_us, wm)
+        if popped is None:
+            return None
+        code, ts_arr, turn_arr = popped
+        names = np.array(self.conv_names, dtype=object)[code]
+        us = pa.timestamp("us")
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(names, type=pa.string()),
+                pa.array(ts_arr, type=pa.int64()).cast(us),
+                pa.array(turn_arr, type=pa.int64()),
+                pa.array(
+                    ts_arr + self.cfg.noreply_timeout_us, type=pa.int64()
+                ).cast(us),
+            ],
+            schema=NOREPLY_SCHEMA,
+        )
+        return tbl  # already (code, ts, turn)-sorted by the pop's lexsort
 
     def _pop_runs_table(self, wm: int) -> pa.Table | None:
         """Emit newly-maximal same-role runs (length >= cfg.run_min_len) as

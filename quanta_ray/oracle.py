@@ -60,6 +60,7 @@ Outputs (dicts of python lists, converted to Arrow by ``run_oracle``):
 
 from __future__ import annotations
 
+from bisect import bisect_right
 from collections import defaultdict
 from typing import Any, Iterable
 
@@ -583,9 +584,37 @@ def run_oracle(
                     )
                 i = j + 1
 
+    # absence/timeout (notFollowedBy): a USER turn with NO assistant turn of
+    # the same conv in (ts, ts + timeout] — half-open (simultaneous does not
+    # answer), inclusive at +timeout — emitted once the watermark STRICTLY
+    # passes ts + timeout (afterwards any accepted assistant row has
+    # a_ts >= wm and can no longer answer). Set-keyed on (conv, ts, turn):
+    # exact fan-out duplicates emit one row (engine analog: _NoReplyState's
+    # unique-at-emission), matching the pattern stream's duplicate spec.
+    noreply: list[dict] = []
+    if cfg.noreply_timeout_us > 0:
+        T = cfg.noreply_timeout_us
+        final_wm = (1 << 62) if cfg.final_flush else st.wm
+        seen_nr: set[tuple] = set()
+        for conv, rows in st.buf.items():
+            a_ts = sorted(t for (t, _ti, role, _tx, _tl) in rows if role == "assistant")
+            for (t, ti, role, _tx, _tl) in rows:
+                if role != "user" or t + T >= final_wm:
+                    continue
+                key = (conv, t, ti)
+                if key in seen_nr:
+                    continue
+                i = bisect_right(a_ts, t)  # first assistant with ts > t
+                if i < len(a_ts) and a_ts[i] <= t + T:
+                    continue  # answered
+                seen_nr.add(key)
+                noreply.append(
+                    {"conv_id": conv, "ts": t, "turn_idx": ti, "deadline": t + T}
+                )
+
     from .schema import (
-        ALERT_SCHEMA, CONVHIST_SCHEMA, DRIFT_SCHEMA, SESSQUANT_SCHEMA,
-        TOOLUSE_SCHEMA, TOPK_SCHEMA,
+        ALERT_SCHEMA, CONVHIST_SCHEMA, DRIFT_SCHEMA, NOREPLY_SCHEMA,
+        SESSQUANT_SCHEMA, TOOLUSE_SCHEMA, TOPK_SCHEMA,
     )
 
     return {
@@ -595,6 +624,7 @@ def run_oracle(
         "topk": _to_table(topk, TOPK_SCHEMA, ["w_start", "rank"]),
         "convhist": _to_table(convhist, CONVHIST_SCHEMA, ["w_start", "bucket"]),
         "tooluse": _to_table(tooluse, TOOLUSE_SCHEMA, ["w_start", "tool"]),
+        "noreply": _to_table(noreply, NOREPLY_SCHEMA, ["conv_id", "ts", "turn_idx"]),
         "resplat": _to_table(resplat, RESPLAT_SCHEMA, ["conv_id"]),
         "runs": _to_table(runs, RUNS_SCHEMA, ["conv_id", "start_ts", "start_turn_idx"]),
         "sessquant": _to_table(sessquant, SESSQUANT_SCHEMA, ["epoch", "q"]),

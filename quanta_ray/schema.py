@@ -201,6 +201,20 @@ DRIFT_SCHEMA = pa.schema(
     ]
 )
 
+# ABSENCE / TIMEOUT stream: one row per USER turn that received NO assistant
+# turn of the same conversation within (ts, ts + timeout] — the CEP
+# notFollowedBy / event-time-timer output. `deadline` = ts + timeout (the
+# event time at which the absence became true). Exactly-once: a row is
+# emitted in the first epoch whose watermark strictly passes the deadline.
+NOREPLY_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("ts", pa.timestamp("us")),
+        ("turn_idx", pa.int64()),
+        ("deadline", pa.timestamp("us")),
+    ]
+)
+
 RESPLAT_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),

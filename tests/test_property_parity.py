@@ -55,6 +55,7 @@ def _sorted(t: pa.Table, keys):
     fragment_rows=st.sampled_from([500, 131072]),
     topk_k=st.sampled_from([0, 3]),
     sessq=st.sampled_from([(), (0.5, 0.9)]),
+    noreply_s=st.sampled_from([0, 600, 2700]),
     kill=st.booleans(),
 )
 def test_random_stream_matches_oracle(
@@ -74,6 +75,7 @@ def test_random_stream_matches_oracle(
     fragment_rows,
     topk_k,
     sessq,
+    noreply_s,
     kill,
 ):
     from quanta_ray.engine import StreamingRunner
@@ -94,6 +96,7 @@ def test_random_stream_matches_oracle(
         sess_quantiles=sessq,
         resp_latency=True,
         run_min_len=2,
+        noreply_timeout_us=noreply_s * US,
     )
     d = tmp_path_factory.mktemp("prop")
     table = generate_transcripts(params)

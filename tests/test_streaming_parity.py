@@ -46,6 +46,7 @@ SORT_KEYS = {
     "convhist": ["w_start", "bucket"],
     "tooluse": ["w_start", "tool"],
     "drift": ["w_start"],
+    "noreply": ["conv_id", "ts", "turn_idx"],
     "resplat": ["conv_id"],
     "runs": ["conv_id", "start_ts", "start_turn_idx"],
 }
@@ -60,7 +61,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
                     alert_scopes=("all", "user", "assistant", "tool"),
                     topk_k=3, sess_quantiles=(0.5, 0.95), conv_hist=True,
                     tool_usage=True, role_drift=True, resp_latency=True,
-                    run_min_len=2)
+                    run_min_len=2, noreply_timeout_us=45 * 60 * 1_000_000)
     spec = PipelineSpec(
         source=SourceSpec(paths=tuple(files)),
         transformers=(StageSpec(name="normalize"),),
@@ -81,7 +82,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
 
 @pytest.mark.parametrize(
     "stream",
-    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts", "sessquant", "convhist", "tooluse", "drift", "resplat", "runs"],
+    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts", "sessquant", "convhist", "tooluse", "drift", "noreply", "resplat", "runs"],
 )
 def test_stream_matches_oracle(engine_and_oracle, stream):
     out_dir, oracle = engine_and_oracle
@@ -215,6 +216,65 @@ def test_runs_planted_merge_break_flush(ray_session, tmp_path):
     ]
 
 
+def test_noreply_planted_semantics(ray_session, tmp_path):
+    """Ground-truth pin for the absence/timeout stream: a simultaneous
+    assistant does NOT answer (half-open window), an assistant at exactly
+    ts+timeout DOES (inclusive), a later one does not, a cross-epoch
+    assistant inside the window answers, and exact duplicate user rows
+    emit ONE row."""
+    import pandas as pd
+
+    from quanta_ray.engine import run_pipeline
+    from quanta_ray.sinks.exactly_once import read_committed
+
+    S = 1_000_000  # 1 s in µs
+
+    def mk(rows):
+        df = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        df["ts"] = pd.to_datetime(df["ts"], unit="us").astype("datetime64[us]")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    e0 = [
+        ("a", 0, "user", "a0", "", 0),            # simultaneous asst below: unanswered
+        ("a", 1, "assistant", "a1", "", 0),        # ts == user ts: does NOT answer
+        ("b", 0, "user", "b0", "", 0),
+        ("b", 1, "assistant", "b1", "", 100 * S),  # exactly ts+timeout: answers
+        ("c", 0, "user", "c0", "", 0),
+        ("c", 1, "assistant", "c1", "", 101 * S),  # one past the window: too late
+        ("d", 0, "user", "d0", "", 0),
+        ("d", 1, "assistant", "d1", "", 50 * S),   # in-window same epoch: answers
+        ("e", 0, "user", "e0", "", 0),             # answered from the NEXT epoch
+        ("f", 0, "user", "f0", "", 0),             # exact fan-out duplicate ...
+        ("f", 0, "user", "f0", "", 0),             # ... emits ONE row
+    ]
+    e1 = [
+        ("e", 1, "assistant", "e1", "", 80 * S),   # cross-epoch in-window answer
+        ("zz", 0, "assistant", "zz0", "", 100000 * S),  # watermark driver
+    ]
+    f0, f1 = str(tmp_path / "epoch-00000.parquet"), str(tmp_path / "epoch-00001.parquet")
+    pq.write_table(mk(e0), f0)
+    pq.write_table(mk(e1), f1)
+
+    spec = PipelineSpec(
+        source=SourceSpec(paths=(f0, f1)),
+        transformers=(StageSpec(name="normalize"),),
+        sink=SinkSpec(),
+        cep=CEPConfig(num_partitions=2, noreply_timeout_us=100 * S,
+                      allowed_lateness_us=3600 * S),
+    )
+    out = str(tmp_path / "out")
+    assert run_pipeline(spec, out)["status"] == "complete"
+    t = read_committed(out, "noreply").to_pandas().sort_values(["conv_id", "ts"])
+    got = list(zip(t["conv_id"], t["turn_idx"]))
+    assert got == [("a", 0), ("c", 0), ("f", 0)]
+    assert (
+        t["deadline"].astype("datetime64[us]").astype("int64")
+        == t["ts"].astype("datetime64[us]").astype("int64") + 100 * S
+    ).all()
+
+
 def test_late_rows_were_dropped(engine_and_oracle):
     out_dir, oracle = engine_and_oracle
     assert oracle["metrics"]["n_late_dropped"] > 0, "fixture should contain late rows"
@@ -300,7 +360,7 @@ def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
     cfg = CEPConfig(num_partitions=3, count_window_size=4, alert_ratio=0.5,
                     topk_k=3, sess_quantiles=(0.5, 0.9), conv_hist=True,
                     tool_usage=True, role_drift=True, resp_latency=True,
-                    run_min_len=2)
+                    run_min_len=2, noreply_timeout_us=45 * 60 * 1_000_000)
     # checkpoint_every=2 exercises the restore-then-replay resume path
     # (crash after epoch 2 → state restored from epoch 1, epoch 2 replayed)
     spec = PipelineSpec(

@@ -181,7 +181,7 @@ def run_headline(num_cpus: int) -> dict:
     # every recorded round, so BENCH_r* are comparable. The optional
     # second-level reduce streams (count windows, alerts, top-k, session
     # quantiles, conv histogram) are deliberately NOT in the headline:
-    # QUANTA_BENCH_ALL_STREAMS=1 enables all fourteen for the separately
+    # QUANTA_BENCH_ALL_STREAMS=1 enables all sixteen for the separately
     # recorded cost measurement (~3% busy, BASELINE.md) and for scaling
     # experiments on the full surface.
     if os.environ.get("QUANTA_BENCH_ALL_STREAMS"):
@@ -194,8 +194,10 @@ def run_headline(num_cpus: int) -> dict:
             sess_quantiles=(0.5, 0.95),
             conv_hist=True,
             tool_usage=True,
+            role_drift=True,
             resp_latency=True,
             run_min_len=3,
+            noreply_timeout_us=1800 * 1_000_000,
         )
     else:
         cfg = CEPConfig(num_partitions=BENCH_PARTITIONS)

@@ -143,6 +143,14 @@ class CEPConfig:
     # a_ts > wm (older ones can answer no future-accepted user turn, since
     # answering needs a_ts > u_ts >= wm). 0 disables the stream.
     noreply_timeout_us: int = 0
+    # LATE-DATA SIDE OUTPUT (Flink/Beam side-output parity): rows dropped
+    # by the watermark late filter are committed to a "late" output stream
+    # (raw pre-transform row + the epoch it arrived in + the watermark it
+    # was late against) instead of only being counted. Drop semantics are
+    # unchanged — late rows never flow downstream — but they become an
+    # inspectable, exactly-once-committed stream (the event-time twin of
+    # the dead-letter stream). False disables.
+    late_output: bool = False
 
     def __post_init__(self) -> None:
         # JSON specs deliver lists; normalize so configs hash/compare stably

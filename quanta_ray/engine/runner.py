@@ -196,7 +196,32 @@ def _read_split_impl(
     ts = table.column("ts").cast(pa.int64())
     on_time = pc.greater_equal(ts, pa.scalar(wm_prev, type=pa.int64()))
     n_late = n_input - pc.sum(pc.cast(on_time, pa.int64())).as_py()
+    late_entry = None
     if n_late:
+        # late-data side output (Flink/Beam side-output parity): commit the
+        # RAW dropped rows (pre-transform) with their epoch + the watermark
+        # they were late against; the on-time path is unchanged
+        if out_dir is not None and spec.cep.late_output:
+            from ..schema import LATE_SCHEMA
+            from ..sinks.exactly_once import write_part_file
+
+            lt = table.filter(pc.invert(on_time))
+            late_tbl = pa.Table.from_arrays(
+                [
+                    lt.column("conv_id").cast(pa.string()),
+                    lt.column("turn_idx").cast(pa.int64()),
+                    lt.column("role").cast(pa.string()),
+                    lt.column("text").cast(pa.string()),
+                    lt.column("tool").cast(pa.string()),
+                    lt.column("ts").cast(pa.timestamp("us")),
+                    pa.array(np.full(lt.num_rows, epoch), type=pa.int64()),
+                    pa.array(
+                        np.full(lt.num_rows, wm_prev), type=pa.int64()
+                    ).cast(pa.timestamp("us")),
+                ],
+                schema=LATE_SCHEMA,
+            )
+            late_entry = write_part_file(late_tbl, out_dir, "late", frag_idx, epoch)
         table = table.filter(on_time)
     # transform chain (vectorized; OK/DROP/RETRY/ERROR semantics inside)
     chain = build_chain(spec.transformers)
@@ -249,6 +274,7 @@ def _read_split_impl(
         ),
         "t_read_split": round(_time.perf_counter() - t0, 4),
         "deadletter": dead_entry if out_dir is not None and spec.sink.dead_letter else None,
+        "late": late_entry,
     }
     out: list[Any] = [stats]
     for p in range(P):
@@ -632,6 +658,7 @@ class StreamingRunner:
             dead_entries: list[dict] = []
             if frag_stats:
                 dead_entries = [s["deadletter"] for s in frag_stats if s.get("deadletter")]
+                dead_entries += [s["late"] for s in frag_stats if s.get("late")]
                 stats = {
                     "epoch": epoch,
                     "n_fragments": len(frag_stats),

@@ -103,6 +103,8 @@ class OracleState:
             "n_stage_dropped": 0,
             "n_turns_out": 0,
         }
+        self.epoch_idx = 0
+        self.late: list[dict] = []
         self.turns: list[dict] = []
         self.tumbling: list[dict] = []
         self.sliding: list[dict] = []
@@ -130,6 +132,21 @@ def process_epoch(st: OracleState, table: pa.Table) -> None:
         st.metrics["n_input"] += 1
         if r["ts"] < st.wm:  # late vs wm at arrival (= wm after previous epoch)
             st.metrics["n_late_dropped"] += 1
+            if cfg.late_output:
+                # side output: the RAW row (pre-transform), its arrival
+                # epoch and the watermark it was late against
+                st.late.append(
+                    {
+                        "conv_id": r["conv_id"],
+                        "turn_idx": r["turn_idx"],
+                        "role": r["role"],
+                        "text": r["text"],
+                        "tool": r["tool"],
+                        "ts": r["ts"],
+                        "epoch": st.epoch_idx,
+                        "wm": st.wm,
+                    }
+                )
             continue
         epoch_max = max(epoch_max, r["ts"])
         # transform chain (status semantics + fan-out)
@@ -157,6 +174,7 @@ def process_epoch(st: OracleState, table: pa.Table) -> None:
             )
     st.max_ts_seen = epoch_max
     st.wm = st.max_ts_seen - cfg.allowed_lateness_us
+    st.epoch_idx += 1
     _emit(st, st.wm)
 
 
@@ -613,8 +631,8 @@ def run_oracle(
                 )
 
     from .schema import (
-        ALERT_SCHEMA, CONVHIST_SCHEMA, DRIFT_SCHEMA, NOREPLY_SCHEMA,
-        SESSQUANT_SCHEMA, TOOLUSE_SCHEMA, TOPK_SCHEMA,
+        ALERT_SCHEMA, CONVHIST_SCHEMA, DRIFT_SCHEMA, LATE_SCHEMA,
+        NOREPLY_SCHEMA, SESSQUANT_SCHEMA, TOOLUSE_SCHEMA, TOPK_SCHEMA,
     )
 
     return {
@@ -624,6 +642,7 @@ def run_oracle(
         "topk": _to_table(topk, TOPK_SCHEMA, ["w_start", "rank"]),
         "convhist": _to_table(convhist, CONVHIST_SCHEMA, ["w_start", "bucket"]),
         "tooluse": _to_table(tooluse, TOOLUSE_SCHEMA, ["w_start", "tool"]),
+        "late": _to_table(st.late, LATE_SCHEMA, ["conv_id", "turn_idx", "ts"]),
         "noreply": _to_table(noreply, NOREPLY_SCHEMA, ["conv_id", "ts", "turn_idx"]),
         "resplat": _to_table(resplat, RESPLAT_SCHEMA, ["conv_id"]),
         "runs": _to_table(runs, RUNS_SCHEMA, ["conv_id", "start_ts", "start_turn_idx"]),

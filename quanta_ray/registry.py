@@ -44,6 +44,42 @@ def _streaming_stream(stream: str):
     return q
 
 
+_LATE_CACHE: dict[str, Any] = {}
+
+
+def _late_stream_query(sf_dir: str) -> Any:
+    """Late-data side output over a DISORDERED arrival stream. The driver's
+    events table is a perfectly ordered log (ts monotone in event_id), so
+    no lateness setting can ever produce a late row from it; this query
+    instead runs the flagship on the deterministic synthetic transcript
+    stream (fixtures family A, p_late=0.05) sized from the sf's events
+    rowcount, and returns the committed "late" side-output stream."""
+    if sf_dir not in _LATE_CACHE:
+        import shutil
+        import tempfile
+
+        import pyarrow.parquet as _pq
+
+        from .config import CEPConfig
+        from .fixtures import TranscriptParams
+        from .pipelines import flagship
+        from .sinks.exactly_once import read_committed
+
+        n_ev = _pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+        params = TranscriptParams(
+            n_convs=max(40, n_ev // 25), seed=7, n_epochs=5, p_late=0.05
+        )
+        cfg = CEPConfig(num_partitions=4, late_output=True)
+        work = tempfile.mkdtemp(prefix="quanta-late-", dir="/tmp")
+        try:
+            res = flagship.run_flagship_on_transcripts(work, params, cfg)
+            _LATE_CACHE[sf_dir] = read_committed(res["out_dir"], "late")
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    t = _LATE_CACHE[sf_dir]
+    return t.to_pandas() if t is not None else __import__("pandas").DataFrame()
+
+
 def _doc_export_jsonl(sf_dir: str) -> Any:
     """Sharded JSONL(.gz) export of the documents table into a fresh scratch
     dir; returns the byte-deterministic shard manifest (resume-skip behavior
@@ -338,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cep_streaming_tooluse": _streaming_stream("tooluse"),
         "cep_streaming_drift": _streaming_stream("drift"),
         "cep_streaming_noreply": _streaming_stream("noreply"),
+        "cep_streaming_late": _late_stream_query,
         "cep_streaming_resplat": _streaming_stream("resplat"),
         "cep_streaming_runs": _streaming_stream("runs"),
     }

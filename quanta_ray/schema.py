@@ -201,6 +201,23 @@ DRIFT_SCHEMA = pa.schema(
     ]
 )
 
+# LATE-DATA side output: the raw (pre-transform) row the watermark filter
+# dropped, plus the epoch it arrived in and the watermark it was late
+# against (ts < wm at arrival). The event-time twin of the dead-letter
+# stream: drop semantics unchanged, but the rows are inspectable.
+LATE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int64()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+        ("epoch", pa.int64()),
+        ("wm", pa.timestamp("us")),
+    ]
+)
+
 # ABSENCE / TIMEOUT stream: one row per USER turn that received NO assistant
 # turn of the same conversation within (ts, ts + timeout] — the CEP
 # notFollowedBy / event-time-timer output. `deadline` = ts + timeout (the

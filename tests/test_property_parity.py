@@ -97,6 +97,7 @@ def test_random_stream_matches_oracle(
         resp_latency=True,
         run_min_len=2,
         noreply_timeout_us=noreply_s * US,
+        late_output=True,
     )
     d = tmp_path_factory.mktemp("prop")
     table = generate_transcripts(params)

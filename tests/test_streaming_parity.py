@@ -46,6 +46,7 @@ SORT_KEYS = {
     "convhist": ["w_start", "bucket"],
     "tooluse": ["w_start", "tool"],
     "drift": ["w_start"],
+    "late": ["conv_id", "turn_idx", "ts"],
     "noreply": ["conv_id", "ts", "turn_idx"],
     "resplat": ["conv_id"],
     "runs": ["conv_id", "start_ts", "start_turn_idx"],
@@ -61,7 +62,8 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
                     alert_scopes=("all", "user", "assistant", "tool"),
                     topk_k=3, sess_quantiles=(0.5, 0.95), conv_hist=True,
                     tool_usage=True, role_drift=True, resp_latency=True,
-                    run_min_len=2, noreply_timeout_us=45 * 60 * 1_000_000)
+                    run_min_len=2, noreply_timeout_us=45 * 60 * 1_000_000,
+                    late_output=True)
     spec = PipelineSpec(
         source=SourceSpec(paths=tuple(files)),
         transformers=(StageSpec(name="normalize"),),
@@ -82,7 +84,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
 
 @pytest.mark.parametrize(
     "stream",
-    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts", "sessquant", "convhist", "tooluse", "drift", "noreply", "resplat", "runs"],
+    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts", "sessquant", "convhist", "tooluse", "drift", "late", "noreply", "resplat", "runs"],
 )
 def test_stream_matches_oracle(engine_and_oracle, stream):
     out_dir, oracle = engine_and_oracle
@@ -360,7 +362,8 @@ def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
     cfg = CEPConfig(num_partitions=3, count_window_size=4, alert_ratio=0.5,
                     topk_k=3, sess_quantiles=(0.5, 0.9), conv_hist=True,
                     tool_usage=True, role_drift=True, resp_latency=True,
-                    run_min_len=2, noreply_timeout_us=45 * 60 * 1_000_000)
+                    run_min_len=2, noreply_timeout_us=45 * 60 * 1_000_000,
+                    late_output=True)
     # checkpoint_every=2 exercises the restore-then-replay resume path
     # (crash after epoch 2 → state restored from epoch 1, epoch 2 replayed)
     spec = PipelineSpec(

@@ -743,3 +743,202 @@ def audio_segments(sf_dir: str) -> pa.Table:
             t, sort_keys=[("doc_id", "ascending"), ("seg_idx", "ascending")]
         )
     ).combine_chunks()
+
+
+# --- video FRAME-level perceptual near-dup (cross-video dedup) -----------------
+
+
+def noisy_y4m_groups(sf_dir: str, group: int = 4, n_frames: int = 6, cut: int = 3) -> rd.Dataset:
+    """One genuine Y4M clip per document where every ``group`` consecutive
+    doc_ids share the SAME two low-frequency base fields (one per scene
+    segment: frames [0, cut) and [cut, n_frames)) plus per-frame +/-4
+    pixel noise — the planted cross-video duplicate-footage structure for
+    the frame-level pHash query. Same-group same-segment frames are
+    perceptual dups across videos; the two segments are independent
+    fields, so no pre/post pair should ever match."""
+    from .media_codec import write_y4m
+
+    H = W = 48
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        payloads = []
+        for did in ids:
+            gid = int(did) // group
+            fields = []
+            for seg_seed in (910_000, 920_000):
+                rng = np.random.default_rng(seg_seed + gid)
+                low = rng.normal(0.0, 1.0, (6, 6))
+                f = np.kron(low, np.ones((8, 8)))
+                f = (f - f.min()) / max(f.ptp(), 1e-9) * 220.0 + 16.0
+                fields.append(f)
+            frames = np.empty((n_frames, H, W, 3), dtype=np.uint8)
+            for i in range(n_frames):
+                base = fields[0] if i < cut else fields[1]
+                noise = np.random.default_rng(
+                    7_000_000 + int(did) * 64 + i
+                ).integers(-4, 5, base.shape)
+                g = np.clip(base + noise, 0, 255).astype(np.uint8)
+                frames[i] = np.stack([g, g, g], axis=2)
+            payloads.append(write_y4m(frames, 25))
+        n = len(ids)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(["video"] * n, type=pa.string()),
+                pa.array(payloads, type=pa.binary()),
+                pa.array(["video/x-yuv4mpeg"] * n),
+                pa.array([W] * n, type=pa.int32()),
+                pa.array([H] * n, type=pa.int32()),
+                pa.array([n_frames * 40] * n, type=pa.int32()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(synth, batch_format="pyarrow", batch_size=256)
+
+
+_FRAME_KEY = 64  # frame key = doc_id * 64 + frame_idx (clips are < 64 frames)
+
+
+class VideoFramePHasher:
+    """Actor-pool stage: Y4M payload -> one 64-bit DCT perceptual hash PER
+    FRAME (real container parse; luma plane -> 32x32 area resize -> 2D
+    DCT-II -> 8x8 low-frequency bits vs median, DC excluded). The DCT
+    basis is built once per actor; the 1->N frame fan-out keys each row by
+    the composite ``doc_id * 64 + frame_idx`` so the shared banded-hamming
+    pair machinery (built for scalar doc ids) applies unchanged."""
+
+    def __init__(self, size: int = 32, keep: int = 8):
+        self.size, self.keep = size, keep
+        n = size
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        self.dct = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+        self.dct[0] /= np.sqrt(2.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .media_codec import block_resize, read_y4m
+
+        keys, hashes = [], []
+        for did, buf in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload")
+        ):
+            _w, _h, _fps, lumas = read_y4m(buf.as_py())
+            for fi in range(lumas.shape[0]):
+                small = block_resize(
+                    lumas[fi][:, :, None].astype(np.float64), self.size, self.size
+                )[:, :, 0]
+                coef = self.dct @ small @ self.dct.T
+                block = coef[: self.keep, : self.keep].reshape(-1)[1:]
+                bits = (block > np.median(block)).astype(np.uint64)
+                h = np.uint64(0)
+                for b in bits:
+                    h = (h << np.uint64(1)) | b
+                keys.append(did * _FRAME_KEY + fi)
+                hashes.append(f"{int(h):016x}")
+        return pa.table(
+            {"doc_id": pa.array(keys, pa.int64()),
+             "phash": pa.array(hashes, pa.string())}
+        )
+
+
+def video_frame_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Cross-video DUPLICATE-FOOTAGE pairs by frame-level perceptual hash —
+    the video-side near-dup: every pair of frames from DIFFERENT videos
+    whose pHash hamming distance is <= ``max_hamming``. Shares the banded
+    16-bit-band candidate generation and the fused route/verify shuffle
+    with doc_simhash / mm_image_phash (the frame fan-out only changes the
+    key space: composite frame keys instead of doc ids). Same-video pairs
+    are excluded in verify (trivially similar under a static scene).
+    Rows-only oracle: the planted pin asserts every surviving pair is
+    intra-group AND same-segment, with near-complete coverage."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .dedup import _pairs_from_buckets, _route_verify
+
+    sig_ds = noisy_y4m_groups(sf_dir).map_batches(
+        VideoFramePHasher, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).materialize()
+
+    def explode_bands(batch: pa.Table) -> "pd.DataFrame":
+        sig = np.array(
+            [int(h, 16) for h in batch.column("phash").to_pylist()], dtype=np.uint64
+        )
+        n = len(sig)
+        shifts = np.array([0, 16, 32, 48], dtype=np.uint64)
+        bval = (sig[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
+        return pd.DataFrame(
+            {"doc_id": np.repeat(batch.column("doc_id").to_numpy(), 4),
+             "band": np.tile(np.arange(4, dtype=np.int64), n),
+             "bval": bval.reshape(-1).astype(np.int64)}
+        )
+
+    bands_ds = sig_ds.map_batches(explode_bands, batch_format="pyarrow", batch_size=8192)
+    empty = pa.table(
+        {
+            "a_doc": pa.array([], pa.int64()),
+            "a_frame": pa.array([], pa.int64()),
+            "b_doc": pa.array([], pa.int64()),
+            "b_frame": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+    pairs_ds = _pairs_from_buckets(
+        bands_ds, ["band", "bval"], "doc_id", global_dedup=False
+    ).materialize()
+    if pairs_ds.count() == 0:
+        return empty
+
+    def verify(m: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(m):
+            return pd.DataFrame(
+                {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+                 "hamming": np.empty(0, np.int64)}
+            )
+        sa = np.array([int(h, 16) for h in m["_pay_a"]], dtype=np.uint64)
+        sb = np.array([int(h, 16) for h in m["_pay_b"]], dtype=np.uint64)
+        x = (sa ^ sb).view(np.uint8).reshape(len(m), 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+        a = m["a"].to_numpy(dtype=np.int64)
+        b = m["b"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({"a": a, "b": b, "hamming": ham})
+        # drop same-video pairs and above-threshold pairs
+        return out[(ham <= max_hamming) & (a // _FRAME_KEY != b // _FRAME_KEY)]
+
+    verified = _route_verify(
+        pairs_ds,
+        sig_ds,
+        {"phash": ""},
+        lambda sel: sel["phash"].to_numpy(),
+        verify,
+        payload_fill="",
+    )
+    tables = list(verified.iter_batches(batch_format="pyarrow", batch_size=None))
+    parts = [t for t in tables if t.num_rows]
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts, promote_options="default").combine_chunks()
+    a = t.column("a").to_numpy()
+    b = t.column("b").to_numpy()
+    out = pa.table(
+        {
+            "a_doc": pa.array(a // _FRAME_KEY, pa.int64()),
+            "a_frame": pa.array(a % _FRAME_KEY, pa.int64()),
+            "b_doc": pa.array(b // _FRAME_KEY, pa.int64()),
+            "b_frame": pa.array(b % _FRAME_KEY, pa.int64()),
+            "hamming": t.column("hamming").cast(pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[
+                ("a_doc", "ascending"), ("a_frame", "ascending"),
+                ("b_doc", "ascending"), ("b_frame", "ascending"),
+            ],
+        )
+    ).combine_chunks()

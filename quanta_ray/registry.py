@@ -124,6 +124,12 @@ def _audio_segments(sf_dir: str) -> Any:
     return audio_segments(sf_dir)
 
 
+def _video_frame_near_dups(sf_dir: str) -> Any:
+    from .functions.multimodal import video_frame_near_dups
+
+    return video_frame_near_dups(sf_dir)
+
+
 def _media_features(sf_dir: str) -> Any:
     from .functions.multimodal import media_features
 
@@ -199,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_matryoshka_recall": simsearch.matryoshka_recall,
         "doc_bpe_merges": _doc_bpe_merges,
         "doc_export_jsonl": _doc_export_jsonl,
+        "mm_video_frame_near_dups": _video_frame_near_dups,
         "mm_image_phash_near_dups": _image_phash_near_dups,
         "mm_audio_segments": _audio_segments,
         "rel_forecast_revenue": relational.forecast_revenue,

@@ -2099,3 +2099,37 @@ def test_emb_range_search_planted(ray_session, tmp_path_factory):
     assert out.column("a_id").to_pylist() == [0]
     assert out.column("b_id").to_pylist() == [1]
     assert out.column("dot").to_pylist() == [10000]
+
+
+def test_video_frame_near_dups_planted(ray_session, tmp_path_factory):
+    """Frame-level video near-dup pinned on the planted noisy-group corpus:
+    every surviving pair joins frames of the SAME doc group and the SAME
+    scene segment, never the same video; coverage of the planted
+    same-(group, segment) cross-video frame pairs is near-complete."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.functions.multimodal import video_frame_near_dups
+
+    d = tmp_path_factory.mktemp("vdup")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(24)), pa.int64()),
+            "lang": ["en"] * 24,
+            "source": ["s"] * 24,
+            "text": ["x"] * 24,
+            "n_chars": pa.array([1] * 24, pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(d / "documents.parquet"))
+    t = video_frame_near_dups(str(d))
+    a_doc = t.column("a_doc").to_numpy()
+    b_doc = t.column("b_doc").to_numpy()
+    a_f = t.column("a_frame").to_numpy()
+    b_f = t.column("b_frame").to_numpy()
+    assert t.num_rows > 0
+    assert (a_doc != b_doc).all()                  # same-video pairs excluded
+    assert (a_doc // 4 == b_doc // 4).all()        # intra-group only
+    assert ((a_f < 3) == (b_f < 3)).all()          # never across the scene cut
+    # planted same-(group, segment) cross-video pairs: 6 groups x 2 segments
+    # x (C(12,2) - 4*C(3,2)) = 6 * 2 * 54
+    assert t.num_rows >= 0.85 * (6 * 2 * 54)

@@ -205,6 +205,73 @@ class RetryOddStage(Transformer):
 
 from .subprocess_stage import SubprocessTransformer  # noqa: E402
 
+_DEFAULT_TOOL_DIM = {
+    # tiny default dimension over the fixture tool vocabulary; a real
+    # deployment passes its own `mapping` (spec-shipped, task-broadcast)
+    # or a `mapping_ref` (`ray.put` once, fetched per stage build)
+    "search": "retrieval",
+    "fetch": "retrieval",
+    "read": "workspace",
+    "edit": "workspace",
+    "bash": "execution",
+}
+
+
+class EnrichStage(Transformer):
+    """STREAM-TABLE ENRICHMENT join: attaches ``tool_class`` from a small
+    broadcast dimension table keyed by tool name — the broadcast-lookup
+    side of a stream join (the shuffle side is the engine's stream-stream
+    join). The dimension ships either inline in the spec (``mapping``,
+    fine for small dims — it is serialized once per task, not per row) or
+    as a ``ray.put`` object ref (``mapping_ref``) fetched ONCE when the
+    task builds its chain, never per batch. Non-tool rows (empty tool)
+    get ``""``; unmapped tools get ``unmapped_class``.
+
+    Reference analog: the per-record gRPC transformer enrichment hop
+    (api/proto/v1/transformer.proto) — here a vectorized in-process batch
+    op with the lookup resident, not an RPC per record."""
+
+    name = "enrich"
+
+    def __init__(self, mapping: dict | None = None, mapping_ref=None,
+                 unmapped_class: str = "other"):
+        if mapping_ref is not None:
+            import ray
+
+            mapping = ray.get(mapping_ref)
+        self.mapping = dict(mapping) if mapping else dict(_DEFAULT_TOOL_DIM)
+        self.unmapped = unmapped_class
+        # Arrow-native lookup arrays (index_in + take, no per-row python)
+        self._keys = pa.array(list(self.mapping.keys()), type=pa.string())
+        self._vals = pa.array(
+            list(self.mapping.values()) + [self.unmapped], type=pa.string()
+        )
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        if "tool_class" in batch.column_names:
+            return batch
+        tool = batch["tool"]
+        idx = pc.index_in(tool, value_set=self._keys)
+        n_keys = len(self._keys)
+        idx = pc.if_else(pc.is_null(idx), pa.scalar(n_keys, type=idx.type), idx)
+        cls = pc.take(self._vals, idx)
+        # empty/null tool (non-tool rows) -> ""
+        blank = pc.or_kleene(
+            pc.is_null(tool), pc.equal(tool, pa.scalar("", type=pa.string()))
+        )
+        cls = pc.if_else(blank, pa.scalar("", type=pa.string()), cls)
+        return batch.append_column("tool_class", cls)
+
+    def apply_row(self, row: dict) -> list[dict] | None:
+        row = dict(row)
+        t = row.get("tool")
+        if t is None or t == "":
+            row.setdefault("tool_class", "")
+        else:
+            row.setdefault("tool_class", self.mapping.get(t, self.unmapped))
+        return [row]
+
+
 TRANSFORM_REGISTRY = {
     "subprocess": SubprocessTransformer,
     "normalize": NormalizeStage,
@@ -214,4 +281,5 @@ TRANSFORM_REGISTRY = {
     "error_then_ok": ErrorThenOKStage,
     "hang": HangStage,
     "retry_odd": RetryOddStage,
+    "enrich": EnrichStage,
 }

@@ -51,7 +51,7 @@ def _sorted(t: pa.Table, keys):
     bound_s=st.sampled_from([300, 3600]),
     p_late=st.sampled_from([0.0, 0.05]),
     ooo=st.booleans(),
-    chain=st.sampled_from(["normalize", "retry_odd", "fanout"]),
+    chain=st.sampled_from(["normalize", "retry_odd", "fanout", "enrich"]),
     fragment_rows=st.sampled_from([500, 131072]),
     topk_k=st.sampled_from([0, 3]),
     sessq=st.sampled_from([(), (0.5, 0.9)]),
@@ -113,6 +113,11 @@ def test_random_stream_matches_oracle(
     elif chain == "fanout":
         stage_specs.append(StageSpec(name="fanout"))
         oracle_stages.append(RetryingStage(FanoutStage()))
+    elif chain == "enrich":
+        from quanta_ray.stages.transforms import EnrichStage
+
+        stage_specs.append(StageSpec(name="enrich"))
+        oracle_stages.append(RetryingStage(EnrichStage()))
 
     spec = PipelineSpec(
         source=SourceSpec(

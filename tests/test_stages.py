@@ -217,3 +217,36 @@ def test_per_row_status_batch_and_row_paths_agree():
         if got:
             row_out.extend(got)
     assert batch_out.to_pylist() == row_out
+
+
+def test_enrich_stage_broadcast_lookup(ray_session):
+    """Stream-table enrichment pinned: mapped tools get their dimension
+    class, unmapped tools get 'other', non-tool rows get '' — identically
+    in the vectorized batch path and the oracle row path."""
+    import pyarrow as pa
+
+    from quanta_ray.stages.transforms import EnrichStage
+
+    st = EnrichStage(mapping={"search": "retrieval", "bash": "execution"})
+    batch = pa.table(
+        {
+            "conv_id": ["c"] * 4,
+            "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+            "role": ["user", "tool", "tool", "tool"],
+            "text": ["t"] * 4,
+            "tool": ["", "search", "bash", "weird"],
+            "ts": pa.array([0, 1, 2, 3], pa.timestamp("us")),
+        }
+    )
+    out = st.transform_batch(batch)
+    assert out.column("tool_class").to_pylist() == ["", "retrieval", "execution", "other"]
+    rows = [st.apply_row(r)[0]["tool_class"] for r in batch.to_pylist()]
+    assert rows == ["", "retrieval", "execution", "other"]
+
+    # ray.put broadcast form: the dim is fetched once at stage build
+    import ray
+
+    ref = ray.put({"read": "workspace"})
+    st2 = EnrichStage(mapping_ref=ref)
+    row = st2.apply_row({"tool": "read"})[0]
+    assert row["tool_class"] == "workspace"

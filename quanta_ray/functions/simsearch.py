@@ -133,6 +133,221 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def knn_filtered(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 10,
+    label_mod: int = 3,
+) -> pa.Table:
+    """FILTERED vector search — exact cosine top-k restricted by a metadata
+    predicate (here ``label % 3 == 0``): the filtered-ANN shape every
+    vector store exposes (pre-filter, not post-filter: the predicate
+    prunes candidates BEFORE ranking, so k survivors are guaranteed when
+    the filtered corpus has k rows).
+
+    Same broadcast-query / per-batch-matmul / tiny-partial-merge shape as
+    ``knn_bruteforce``; the predicate is applied per batch as a vectorized
+    mask (at scale: pushed to the parquet scan when the filter column is a
+    partition or row-group stat)."""
+    import pyarrow.dataset as pads
+
+    qt = _read_pq(
+        f"{sf_dir}/embeddings.parquet",
+        filter=pads.field("vec_id").isin(list(query_ids)),
+    )
+    q_tbl = _concat(qt)
+    q_ids, q_mat = _batch_matrix(q_tbl)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], q_mat[order]
+    ref = ray.put((q_ids, q_mat))
+
+    class FilteredTopK:
+        def __init__(self):
+            self.q_ids, self.q_mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            lab = batch.column("label").to_numpy()
+            sel = np.flatnonzero(lab % label_mod == 0)
+            if len(sel) == 0:
+                return pd.DataFrame(
+                    columns=["query_id", "neighbor_id", "cosine"]
+                )
+            batch = batch.take(pa.array(sel))
+            ids, mat = _batch_matrix(batch)
+            sims = mat @ self.q_mat.T
+            out = []
+            for qi, qid in enumerate(self.q_ids):
+                s = sims[:, qi]
+                mask = ids != qid
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                top = cand[np.lexsort((ids[cand], -s[cand]))][:k]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids[top], "cosine": s[top]}
+                    )
+                )
+            if not out:
+                return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+            return pd.concat(out, ignore_index=True)
+
+    partials = _emb(sf_dir).map_batches(
+        FilteredTopK, batch_format="pyarrow", batch_size=4096, concurrency=2
+    )
+    df = _concat(partials).to_pandas()
+    df = df.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", as_index=False).head(k)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df["cosine"] = df["cosine"].round(4)
+    return _from_pandas(
+        df[["query_id", "rank", "neighbor_id", "cosine"]].reset_index(drop=True)
+    )
+
+
+KNN_FILTERED_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS cos_raw
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id AND e.label % 3 = 0
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
+FROM ranked WHERE rank <= 10
+"""
+
+
+def knn_graph(sf_dir: str, k: int = 5) -> pa.Table:
+    """k-NN GRAPH construction — the top-k of EVERY vector against the
+    corpus (the adjacency list SemDeDup-style clustering, label
+    propagation and graph-based ANN indexes build on) — with a FULLY
+    integer-exact ranking so the distributed result is bit-identical to
+    the SQL oracle.
+
+    Exactness convention (float cosine ranks can flip at the last-ulp
+    boundary between numpy float64 and DuckDB's kernel): both sides
+    quantize q = floor(x*30 + 0.5) (identical float64 op sequence) and
+    rank by the signed integer score
+        score_ppm = sign(dot) * ((10^6 * dot^2) // (na * nb))
+    — every term fits int64 (dot <= ~1.6e4 here), `//` is the same floor
+    division in numpy and DuckDB, ties break on neighbor_id. The score is
+    a ppm-quantized cos^2 with sign: a coarser but ORDER-EXACT surrogate.
+
+    Shape: the quantized corpus matrix doubles as the query matrix,
+    broadcast ONCE via ``ray.put``; every batch does one int64 matmul and
+    keeps its per-query top-k partial; the driver merges tiny partials.
+    At web scale the query side would be blocked (one broadcast block at
+    a time) — the per-batch compute shape is unchanged."""
+
+    def _quant(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = batch.column("vec_id").to_numpy()
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return ids, np.empty((0, 0), dtype=np.int64)
+        mat = flat.astype(np.float64, copy=True).reshape(len(ids), -1)
+        return ids, np.floor(mat * 30.0 + 0.5).astype(np.int64)
+
+    q_tbl = _concat(_emb(sf_dir))
+    q_ids, q_mat = _quant(q_tbl)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], q_mat[order]
+    q_norm2 = (q_mat * q_mat).sum(axis=1)
+    ref = ray.put((q_ids, q_mat, q_norm2))
+
+    class GraphTopK:
+        def __init__(self):
+            self.q_ids, self.q_mat, self.q_norm2 = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids, mat = _quant(batch)
+            cols = ["query_id", "neighbor_id", "score_ppm"]
+            if len(ids) == 0:
+                return pd.DataFrame(columns=cols)
+            n2 = (mat * mat).sum(axis=1)
+            ok_n = n2 > 0
+            ids, mat, n2 = ids[ok_n], mat[ok_n], n2[ok_n]
+            if len(ids) == 0:
+                return pd.DataFrame(columns=cols)
+            dots = mat @ self.q_mat.T  # (n, q) int64 exact
+            den = n2[:, None] * self.q_norm2[None, :]
+            den = np.where(den == 0, 1, den)  # zero-norm queries score 0 anyway
+            mag = (1_000_000 * dots * dots) // den
+            score = np.where(dots >= 0, mag, -mag)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.q_ids)):
+                s = score[:, qi]
+                keep = np.flatnonzero(ids != self.q_ids[qi])
+                rows_k = keep[np.lexsort((ids[keep], -s[keep]))][:k]
+                out_q.append(np.full(len(rows_k), self.q_ids[qi], dtype=np.int64))
+                out_n.append(ids[rows_k])
+                out_s.append(s[rows_k])
+            return pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "score_ppm": np.concatenate(out_s),
+                }
+            )
+
+    partials = _emb(sf_dir).map_batches(
+        GraphTopK, batch_format="pyarrow", batch_size=4096, concurrency=2
+    )
+    df = _concat(partials).to_pandas()
+    df = df.sort_values(
+        ["query_id", "score_ppm", "neighbor_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", as_index=False).head(k)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    out = df[["query_id", "rank", "neighbor_id", "score_ppm"]].reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return _from_pandas(out)
+
+
+KNN_GRAPH_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * 30 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_inner_product(a.qv, b.qv) AS BIGINT) AS dot,
+         CAST(list_inner_product(a.qv, a.qv) AS BIGINT) AS na,
+         CAST(list_inner_product(b.qv, b.qv) AS BIGINT) AS nb
+  FROM q a JOIN q b ON b.vec_id != a.vec_id
+  WHERE CAST(list_inner_product(b.qv, b.qv) AS BIGINT) > 0
+), keyed AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN dot >= 0
+              THEN (1000000 * dot * dot) // (CASE WHEN na = 0 THEN 1 ELSE na END * nb)
+              ELSE -((1000000 * dot * dot) // (CASE WHEN na = 0 THEN 1 ELSE na END * nb))
+         END AS score_ppm
+  FROM scored
+), ranked AS (
+  SELECT query_id, neighbor_id, score_ppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_ppm DESC, neighbor_id) AS rank
+  FROM keyed
+)
+SELECT query_id, rank, neighbor_id, score_ppm
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def range_search(sf_dir: str, tau_num: int = 7, tau_den: int = 20) -> pa.Table:
     """Exact cosine RANGE search (radius query): every unordered vector
     pair with cosine similarity >= tau (default 7/20 = 0.35) over

@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
         "emb_range_search": simsearch.range_search,
+        "emb_knn_filtered": simsearch.knn_filtered,
+        "emb_knn_graph": simsearch.knn_graph,
         "ev_absence_join": batch_cep.absence_join,
         "ev_session_overlap_counts": batch_cep.session_overlap_counts,
         "doc_bpe_token_counts": _doc_bpe_token_counts,
@@ -393,6 +395,8 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "emb_range_search": simsearch.RANGE_SEARCH_SQL,
+        "emb_knn_filtered": simsearch.KNN_FILTERED_SQL,
+        "emb_knn_graph": simsearch.KNN_GRAPH_SQL,
         "ev_absence_join": batch_cep.ABSENCE_JOIN_SQL,
         "ev_session_overlap_counts": batch_cep.SESSION_OVERLAP_COUNTS_SQL,
         "ev_tumbling": batch_cep.TUMBLING_SQL,

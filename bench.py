@@ -122,6 +122,13 @@ BENCH_QUERIES = [
     "emb_matryoshka_recall",
     "doc_bpe_merges",
     "doc_bpe_token_counts",
+    # round-4 fifth continuation session
+    "emb_range_search",
+    "emb_knn_filtered",
+    "emb_knn_graph",
+    "ev_absence_join",
+    "ev_session_overlap_counts",
+    "mm_video_frame_near_dups",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

@@ -2458,3 +2458,77 @@ SELECT lang, count(*) AS n_tokens,
          AS ttr_ppm
 FROM t GROUP BY lang ORDER BY lang
 """
+
+
+# --- overlapping fixed-size chunking (RAG / embedding-pipeline fan-out) --------
+
+
+def chunk_split(sf_dir: str, chunk: int = 512, overlap: int = 128) -> pa.Table:
+    """Overlapping fixed-size CHUNKING — split every document into
+    ``chunk``-character windows starting every ``stride = chunk - overlap``
+    characters (the 1→N fan-out every RAG / embedding-indexing pipeline
+    runs before encoding): chunk ``j`` of a doc is
+    ``text[j*stride : j*stride + chunk]``, ``n_chunks = (len-1)//stride + 1``
+    for non-empty docs, empty docs emit nothing. Character (code-point)
+    semantics on both sides: pandas ``.str.slice`` and DuckDB
+    ``substring`` both count code points, so chunk text is byte-identical.
+
+    Shape: pure streaming 1→N map — per batch, one vectorized
+    ``.str.slice`` per CHUNK INDEX (bounded by the batch's longest doc,
+    never per row), emitting only rows that have that chunk. No shuffle,
+    no driver-side pass."""
+    stride = chunk - overlap
+    assert stride > 0, "overlap must be smaller than chunk"
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        txt = b["text"].astype(str)
+        ln = txt.str.len().to_numpy(dtype=np.int64)
+        n_chunks = np.where(ln > 0, (ln - 1) // stride + 1, 0)
+        out_id, out_j, out_t = [], [], []
+        j = 0
+        while True:
+            sel = np.flatnonzero(n_chunks > j)
+            if len(sel) == 0:
+                break
+            sub = txt.iloc[sel]
+            out_id.append(b["doc_id"].to_numpy(dtype=np.int64)[sel])
+            out_j.append(np.full(len(sel), j, dtype=np.int64))
+            out_t.append(sub.str.slice(j * stride, j * stride + chunk).to_numpy())
+            j += 1
+        if not out_id:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype=np.int64),
+                 "chunk_idx": pd.Series(dtype=np.int64),
+                 "chunk_text": pd.Series(dtype=object)}
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(out_id),
+                "chunk_idx": np.concatenate(out_j),
+                "chunk_text": np.concatenate(out_t),
+            }
+        )
+
+    t = _concat(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            explode, batch_format="pandas", batch_size=8192
+        )
+    )
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("doc_id", "ascending"), ("chunk_idx", "ascending")]
+        )
+    )
+
+
+CHUNK_SPLIT_SQL = """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(range(0, (length(text) - 1) // 384 + 1)) AS chunk_idx
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       substring(text, CAST(chunk_idx * 384 AS INT) + 1, 512) AS chunk_text
+FROM idx
+ORDER BY doc_id, chunk_idx
+"""

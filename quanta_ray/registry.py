@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "doc_chunk_split": text.chunk_split,
         "emb_range_search": simsearch.range_search,
         "emb_knn_filtered": simsearch.knn_filtered,
         "emb_knn_graph": simsearch.knn_graph,
@@ -394,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
     from .pipelines import batch_cep, relational
 
     return {
+        "doc_chunk_split": text.CHUNK_SPLIT_SQL,
         "emb_range_search": simsearch.RANGE_SEARCH_SQL,
         "emb_knn_filtered": simsearch.KNN_FILTERED_SQL,
         "emb_knn_graph": simsearch.KNN_GRAPH_SQL,

@@ -19,6 +19,10 @@ Dimensions randomized per trial (the recorded fuzz config):
                     and resume in a fresh runner before the oracle diff
   transformer chain normalize | normalize+fanout (1→2) | drop_role+normalize
                     | normalize+retry_odd (per-row RETRY/DROP status col)
+                    | normalize+enrich (broadcast dimension lookup)
+  drift stream      role_drift ∈ {off, on} (chained role-mix L1 reducer)
+  absence stream    noreply_timeout ∈ {off, 600s, 2700s} (event-time timers)
+  late side output  late_output ∈ {off, on} (watermark-dropped rows stream)
 
 Usage: python scripts/fuzz_parity.py [n_trials] [master_seed]
 Prints one line per trial and a final ``FAILS: n``.
@@ -61,6 +65,9 @@ SORT_KEYS = {
     "tooluse": ["w_start", "tool"],
     "resplat": ["conv_id"],
     "runs": ["conv_id", "start_ts", "start_turn_idx"],
+    "drift": ["w_start"],
+    "noreply": ["conv_id", "ts", "turn_idx"],
+    "late": ["conv_id", "turn_idx", "ts"],
 }
 
 
@@ -118,6 +125,9 @@ def main() -> int:
             tool_usage=bool(rng.integers(0, 2)),
             resp_latency=bool(rng.integers(0, 2)),
             run_min_len=int(rng.choice([0, 2, 3])),
+            role_drift=bool(rng.integers(0, 2)),
+            noreply_timeout_us=int(rng.choice([0, 600, 2700])) * US,
+            late_output=bool(rng.integers(0, 2)),
         )
         d = tempfile.mkdtemp(dir="/tmp", prefix="fuzz-")
         try:
@@ -171,10 +181,16 @@ def main() -> int:
                     afiles.append(ap)
                 files = afiles
                 src_kind = f"{alt}-stream"
-            chain_kind = int(rng.integers(0, 4))
+            chain_kind = int(rng.integers(0, 5))
             if chain_kind == 0:
                 tf = (StageSpec(name="normalize"),)
                 stages = [RetryingStage(NormalizeStage())]
+            elif chain_kind == 4:
+                from quanta_ray.stages.transforms import EnrichStage
+
+                tf = (StageSpec(name="normalize"), StageSpec(name="enrich"))
+                stages = [RetryingStage(NormalizeStage()),
+                          RetryingStage(EnrichStage())]
             elif chain_kind == 1:
                 tf = (StageSpec(name="normalize"), StageSpec(name="fanout"))
                 stages = [RetryingStage(NormalizeStage()), RetryingStage(FanoutStage())]

@@ -268,3 +268,90 @@ def bpe_token_counts(sf_dir: str, n_merges: int = 40) -> pa.Table:
     import pyarrow.compute as pc
 
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")]))
+
+
+def bpe_fertility(sf_dir: str, n_merges: int = 40) -> pa.Table:
+    """Per-LANGUAGE tokenizer FERTILITY under the corpus-trained BPE merge
+    table — tokens per word, the standard tokenizer-quality metric
+    (a high-fertility language is under-served by the vocabulary and pays
+    more sequence length per word). Exactness: per-language totals are
+    integer sums (order-free), and the ratio is emitted as the exact
+    integer ``fertility_ppm = (10^6 * n_tokens) // n_words`` alongside the
+    raw totals.
+
+    Shape: same broadcast-ranks / per-WORD-memo encode as
+    ``bpe_token_counts``; each batch collapses to O(langs) partial rows
+    (lang, n_words, n_tokens), the driver folds the tiny partials.
+    Rows-only (the tokenizer is iterative, no SQL form); pinned by the
+    reference-equality pytest."""
+    merges = bpe_merges(sf_dir, n_merges=n_merges)
+    ranks = {
+        (l, r): i
+        for i, (l, r) in enumerate(
+            zip(merges.column("left").to_pylist(),
+                merges.column("right").to_pylist())
+        )
+    }
+    ref = ray.put(ranks)
+
+    class Encode:
+        def __init__(self):
+            import re
+
+            self.word = re.compile(r"[a-z0-9]+")
+            self.ranks = ray.get(ref)
+            self.memo: dict[str, int] = {}
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["text"].str.lower().str.findall(self.word)
+            memo = self.memo
+            n_words = np.empty(len(toks), dtype=np.int64)
+            n_tok = np.empty(len(toks), dtype=np.int64)
+            for i, words in enumerate(toks.to_numpy()):
+                c = 0
+                for w in words:
+                    n = memo.get(w)
+                    if n is None:
+                        n = memo[w] = _encode_word(w, self.ranks)
+                    c += n
+                n_words[i] = len(words)
+                n_tok[i] = c
+            return pd.DataFrame(
+                {"lang": batch["lang"].astype(str), "n_words": n_words,
+                 "n_bpe_tokens": n_tok}
+            ).groupby("lang", as_index=False).sum()
+
+    docs = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    parts = []
+    for t in docs.map_batches(
+        Encode, batch_format="pandas", batch_size=4096, concurrency=2
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        parts.append(t)
+    if not parts:
+        return pa.table(
+            {"lang": pa.array([], pa.string()),
+             "n_words": pa.array([], pa.int64()),
+             "n_bpe_tokens": pa.array([], pa.int64()),
+             "fertility_ppm": pa.array([], pa.int64())}
+        )
+    df = (
+        pa.concat_tables(parts, promote_options="default")
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .sum()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    words = df["n_words"].to_numpy(dtype=np.int64)
+    toks = df["n_bpe_tokens"].to_numpy(dtype=np.int64)
+    ppm = np.where(words > 0, (1_000_000 * toks) // np.maximum(words, 1), 0)
+    return pa.table(
+        {
+            "lang": pa.array(df["lang"].astype(str), pa.string()),
+            "n_words": pa.array(words, pa.int64()),
+            "n_bpe_tokens": pa.array(toks, pa.int64()),
+            "fertility_ppm": pa.array(ppm.astype(np.int64), pa.int64()),
+        }
+    )

@@ -112,6 +112,12 @@ def _doc_bpe_token_counts(sf_dir: str) -> Any:
     return bpe_token_counts(sf_dir)
 
 
+def _doc_bpe_fertility(sf_dir: str) -> Any:
+    from .functions.bpe import bpe_fertility
+
+    return bpe_fertility(sf_dir)
+
+
 def _image_phash_near_dups(sf_dir: str) -> Any:
     from .functions.multimodal import image_phash_near_dups
 
@@ -198,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
         "doc_chunk_split": text.chunk_split,
+        "doc_bpe_fertility": _doc_bpe_fertility,
         "emb_range_search": simsearch.range_search,
         "emb_knn_filtered": simsearch.knn_filtered,
         "emb_knn_graph": simsearch.knn_graph,

@@ -2133,3 +2133,50 @@ def test_video_frame_near_dups_planted(ray_session, tmp_path_factory):
     # planted same-(group, segment) cross-video pairs: 6 groups x 2 segments
     # x (C(12,2) - 4*C(3,2)) = 6 * 2 * 54
     assert t.num_rows >= 0.85 * (6 * 2 * 54)
+
+
+def test_bpe_fertility_matches_reference(ray_session, doc_dir):
+    """Per-language fertility equals a from-scratch recompute: word and
+    token totals per lang from the reference tokenizer, ppm ratio exact."""
+    import re
+
+    import pyarrow.parquet as pq2
+
+    from quanta_ray.functions.bpe import bpe_fertility
+
+    got = bpe_fertility(doc_dir, n_merges=10).to_pandas().set_index("lang")
+    docs = pq2.read_table(doc_dir + "/documents.parquet").to_pandas()
+    word = re.compile(r"[a-z0-9]+")
+    wf = {}
+    for t in docs["text"]:
+        for w in word.findall(t.lower()):
+            wf[w] = wf.get(w, 0) + 1
+    merges = _bpe_reference(wf, 10)
+    ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
+
+    def enc(w):
+        seq = list(w) + ["</w>"]
+        while len(seq) > 1:
+            best, bi = None, -1
+            for i in range(len(seq) - 1):
+                r = ranks.get((seq[i], seq[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            seq[bi : bi + 2] = [seq[bi] + seq[bi + 1]]
+        return len(seq)
+
+    want: dict[str, list[int]] = {}
+    for lang, t in zip(docs["lang"], docs["text"]):
+        ws = word.findall(t.lower())
+        agg = want.setdefault(str(lang), [0, 0])
+        agg[0] += len(ws)
+        agg[1] += sum(enc(w) for w in ws)
+    assert set(got.index) == set(want)
+    for lang, (nw, nt) in want.items():
+        assert int(got.loc[lang, "n_words"]) == nw
+        assert int(got.loc[lang, "n_bpe_tokens"]) == nt
+        assert int(got.loc[lang, "fertility_ppm"]) == (
+            (1_000_000 * nt) // nw if nw else 0
+        )

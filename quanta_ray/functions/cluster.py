@@ -339,3 +339,62 @@ def outlier_scores(
         )
     )
     return out.take(pc.sort_indices(out, sort_keys=[("vec_id", "ascending")]))
+
+
+def cluster_balanced_sample(
+    sf_dir: str, k: int = 8, per_cluster: int = 20, iters: int = 3, seed: int = 11
+) -> pa.Table:
+    """CLUSTER-BALANCED curation sample — at most ``per_cluster`` vectors
+    from each spherical-k-means cluster (the diversity-preserving sample
+    behind SemDeDup-style curation and DataComp-style pool balancing:
+    uniform sampling over-represents dense regions; per-cluster caps keep
+    the tails).
+
+    Deterministic and shuffle-free: membership is "the ``per_cluster``
+    lowest ``hash(vec_id)`` of each cluster" (consistent sampling, stable
+    under any partitioning / re-run); every batch emits only its local
+    per-cluster lowest-hash rows (<= k * per_cluster rows per batch) and
+    the driver folds the tiny partials exactly. Rows-only oracle (cluster
+    ids come from the iterative fit); pinned by the planted pytest."""
+    centroids = fit_centroids(sf_dir, k=k, iters=iters, seed=seed)
+    if centroids.size == 0:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+        )
+    ds = _emb(sf_dir).select_columns(["vec_id", "embedding"])
+    cref = ray.put(centroids)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids, mat = _batch_matrix(batch)
+        if not len(ids):
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype=np.int64),
+                 "cluster": pd.Series(dtype=np.int64),
+                 "h": pd.Series(dtype=np.uint64)}
+            )
+        c = ray.get(cref)
+        a = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        h = pd.util.hash_array(ids.astype(np.int64))
+        df = pd.DataFrame({"vec_id": ids.astype(np.int64), "cluster": a, "h": h})
+        return (
+            df.sort_values(["cluster", "h", "vec_id"], kind="mergesort")
+            .groupby("cluster", as_index=False)
+            .head(per_cluster)
+        )
+
+    df = _concat(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    ).to_pandas()
+    df = (
+        df.sort_values(["cluster", "h", "vec_id"], kind="mergesort")
+        .groupby("cluster", as_index=False)
+        .head(per_cluster)
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(df["vec_id"].to_numpy(dtype=np.int64), pa.int64()),
+            "cluster": pa.array(df["cluster"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )

@@ -178,6 +178,12 @@ def _emb_kmeans(sf_dir: str) -> Any:
     return kmeans_embeddings(sf_dir)
 
 
+def _emb_cluster_balanced_sample(sf_dir: str) -> Any:
+    from .functions.cluster import cluster_balanced_sample
+
+    return cluster_balanced_sample(sf_dir)
+
+
 def _emb_semdedup(sf_dir: str) -> Any:
     from .functions.cluster import semdedup
 
@@ -205,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- (1) new or changed since last driver verification ---
         "doc_chunk_split": text.chunk_split,
         "doc_bpe_fertility": _doc_bpe_fertility,
+        "emb_cluster_balanced_sample": _emb_cluster_balanced_sample,
         "emb_range_search": simsearch.range_search,
         "emb_knn_filtered": simsearch.knn_filtered,
         "emb_knn_graph": simsearch.knn_graph,

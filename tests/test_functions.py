@@ -2180,3 +2180,35 @@ def test_bpe_fertility_matches_reference(ray_session, doc_dir):
         assert int(got.loc[lang, "fertility_ppm"]) == (
             (1_000_000 * nt) // nw if nw else 0
         )
+
+
+def test_cluster_balanced_sample_caps_and_consistency(ray_session):
+    """Cluster-balanced sample pinned: per-cluster cap respected, sampled
+    rows keep their k-means assignment, membership is the deterministic
+    lowest-hash rule (recomputed from the full assignment)."""
+    import pandas as pd
+
+    from quanta_ray.functions.cluster import (
+        cluster_balanced_sample, kmeans_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cap = 7
+    samp = cluster_balanced_sample(sf, k=8, per_cluster=cap, iters=3).to_pandas()
+    full = kmeans_embeddings(sf, k=8, iters=3).to_pandas()
+    sizes = samp.groupby("cluster").size()
+    assert (sizes <= cap).all()
+    merged = samp.merge(full, on="vec_id", suffixes=("_s", "_f"))
+    assert (merged["cluster_s"] == merged["cluster_f"]).all()
+    # lowest-hash rule recomputed from the full assignment
+    full["h"] = pd.util.hash_array(full["vec_id"].to_numpy("int64"))
+    want = (
+        full.sort_values(["cluster", "h", "vec_id"], kind="mergesort")
+        .groupby("cluster", as_index=False)
+        .head(cap)
+    )
+    assert set(samp["vec_id"]) == set(want["vec_id"])
+    # full clusters emit exactly the cap
+    full_sizes = full.groupby("cluster").size()
+    for c, n in full_sizes.items():
+        assert sizes.get(c, 0) == min(cap, n)

@@ -1251,6 +1251,24 @@ class PartitionWorkerImpl:
         for k, v in n_emitted.items():
             self.totals[f"{k}_emitted"] += v
 
+        # windowed tool-usage drain: pop newly-final (window -> tool) state
+        # BEFORE the replay early-return — the drain is a STATE advance
+        # (like the window/session pops above), not just an output. A
+        # restored checkpoint still holds windows that later replayed
+        # epochs finalized and committed; skipping the drain on replay
+        # left them in `toolw`, and the first live epoch re-emitted them
+        # as duplicates (fuzz find, seeds 13493/73155/...). On replay the
+        # popped partials are discarded below — their rows are already in
+        # the committed manifests.
+        tooluse_partial: dict[int, list[tuple[str, int, int]]] = {}
+        if self.cfg.tool_usage and self.toolw:
+            tsize_tu = self.cfg.tumbling_size_us
+            for w in [w for w in self.toolw if w + tsize_tu <= self.wm]:
+                by_tool = self.toolw.pop(w)
+                tooluse_partial[int(w)] = sorted(
+                    (t, int(v[0]), len(v[1])) for t, v in by_tool.items()
+                )
+
         if not write_outputs:
             # resume replay of an already-committed epoch: state advances,
             # outputs (byte-identical, already in the manifest) are skipped
@@ -1329,18 +1347,10 @@ class PartitionWorkerImpl:
                 cnt = np.bincount(bids[m], minlength=5)
                 convhist_partial[int(w)] = [int(x) for x in cnt]
 
-        # windowed tool-usage partials: per newly-final tumbling window,
-        # this partition's per-tool (n_calls, n_distinct_convs) — complete
-        # for its convs (a conv lives in exactly one partition), so the
-        # driver's merge SUMS per (window, tool) to the exact global row.
-        tooluse_partial: dict[int, list[tuple[str, int, int]]] = {}
-        if self.cfg.tool_usage and self.toolw:
-            tsize_tu = self.cfg.tumbling_size_us
-            for w in [w for w in self.toolw if w + tsize_tu <= self.wm]:
-                by_tool = self.toolw.pop(w)
-                tooluse_partial[int(w)] = sorted(
-                    (t, int(v[0]), len(v[1])) for t, v in by_tool.items()
-                )
+        # (tooluse_partial was drained above, before the replay early-return:
+        # per newly-final tumbling window, this partition's per-tool
+        # (n_calls, n_distinct_convs) — complete for its convs, so the
+        # driver's merge SUMS per (window, tool) to the exact global row.)
 
         # build the emitted tables but DON'T write them here: the (zstd)
         # parquet writes run as tasks on the map slots so the stateful

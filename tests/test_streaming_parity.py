@@ -1181,3 +1181,47 @@ def test_tooluse_planted_cross_partition_distinct(ray_session, tmp_path):
     assert list(t["n_calls"]) == [1, 6]
     assert list(t["n_convs"]) == [1, 5]
     assert (t["w_start"].astype("int64") == base).all()
+
+
+def test_tooluse_kill_resume_no_duplicates(ray_session, tmp_path_factory):
+    """Regression (fuzz find, seed 13493): the toolw drain must advance on
+    REPLAY too. A restored checkpoint still holds windows that later
+    replayed epochs finalized and committed; if replay skips the drain,
+    the first live epoch re-emits them and the tooluse stream gains
+    duplicate (w_start, tool) rows. Pin: kill at every epoch boundary,
+    resumed output equals the oracle exactly."""
+    import pandas as pd
+
+    from quanta_ray.engine import StreamingRunner
+    from quanta_ray.fixtures import TranscriptParams, generate_transcripts, write_stream
+    from quanta_ray.oracle import run_oracle
+    from quanta_ray.stages import NormalizeStage, RetryingStage
+
+    US_ = 1_000_000
+    params = TranscriptParams(n_convs=13, seed=13493, n_epochs=4, p_late=0.1)
+    cfg = CEPConfig(num_partitions=2, allowed_lateness_us=60 * US_,
+                    tumbling_size_us=1800 * US_, sliding_size_us=1200 * US_,
+                    sliding_slide_us=300 * US_, session_gap_us=1200 * US_,
+                    join_bound_us=1800 * US_, tool_usage=True)
+    d = tmp_path_factory.mktemp("tooluse_replay")
+    files = write_stream(generate_transcripts(params), str(d / "s"), 4)
+    spec = PipelineSpec(source=SourceSpec(paths=tuple(files)),
+                        transformers=(StageSpec(name="normalize"),),
+                        cep=cfg, checkpoint_every=4)
+    oracle = run_oracle(
+        [pq.read_table(f) for f in files], cfg,
+        stages=[RetryingStage(NormalizeStage())],
+    )
+    want = (
+        oracle["tooluse"].to_pandas().sort_values(["w_start", "tool"]).reset_index(drop=True)
+    )
+    for kill_at in (0, 1, 2):
+        out = str(d / f"out{kill_at}")
+        r = StreamingRunner(spec, out).run(stop_after_epoch=kill_at)
+        assert r["status"] == "stopped"
+        assert StreamingRunner(spec, out).run()["status"] == "complete"
+        got = (
+            read_committed(out, "tooluse").to_pandas()
+            .sort_values(["w_start", "tool"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -205,6 +205,7 @@ def run_headline(num_cpus: int) -> dict:
             resp_latency=True,
             run_min_len=3,
             noreply_timeout_us=1800 * 1_000_000,
+            late_output=True,
         )
     else:
         cfg = CEPConfig(num_partitions=BENCH_PARTITIONS)

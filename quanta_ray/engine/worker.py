@@ -1744,6 +1744,8 @@ class PartitionWorkerImpl:
         popped = self.noreply.pop_timeouts(self.cfg.noreply_timeout_us, wm)
         if popped is None:
             return None
+        import pyarrow.compute as pc
+
         code, ts_arr, turn_arr = popped
         names = np.array(self.conv_names, dtype=object)[code]
         us = pa.timestamp("us")
@@ -1758,7 +1760,18 @@ class PartitionWorkerImpl:
             ],
             schema=NOREPLY_SCHEMA,
         )
-        return tbl  # already (code, ts, turn)-sorted by the pop's lexsort
+        # sort by conv_id STRING like every other emitted stream (the pop's
+        # lexsort is internal conv-code order — interning order, not name
+        # order)
+        return tbl.take(
+            pc.sort_indices(
+                tbl,
+                sort_keys=[
+                    ("conv_id", "ascending"), ("ts", "ascending"),
+                    ("turn_idx", "ascending"),
+                ],
+            )
+        )
 
     def _pop_runs_table(self, wm: int) -> pa.Table | None:
         """Emit newly-maximal same-role runs (length >= cfg.run_min_len) as

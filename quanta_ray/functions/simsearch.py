@@ -133,17 +133,47 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _quant_matrix(batch: pa.Table, scale: float) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, integer-quantized matrix) — ``q = floor(x*scale + 0.5)`` with
+    an op sequence DuckDB's ``floor(x*scale + 0.5)`` reproduces bit-for-bit
+    (float32 -> float64 exact, one multiply, one add, floor), the shared
+    exactness contract of range_search / knn_graph / knn_filtered."""
+    ids = batch.column("vec_id").to_numpy()
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False)
+    if len(ids) == 0:
+        return ids, np.empty((0, 0), dtype=np.int64)
+    mat = flat.astype(np.float64, copy=True).reshape(len(ids), -1)
+    return ids, np.floor(mat * scale + 0.5).astype(np.int64)
+
+
+def _score_ppm(dots: np.ndarray, n2: np.ndarray, q_norm2: np.ndarray) -> np.ndarray:
+    """Signed integer ranking key ``sign(dot) * (10^6*dot^2)//(na*nb)`` —
+    a ppm-quantized cos^2 surrogate whose every term fits int64 at the
+    scale-30 quantization, with floor division identical in numpy and
+    DuckDB (order-exact on both sides)."""
+    den = n2[:, None] * q_norm2[None, :]
+    den = np.where(den == 0, 1, den)
+    mag = (1_000_000 * dots * dots) // den
+    return np.where(dots >= 0, mag, -mag)
+
+
 def knn_filtered(
     sf_dir: str,
     query_ids: tuple[int, ...] = (0, 1, 2, 3),
     k: int = 10,
     label_mod: int = 3,
 ) -> pa.Table:
-    """FILTERED vector search — exact cosine top-k restricted by a metadata
-    predicate (here ``label % 3 == 0``): the filtered-ANN shape every
-    vector store exposes (pre-filter, not post-filter: the predicate
-    prunes candidates BEFORE ranking, so k survivors are guaranteed when
-    the filtered corpus has k rows).
+    """FILTERED vector search — top-k restricted by a metadata predicate
+    (here ``label % 3 == 0``): the filtered-ANN shape every vector store
+    exposes (pre-filter, not post-filter: the predicate prunes candidates
+    BEFORE ranking, so k survivors are guaranteed when the filtered corpus
+    has k rows). Ranking uses the same INTEGER-EXACT ``score_ppm`` key as
+    ``knn_graph`` (quantize at 30, sign(dot)*(10^6*dot^2)//(na*nb),
+    neighbor_id tie-break) — immune to the last-ulp float-rank flips that
+    make float cosine ranks oracle-unstable.
 
     Same broadcast-query / per-batch-matmul / tiny-partial-merge shape as
     ``knn_bruteforce``; the predicate is applied per batch as a vectorized
@@ -156,40 +186,45 @@ def knn_filtered(
         filter=pads.field("vec_id").isin(list(query_ids)),
     )
     q_tbl = _concat(qt)
-    q_ids, q_mat = _batch_matrix(q_tbl)
+    q_ids, q_mat = _quant_matrix(q_tbl, 30.0)
     order = np.argsort(q_ids)
     q_ids, q_mat = q_ids[order], q_mat[order]
-    ref = ray.put((q_ids, q_mat))
+    q_norm2 = (q_mat * q_mat).sum(axis=1)
+    ref = ray.put((q_ids, q_mat, q_norm2))
+    cols = ["query_id", "neighbor_id", "score_ppm"]
 
     class FilteredTopK:
         def __init__(self):
-            self.q_ids, self.q_mat = ray.get(ref)
+            self.q_ids, self.q_mat, self.q_norm2 = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
             lab = batch.column("label").to_numpy()
             sel = np.flatnonzero(lab % label_mod == 0)
             if len(sel) == 0:
-                return pd.DataFrame(
-                    columns=["query_id", "neighbor_id", "cosine"]
-                )
+                return pd.DataFrame(columns=cols)
             batch = batch.take(pa.array(sel))
-            ids, mat = _batch_matrix(batch)
-            sims = mat @ self.q_mat.T
+            ids, mat = _quant_matrix(batch, 30.0)
+            n2 = (mat * mat).sum(axis=1)
+            ok_n = n2 > 0
+            ids, mat, n2 = ids[ok_n], mat[ok_n], n2[ok_n]
+            if len(ids) == 0:
+                return pd.DataFrame(columns=cols)
+            score = _score_ppm(mat @ self.q_mat.T, n2, self.q_norm2)
             out = []
             for qi, qid in enumerate(self.q_ids):
-                s = sims[:, qi]
-                mask = ids != qid
-                cand = np.nonzero(mask)[0]
+                s = score[:, qi]
+                cand = np.nonzero(ids != qid)[0]
                 if len(cand) == 0:
                     continue
                 top = cand[np.lexsort((ids[cand], -s[cand]))][:k]
                 out.append(
                     pd.DataFrame(
-                        {"query_id": qid, "neighbor_id": ids[top], "cosine": s[top]}
+                        {"query_id": qid, "neighbor_id": ids[top],
+                         "score_ppm": s[top]}
                     )
                 )
             if not out:
-                return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+                return pd.DataFrame(columns=cols)
             return pd.concat(out, ignore_index=True)
 
     partials = _emb(sf_dir).map_batches(
@@ -197,33 +232,45 @@ def knn_filtered(
     )
     df = _concat(partials).to_pandas()
     df = df.sort_values(
-        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+        ["query_id", "score_ppm", "neighbor_id"], ascending=[True, False, True]
     )
     df = df.groupby("query_id", as_index=False).head(k)
     df["rank"] = df.groupby("query_id").cumcount() + 1
-    df["cosine"] = df["cosine"].round(4)
-    return _from_pandas(
-        df[["query_id", "rank", "neighbor_id", "cosine"]].reset_index(drop=True)
-    )
+    out = df[["query_id", "rank", "neighbor_id", "score_ppm"]].reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return _from_pandas(out)
 
 
 KNN_FILTERED_SQL = """
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qe
-  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(x * 30 + 0.5) AS BIGINT)) AS qq
+  FROM embeddings
 ), scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_cosine_similarity(q.qe, e.embedding) AS cos_raw
-  FROM q CROSS JOIN embeddings e
-  WHERE e.vec_id != q.query_id AND e.label % 3 = 0
-), ranked AS (
-  SELECT query_id, neighbor_id, cos_raw,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_inner_product(a.qq, b.qq) AS BIGINT) AS dot,
+         CAST(list_inner_product(a.qq, a.qq) AS BIGINT) AS na,
+         CAST(list_inner_product(b.qq, b.qq) AS BIGINT) AS nb
+  FROM qv a JOIN qv b ON b.vec_id != a.vec_id
+  WHERE a.vec_id IN (0, 1, 2, 3) AND b.label % 3 = 0
+    AND CAST(list_inner_product(b.qq, b.qq) AS BIGINT) > 0
+), keyed AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN dot >= 0
+              THEN (1000000 * dot * dot) // (CASE WHEN na = 0 THEN 1 ELSE na END * nb)
+              ELSE -((1000000 * dot * dot) // (CASE WHEN na = 0 THEN 1 ELSE na END * nb))
+         END AS score_ppm
   FROM scored
+), ranked AS (
+  SELECT query_id, neighbor_id, score_ppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_ppm DESC, neighbor_id) AS rank
+  FROM keyed
 )
-SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
+SELECT query_id, rank, neighbor_id, score_ppm
 FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
 """
 
 
@@ -248,20 +295,8 @@ def knn_graph(sf_dir: str, k: int = 5) -> pa.Table:
     keeps its per-query top-k partial; the driver merges tiny partials.
     At web scale the query side would be blocked (one broadcast block at
     a time) — the per-batch compute shape is unchanged."""
-
-    def _quant(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        ids = batch.column("vec_id").to_numpy()
-        emb = batch.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        flat = emb.flatten().to_numpy(zero_copy_only=False)
-        if len(ids) == 0:
-            return ids, np.empty((0, 0), dtype=np.int64)
-        mat = flat.astype(np.float64, copy=True).reshape(len(ids), -1)
-        return ids, np.floor(mat * 30.0 + 0.5).astype(np.int64)
-
     q_tbl = _concat(_emb(sf_dir))
-    q_ids, q_mat = _quant(q_tbl)
+    q_ids, q_mat = _quant_matrix(q_tbl, 30.0)
     order = np.argsort(q_ids)
     q_ids, q_mat = q_ids[order], q_mat[order]
     q_norm2 = (q_mat * q_mat).sum(axis=1)
@@ -272,7 +307,7 @@ def knn_graph(sf_dir: str, k: int = 5) -> pa.Table:
             self.q_ids, self.q_mat, self.q_norm2 = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ids, mat = _quant(batch)
+            ids, mat = _quant_matrix(batch, 30.0)
             cols = ["query_id", "neighbor_id", "score_ppm"]
             if len(ids) == 0:
                 return pd.DataFrame(columns=cols)
@@ -281,11 +316,7 @@ def knn_graph(sf_dir: str, k: int = 5) -> pa.Table:
             ids, mat, n2 = ids[ok_n], mat[ok_n], n2[ok_n]
             if len(ids) == 0:
                 return pd.DataFrame(columns=cols)
-            dots = mat @ self.q_mat.T  # (n, q) int64 exact
-            den = n2[:, None] * self.q_norm2[None, :]
-            den = np.where(den == 0, 1, den)  # zero-norm queries score 0 anyway
-            mag = (1_000_000 * dots * dots) // den
-            score = np.where(dots >= 0, mag, -mag)
+            score = _score_ppm(mat @ self.q_mat.T, n2, self.q_norm2)
             out_q, out_n, out_s = [], [], []
             for qi in range(len(self.q_ids)):
                 s = score[:, qi]
@@ -369,19 +400,7 @@ def range_search(sf_dir: str, tau_num: int = 7, tau_den: int = 20) -> pa.Table:
     fetched per actor; each batch does one int64 matmul against it and
     emits only passing (a < b) pairs, so the stream is one linear pass."""
     q_tbl = _concat(_emb(sf_dir))
-
-    def _quant(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        ids = batch.column("vec_id").to_numpy()
-        emb = batch.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        flat = emb.flatten().to_numpy(zero_copy_only=False)
-        if len(ids) == 0:
-            return ids, np.empty((0, 0), dtype=np.int64)
-        mat = flat.astype(np.float64, copy=True).reshape(len(ids), -1)
-        return ids, np.floor(mat * 100.0 + 0.5).astype(np.int64)
-
-    q_ids, q_mat = _quant(q_tbl)
+    q_ids, q_mat = _quant_matrix(q_tbl, 100.0)
     order = np.argsort(q_ids)
     q_ids, q_mat = q_ids[order], q_mat[order]
     q_norm2 = (q_mat * q_mat).sum(axis=1)  # int64, exact
@@ -393,7 +412,7 @@ def range_search(sf_dir: str, tau_num: int = 7, tau_den: int = 20) -> pa.Table:
             self.q_ids, self.q_mat, self.q_norm2 = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ids, mat = _quant(batch)
+            ids, mat = _quant_matrix(batch, 100.0)
             if len(ids) == 0:
                 return pd.DataFrame(
                     {"a_id": pd.Series(dtype=np.int64),

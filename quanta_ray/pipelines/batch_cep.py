@@ -2095,6 +2095,125 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+# --- CUMULATE windows (Flink window TVF): expanding steps within a period ------
+
+
+def cumulate_windows(
+    sf_dir: str, period_us: int = HOUR_US, step_us: int = 15 * 60 * US
+) -> pa.Table:
+    """CUMULATE window TVF (Flink's third window function next to TUMBLE
+    and HOP): within each ``period`` an event belongs to every expanding
+    window ``[p0, p0 + k*step)`` whose end is strictly after its
+    timestamp — the early-firing "counts so far this hour, every 15 min"
+    shape dashboards poll. Emits per (w_start = p0, w_end = p0 + k*step):
+    the exact event count and the exact distinct-user count.
+
+    Shape: a bounded 1→≤(period/step) explode per batch (vectorized — one
+    mask per k, never per row), then the two-level exact machinery:
+    per-batch partial counts → tiny bucketed sum for n_events; per-batch
+    (window, user) dedup → one bucketed pair-dedup shuffle → per-window
+    count for n_users (moves only key pairs). The driver joins the two
+    O(windows) results."""
+    from ..bucket import bucketed_apply, bucketed_group_agg
+
+    K = period_us // step_us
+    assert K * step_us == period_us, "step must divide period"
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        uid = batch.column("user_id").to_numpy()
+        p0 = ts // period_us * period_us
+        k_min = (ts - p0) // step_us + 1
+        parts = []
+        for k in range(1, K + 1):
+            sel = np.flatnonzero(k_min <= k)
+            if len(sel):
+                parts.append(
+                    pd.DataFrame(
+                        {"p0": p0[sel], "k": np.int64(k), "user_id": uid[sel]}
+                    )
+                )
+        if not parts:
+            return pd.DataFrame(
+                {"p0": pd.Series(dtype=np.int64), "k": pd.Series(dtype=np.int64),
+                 "user_id": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    ex = _events(sf_dir, ["ts", "user_id"]).map_batches(
+        explode, batch_format="pyarrow", batch_size=131072
+    )
+
+    # n_events: per-batch partial counts -> tiny bucketed sum
+    def ev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["p0", "k"], as_index=False).agg(n_events=("user_id", "size"))
+
+    ev_counts = _concat(
+        bucketed_group_agg(
+            ex.map_batches(ev_partial, batch_format="pandas"),
+            ["p0", "k"],
+            dict(n_events=("n_events", "sum")),
+            num_buckets=8,
+        )
+    ).to_pandas()
+
+    # n_users: per-batch pair dedup -> bucketed global pair dedup -> count
+    def pre_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["p0", "k", "user_id"])
+
+    pairs = bucketed_apply(
+        ex.map_batches(pre_pairs, batch_format="pandas"),
+        ["p0", "k", "user_id"],
+        lambda g: g.drop_duplicates(["p0", "k", "user_id"]),
+    )
+
+    def u_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["p0", "k"], as_index=False).agg(n_users=("user_id", "size"))
+
+    u_counts = _concat(
+        bucketed_group_agg(
+            pairs.map_batches(u_partial, batch_format="pandas"),
+            ["p0", "k"],
+            dict(n_users=("n_users", "sum")),
+            num_buckets=8,
+        )
+    ).to_pandas()
+
+    df = ev_counts.merge(u_counts, on=["p0", "k"])
+    df = df.sort_values(["p0", "k"]).reset_index(drop=True)
+    p0a = df["p0"].to_numpy(dtype=np.int64)
+    ka = df["k"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "w_start": pa.array(p0a, pa.int64()).cast(pa.timestamp("us")),
+            "w_end": pa.array(p0a + ka * step_us, pa.int64()).cast(pa.timestamp("us")),
+            "n_events": pa.array(df["n_events"].to_numpy(dtype=np.int64), pa.int64()),
+            "n_users": pa.array(df["n_users"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+CUMULATE_WINDOWS_SQL = """
+WITH base AS (
+  SELECT user_id,
+         epoch_us(ts) // 3600000000 * 3600000000 AS p0,
+         (epoch_us(ts) - epoch_us(ts) // 3600000000 * 3600000000)
+           // 900000000 + 1 AS k_min
+  FROM events
+), ex AS (
+  SELECT user_id, p0, unnest(range(k_min, 5)) AS k
+  FROM base
+)
+SELECT make_timestamp(p0) AS w_start,
+       make_timestamp(p0 + k * 900000000) AS w_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM ex
+GROUP BY p0, k
+ORDER BY w_start, w_end
+"""
+
+
 # --- per-user first/last event summary (argmin/argmax merge) -------------------
 
 

@@ -1575,3 +1575,112 @@ def knn_sq8(
     return _from_pandas(
         df[["query_id", "rank", "neighbor_id", "cosine"]].reset_index(drop=True)
     )
+
+
+def knn_graph_search(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = tuple(range(0, 200, 7)),
+    k: int = 10,
+    graph_k: int = 8,
+    beam: int = 24,
+) -> pa.Table:
+    """GRAPH-based ANN search (the NSW/HNSW family, single-layer): greedy
+    best-first BEAM search over the exact k-NN graph — visit the best
+    unexpanded node, expand its adjacency, keep the ``beam`` best
+    candidates, stop when the beam is stable; return each query's top-k
+    among visited nodes. The index-backed search path next to the
+    IVF/PQ/SQ8 quantization engines: sublinear visits per query instead
+    of a full scan.
+
+    Shape: the graph (built by the ``knn_graph`` machinery — one linear
+    corpus pass) and the normalized corpus matrix are broadcast ONCE via
+    ``ray.put``; queries fan out over an actor pool, each query's walk is
+    O(visits * graph_k) lookups into the shared read-only arrays.
+    Partitioning assumption (documented): this is the single-shard search
+    path — a sharded corpus searches per shard and merges top-k, exactly
+    like the IVF probe merge. Approximate by design -> rows-only oracle;
+    recall vs the exact scan is pinned by the planted pytest."""
+    g = knn_graph(sf_dir, k=graph_k)
+    gq = g.column("query_id").to_numpy()
+    gn = g.column("neighbor_id").to_numpy()
+    q_tbl = _concat(_emb(sf_dir))
+    ids, mat = _batch_matrix(q_tbl)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    # dense position index: vec_id -> row (ids are small ints here; a
+    # sparse corpus would keep the id->pos dict instead)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    adj = np.full((len(ids), graph_k), -1, dtype=np.int64)
+    fill = np.zeros(len(ids), dtype=np.int64)
+    for a, b in zip(gq, gn):
+        i = pos[int(a)]
+        if fill[i] < graph_k:
+            adj[i, fill[i]] = pos[int(b)]
+            fill[i] += 1
+    entry = 0  # deterministic entry point: lowest vec_id's row
+    ref = ray.put((ids, mat, adj))
+
+    class GraphSearch:
+        def __init__(self):
+            self.ids, self.mat, self.adj = ray.get(ref)
+
+        def _search(self, qi: int) -> tuple[np.ndarray, np.ndarray]:
+            mat, adj = self.mat, self.adj
+            qv = mat[qi]
+            visited = {entry}
+            beam_idx = [entry]
+            beam_sim = [float(mat[entry] @ qv)]
+            expanded: set[int] = set()
+            while True:
+                # expand the best not-yet-expanded beam member
+                cand = [
+                    (s, i) for s, i in zip(beam_sim, beam_idx) if i not in expanded
+                ]
+                if not cand:
+                    break
+                s_best, i_best = max(cand, key=lambda t: (t[0], -t[1]))
+                expanded.add(i_best)
+                nbrs = [j for j in adj[i_best] if j >= 0 and j not in visited]
+                if nbrs:
+                    visited.update(nbrs)
+                    sims = mat[nbrs] @ qv
+                    beam_idx.extend(nbrs)
+                    beam_sim.extend(sims.tolist())
+                    # trim to beam best (deterministic: sim desc, row asc)
+                    order_b = sorted(
+                        range(len(beam_idx)),
+                        key=lambda t: (-beam_sim[t], beam_idx[t]),
+                    )[:beam]
+                    beam_idx = [beam_idx[t] for t in order_b]
+                    beam_sim = [beam_sim[t] for t in order_b]
+            vis = np.fromiter(visited, dtype=np.int64)
+            sims = mat[vis] @ qv
+            keep = vis != qi
+            vis, sims = vis[keep], sims[keep]
+            top = np.lexsort((self.ids[vis], -sims))[:k]
+            return vis[top], sims[top]
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            out_q, out_r, out_n, out_s = [], [], [], []
+            for qid in batch.column("vec_id").to_pylist():
+                qi = int(np.searchsorted(self.ids, qid))
+                rows, sims = self._search(qi)
+                out_q.extend([qid] * len(rows))
+                out_r.extend(range(1, len(rows) + 1))
+                out_n.extend(self.ids[rows].tolist())
+                out_s.extend(np.round(sims, 4).tolist())
+            return pd.DataFrame(
+                {"query_id": out_q, "rank": out_r,
+                 "neighbor_id": out_n, "cosine": out_s}
+            )
+
+    import ray.data as rd_
+
+    qset = [int(q) for q in query_ids if int(q) in pos]
+    q_ds = rd_.from_arrow(pa.table({"vec_id": pa.array(qset, pa.int64())}))
+    out = _concat(
+        q_ds.map_batches(GraphSearch, batch_format="pyarrow", batch_size=64,
+                         concurrency=2)
+    ).to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return _from_pandas(out[["query_id", "rank", "neighbor_id", "cosine"]])

@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_range_search": simsearch.range_search,
         "emb_knn_filtered": simsearch.knn_filtered,
         "emb_knn_graph": simsearch.knn_graph,
+        "emb_knn_graph_search": simsearch.knn_graph_search,
         "ev_absence_join": batch_cep.absence_join,
         "ev_cumulate_windows": batch_cep.cumulate_windows,
         "ev_session_overlap_counts": batch_cep.session_overlap_counts,

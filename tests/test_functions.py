@@ -2212,3 +2212,33 @@ def test_cluster_balanced_sample_caps_and_consistency(ray_session):
     full_sizes = full.groupby("cluster").size()
     for c, n in full_sizes.items():
         assert sizes.get(c, 0) == min(cap, n)
+
+
+def test_knn_graph_search_recall(ray_session):
+    """Graph-ANN beam search pinned: recall@10 vs the exact scan is high
+    on the real sf0.001 embeddings (mean >= 0.8, no query below 0.5), and
+    every emitted neighbor list is rank-contiguous and self-free."""
+    import numpy as np
+
+    from quanta_ray.functions.simsearch import (
+        _batch_matrix, _concat, _emb, knn_graph_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = knn_graph_search(sf).to_pandas()
+    t = _concat(_emb(sf))
+    ids, mat = _batch_matrix(t)
+    o = np.argsort(ids)
+    ids, mat = ids[o], mat[o]
+    sims = mat @ mat.T
+    recalls = []
+    for qid, grp in got.groupby("query_id"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert (grp["neighbor_id"] != qid).all()
+        qi = int(np.searchsorted(ids, qid))
+        s = sims[qi].copy()
+        s[qi] = -2.0
+        truth = set(ids[np.lexsort((ids, -s))[:10]].tolist())
+        recalls.append(len(truth & set(grp["neighbor_id"])) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8
+    assert min(recalls) >= 0.5

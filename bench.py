@@ -129,6 +129,11 @@ BENCH_QUERIES = [
     "ev_absence_join",
     "ev_session_overlap_counts",
     "mm_video_frame_near_dups",
+    "ev_cumulate_windows",
+    "doc_chunk_split",
+    "doc_bpe_fertility",
+    "emb_cluster_balanced_sample",
+    "emb_knn_graph_search",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

@@ -1840,6 +1840,140 @@ ORDER BY event_id
 """
 
 
+# --- in-session funnel conversion ----------------------------------------------
+
+
+def session_conversion(
+    sf_dir: str,
+    first: str = "click",
+    then: str = "purchase",
+    gap_us: int = 30 * 60 * US,
+    buckets: int = 32,
+) -> pa.Table:
+    """IN-SESSION funnel conversion — for every gap-sessionized
+    (user, session) that contains a ``first`` event, whether a ``then``
+    event follows it WITHIN THE SAME SESSION (strictly later by
+    (ts, event_id)): the session-scoped conversion flag product analytics
+    is built on (the plain funnel asks "ever"; this asks "in the same
+    visit").
+
+    One user-hash shuffle; per bucket the sessionize kernel (mergesort +
+    gap-break cumsum) labels rows, then two vectorized per-(user, session)
+    reductions: the first ``first`` position and whether any ``then``
+    sorts strictly after it. Emits one row per session WITH a ``first``
+    event: (user_id, session_id, start_ts, converted)."""
+    from ..bucket import bucketed_apply
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        brk = np.concatenate(([False], np.diff(ts) > gap_us)) & ~new_user
+        c = np.cumsum(brk.astype(np.int64))
+        first_idx = np.flatnonzero(new_user)
+        sizes = np.diff(np.append(first_idx, len(uid)))
+        sid = c - np.repeat(c[first_idx], sizes)
+        df = pd.DataFrame(
+            {"user_id": uid, "session_id": sid.astype(np.int64), "ts": ts,
+             "event_id": eid, "et": et}
+        )
+        # first `first` row per session (rows already (ts, event_id)-sorted)
+        f = df[df["et"] == first].groupby(
+            ["user_id", "session_id"], as_index=False
+        ).first()[["user_id", "session_id", "ts", "event_id"]].rename(
+            columns={"ts": "f_ts", "event_id": "f_eid"}
+        )
+        if not len(f):
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "session_id": pd.Series(dtype=np.int64),
+                 "start_ts": pd.Series(dtype=np.int64),
+                 "converted": pd.Series(dtype=bool)}
+            )
+        starts = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            start_ts=("ts", "min")
+        )
+        t = df[df["et"] == then][["user_id", "session_id", "ts", "event_id"]]
+        m = f.merge(t, on=["user_id", "session_id"], how="left")
+        hit = (m["ts"] > m["f_ts"]) | (
+            (m["ts"] == m["f_ts"]) & (m["event_id"] > m["f_eid"])
+        )
+        conv = (
+            pd.DataFrame(
+                {"user_id": m["user_id"], "session_id": m["session_id"],
+                 "hit": hit.fillna(False)}
+            )
+            .groupby(["user_id", "session_id"], as_index=False)["hit"]
+            .any()
+        )
+        out = f.merge(starts, on=["user_id", "session_id"]).merge(
+            conv, on=["user_id", "session_id"]
+        )
+        return pd.DataFrame(
+            {"user_id": out["user_id"].to_numpy(dtype=np.int64),
+             "session_id": out["session_id"].to_numpy(dtype=np.int64),
+             "start_ts": out["start_ts"].to_numpy(dtype=np.int64),
+             "converted": out["hit"].to_numpy(dtype=bool)}
+        )
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+    t = _concat(bucketed_apply(ds, ["user_id"], bucket_fn, num_buckets=buckets))
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("session_id", "ascending")]
+        )
+    )
+    return pa.Table.from_arrays(
+        [
+            t.column("user_id").cast(pa.int64()),
+            t.column("session_id").cast(pa.int64()),
+            t.column("start_ts").cast(pa.int64()).cast(pa.timestamp("us")),
+            t.column("converted").cast(pa.bool_()),
+        ],
+        names=["user_id", "session_id", "start_ts", "converted"],
+    )
+
+
+SESSION_CONVERSION_SQL = """
+WITH lab AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(sum(CASE WHEN gap_us IS NULL OR gap_us <= 1800000000 THEN 0 ELSE 1 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM (
+    SELECT event_id, user_id, ts, event_type,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_us
+    FROM events
+  )
+), f AS (
+  SELECT user_id, session_id, ts AS f_ts, event_id AS f_eid
+  FROM (
+    SELECT user_id, session_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts, event_id) AS rn
+    FROM lab WHERE event_type = 'click'
+  ) WHERE rn = 1
+), s AS (
+  SELECT user_id, session_id, min(ts) AS start_ts
+  FROM lab GROUP BY user_id, session_id
+)
+SELECT f.user_id, f.session_id, s.start_ts,
+       EXISTS (
+         SELECT 1 FROM lab p
+         WHERE p.user_id = f.user_id AND p.session_id = f.session_id
+           AND p.event_type = 'purchase'
+           AND (p.ts > f.f_ts OR (p.ts = f.f_ts AND p.event_id > f.f_eid))
+       ) AS converted
+FROM f JOIN s ON s.user_id = f.user_id AND s.session_id = f.session_id
+ORDER BY f.user_id, f.session_id
+"""
+
+
 # --- event-type transition matrix (Markov counts) ------------------------------
 
 

@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_graph_search": simsearch.knn_graph_search,
         "ev_absence_join": batch_cep.absence_join,
         "ev_cumulate_windows": batch_cep.cumulate_windows,
+        "ev_session_conversion": batch_cep.session_conversion,
         "ev_session_overlap_counts": batch_cep.session_overlap_counts,
         "doc_bpe_token_counts": _doc_bpe_token_counts,
         "doc_pmi_collocations": text.pmi_collocations,
@@ -417,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_graph": simsearch.KNN_GRAPH_SQL,
         "ev_absence_join": batch_cep.ABSENCE_JOIN_SQL,
         "ev_cumulate_windows": batch_cep.CUMULATE_WINDOWS_SQL,
+        "ev_session_conversion": batch_cep.SESSION_CONVERSION_SQL,
         "ev_session_overlap_counts": batch_cep.SESSION_OVERLAP_COUNTS_SQL,
         "ev_tumbling": batch_cep.TUMBLING_SQL,
         "ev_sliding": batch_cep.SLIDING_SQL,

@@ -1840,6 +1840,81 @@ ORDER BY event_id
 """
 
 
+# --- rolling 7-day active users (WAU per day) -----------------------------------
+
+
+def rolling_wau(sf_dir: str, window_days: int = 7, buckets: int = 32) -> pa.Table:
+    """ROLLING WEEKLY ACTIVE USERS — for every day, the exact distinct
+    users active in the trailing ``window_days`` window (the WAU-per-day
+    engagement curve; DAU/MAU's rolling sibling). A user active on day d
+    counts toward days d .. d+6.
+
+    Shape: per-batch (day, user) dedup collapses the stream to at most
+    |days|x|users| pairs, a bounded 1->7 vectorized explode targets each
+    trailing window, one bucketed pair-dedup shuffle (moves only key
+    pairs), then a tiny per-day count. Emits only days with at least one
+    active user in the window (both sides agree on the group set)."""
+    from ..bucket import bucketed_apply, bucketed_group_agg
+
+    DAY_US = 24 * HOUR_US
+
+    def pre(batch: pa.Table) -> pd.DataFrame:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {"day": ts // DAY_US, "user_id": batch.column("user_id").to_numpy()}
+        ).drop_duplicates()
+        day = df["day"].to_numpy(dtype=np.int64)
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "t_day": np.repeat(day, window_days)
+                + np.tile(np.arange(window_days, dtype=np.int64), len(day)),
+                "user_id": np.repeat(uid, window_days),
+            }
+        ).drop_duplicates()
+
+    pairs = bucketed_apply(
+        _events(sf_dir, ["ts", "user_id"]).map_batches(
+            pre, batch_format="pyarrow", batch_size=131072
+        ),
+        ["t_day", "user_id"],
+        lambda g: g.drop_duplicates(["t_day", "user_id"]),
+    )
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("t_day", as_index=False).agg(n_users=("user_id", "size"))
+
+    out = _concat(
+        bucketed_group_agg(
+            pairs.map_batches(count_partial, batch_format="pandas"),
+            ["t_day"],
+            dict(n_users=("n_users", "sum")),
+            num_buckets=8,
+        )
+    )
+    out = out.take(pc.sort_indices(out, sort_keys=[("t_day", "ascending")]))
+    day_us = out.column("t_day").cast(pa.int64()).to_numpy() * DAY_US
+    return pa.table(
+        {
+            "day": pa.array(day_us, pa.int64()).cast(pa.timestamp("us")),
+            "n_users": out.column("n_users").cast(pa.int64()),
+        }
+    )
+
+
+ROLLING_WAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+), ex AS (
+  SELECT DISTINCT day + k AS t_day, user_id
+  FROM du, generate_series(0, 6) AS g(k)
+)
+SELECT make_timestamp(t_day * 86400000000) AS day,
+       count(DISTINCT user_id) AS n_users
+FROM ex GROUP BY t_day ORDER BY t_day
+"""
+
+
 # --- in-session funnel conversion ----------------------------------------------
 
 

@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "doc_bpe_fertility",
     "emb_cluster_balanced_sample",
     "emb_knn_graph_search",
+    "ev_session_conversion",
+    "ev_rolling_wau",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

@@ -1840,6 +1840,106 @@ ORDER BY event_id
 """
 
 
+# --- conversion latency (time-to-event, censored) --------------------------------
+
+
+def conversion_latency(
+    sf_dir: str, first: str = "view", then: str = "purchase", buckets: int = 32
+) -> pa.Table:
+    """TIME-TO-EVENT: per user who ever emitted a ``first`` event, the
+    timestamp of their first ``first``, the timestamp of their first
+    ``then`` AFTER it (strictly later, (ts, event_id) order), and the
+    latency between the two — NULL latency = right-censored (never
+    converted), the input row of every conversion-funnel survival curve.
+
+    Shape: the event-type filter prunes the scan to two types; one
+    user-hash shuffle; per bucket one mergesort + two vectorized
+    first-per-user selections (the second constrained to rows after the
+    user's first ``first``). Emits one row per ``first``-emitting user;
+    the latency column is nullable int64 (the censored rows)."""
+    import pyarrow.dataset as pads
+
+    from ..bucket import bucketed_apply
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy()
+        df = pd.DataFrame({"u": uid, "ts": ts, "eid": eid, "et": et})
+        f = (
+            df[df["et"] == first]
+            .groupby("u", as_index=False)
+            .first()[["u", "ts", "eid"]]
+            .rename(columns={"ts": "f_ts", "eid": "f_eid"})
+        )
+        if not len(f):
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "first_ts": pd.Series(dtype=np.int64),
+                 "conv_ts": pd.Series(dtype="Int64")}
+            )
+        t = df[df["et"] == then].merge(f, on="u")
+        t = t[(t["ts"] > t["f_ts"]) | ((t["ts"] == t["f_ts"]) & (t["eid"] > t["f_eid"]))]
+        conv = t.groupby("u", as_index=False).agg(conv_ts=("ts", "min"))
+        out = f.merge(conv, on="u", how="left")
+        return pd.DataFrame(
+            {
+                "user_id": out["u"].to_numpy(dtype=np.int64),
+                "first_ts": out["f_ts"].to_numpy(dtype=np.int64),
+                "conv_ts": out["conv_ts"].astype("Int64"),
+            }
+        )
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+        filter=(
+            (pads.field("event_type") == pads.scalar(first))
+            | (pads.field("event_type") == pads.scalar(then))
+        ),
+    )
+    t = _concat(bucketed_apply(ds, ["user_id"], bucket_fn, num_buckets=buckets))
+    t = t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+    first_us = t.column("first_ts").cast(pa.int64())
+    conv_us = t.column("conv_ts").cast(pa.int64())  # nullable
+    lat = pc.subtract(conv_us, first_us)  # null-propagating
+    return pa.Table.from_arrays(
+        [
+            t.column("user_id").cast(pa.int64()),
+            first_us.cast(pa.timestamp("us")),
+            conv_us.cast(pa.timestamp("us")),
+            lat,
+        ],
+        names=["user_id", "first_ts", "conv_ts", "latency_us"],
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH f AS (
+  SELECT user_id, ts AS first_ts, event_id AS f_eid
+  FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'view'
+  ) WHERE rn = 1
+)
+SELECT f.user_id, f.first_ts,
+       (SELECT min(p.ts) FROM events p
+        WHERE p.user_id = f.user_id AND p.event_type = 'purchase'
+          AND (p.ts > f.first_ts
+               OR (p.ts = f.first_ts AND p.event_id > f.f_eid))) AS conv_ts,
+       date_diff('microsecond', f.first_ts,
+                 (SELECT min(p.ts) FROM events p
+                  WHERE p.user_id = f.user_id AND p.event_type = 'purchase'
+                    AND (p.ts > f.first_ts
+                         OR (p.ts = f.first_ts AND p.event_id > f.f_eid)))
+       ) AS latency_us
+FROM f ORDER BY f.user_id
+"""
+
+
 # --- rolling 7-day active users (WAU per day) -----------------------------------
 
 

@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_cumulate_windows": batch_cep.cumulate_windows,
         "ev_session_conversion": batch_cep.session_conversion,
         "ev_rolling_wau": batch_cep.rolling_wau,
+        "ev_conversion_latency": batch_cep.conversion_latency,
         "ev_session_overlap_counts": batch_cep.session_overlap_counts,
         "doc_bpe_token_counts": _doc_bpe_token_counts,
         "doc_pmi_collocations": text.pmi_collocations,
@@ -421,6 +422,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_cumulate_windows": batch_cep.CUMULATE_WINDOWS_SQL,
         "ev_session_conversion": batch_cep.SESSION_CONVERSION_SQL,
         "ev_rolling_wau": batch_cep.ROLLING_WAU_SQL,
+        "ev_conversion_latency": batch_cep.CONVERSION_LATENCY_SQL,
         "ev_session_overlap_counts": batch_cep.SESSION_OVERLAP_COUNTS_SQL,
         "ev_tumbling": batch_cep.TUMBLING_SQL,
         "ev_sliding": batch_cep.SLIDING_SQL,

@@ -355,3 +355,76 @@ def bpe_fertility(sf_dir: str, n_merges: int = 40) -> pa.Table:
             "fertility_ppm": pa.array(ppm.astype(np.int64), pa.int64()),
         }
     )
+
+
+def bpe_pack_sequences(
+    sf_dir: str, budget: int = 128, n_shards: int = 8, n_merges: int = 40
+) -> pa.Table:
+    """TOKEN-EXACT sequence packing: the next-fit packer of
+    ``curation.pack_sequences`` driven by REAL tokenizer counts (the
+    corpus-trained BPE) instead of the whitespace proxy — what a training
+    dataloader actually needs, since packing on word counts over- or
+    under-fills sequences by the fertility factor.
+
+    Same deterministic contract: docs ordered by (shard, md5(doc_id),
+    doc_id), packed NEXT-FIT per shard (over-budget doc sits alone); ONE
+    shard-keyed shuffle moves (doc_id, n_bpe_tokens) pairs. The counts
+    come from the broadcast-ranks encode pass (``bpe_token_counts``); at
+    corpus scale the two stages chain as lazy Datasets — here the counts
+    table (O(docs) ints, the query result anyway) seeds the pack stage.
+    Rows-only (BPE is iterative, no SQL form); pinned by the
+    reference-equality pytest (retrain + re-encode + sequential replay)."""
+    import ray.data as rd
+
+    from ..bucket import bucketed_apply
+    from .curation import _md5_keys
+
+    counts = bpe_token_counts(sf_dir, n_merges=n_merges)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        hexs, _ = _md5_keys(batch["doc_id"])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "shard": batch["doc_id"].to_numpy() % n_shards,
+                "n_tokens": batch["n_bpe_tokens"].to_numpy(dtype=np.int64),
+                "_k": hexs,
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shard", "_k", "doc_id"], kind="mergesort")
+        shard = g["shard"].to_numpy()
+        ntok = g["n_tokens"].to_numpy()
+        seq = np.empty(len(g), dtype=np.int64)
+        cur_shard, cur_seq, fill = -1, 0, 0
+        for i in range(len(g)):
+            if shard[i] != cur_shard:
+                cur_shard, cur_seq, fill = shard[i], 0, ntok[i]
+            elif fill + ntok[i] <= budget:
+                fill += ntok[i]
+            else:
+                cur_seq += 1
+                fill = ntok[i]
+            seq[i] = cur_seq
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "shard": shard,
+                "seq": seq,
+                "n_tokens": ntok,
+            }
+        )
+
+    ds = rd.from_arrow(counts).map_batches(
+        project, batch_format="pandas", batch_size=8192
+    )
+    import pyarrow.compute as pc
+
+    parts = []
+    for t in bucketed_apply(ds, ["shard"], pack).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        parts.append(t)
+    out = pa.concat_tables(parts, promote_options="default").combine_chunks()
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))

@@ -118,6 +118,12 @@ def _doc_bpe_fertility(sf_dir: str) -> Any:
     return bpe_fertility(sf_dir)
 
 
+def _doc_bpe_pack(sf_dir: str) -> Any:
+    from .functions.bpe import bpe_pack_sequences
+
+    return bpe_pack_sequences(sf_dir)
+
+
 def _image_phash_near_dups(sf_dir: str) -> Any:
     from .functions.multimodal import image_phash_near_dups
 
@@ -211,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- (1) new or changed since last driver verification ---
         "doc_chunk_split": text.chunk_split,
         "doc_bpe_fertility": _doc_bpe_fertility,
+        "doc_bpe_pack_sequences": _doc_bpe_pack,
         "emb_cluster_balanced_sample": _emb_cluster_balanced_sample,
         "emb_range_search": simsearch.range_search,
         "emb_knn_filtered": simsearch.knn_filtered,

@@ -2242,3 +2242,67 @@ def test_knn_graph_search_recall(ray_session):
         recalls.append(len(truth & set(grp["neighbor_id"])) / 10)
     assert sum(recalls) / len(recalls) >= 0.8
     assert min(recalls) >= 0.5
+
+
+def test_bpe_pack_sequences_matches_reference(ray_session, doc_dir):
+    """Token-exact packing equals a sequential replay: reference-retrained
+    BPE counts per doc, next-fit per shard in (md5, doc_id) order."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq2
+
+    from quanta_ray.functions.bpe import bpe_pack_sequences
+
+    BUDGET, SHARDS = 128, 8
+    got = bpe_pack_sequences(doc_dir, budget=BUDGET, n_shards=SHARDS,
+                             n_merges=10).to_pandas()
+    docs = pq2.read_table(doc_dir + "/documents.parquet").to_pandas()
+    word = re.compile(r"[a-z0-9]+")
+    wf = {}
+    for t in docs["text"]:
+        for w in word.findall(t.lower()):
+            wf[w] = wf.get(w, 0) + 1
+    merges = _bpe_reference(wf, 10)
+    ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
+
+    def enc(w):
+        seq = list(w) + ["</w>"]
+        while len(seq) > 1:
+            best, bi = None, -1
+            for i in range(len(seq) - 1):
+                r = ranks.get((seq[i], seq[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            seq[bi : bi + 2] = [seq[bi] + seq[bi + 1]]
+        return len(seq)
+
+    counts = {
+        int(d): sum(enc(w) for w in word.findall(t.lower()))
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    # sequential replay: per shard, (md5, doc_id) order, next-fit
+    want = {}
+    for s in range(SHARDS):
+        members = sorted(
+            (d for d in counts if d % SHARDS == s),
+            key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+        )
+        seq, fill = 0, 0
+        for i, d in enumerate(members):
+            n = counts[d]
+            if i == 0:
+                fill = n
+            elif fill + n <= BUDGET:
+                fill += n
+            else:
+                seq += 1
+                fill = n
+            want[d] = (s, seq, n)
+    got_map = {
+        int(r.doc_id): (int(r.shard), int(r.seq), int(r.n_tokens))
+        for r in got.itertuples()
+    }
+    assert got_map == want

@@ -1370,7 +1370,8 @@ def matryoshka_recall(
 def recall_eval(
     sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 10
 ) -> pa.Table:
-    """Recall@k of each approximate index (IVF, PQ, IVF+PQ, PQ+rerank, SQ8) against the
+    """Recall@k of each approximate index (IVF, PQ, IVF+PQ, PQ+rerank, SQ8,
+    graph beam search) against the
     exact brute-force cosine top-k — the index-quality report every vector
     pipeline needs before trusting an ANN path at scale.
 
@@ -1393,6 +1394,7 @@ def recall_eval(
         "ivfpq": knn_ivfpq(sf_dir, query_ids=query_ids, k=k),
         "pq_rerank": knn_pq_rerank(sf_dir, query_ids=query_ids, k=k),
         "sq8": knn_sq8(sf_dir, query_ids=query_ids, k=k),
+        "graph": knn_graph_search(sf_dir, query_ids=query_ids, k=k),
     }
     rows = []
     for name in sorted(engines):

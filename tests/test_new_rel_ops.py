@@ -266,10 +266,10 @@ def test_recall_eval_bounds_and_determinism(ray_session):
     from quanta_ray.functions.simsearch import recall_eval
 
     a = recall_eval(SF).to_pandas()
-    assert set(a["engine"]) == {"ivf", "pq", "ivfpq", "pq_rerank", "sq8"}
+    assert set(a["engine"]) == {"ivf", "pq", "ivfpq", "pq_rerank", "sq8", "graph"}
     assert (a["n_hit"] <= a["k_truth"]).all()
     assert ((a["recall"] >= 0) & (a["recall"] <= 1.0)).all()
-    assert len(a) == 5 * 4
+    assert len(a) == 6 * 4
     # 8-bit-per-dim scalar quantization is near-lossless at this d: SQ8
     # recall must dominate the 8-byte-per-vector PQ code on every query
     sq = a[a["engine"] == "sq8"].set_index("query_id")["recall"]

@@ -142,6 +142,12 @@ def _video_frame_near_dups(sf_dir: str) -> Any:
     return video_frame_near_dups(sf_dir)
 
 
+def _audio_fingerprint_near_dups(sf_dir: str) -> Any:
+    from .functions.multimodal import audio_fingerprint_near_dups
+
+    return audio_fingerprint_near_dups(sf_dir)
+
+
 def _media_features(sf_dir: str) -> Any:
     from .functions.multimodal import media_features
 
@@ -235,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_merges": _doc_bpe_merges,
         "doc_export_jsonl": _doc_export_jsonl,
         "mm_video_frame_near_dups": _video_frame_near_dups,
+        "mm_audio_fingerprint_near_dups": _audio_fingerprint_near_dups,
         "mm_image_phash_near_dups": _image_phash_near_dups,
         "mm_audio_segments": _audio_segments,
         "rel_forecast_revenue": relational.forecast_revenue,

@@ -2306,3 +2306,32 @@ def test_bpe_pack_sequences_matches_reference(ray_session, doc_dir):
         for r in got.itertuples()
     }
     assert got_map == want
+
+
+def test_audio_fingerprint_near_dups_planted(ray_session, tmp_path_factory):
+    """Audio fingerprint dedup pinned on the planted noisy-group corpus:
+    every surviving pair is intra-group (precision 1.0) with >= 95%
+    coverage of the planted same-recording pairs."""
+    import pyarrow.parquet as pq
+
+    from quanta_ray.functions.multimodal import audio_fingerprint_near_dups
+
+    d = tmp_path_factory.mktemp("adup")
+    n = 48
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "lang": ["en"] * n,
+            "source": ["s"] * n,
+            "text": ["x"] * n,
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(d / "documents.parquet"))
+    t = audio_fingerprint_near_dups(str(d))
+    a = t.column("a").to_numpy()
+    b = t.column("b").to_numpy()
+    assert t.num_rows > 0
+    assert (a // 4 == b // 4).all()  # precision 1.0
+    planted = n // 4 * 6  # groups x C(4,2)
+    assert t.num_rows >= 0.95 * planted

@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "emb_knn_graph_search",
     "ev_session_conversion",
     "ev_rolling_wau",
+    "ev_conversion_latency",
+    "doc_bpe_pack_sequences",
+    "mm_audio_fingerprint_near_dups",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

@@ -3873,3 +3873,65 @@ WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04
                 AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
 GROUP BY 1 ORDER BY 1
 """
+
+
+# --- order fan-out histogram (join-cardinality profiling) -----------------------
+
+
+def order_fanout_histogram(sf_dir: str) -> pa.Table:
+    """LINEITEMS-PER-ORDER distribution — the join-FANOUT histogram a
+    planner (or a skew-aware shuffle) profiles before choosing a join
+    strategy: for each fan-out n, how many orders have exactly n line
+    items. Exact integer counts end to end.
+
+    Shape: one pruned column scan (l_orderkey only); per-batch
+    value_counts partials -> one orderkey-bucketed exact sum (the shuffle
+    carries (key, partial_count) pairs, never rows) -> per-bucket
+    histogram partials (O(distinct fan-outs) rows) -> tiny final sum."""
+    from ..bucket import bucketed_group_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["l_orderkey"].value_counts()
+        return pd.DataFrame(
+            {"l_orderkey": vc.index.to_numpy(dtype=np.int64),
+             "n": vc.to_numpy(dtype=np.int64)}
+        )
+
+    per_order = bucketed_group_agg(
+        _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["l_orderkey"],
+        dict(n=("n", "sum")),
+    )
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["n"].value_counts()
+        return pd.DataFrame(
+            {"n_lines": vc.index.to_numpy(dtype=np.int64),
+             "n_orders": vc.to_numpy(dtype=np.int64)}
+        )
+
+    t = _concat(
+        bucketed_group_agg(
+            per_order.map_batches(hist_partial, batch_format="pandas"),
+            ["n_lines"],
+            dict(n_orders=("n_orders", "sum")),
+            num_buckets=4,
+        )
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("n_lines", "ascending")]))
+    return pa.Table.from_arrays(
+        [t.column("n_lines").cast(pa.int64()), t.column("n_orders").cast(pa.int64())],
+        names=["n_lines", "n_orders"],
+    )
+
+
+ORDER_FANOUT_HISTOGRAM_SQL = """
+SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+FROM (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+GROUP BY n_lines ORDER BY n_lines
+"""

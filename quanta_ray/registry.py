@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remainder, (4) the slow rows-only streaming family last (its first
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
+        "rel_order_fanout_histogram": relational.order_fanout_histogram,
         "doc_chunk_split": text.chunk_split,
         "doc_bpe_fertility": _doc_bpe_fertility,
         "doc_bpe_pack_sequences": _doc_bpe_pack,
@@ -428,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
     from .pipelines import batch_cep, relational
 
     return {
+        "rel_order_fanout_histogram": relational.ORDER_FANOUT_HISTOGRAM_SQL,
         "doc_chunk_split": text.CHUNK_SPLIT_SQL,
         "emb_range_search": simsearch.RANGE_SEARCH_SQL,
         "emb_knn_filtered": simsearch.KNN_FILTERED_SQL,

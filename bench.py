@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "ev_conversion_latency",
     "doc_bpe_pack_sequences",
     "mm_audio_fingerprint_near_dups",
+    "rel_order_fanout_histogram",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

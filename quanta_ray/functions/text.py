@@ -2532,3 +2532,75 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
 FROM idx
 ORDER BY doc_id, chunk_idx
 """
+
+
+# --- vocabulary coverage curve (tokenizer-size planning) ------------------------
+
+_COVERAGE_KS = (100, 500, 2000, 10000)
+
+
+def vocab_coverage(sf_dir: str) -> pa.Table:
+    """VOCABULARY COVERAGE curve — for each candidate vocab size k, the
+    exact fraction (integer ppm) of corpus token mass covered by the k
+    most frequent words: the curve a tokenizer-size decision reads (where
+    it flattens, bigger vocabularies stop paying). Ties at the k boundary
+    break lexicographically (freq desc, word asc) — identical in the SQL
+    row_number ORDER BY, so counts are bit-equal.
+
+    Shape: the exact corpus word table comes from the shared one-pass
+    bucketed count (``bpe._word_counts``) — vocabulary-sized, the same
+    accepted O(vocab) driver table the BPE trainer already shards. Scale
+    path when the vocab outgrows one node: each count bucket is already
+    GLOBAL for its words, so per-bucket local top-max(k) partials merge
+    exactly (O(buckets x k) driver rows) and the total-mass term is a
+    scalar sum of per-bucket partials."""
+    from .bpe import _word_counts
+
+    wc = _word_counts(sf_dir)
+    if not len(wc):
+        return pa.table(
+            {"k": pa.array([], pa.int64()),
+             "covered": pa.array([], pa.int64()),
+             "total": pa.array([], pa.int64()),
+             "coverage_ppm": pa.array([], pa.int64())}
+        )
+    total = int(wc["freq"].sum())
+    top = wc.sort_values(
+        ["freq", "word"], ascending=[False, True], kind="mergesort"
+    ).head(max(_COVERAGE_KS))
+    csum = top["freq"].cumsum().to_numpy(dtype=np.int64)
+    rows = []
+    for k in _COVERAGE_KS:
+        covered = int(csum[min(k, len(csum)) - 1]) if len(csum) else 0
+        rows.append((k, covered, total, (1_000_000 * covered) // total))
+    return pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "covered": pa.array([r[1] for r in rows], pa.int64()),
+            "total": pa.array([r[2] for r in rows], pa.int64()),
+            "coverage_ppm": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+VOCAB_COVERAGE_SQL = """
+WITH cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+  ) GROUP BY token
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rn FROM cnt
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt
+)
+SELECT k,
+       CAST(coalesce((SELECT sum(c) FROM ranked WHERE rn <= k), 0) AS BIGINT)
+         AS covered,
+       (SELECT total FROM tot) AS total,
+       CAST(1000000 * coalesce((SELECT sum(c) FROM ranked WHERE rn <= k), 0)
+            // (SELECT total FROM tot) AS BIGINT) AS coverage_ppm
+FROM (SELECT unnest([100, 500, 2000, 10000]) AS k)
+ORDER BY k
+"""

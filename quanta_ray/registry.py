@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # call pays the one-time engine warm-up).
         # --- (1) new or changed since last driver verification ---
         "rel_order_fanout_histogram": relational.order_fanout_histogram,
+        "doc_vocab_coverage": text.vocab_coverage,
         "doc_chunk_split": text.chunk_split,
         "doc_bpe_fertility": _doc_bpe_fertility,
         "doc_bpe_pack_sequences": _doc_bpe_pack,
@@ -430,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "rel_order_fanout_histogram": relational.ORDER_FANOUT_HISTOGRAM_SQL,
+        "doc_vocab_coverage": text.VOCAB_COVERAGE_SQL,
         "doc_chunk_split": text.CHUNK_SPLIT_SQL,
         "emb_range_search": simsearch.RANGE_SEARCH_SQL,
         "emb_knn_filtered": simsearch.KNN_FILTERED_SQL,

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "doc_bpe_pack_sequences",
     "mm_audio_fingerprint_near_dups",
     "rel_order_fanout_histogram",
+    "doc_vocab_coverage",
 ]
 
 # bench-scale synthetic transcript stream (deterministic; cached under /tmp)

@@ -143,6 +143,19 @@ class CEPConfig:
     # a_ts > wm (older ones can answer no future-accepted user turn, since
     # answering needs a_ts > u_ts >= wm). 0 disables the stream.
     noreply_timeout_us: int = 0
+    # NEW-CONVERSATION ACQUISITION stream (two-level reduce + driver chain
+    # state): per tumbling window, the number of conversations whose
+    # GLOBAL first turn falls in it — the acquisition/cohort-entry curve.
+    # A conversation's first-turn minimum is FINAL once min <= wm (the
+    # resplat argument: late rows are ts < wm, nothing accepted can lower
+    # a passed minimum), and window w is COMPLETE once wm >= w + size (a
+    # later-accepted row has ts >= wm and can neither start a new conv in
+    # w nor lower an existing min into w). Convs are partition-disjoint
+    # under the conv_id hash shuffle, so per-partition newly-final counts
+    # SUM exactly; the driver accumulates per-window partials in
+    # manifest-carried state and emits each window once its completion
+    # watermark passes. False disables.
+    new_convs: bool = False
     # LATE-DATA SIDE OUTPUT (Flink/Beam side-output parity): rows dropped
     # by the watermark late filter are committed to a "late" output stream
     # (raw pre-transform row + the epoch it arrived in + the watermark it

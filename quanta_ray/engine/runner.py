@@ -493,6 +493,11 @@ class StreamingRunner:
         # n_tool). O(1); persisted in every manifest so resume continues
         # the drift chain exactly where the last committed epoch left it.
         drift_state: dict[str, Any] = {"last_w": None, "last": [0, 0, 0, 0]}
+        # new-conversation accumulator: per still-open tumbling window, the
+        # count of conversations whose global first turn landed in it so
+        # far. O(open windows); persisted in every manifest, windows leave
+        # the dict when emitted (wm >= w + size).
+        newconv_state: dict[int, int] = {}
         # running session-duration quantile reducer state: the cumulative
         # duration histogram (O(sess_hist_bins) ints) — persisted in every
         # manifest so resume continues the running estimates exactly.
@@ -509,6 +514,9 @@ class StreamingRunner:
                     "last_w": saved_dr["last_w"],
                     "last": [int(v) for v in saved_dr["last"]],
                 }
+            saved_nc = m.get("newconv_state")
+            if saved_nc:
+                newconv_state = {int(w): int(c) for w, c in saved_nc.items()}
             saved_sq = m.get("sessq_state")
             if saved_sq:
                 assert len(saved_sq) == len(sessq_state), (
@@ -780,6 +788,38 @@ class StreamingRunner:
                     e_d = write_part_file(tbl, self.out_dir, "drift", 0, epoch)
                     if e_d:
                         drift_entries.append(e_d)
+            # new-conversation acquisition: fold the per-worker per-window
+            # counts of newly-final first turns into the manifest-carried
+            # accumulator; a window emits (once) when the watermark passes
+            # its end — past that point no accepted row can start a new
+            # conversation in it or lower an existing minimum into it.
+            newconv_entries: list[dict] = []
+            if spec.cep.new_convs:
+                from ..schema import NEWCONV_SCHEMA
+                from ..sinks.exactly_once import write_part_file
+
+                for r in metas:
+                    for w, c in r.get("newconv_partials", {}).items():
+                        wi = int(w)
+                        newconv_state[wi] = newconv_state.get(wi, 0) + int(c)
+                wm_now = wms[epoch] if epoch < len(files) else POS_INF
+                done_ws = sorted(
+                    w for w in newconv_state
+                    if w + spec.cep.tumbling_size_us <= wm_now
+                )
+                if done_ws:
+                    tbl = pa.Table.from_arrays(
+                        [
+                            pa.array(done_ws, pa.int64()).cast(pa.timestamp("us")),
+                            pa.array(
+                                [newconv_state.pop(w) for w in done_ws], pa.int64()
+                            ),
+                        ],
+                        schema=NEWCONV_SCHEMA,
+                    )
+                    e_nc = write_part_file(tbl, self.out_dir, "newconvs", 0, epoch)
+                    if e_nc:
+                        newconv_entries.append(e_nc)
             # windowed exact top-k: merge the workers' per-window k-sized
             # lists (convs are partition-disjoint → merge of complete local
             # top-ks is the exact global top-k), emit rank rows. All
@@ -943,7 +983,7 @@ class StreamingRunner:
                 "watermark": wms[epoch] if epoch < len(files) else POS_INF,
                 "source_stats": stats,
                 "files": turns_entries + dead_entries + stream_files + alert_entries
-                + drift_entries + topk_entries + convhist_entries
+                + drift_entries + newconv_entries + topk_entries + convhist_entries
                 + tooluse_entries + sessq_entries,
                 "checkpoints": checkpoints,
                 "last_checkpoint_epoch": last_ckpt_epoch["v"],
@@ -952,6 +992,11 @@ class StreamingRunner:
                     {"last_w": drift_state["last_w"],
                      "last": list(drift_state["last"])}
                     if spec.cep.role_drift
+                    else None
+                ),
+                "newconv_state": (
+                    {str(w): c for w, c in newconv_state.items()}
+                    if spec.cep.new_convs
                     else None
                 ),
                 "sessq_state": list(sessq_state) if spec.cep.sess_quantiles else None,

@@ -734,6 +734,65 @@ class _RespLatState:
         return st
 
 
+_NC_FIELDS = ("first_min", "emitted")
+
+
+class _NewConvState:
+    """Per-conversation GLOBAL first-turn minimum + emitted flag, columnar
+    by conv code (the resplat shape, any-role). A minimum is FINAL once
+    ``min <= wm``; the pop groups newly-final conversations by their first
+    turn's tumbling window and returns per-window counts — O(windows
+    touched this epoch) scalars for the driver's second-level reduce."""
+
+    __slots__ = _NC_FIELDS
+
+    def __init__(self) -> None:
+        self.first_min = np.zeros(0, dtype=np.int64)
+        self.emitted = np.zeros(0, dtype=bool)
+
+    def _grow(self, n_codes: int) -> None:
+        if n_codes <= len(self.first_min):
+            return
+        grown = np.full(n_codes, POS_INF, dtype=np.int64)
+        grown[: len(self.first_min)] = self.first_min
+        self.first_min = grown
+        grown_b = np.zeros(n_codes, dtype=bool)
+        grown_b[: len(self.emitted)] = self.emitted
+        self.emitted = grown_b
+
+    def add(self, codes: np.ndarray, ts: np.ndarray, n_codes: int) -> None:
+        """Fold one ingested batch (already (code, ts, turn)-sorted, so
+        each code run's first row is its batch minimum)."""
+        self._grow(n_codes)
+        if not len(codes):
+            return
+        first = np.concatenate(([True], codes[1:] != codes[:-1]))
+        np.minimum.at(self.first_min, codes[first], ts[first])
+
+    def pop_counts(self, tsize: int, wm: int) -> dict[int, int]:
+        """Per-window counts of newly-final first turns; marks emitted."""
+        if not len(self.first_min):
+            return {}
+        mask = (~self.emitted) & (self.first_min <= wm)
+        idx = np.flatnonzero(mask)
+        if not len(idx):
+            return {}
+        self.emitted[idx] = True
+        w = self.first_min[idx] // tsize * tsize
+        uw, cnt = np.unique(w, return_counts=True)
+        return {int(a): int(b) for a, b in zip(uw, cnt)}
+
+    def to_payload(self) -> tuple:
+        return tuple(getattr(self, f) for f in _NC_FIELDS)
+
+    @classmethod
+    def from_payload(cls, p: tuple) -> "_NewConvState":
+        st = cls()
+        st.first_min = np.array(p[0], dtype=np.int64)
+        st.emitted = np.array(p[1], dtype=bool)
+        return st
+
+
 _NR_FIELDS = ("p_code", "p_ts", "p_turn", "a_code", "a_ts")
 
 
@@ -1101,6 +1160,7 @@ class PartitionWorkerImpl:
         self.resplat = _RespLatState()
         self.runs = _RunState()
         self.noreply = _NoReplyState()
+        self.newconv = _NewConvState()
         # windowed tool usage: w_start -> tool -> [n_calls, set(pcodes)].
         # Popped (and deleted) when the watermark passes w_start + size;
         # tiny — open windows x small tool vocab x touched convs.
@@ -1133,6 +1193,7 @@ class PartitionWorkerImpl:
             "resplat": self.resplat.to_payload(),
             "runs": self.runs.to_payload(),
             "noreply": self.noreply.to_payload(),
+            "newconv": self.newconv.to_payload(),
             "toolw": {
                 w: {t: [v[0], sorted(v[1])] for t, v in by_tool.items()}
                 for w, by_tool in self.toolw.items()
@@ -1159,6 +1220,8 @@ class PartitionWorkerImpl:
             self.runs = _RunState.from_payload(payload["runs"])
         if "noreply" in payload:
             self.noreply = _NoReplyState.from_payload(payload["noreply"])
+        if "newconv" in payload:
+            self.newconv = _NewConvState.from_payload(payload["newconv"])
         self.toolw = {
             int(w): {t: [int(v[0]), set(v[1])] for t, v in by_tool.items()}
             for w, by_tool in payload.get("toolw", {}).items()
@@ -1250,6 +1313,16 @@ class PartitionWorkerImpl:
         self.totals["turns_in"] += table.num_rows
         for k, v in n_emitted.items():
             self.totals[f"{k}_emitted"] += v
+
+        # new-conversation drain: mark newly-final first-turn minima BEFORE
+        # the replay early-return (state advance, same rule as the toolw
+        # drain below); replayed epochs discard the partials — the driver's
+        # manifest-carried window accumulator already folded them.
+        newconv_partial: dict[int, int] = {}
+        if self.cfg.new_convs:
+            newconv_partial = self.newconv.pop_counts(
+                self.cfg.tumbling_size_us, self.wm
+            )
 
         # windowed tool-usage drain: pop newly-final (window -> tool) state
         # BEFORE the replay early-return — the drain is a STATE advance
@@ -1397,6 +1470,7 @@ class PartitionWorkerImpl:
             "sessq_partial": sessq_partial,
             "convhist_partial": convhist_partial,
             "tooluse_partial": tooluse_partial,
+            "newconv_partial": newconv_partial,
         }
 
     def finish(self, epoch: int, do_checkpoint: bool = True) -> dict:
@@ -1523,6 +1597,10 @@ class PartitionWorkerImpl:
             self.noreply.add(
                 pcodes, ts, turn.astype(np.int64), is_user, is_assistant
             )
+
+        # ---- new-conversation acquisition: fold first-turn minima ----
+        if cfg.new_convs:
+            self.newconv.add(pcodes, ts, len(cn))
 
         # ---- windowed tool usage: fold (window, tool) partials. A row
         # contributes iff its tool value is non-null and non-empty; the
@@ -1980,6 +2058,7 @@ class MultiPartitionWorker:
         sessq_partials: dict[int, int] = {}
         convhist_partials: dict[int, list[int]] = {}
         tooluse_partials: dict[int, dict[str, list[int]]] = {}
+        newconv_partials: dict[int, int] = {}
         for i, pid in enumerate(self.pids):
             frag = list(tables[i * n_frags : (i + 1) * n_frags])
             nonempty = [t for t in frag if t.num_rows]
@@ -2016,6 +2095,8 @@ class MultiPartitionWorker:
                         [prev_t[0] + n_c, prev_t[1] + n_v]
                         if prev_t else [n_c, n_v]
                     )
+            for w, c in r.get("newconv_partial", {}).items():
+                newconv_partials[w] = newconv_partials.get(w, 0) + c
         _fold_topk(topk_partials, self.cfg.topk_k)
         # two returns (num_returns=2): small meta for the driver's commit;
         # emitted tables + checkpoint blobs go to the off-worker writer task
@@ -2024,7 +2105,8 @@ class MultiPartitionWorker:
             {"metrics": metrics, "win_partials": win_partials,
              "topk_partials": topk_partials, "sessq_partials": sessq_partials,
              "convhist_partials": convhist_partials,
-             "tooluse_partials": tooluse_partials},
+             "tooluse_partials": tooluse_partials,
+             "newconv_partials": newconv_partials},
             {"tables": out_tables, "ckpt_blobs": blobs},
         )
 
@@ -2035,6 +2117,7 @@ class MultiPartitionWorker:
         sessq_partials: dict[int, int] = {}
         convhist_partials: dict[int, list[int]] = {}
         tooluse_partials: dict[int, dict[str, list[int]]] = {}
+        newconv_partials: dict[int, int] = {}
         for pid in self.pids:
             r = self.impls[pid].finish(epoch, do_checkpoint)
             out_tables.extend(r["tables"])
@@ -2061,12 +2144,15 @@ class MultiPartitionWorker:
                         [prev_t[0] + n_c, prev_t[1] + n_v]
                         if prev_t else [n_c, n_v]
                     )
+            for w, c in r.get("newconv_partial", {}).items():
+                newconv_partials[w] = newconv_partials.get(w, 0) + c
         _fold_topk(topk_partials, self.cfg.topk_k)
         return (
             {"metrics": metrics, "win_partials": win_partials,
              "topk_partials": topk_partials, "sessq_partials": sessq_partials,
              "convhist_partials": convhist_partials,
-             "tooluse_partials": tooluse_partials},
+             "tooluse_partials": tooluse_partials,
+             "newconv_partials": newconv_partials},
             {"tables": out_tables, "ckpt_blobs": blobs},
         )
 

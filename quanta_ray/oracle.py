@@ -602,6 +602,25 @@ def run_oracle(
                     )
                 i = j + 1
 
+    # new-conversation acquisition: per tumbling window, the number of
+    # conversations whose GLOBAL first turn (min ts over all on-time rows)
+    # falls in it; a window emits once the watermark passes its end
+    # (engine analog: per-partition newly-final first-turn counts, summed
+    # by the driver into manifest-carried per-window accumulators).
+    newconvs: list[dict] = []
+    if cfg.new_convs:
+        tsz = cfg.tumbling_size_us
+        final_wm = (1 << 62) if cfg.final_flush else st.wm
+        by_w: dict[int, int] = {}
+        for _conv, rows in st.buf.items():
+            if not rows:
+                continue
+            m = min(t for (t, _ti, _r, _tx, _tl) in rows)
+            by_w[m // tsz * tsz] = by_w.get(m // tsz * tsz, 0) + 1
+        for w in sorted(by_w):
+            if w + tsz <= final_wm:
+                newconvs.append({"w_start": w, "n_new_convs": by_w[w]})
+
     # absence/timeout (notFollowedBy): a USER turn with NO assistant turn of
     # the same conv in (ts, ts + timeout] — half-open (simultaneous does not
     # answer), inclusive at +timeout — emitted once the watermark STRICTLY
@@ -632,7 +651,8 @@ def run_oracle(
 
     from .schema import (
         ALERT_SCHEMA, CONVHIST_SCHEMA, DRIFT_SCHEMA, LATE_SCHEMA,
-        NOREPLY_SCHEMA, SESSQUANT_SCHEMA, TOOLUSE_SCHEMA, TOPK_SCHEMA,
+        NEWCONV_SCHEMA, NOREPLY_SCHEMA, SESSQUANT_SCHEMA, TOOLUSE_SCHEMA,
+        TOPK_SCHEMA,
     )
 
     return {
@@ -643,6 +663,7 @@ def run_oracle(
         "convhist": _to_table(convhist, CONVHIST_SCHEMA, ["w_start", "bucket"]),
         "tooluse": _to_table(tooluse, TOOLUSE_SCHEMA, ["w_start", "tool"]),
         "late": _to_table(st.late, LATE_SCHEMA, ["conv_id", "turn_idx", "ts"]),
+        "newconvs": _to_table(newconvs, NEWCONV_SCHEMA, ["w_start"]),
         "noreply": _to_table(noreply, NOREPLY_SCHEMA, ["conv_id", "ts", "turn_idx"]),
         "resplat": _to_table(resplat, RESPLAT_SCHEMA, ["conv_id"]),
         "runs": _to_table(runs, RUNS_SCHEMA, ["conv_id", "start_ts", "start_turn_idx"]),

@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cep_streaming_tooluse": _streaming_stream("tooluse"),
         "cep_streaming_drift": _streaming_stream("drift"),
         "cep_streaming_noreply": _streaming_stream("noreply"),
+        "cep_streaming_newconvs": _streaming_stream("newconvs"),
         "cep_streaming_late": _late_stream_query,
         "cep_streaming_resplat": _streaming_stream("resplat"),
         "cep_streaming_runs": _streaming_stream("runs"),

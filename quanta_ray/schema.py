@@ -201,6 +201,16 @@ DRIFT_SCHEMA = pa.schema(
     ]
 )
 
+# NEW-CONVERSATION acquisition stream: per tumbling window, the number of
+# conversations whose GLOBAL first turn falls in it (emitted once, when
+# the watermark passes the window end — the cohort-entry curve).
+NEWCONV_SCHEMA = pa.schema(
+    [
+        ("w_start", pa.timestamp("us")),
+        ("n_new_convs", pa.int64()),
+    ]
+)
+
 # LATE-DATA side output: the raw (pre-transform) row the watermark filter
 # dropped, plus the epoch it arrived in and the watermark it was late
 # against (ts < wm at arrival). The event-time twin of the dead-letter

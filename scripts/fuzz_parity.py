@@ -23,6 +23,7 @@ Dimensions randomized per trial (the recorded fuzz config):
   drift stream      role_drift ∈ {off, on} (chained role-mix L1 reducer)
   absence stream    noreply_timeout ∈ {off, 600s, 2700s} (event-time timers)
   late side output  late_output ∈ {off, on} (watermark-dropped rows stream)
+  new-conv stream   new_convs ∈ {off, on} (acquisition curve, driver chain state)
 
 Usage: python scripts/fuzz_parity.py [n_trials] [master_seed]
 Prints one line per trial and a final ``FAILS: n``.
@@ -68,6 +69,7 @@ SORT_KEYS = {
     "drift": ["w_start"],
     "noreply": ["conv_id", "ts", "turn_idx"],
     "late": ["conv_id", "turn_idx", "ts"],
+    "newconvs": ["w_start"],
 }
 
 
@@ -128,6 +130,7 @@ def main() -> int:
             role_drift=bool(rng.integers(0, 2)),
             noreply_timeout_us=int(rng.choice([0, 600, 2700])) * US,
             late_output=bool(rng.integers(0, 2)),
+            new_convs=bool(rng.integers(0, 2)),
         )
         d = tempfile.mkdtemp(dir="/tmp", prefix="fuzz-")
         try:

@@ -98,6 +98,7 @@ def test_random_stream_matches_oracle(
         run_min_len=2,
         noreply_timeout_us=noreply_s * US,
         late_output=True,
+        new_convs=bool(seed % 2),
     )
     d = tmp_path_factory.mktemp("prop")
     table = generate_transcripts(params)

@@ -47,6 +47,7 @@ SORT_KEYS = {
     "tooluse": ["w_start", "tool"],
     "drift": ["w_start"],
     "late": ["conv_id", "turn_idx", "ts"],
+    "newconvs": ["w_start"],
     "noreply": ["conv_id", "ts", "turn_idx"],
     "resplat": ["conv_id"],
     "runs": ["conv_id", "start_ts", "start_turn_idx"],
@@ -63,7 +64,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
                     topk_k=3, sess_quantiles=(0.5, 0.95), conv_hist=True,
                     tool_usage=True, role_drift=True, resp_latency=True,
                     run_min_len=2, noreply_timeout_us=45 * 60 * 1_000_000,
-                    late_output=True)
+                    late_output=True, new_convs=True)
     spec = PipelineSpec(
         source=SourceSpec(paths=tuple(files)),
         transformers=(StageSpec(name="normalize"),),
@@ -84,7 +85,7 @@ def engine_and_oracle(ray_session, small_stream, tmp_path_factory):
 
 @pytest.mark.parametrize(
     "stream",
-    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts", "sessquant", "convhist", "tooluse", "drift", "late", "noreply", "resplat", "runs"],
+    ["turns", "tumbling", "sliding", "sessions", "joins", "patterns", "count_windows", "alerts", "sessquant", "convhist", "tooluse", "drift", "late", "newconvs", "noreply", "resplat", "runs"],
 )
 def test_stream_matches_oracle(engine_and_oracle, stream):
     out_dir, oracle = engine_and_oracle
@@ -363,7 +364,7 @@ def test_kill_resume_identical(ray_session, small_stream, tmp_path_factory):
                     topk_k=3, sess_quantiles=(0.5, 0.9), conv_hist=True,
                     tool_usage=True, role_drift=True, resp_latency=True,
                     run_min_len=2, noreply_timeout_us=45 * 60 * 1_000_000,
-                    late_output=True)
+                    late_output=True, new_convs=True)
     # checkpoint_every=2 exercises the restore-then-replay resume path
     # (crash after epoch 2 → state restored from epoch 1, epoch 2 replayed)
     spec = PipelineSpec(

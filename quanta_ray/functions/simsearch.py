@@ -1,9 +1,11 @@
 """Similarity search over the ``embeddings`` table (``list<float>`` column).
 
-- ``knn_bruteforce``: exact cosine top-k per query — per-batch numpy matmul
-  against a broadcast query matrix (``ray.put`` once, fetched in each actor's
-  ``__init__``), partial top-k per batch, merge at the end. SQL-checkable via
-  DuckDB ``list_cosine_similarity``.
+- ``knn_bruteforce``: brute-force top-k per query — per-batch matmul against
+  a broadcast query matrix (``ray.put`` once, fetched in each actor's
+  ``__init__``), partial top-k per batch, merge at the end. Ranked on the
+  integer ``score_ppm`` key (hash-stable vs the DuckDB oracle);
+  ``knn_bruteforce_exact`` keeps the float-cosine ranking as
+  ``recall_eval``'s ground truth.
 - ``knn_ivf``: IVF-bucketed approximate variant — k-means-lite coarse
   centroids (seeded, few iterations) as the scale path: probe only the
   nearest ``nprobe`` buckets. Rows-only oracle (approximate by design).
@@ -52,8 +54,14 @@ def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat / norms
 
 
-def knn_bruteforce(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 10) -> pa.Table:
-    """Exact cosine top-k of each query vector against the whole table.
+def knn_bruteforce_exact(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 10) -> pa.Table:
+    """Exact FLOAT cosine top-k of each query vector against the whole table
+    — the ground-truth ranking ``recall_eval`` scores every ANN engine
+    against. NOT oracle-registered: float cosine ranks can flip at the
+    last ulp between numpy and DuckDB kernels (the instability that
+    ambered ``knn_graph`` at 2,500 rows), so the driver-facing
+    ``knn_bruteforce`` ranks on the integer ``score_ppm`` key instead and
+    this exact variant stays the internal truth.
 
     The query matrix is broadcast once; each batch computes a (batch × query)
     matmul and emits its local top-k; the driver merges tiny partials.
@@ -113,23 +121,107 @@ def knn_bruteforce(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: in
     return _from_pandas(df[["query_id", "rank", "neighbor_id", "cosine"]].reset_index(drop=True))
 
 
+def knn_bruteforce(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 10) -> pa.Table:
+    """Brute-force top-k per query over the whole corpus, ranked on the
+    INTEGER-EXACT ``score_ppm`` key (quantize q = floor(x*30 + 0.5),
+    sign(dot) * (10^6*dot^2) // (na*nb), neighbor_id tie-break) — the
+    shared exactness convention of ``knn_filtered`` / ``knn_graph`` /
+    ``range_search``, immune to the last-ulp float-rank flips that make
+    float cosine ranks oracle-unstable across engines. The float-exact
+    ranking lives in ``knn_bruteforce_exact`` (recall_eval's truth).
+
+    Same scale shape as the exact variant: query matrix broadcast once
+    via ``ray.put``, one int64 matmul per batch, tiny per-batch top-k
+    partials merged on the driver."""
+    import pyarrow.dataset as pads
+
+    qt = _read_pq(
+        f"{sf_dir}/embeddings.parquet",
+        filter=pads.field("vec_id").isin(list(query_ids)),
+    )
+    q_tbl = _concat(qt)
+    q_ids, q_mat = _quant_matrix(q_tbl, 30.0)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], q_mat[order]
+    q_norm2 = (q_mat * q_mat).sum(axis=1)
+    ref = ray.put((q_ids, q_mat, q_norm2))
+    cols = ["query_id", "neighbor_id", "score_ppm"]
+
+    class PartialTopKInt:
+        def __init__(self):
+            self.q_ids, self.q_mat, self.q_norm2 = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids, mat = _quant_matrix(batch, 30.0)
+            if len(ids) == 0:
+                return pd.DataFrame(columns=cols)
+            n2 = (mat * mat).sum(axis=1)
+            ok_n = n2 > 0
+            ids, mat, n2 = ids[ok_n], mat[ok_n], n2[ok_n]
+            if len(ids) == 0:
+                return pd.DataFrame(columns=cols)
+            score = _score_ppm(mat @ self.q_mat.T, n2, self.q_norm2)
+            out = []
+            for qi, qid in enumerate(self.q_ids):
+                s = score[:, qi]
+                cand = np.nonzero(ids != qid)[0]
+                if len(cand) == 0:
+                    continue
+                top = cand[np.lexsort((ids[cand], -s[cand]))][:k]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids[top],
+                         "score_ppm": s[top]}
+                    )
+                )
+            if not out:
+                return pd.DataFrame(columns=cols)
+            return pd.concat(out, ignore_index=True)
+
+    partials = _emb(sf_dir).map_batches(
+        PartialTopKInt, batch_format="pyarrow", batch_size=4096, concurrency=2
+    )
+    df = _concat(partials).to_pandas()
+    df = df.sort_values(
+        ["query_id", "score_ppm", "neighbor_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", as_index=False).head(k)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    out = df[["query_id", "rank", "neighbor_id", "score_ppm"]].reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return _from_pandas(out)
+
+
 KNN_BRUTEFORCE_SQL = """
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qe
-  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * 30 + 0.5) AS BIGINT)) AS qq
+  FROM embeddings
 ), scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_cosine_similarity(q.qe, e.embedding) AS cos_raw
-  FROM q CROSS JOIN embeddings e
-  WHERE e.vec_id != q.query_id
-), ranked AS (
-  SELECT query_id, neighbor_id, cos_raw,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_inner_product(a.qq, b.qq) AS BIGINT) AS dot,
+         CAST(list_inner_product(a.qq, a.qq) AS BIGINT) AS na,
+         CAST(list_inner_product(b.qq, b.qq) AS BIGINT) AS nb
+  FROM qv a JOIN qv b ON b.vec_id != a.vec_id
+  WHERE a.vec_id IN (0, 1, 2, 3)
+    AND CAST(list_inner_product(b.qq, b.qq) AS BIGINT) > 0
+), keyed AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN dot >= 0
+              THEN (1000000 * dot * dot) // (CASE WHEN na = 0 THEN 1 ELSE na END * nb)
+              ELSE -((1000000 * dot * dot) // (CASE WHEN na = 0 THEN 1 ELSE na END * nb))
+         END AS score_ppm
   FROM scored
+), ranked AS (
+  SELECT query_id, neighbor_id, score_ppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_ppm DESC, neighbor_id) AS rank
+  FROM keyed
 )
-SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
+SELECT query_id, rank, neighbor_id, score_ppm
 FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
 """
 
 
@@ -1383,7 +1475,7 @@ def recall_eval(
     (the ANN outputs themselves have no SQL form); pinned by the
     brute-vs-brute == 1.0 invariant and planted-neighbor tests of the
     underlying searches."""
-    exact = knn_bruteforce(sf_dir, query_ids=query_ids, k=k).to_pandas()
+    exact = knn_bruteforce_exact(sf_dir, query_ids=query_ids, k=k).to_pandas()
     truth = {
         qid: set(g["neighbor_id"].to_numpy())
         for qid, g in exact.groupby("query_id")

@@ -62,11 +62,15 @@ def tumbling_agg(sf_dir: str, size_us: int = HOUR_US, salt: int = 0) -> pa.Table
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        # integer CENTS (value is a 2-decimal source column, *100 tie-free):
+        # distributed float partial sums are order-dependent and diverge
+        # from the oracle in the last ulp
+        val_c = np.round(batch.column("value").to_numpy() * 100.0).astype(np.int64)
         df = pd.DataFrame(
             {
                 "user_id": batch.column("user_id").to_numpy(),
                 "w_start_us": _w_start_us(ts, size_us),
-                "value": batch.column("value").to_numpy(),
+                "value_c": val_c,
                 "ts_us": ts,
             }
         )
@@ -74,8 +78,8 @@ def tumbling_agg(sf_dir: str, size_us: int = HOUR_US, salt: int = 0) -> pa.Table
             df["_salt"] = np.arange(len(df)) % salt
         keys = ["user_id", "w_start_us"] + (["_salt"] if salt else [])
         g = df.groupby(keys, as_index=False).agg(
-            n_events=("value", "size"),
-            sum_value=("value", "sum"),
+            n_events=("value_c", "size"),
+            sum_value_c=("value_c", "sum"),
             min_ts_us=("ts_us", "min"),
             max_ts_us=("ts_us", "max"),
         )
@@ -91,7 +95,7 @@ def tumbling_agg(sf_dir: str, size_us: int = HOUR_US, salt: int = 0) -> pa.Table
         ["user_id", "w_start_us"],
         dict(
             n_events=("n_events", "sum"),
-            sum_value=("sum_value", "sum"),
+            sum_value_c=("sum_value_c", "sum"),
             min_ts_us=("min_ts_us", "min"),
             max_ts_us=("max_ts_us", "max"),
         ),
@@ -106,7 +110,7 @@ def tumbling_agg(sf_dir: str, size_us: int = HOUR_US, salt: int = 0) -> pa.Table
                 batch.column("user_id"),
                 w,
                 batch.column("n_events").cast(pa.int64()),
-                pc.round(batch.column("sum_value"), 6),
+                pc.divide(batch.column("sum_value_c").cast(pa.float64()), 100.0),
                 mn,
                 mx,
             ],
@@ -120,7 +124,8 @@ TUMBLING_SQL = """
 SELECT user_id,
        make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value,
        min(ts) AS min_ts,
        max(ts) AS max_ts
 FROM events
@@ -147,15 +152,16 @@ def sliding_agg(
         offs = np.tile(np.arange(k, dtype=np.int64) * slide_us, n)
         w_start = np.repeat(base, k) - offs
         keep = w_start > np.repeat(ts, k) - size_us  # w_start <= ts < w_start+size
+        val_c = np.round(val * 100.0).astype(np.int64)  # tie-free: 2-decimal source
         df = pd.DataFrame(
             {
                 "user_id": np.repeat(user, k)[keep],
                 "w_start_us": w_start[keep],
-                "value": np.repeat(val, k)[keep],
+                "value_c": np.repeat(val_c, k)[keep],
             }
         )
         g = df.groupby(["user_id", "w_start_us"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
+            n_events=("value_c", "size"), sum_value_c=("value_c", "sum")
         )
         return _from_pandas(g)
 
@@ -167,7 +173,7 @@ def sliding_agg(
     out = bucketed_group_agg(
         partials,
         ["user_id", "w_start_us"],
-        dict(n_events=("n_events", "sum"), sum_value=("sum_value", "sum")),
+        dict(n_events=("n_events", "sum"), sum_value_c=("sum_value_c", "sum")),
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -176,7 +182,7 @@ def sliding_agg(
                 batch.column("user_id"),
                 batch.column("w_start_us").cast(pa.int64()).cast(pa.timestamp("us")),
                 batch.column("n_events").cast(pa.int64()),
-                pc.round(batch.column("sum_value"), 6),
+                pc.divide(batch.column("sum_value_c").cast(pa.float64()), 100.0),
             ],
             names=["user_id", "w_start", "n_events", "sum_value"],
         )
@@ -194,7 +200,8 @@ WITH expanded AS (
 SELECT user_id,
        make_timestamp(w_start_us) AS w_start,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value
 FROM expanded
 WHERE w_start_us <= ts_us AND w_start_us > ts_us - 3600000000
 GROUP BY 1, 2
@@ -215,15 +222,20 @@ def session_agg(sf_dir: str, gap_us: int = 30 * 60 * US) -> pa.Table:
         new_user = g["user_id"].ne(g["user_id"].shift())
         new_sess = new_user | ((ts_us - ts_us.shift()).fillna(gap_us + 1) > gap_us)
         sid = new_sess.cumsum()  # bucket-global session counter, ts-ordered
+        g = g.assign(
+            value_c=np.round(g["value"].to_numpy(np.float64) * 100.0).astype(
+                np.int64
+            )
+        )
         out = g.groupby(sid.values).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("event_id", "size"),
-            sum_value=("value", "sum"),
+            sum_value=("value_c", "sum"),
         )
         out["session_id"] = out.groupby("user_id").cumcount()
-        out["sum_value"] = out["sum_value"].round(6)
+        out["sum_value"] = out["sum_value"].to_numpy(dtype=np.int64) / 100.0
         return out[
             ["user_id", "session_id", "session_start", "session_end", "n_events", "sum_value"]
         ]
@@ -253,7 +265,9 @@ WITH ordered AS (
 )
 SELECT user_id, session_id,
        min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 6) AS sum_value
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value
 FROM numbered
 GROUP BY 1, 2
 """
@@ -416,7 +430,13 @@ def topk_users(sf_dir: str, k: int = 10) -> pa.Table:
                 "value": batch.column("value").to_numpy(),
             }
         )
-        g = df.groupby("user_id", as_index=False)["value"].sum()
+        # integer CENTS (2-decimal source, *100 tie-free): the top-k RANKS
+        # on this sum, so order-dependent float partials could flip ranks
+        g = df.assign(
+            value_c=np.round(df["value"].to_numpy(np.float64) * 100.0).astype(
+                np.int64
+            )
+        ).groupby("user_id", as_index=False)["value_c"].sum()
         return _from_pandas(g)
 
     from ..bucket import bucketed_group_agg
@@ -424,27 +444,35 @@ def topk_users(sf_dir: str, k: int = 10) -> pa.Table:
     partials = _events(sf_dir, ["user_id", "value"]).map_batches(
         partial, batch_format="pyarrow", batch_size=65536
     )
-    agg = bucketed_group_agg(partials, ["user_id"], dict(total_value=("value", "sum")))
+    agg = bucketed_group_agg(partials, ["user_id"], dict(total_c=("value_c", "sum")))
     # per-bucket local top-k → tiny driver merge (partial top-k pattern)
     local = agg.map_batches(
         lambda df: df.sort_values(
-            ["total_value", "user_id"], ascending=[False, True]
+            ["total_c", "user_id"], ascending=[False, True]
         ).head(k),
         batch_format="pandas",
     )
     df = _concat(local).to_pandas()
-    df = df.sort_values(["total_value", "user_id"], ascending=[False, True]).head(k)
+    df = df.sort_values(["total_c", "user_id"], ascending=[False, True]).head(k)
     t = _from_pandas(df.reset_index(drop=True))
     return pa.Table.from_arrays(
-        [t.column("user_id"), pc.round(t.column("total_value"), 6)],
+        [
+            t.column("user_id"),
+            pc.divide(t.column("total_c").cast(pa.float64()), 100.0),
+        ],
         names=["user_id", "total_value"],
     )
 
 
 TOPK_USERS_SQL = """
-SELECT user_id, round(sum(value), 6) AS total_value
-FROM events GROUP BY 1
-ORDER BY sum(value) DESC, user_id LIMIT 10
+WITH c AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c
+  FROM events GROUP BY 1
+)
+SELECT user_id, total_c / 100.0 AS total_value
+FROM c
+ORDER BY total_c DESC, user_id LIMIT 10
 """
 
 
@@ -620,9 +648,12 @@ def props_k_stats(sf_dir: str) -> pa.Table:
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         k = batch["props"].str.extract(r'"k":\s*(-?\d+)', expand=False).astype("int64")
         decile = k // 10
-        df = pd.DataFrame({"k_decile": decile, "value": batch["value"]})
+        val_c = np.round(batch["value"].to_numpy(np.float64) * 100.0).astype(
+            np.int64
+        )  # integer cents: order-free across the distributed partial tree
+        df = pd.DataFrame({"k_decile": decile, "value_c": val_c})
         return df.groupby("k_decile", as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum")
+            n=("value_c", "size"), sum_value_c=("value_c", "sum")
         )
 
     from ray.data.aggregate import Sum
@@ -635,14 +666,14 @@ def props_k_stats(sf_dir: str) -> pa.Table:
             blocks=4,
         )
         .groupby("k_decile")
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value_c", alias_name="sum_value_c"))
     )
     t = _concat(out)
     return pa.Table.from_arrays(
         [
             t.column("k_decile").cast(pa.int64()),
             t.column("n").cast(pa.int64()),
-            pc.round(t.column("sum_value"), 6),
+            pc.divide(t.column("sum_value_c").cast(pa.float64()), 100.0),
         ],
         names=["k_decile", "n", "sum_value"],
     )
@@ -653,7 +684,8 @@ PROPS_K_STATS_SQL = """
 -- the extraction regex admits negative k, so keep both floor-consistent
 SELECT CAST(floor(json_extract(props, '$.k')::BIGINT / 10.0) AS BIGINT) AS k_decile,
        count(*) AS n,
-       round(sum(value), 6) AS sum_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value
 FROM events GROUP BY 1
 """
 
@@ -1679,7 +1711,9 @@ def count_windows(sf_dir: str, size: int = 5, buckets: int = 32) -> pa.Table:
     One user_id hash shuffle of 4 narrow columns; per bucket one mergesort,
     a vectorized cumcount → window_id, then one grouped agg over
     (user, window). Association-safe outputs (count, min/max ts) plus a
-    rounded float sum over ≤``size`` elements."""
+    sum in integer CENTS (2-decimal source, *100 tie-free — a float sum
+    even over ≤``size`` elements can differ from the oracle's grouping
+    order in the last ulp)."""
     from ..bucket import bucketed_apply
 
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -1687,13 +1721,18 @@ def count_windows(sf_dir: str, size: int = 5, buckets: int = 32) -> pa.Table:
         g["window_id"] = (
             g.groupby("user_id", sort=False).cumcount().to_numpy() // size
         ).astype(np.int64)
+        g = g.assign(
+            value_c=np.round(g["value"].to_numpy(np.float64) * 100.0).astype(
+                np.int64
+            )
+        )
         out = g.groupby(["user_id", "window_id"], as_index=False, sort=False).agg(
             n_events=("event_id", "size"),
-            sum_value=("value", "sum"),
+            sum_value=("value_c", "sum"),
             start_ts=("ts", "min"),
             end_ts=("ts", "max"),
         )
-        out["sum_value"] = np.round(out["sum_value"].to_numpy(dtype=np.float64), 4)
+        out["sum_value"] = out["sum_value"].to_numpy(dtype=np.int64) / 100.0
         out["n_events"] = out["n_events"].astype(np.int64)
         return out
 
@@ -1714,7 +1753,8 @@ WITH r AS (
   FROM events
 )
 SELECT user_id, window_id, count(*) AS n_events,
-       round(sum(value), 4) AS sum_value,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value,
        min(ts) AS start_ts, max(ts) AS end_ts
 FROM r
 GROUP BY user_id, window_id

@@ -57,31 +57,36 @@ def pricing_summary(sf_dir: str) -> pa.Table:
     """Aggregate lineitem by (returnflag, linestatus) with computed measures.
 
     Columns pruned at the read; per-batch partial aggregation; the global
-    groupby shuffles ~6 rows per batch instead of 6M rows per SF."""
+    groupby shuffles ~6 rows per batch instead of 6M rows per SF.
+
+    All measures sum in INTEGER units (qty is integer-valued; price has 2
+    decimals -> cents; disc_price has 4 decimals and charge 6 -> both
+    micro-units, tie-free *1e6): distributed float partial sums are
+    order-dependent and diverge from the oracle in the last ulp."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
-        )
-        charge = pc.multiply(
-            disc_price, pc.add(pa.scalar(1.0), batch.column("l_tax"))
-        )
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        tax = batch.column("l_tax").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        disc_price = price * (1.0 - disc)
         df = pd.DataFrame(
             {
                 "l_returnflag": batch.column("l_returnflag").to_numpy(),
                 "l_linestatus": batch.column("l_linestatus").to_numpy(),
-                "qty": batch.column("l_quantity").to_numpy(),
-                "price": batch.column("l_extendedprice").to_numpy(),
-                "disc_price": disc_price.to_numpy(),
-                "charge": charge.to_numpy(),
+                "qty": np.round(qty).astype(np.int64),
+                "price_c": np.round(price * 100.0).astype(np.int64),
+                "disc_u": np.round(disc_price * 1_000_000.0).astype(np.int64),
+                "charge_u": np.round(
+                    disc_price * (1.0 + tax) * 1_000_000.0
+                ).astype(np.int64),
             }
         )
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("qty", "sum"),
-            sum_base_price=("price", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            sum_charge=("charge", "sum"),
+            sum_base_price=("price_c", "sum"),
+            sum_disc_price=("disc_u", "sum"),
+            sum_charge=("charge_u", "sum"),
             count_order=("qty", "size"),
         )
         return _from_pandas(g)
@@ -105,10 +110,10 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         [
             t.column("l_returnflag"),
             t.column("l_linestatus"),
-            pc.round(t.column("sum_qty"), 4),
-            pc.round(t.column("sum_base_price"), 4),
-            pc.round(t.column("sum_disc_price"), 4),
-            pc.round(t.column("sum_charge"), 4),
+            t.column("sum_qty").cast(pa.float64()),
+            pc.divide(t.column("sum_base_price").cast(pa.float64()), 100.0),
+            pc.divide(t.column("sum_disc_price").cast(pa.float64()), 1_000_000.0),
+            pc.divide(t.column("sum_charge").cast(pa.float64()), 1_000_000.0),
             t.column("count_order").cast(pa.int64()),
         ],
         names=[
@@ -125,10 +130,14 @@ def pricing_summary(sf_dir: str) -> pa.Table:
 
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                     AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_disc_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           * 1000000) AS BIGINT)) AS BIGINT)
+         / 1000000.0 AS sum_charge,
        count(*) AS count_order
 FROM lineitem
 GROUP BY 1, 2
@@ -184,12 +193,16 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
                 pos = np.minimum(pos, len(keys) - 1)
                 code = np.where(keys[pos] == ck_b, codes[pos], -1)
             code = code.astype(np.int64) + 1  # slot 0 = FK miss
-            rev = np.bincount(code, weights=tp, minlength=N + 1)[1:]
+            # integer CENTS (2-decimal source, *100 tie-free): float
+            # bincount weights are order-dependent across the partial tree
+            tp_c = np.round(tp * 100.0).astype(np.int64)
+            rev_c = np.zeros(N + 1, dtype=np.int64)
+            np.add.at(rev_c, code, tp_c)
             hit = np.bincount(code, minlength=N + 1)[1:] > 0
             return pa.table(
                 {
                     "n_name": pa.array(names[hit], pa.string()),
-                    "revenue": pa.array(rev[hit], pa.float64()),
+                    "rev_c": pa.array(rev_c[1:][hit], pa.int64()),
                 }
             )
 
@@ -197,7 +210,7 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
             _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
             .map_batches(join_agg, batch_format="pyarrow", batch_size=131072)
             .groupby("n_name")
-            .aggregate(Sum("revenue", alias_name="revenue"))
+            .aggregate(Sum("rev_c", alias_name="rev_c"))
         )
     else:
         nref = ray.put(nation.set_index("n_nationkey")["n_name"])
@@ -222,23 +235,29 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
         )
 
         def partial(batch: pd.DataFrame) -> pd.DataFrame:
-            g = batch.groupby("n_name", as_index=False)["o_totalprice"].sum()
-            return g.rename(columns={"o_totalprice": "revenue"})
+            batch = batch.assign(
+                rev_c=np.round(
+                    batch["o_totalprice"].to_numpy(np.float64) * 100.0
+                ).astype(np.int64)
+            )
+            return batch.groupby("n_name", as_index=False)["rev_c"].sum()
 
         out = (
             joined.map_batches(partial, batch_format="pandas", batch_size=262144)
             .groupby("n_name")
-            .aggregate(Sum("revenue", alias_name="revenue"))
+            .aggregate(Sum("rev_c", alias_name="rev_c"))
         )
     t = _concat(out)
     return pa.Table.from_arrays(
-        [t.column("n_name"), pc.round(t.column("revenue"), 4)],
+        [t.column("n_name"), pc.divide(t.column("rev_c").cast(pa.float64()), 100.0)],
         names=["n_name", "revenue"],
     )
 
 
 REVENUE_BY_NATION_SQL = """
-SELECT n.n_name, round(sum(o.o_totalprice), 4) AS revenue
+SELECT n.n_name,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -260,12 +279,20 @@ def revenue_by_orderpriority(sf_dir: str) -> pa.Table:
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(batch: pa.Table) -> pa.Table:
-        r = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
-        )
+        # integer MICRO-units (4-decimal product *1e6 is tie-free):
+        # distributed float partial sums are order-dependent and diverge
+        # from the oracle in the last ulp
+        r = pc.round(
+            pc.multiply(
+                pc.multiply(
+                    batch.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                ),
+                pa.scalar(1_000_000.0),
+            )
+        ).cast(pa.int64())
         return pa.Table.from_arrays(
-            [batch.column("l_orderkey"), r], names=["l_orderkey", "rev"]
+            [batch.column("l_orderkey"), r], names=["l_orderkey", "rev_u"]
         )
 
     lineitem = lineitem.map_batches(rev, batch_format="pyarrow", batch_size=131072)
@@ -288,24 +315,29 @@ def revenue_by_orderpriority(sf_dir: str) -> pa.Table:
 
     def partial(batch: pa.Table) -> pa.Table:
         # Arrow-native partial: dictionary-encode the 5-value priority
-        # column (zero-copy in) + one bincount — no pandas block
-        # consolidation on the shuffle side
+        # column (zero-copy in) + one int64 scatter-add (np.add.at keeps
+        # exactness where float bincount weights would lose bits past
+        # 2^53) — no pandas block consolidation on the shuffle side
         enc = batch.column("o_orderpriority").combine_chunks().dictionary_encode()
         idx = enc.indices.to_numpy(zero_copy_only=False)
-        rev = batch.column("rev").to_numpy(zero_copy_only=False)
-        sums = np.bincount(idx, weights=rev, minlength=len(enc.dictionary))
+        rev_u = batch.column("rev_u").to_numpy(zero_copy_only=False)
+        sums = np.zeros(len(enc.dictionary), dtype=np.int64)
+        np.add.at(sums, idx, rev_u)
         return pa.table(
-            {"o_orderpriority": enc.dictionary, "revenue": pa.array(sums, pa.float64())}
+            {"o_orderpriority": enc.dictionary, "rev_u": pa.array(sums, pa.int64())}
         )
 
     out = (
         joined.map_batches(partial, batch_format="pyarrow", batch_size=262144)
         .groupby("o_orderpriority")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        .aggregate(Sum("rev_u", alias_name="rev_u"))
     )
     t = _concat(out)
     return pa.Table.from_arrays(
-        [t.column("o_orderpriority"), pc.round(t.column("revenue"), 4)],
+        [
+            t.column("o_orderpriority"),
+            pc.divide(t.column("rev_u").cast(pa.float64()), 1_000_000.0),
+        ],
         names=["o_orderpriority", "revenue"],
     )
 
@@ -352,7 +384,8 @@ def _bucket_join(left: rd.Dataset, right: rd.Dataset, lkey: str, rkey: str, buck
 
 REVENUE_BY_ORDERPRIORITY_SQL = """
 SELECT o.o_orderpriority,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000)
+                     AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
 """
@@ -410,14 +443,20 @@ ORDER BY o_orderkey
 
 def orders_by_month(sf_dir: str) -> pa.Table:
     """Order count + revenue per calendar month (pandas Period per batch —
-    calendar arithmetic is not a fixed-size window)."""
+    calendar arithmetic is not a fixed-size window). Revenue sums in
+    integer CENTS (o_totalprice is a 2-decimal source column, so *100 is
+    tie-free): float partial sums are order-dependent across the
+    distributed tree and diverge from the oracle in the last ulp."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.assign(
-            month=batch["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+            month=batch["o_orderdate"].dt.to_period("M").dt.to_timestamp(),
+            rev_c=np.round(
+                batch["o_totalprice"].to_numpy(np.float64) * 100.0
+            ).astype(np.int64),
         )
         return batch.groupby("month", as_index=False).agg(
-            n_orders=("o_orderkey", "size"), revenue=("o_totalprice", "sum")
+            n_orders=("o_orderkey", "size"), rev_c=("rev_c", "sum")
         )
 
     from ray.data.aggregate import Sum
@@ -428,7 +467,7 @@ def orders_by_month(sf_dir: str) -> pa.Table:
         .groupby("month")
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),
-            Sum("revenue", alias_name="revenue"),
+            Sum("rev_c", alias_name="rev_c"),
         )
     )
     t = _concat(out)
@@ -436,7 +475,7 @@ def orders_by_month(sf_dir: str) -> pa.Table:
         [
             t.column("month").cast(pa.timestamp("us")),
             t.column("n_orders").cast(pa.int64()),
-            pc.round(t.column("revenue"), 4),
+            pc.divide(t.column("rev_c").cast(pa.float64()), 100.0),
         ],
         names=["month", "n_orders", "revenue"],
     )
@@ -445,7 +484,8 @@ def orders_by_month(sf_dir: str) -> pa.Table:
 ORDERS_BY_MONTH_SQL = """
 SELECT date_trunc('month', o_orderdate) AS month,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 4) AS revenue
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS revenue
 FROM orders GROUP BY 1
 """
 
@@ -461,8 +501,15 @@ def shipped_qty_by_flag(sf_dir: str, before: str = "1997-01-01") -> pa.Table:
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # qty is integer-valued: sum as int64 (order-free; float sums of
+        # large integer totals lose bits past 2^53 at full scale)
+        batch = batch.assign(
+            qty_i=np.round(batch["l_quantity"].to_numpy(np.float64)).astype(
+                np.int64
+            )
+        )
         return batch.groupby("l_returnflag", as_index=False).agg(
-            sum_qty=("l_quantity", "sum"), n=("l_quantity", "size")
+            sum_qty=("qty_i", "sum"), n=("qty_i", "size")
         )
 
     from ray.data.aggregate import Sum
@@ -476,7 +523,7 @@ def shipped_qty_by_flag(sf_dir: str, before: str = "1997-01-01") -> pa.Table:
     return pa.Table.from_arrays(
         [
             t.column("l_returnflag"),
-            pc.round(t.column("sum_qty"), 4),
+            t.column("sum_qty").cast(pa.float64()),
             t.column("n").cast(pa.int64()),
         ],
         names=["l_returnflag", "sum_qty", "n"],
@@ -484,7 +531,9 @@ def shipped_qty_by_flag(sf_dir: str, before: str = "1997-01-01") -> pa.Table:
 
 
 SHIPPED_QTY_SQL = """
-SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+       count(*) AS n
 FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY 1
 """
@@ -554,14 +603,18 @@ def region_revenue(sf_dir: str) -> pa.Table:
                 pos = np.minimum(pos, len(keys) - 1)
                 code = np.where(keys[pos] == ck, codes[pos], -1)
             code = code.astype(np.int64) + 1  # slot 0 = unmatched (FK miss)
-            rev = np.bincount(code, weights=tp, minlength=R + 1)[1:]
+            # integer CENTS (2-decimal source, *100 tie-free): float
+            # bincount weights are order-dependent across the partial tree
+            tp_c = np.round(tp * 100.0).astype(np.int64)
+            rev_c = np.zeros(R + 1, dtype=np.int64)
+            np.add.at(rev_c, code, tp_c)
             n = np.bincount(code, minlength=R + 1)[1:]
             hit = n > 0  # inner-join semantics: no zero rows for
             # regions unseen in this batch (or in the data at all)
             return pa.table(
                 {
                     "r_name": pa.array(names[hit], pa.string()),
-                    "revenue": pa.array(rev[hit], pa.float64()),
+                    "rev_c": pa.array(rev_c[1:][hit], pa.int64()),
                     "n_orders": pa.array(n[hit], pa.int64()),
                 }
             )
@@ -570,7 +623,7 @@ def region_revenue(sf_dir: str) -> pa.Table:
             _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
             .map_batches(join_agg, batch_format="pyarrow", batch_size=131072)
             .groupby("r_name")
-            .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+            .aggregate(Sum("rev_c", alias_name="rev_c"), Sum("n_orders", alias_name="n_orders"))
         )
     else:
         nref = ray.put(nat_region)
@@ -595,20 +648,25 @@ def region_revenue(sf_dir: str) -> pa.Table:
         )
 
         def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.assign(
+                rev_c=np.round(
+                    batch["o_totalprice"].to_numpy(np.float64) * 100.0
+                ).astype(np.int64)
+            )
             return batch.groupby("r_name", as_index=False).agg(
-                revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+                rev_c=("rev_c", "sum"), n_orders=("rev_c", "size")
             )
 
         out = (
             joined.map_batches(partial, batch_format="pandas", batch_size=262144)
             .groupby("r_name")
-            .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+            .aggregate(Sum("rev_c", alias_name="rev_c"), Sum("n_orders", alias_name="n_orders"))
         )
     t = _concat(out)
     return pa.Table.from_arrays(
         [
             t.column("r_name"),
-            pc.round(t.column("revenue"), 4),
+            pc.divide(t.column("rev_c").cast(pa.float64()), 100.0),
             t.column("n_orders").cast(pa.int64()),
         ],
         names=["r_name", "revenue", "n_orders"],
@@ -617,7 +675,8 @@ def region_revenue(sf_dir: str) -> pa.Table:
 
 REGION_REVENUE_SQL = """
 SELECT r.r_name,
-       round(sum(o.o_totalprice), 4) AS revenue,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS revenue,
        count(*) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -630,11 +689,18 @@ GROUP BY 1
 def customer_order_stats(sf_dir: str, min_orders: int = 5) -> pa.Table:
     """Per-customer order count + spend, HAVING count ≥ N — a
     high-cardinality groupby (every customer is a group) through the
-    hash-bucketed aggregation path."""
+    hash-bucketed aggregation path. Spend sums in integer CENTS
+    (2-decimal source column, tie-free *100): distributed float partial
+    sums are order-dependent and diverge from the oracle in the last ulp."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            total_c=np.round(
+                batch["o_totalprice"].to_numpy(np.float64) * 100.0
+            ).astype(np.int64)
+        )
         return batch.groupby("o_custkey", as_index=False).agg(
-            n_orders=("o_totalprice", "size"), total=("o_totalprice", "sum")
+            n_orders=("total_c", "size"), total_c=("total_c", "sum")
         )
 
     from ..bucket import bucketed_group_agg
@@ -643,7 +709,7 @@ def customer_order_stats(sf_dir: str, min_orders: int = 5) -> pa.Table:
         partial, batch_format="pandas", batch_size=131072
     )
     agg = bucketed_group_agg(
-        partials, ["o_custkey"], dict(n_orders=("n_orders", "sum"), total=("total", "sum"))
+        partials, ["o_custkey"], dict(n_orders=("n_orders", "sum"), total_c=("total_c", "sum"))
     )
     filtered = agg.map_batches(
         lambda df: df[df["n_orders"] >= min_orders], batch_format="pandas"
@@ -653,7 +719,7 @@ def customer_order_stats(sf_dir: str, min_orders: int = 5) -> pa.Table:
         [
             t.column("o_custkey"),
             t.column("n_orders").cast(pa.int64()),
-            pc.round(t.column("total"), 4),
+            pc.divide(t.column("total_c").cast(pa.float64()), 100.0),
         ],
         names=["o_custkey", "n_orders", "total"],
     )
@@ -661,7 +727,9 @@ def customer_order_stats(sf_dir: str, min_orders: int = 5) -> pa.Table:
 
 
 CUSTOMER_ORDER_STATS_SQL = """
-SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total
 FROM orders GROUP BY 1 HAVING count(*) >= 5
 ORDER BY o_custkey
 """
@@ -1003,7 +1071,8 @@ def customer_order_counts_outer(sf_dir: str, buckets: int = 16) -> pa.Table:
 CUSTOMER_ORDER_COUNTS_OUTER_SQL = """
 SELECT c.c_custkey, c.c_mktsegment,
        count(o.o_orderkey) AS n_orders,
-       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+       CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+            AS BIGINT) / 100.0 AS total_spent
 FROM customer c
 LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_mktsegment
@@ -1394,7 +1463,9 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
     shuffle join as fallback); the only large-large exchange is ONE
     bucketed hash join of lineitem against orders on orderkey. Partials
     collapse each joined batch to <= nations^2 x years rows before the
-    final tiny groupby."""
+    final tiny groupby. Revenue sums in integer MICRO-units (the 4-decimal
+    product *1e6 is tie-free): distributed float partial sums are
+    order-dependent and diverge from the oracle in the last ulp."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     n_names = nation.sort_values("n_nationkey")["n_name"].to_numpy(dtype=object)
     nk = nation.sort_values("n_nationkey")["n_nationkey"].to_numpy(dtype=np.int64)
@@ -1423,10 +1494,11 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
 
         def line_side(batch: pa.Table) -> pd.DataFrame:
             sm = ray.get(sref)
-            rev = (
+            rev_u = np.round(
                 batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
                 * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
-            )
+                * 1_000_000.0
+            ).astype(np.int64)
             yr = (
                 batch.column("l_shipdate")
                 .cast(pa.timestamp("us"))
@@ -1436,7 +1508,7 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
             return pd.DataFrame(
                 {
                     "l_orderkey": batch.column("l_orderkey").to_numpy(zero_copy_only=False),
-                    "rev": rev,
+                    "rev_u": rev_u,
                     "l_year": yr,
                     "sn": sm[batch.column("l_suppkey").to_numpy(zero_copy_only=False)],
                 }
@@ -1460,8 +1532,11 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
                 {
                     "l_orderkey": batch["l_orderkey"].to_numpy(),
                     "l_suppkey": batch["l_suppkey"].to_numpy(),
-                    "rev": batch["l_extendedprice"].to_numpy()
-                    * (1.0 - batch["l_discount"].to_numpy()),
+                    "rev_u": np.round(
+                        batch["l_extendedprice"].to_numpy()
+                        * (1.0 - batch["l_discount"].to_numpy())
+                        * 1_000_000.0
+                    ).astype(np.int64),
                     "l_year": batch["l_shipdate"].dt.year.to_numpy(dtype=np.int32),
                 }
             )
@@ -1515,18 +1590,18 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
         sn = batch["sn"].to_numpy(dtype=np.int64)
         cn = batch["cn"].to_numpy(dtype=np.int64)
         yr = batch["l_year"].to_numpy(dtype=np.int64)
-        rev = batch["rev"].to_numpy()
+        rev_u = batch["rev_u"].to_numpy(dtype=np.int64)
         keep = sn != cn
         df = pd.DataFrame({"sn": sn[keep], "cn": cn[keep], "l_year": yr[keep],
-                           "revenue": rev[keep]})
-        return df.groupby(["sn", "cn", "l_year"], as_index=False)["revenue"].sum()
+                           "rev_u": rev_u[keep]})
+        return df.groupby(["sn", "cn", "l_year"], as_index=False)["rev_u"].sum()
 
     from ..bucket import bucketed_group_agg
 
     out = bucketed_group_agg(
         joined.map_batches(partial, batch_format="pandas", batch_size=262144),
         ["sn", "cn", "l_year"],
-        {"revenue": ("revenue", "sum")},
+        {"rev_u": ("rev_u", "sum")},
         num_buckets=8,
     )
     t = _concat(out)
@@ -1537,7 +1612,7 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
             "supp_nation": pa.array(n_names[sn], pa.string()),
             "cust_nation": pa.array(n_names[cn], pa.string()),
             "l_year": t.column("l_year").cast(pa.int64()),
-            "revenue": pc.round(t.column("revenue"), 4),
+            "revenue": pc.divide(t.column("rev_u").cast(pa.float64()), 1_000_000.0),
         }
     )
     return res.take(
@@ -1552,7 +1627,8 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
 NATION_TRADE_VOLUME_SQL = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000)
+                     AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -2975,40 +3051,44 @@ def supplier_share_in_nation(sf_dir: str) -> pa.Table:
     (PARTITION BY nation)`` window-ratio shape (TPC-H Q15 flavoured, but
     ratio-to-group-total rather than argmax).
 
-    Scale shape: lineitem collapses per batch to (suppkey, rev_c) partials
-    in integer CENTS, one bucketed group-agg on suppkey (shuffle carries
+    Scale shape: lineitem collapses per batch to (suppkey, rev_u) partials
+    in integer MICRO-units (price*(1-disc) has exactly 4 decimals, so
+    *1e6 is tie-free — *100 would leave exact .5 ties where numpy rounds
+    half-even and DuckDB half-away; see rel_nation_market_share for the
+    same convention), one bucketed group-agg on suppkey (shuffle carries
     suppliers-count rows, not lineitem rows); supplier -> nation is a
     broadcast of the small dimension pair; nation totals fold from the
     per-supplier aggregate driver-side (suppliers-count rows — at 100 TB a
     few million rows, fine on the driver; the heavy fact table never
     leaves the cluster un-reduced). The ppm share divides two order-free
-    integer sums once: share_ppm = round-half-up(1e6 * rev_c / tot_c) via
-    (2*1e6*rev_c + tot_c) // (2*tot_c) — int64-safe while per-supplier
-    cents stay below ~4.6e12 (~46 B dollars/supplier)."""
+    integer sums once: share_ppm = round-half-up(1e6 * rev_u / tot_u) via
+    (2*1e6*rev_u + tot_u) // (2*tot_u) — computed in arbitrary-precision
+    Python ints on the driver-side supplier rows (2e6 * micro-units
+    overflows int64 past ~$4.6M/supplier; the SQL mirror casts HUGEINT)."""
     from ..bucket import bucketed_group_agg
 
     def partial(batch: pa.Table) -> pa.Table:
-        rev_c = np.round(
+        rev_u = np.round(
             batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
             * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
-            * 100.0
+            * 1_000_000.0
         ).astype(np.int64)
         df = pd.DataFrame(
             {
                 "l_suppkey": batch.column("l_suppkey").to_numpy(
                     zero_copy_only=False
                 ),
-                "rev_c": rev_c,
+                "rev_u": rev_u,
             }
         )
-        return _from_pandas(df.groupby("l_suppkey", as_index=False)["rev_c"].sum())
+        return _from_pandas(df.groupby("l_suppkey", as_index=False)["rev_u"].sum())
 
     per_supp = _concat(
         bucketed_group_agg(
             _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
             .map_batches(partial, batch_format="pyarrow", batch_size=131072),
             ["l_suppkey"],
-            dict(rev_c=("rev_c", "sum")),
+            dict(rev_u=("rev_u", "sum")),
         )
     ).to_pandas()
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
@@ -3016,19 +3096,26 @@ def supplier_share_in_nation(sf_dir: str) -> pa.Table:
     j = per_supp.merge(
         supp, left_on="l_suppkey", right_on="s_suppkey", how="inner"
     ).merge(nation, left_on="s_nationkey", right_on="n_nationkey", how="inner")
-    tot = j.groupby("n_name", as_index=False).agg(tot_c=("rev_c", "sum"))
+    tot = j.groupby("n_name", as_index=False).agg(tot_u=("rev_u", "sum"))
     j = j.merge(tot, on="n_name", how="left").sort_values(
         ["n_name", "s_suppkey"], kind="mergesort"
     )
-    rev_c = j["rev_c"].to_numpy(dtype=np.int64)
-    tot_c = j["tot_c"].to_numpy(dtype=np.int64)
-    share_ppm = (2 * 1_000_000 * rev_c + tot_c) // (2 * tot_c)
+    rev_u = j["rev_u"].to_numpy(dtype=np.int64)
+    tot_u = j["tot_u"].to_numpy(dtype=np.int64)
+    share_ppm = np.fromiter(
+        (
+            (2 * 1_000_000 * int(r) + int(t)) // (2 * int(t))
+            for r, t in zip(rev_u, tot_u)
+        ),
+        dtype=np.int64,
+        count=len(rev_u),
+    )
     return pa.table(
         {
             "n_name": pa.array(j["n_name"].astype(str), pa.string()),
             "s_suppkey": pa.array(j["s_suppkey"].to_numpy(dtype=np.int64), pa.int64()),
             "s_name": pa.array(j["s_name"].astype(str), pa.string()),
-            "revenue": pa.array(rev_c / 100.0, pa.float64()),
+            "revenue": pa.array(rev_u / 1_000_000.0, pa.float64()),
             "share_ppm": pa.array(share_ppm, pa.int64()),
         }
     )
@@ -3037,20 +3124,21 @@ def supplier_share_in_nation(sf_dir: str) -> pa.Table:
 SUPPLIER_SHARE_SQL = """
 WITH s AS (
   SELECT l_suppkey,
-         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                       AS BIGINT)) AS BIGINT) AS rev_c
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS rev_u
   FROM lineitem GROUP BY l_suppkey
 ), j AS (
-  SELECT n_name, su.s_suppkey, su.s_name, rev_c
+  SELECT n_name, su.s_suppkey, su.s_name, rev_u
   FROM s
   JOIN supplier su ON su.s_suppkey = s.l_suppkey
   JOIN nation n ON n.n_nationkey = su.s_nationkey
 ), t AS (
-  SELECT n_name, CAST(sum(rev_c) AS BIGINT) AS tot_c FROM j GROUP BY n_name
+  SELECT n_name, CAST(sum(rev_u) AS BIGINT) AS tot_u FROM j GROUP BY n_name
 )
 SELECT j.n_name, j.s_suppkey, j.s_name,
-       rev_c / 100.0 AS revenue,
-       (2 * 1000000 * rev_c + tot_c) // (2 * tot_c) AS share_ppm
+       rev_u / 1000000.0 AS revenue,
+       CAST((2 * 1000000 * CAST(rev_u AS HUGEINT) + tot_u) // (2 * tot_u)
+            AS BIGINT) AS share_ppm
 FROM j JOIN t ON t.n_name = j.n_name
 ORDER BY j.n_name, j.s_suppkey
 """

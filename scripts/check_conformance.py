@@ -32,13 +32,22 @@ def to_df(res) -> pd.DataFrame:
     return res.to_pandas()  # ray Dataset
 
 
+# Columns that are genuinely ANALYTIC floats (not an integer-unit division):
+# only these get an rtol comparison; every other float column must be
+# bit-identical to the oracle, exactly as the driver's value hash demands.
+# Keep this list empty unless a column provably cannot be made integer-exact.
+ANALYTIC_FLOAT_COLS: dict[str, set] = {}
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(4)
+            # NO rounding: the driver hashes exact values. A 2-cent error on
+            # a 2.9e7 value is 7e-10 relative and must FAIL here, not pass.
+            df[c] = df[c].astype("float64")
         elif isinstance(df[c].dtype, pd.Int64Dtype) or pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("Int64")
     sortable = [
@@ -47,6 +56,39 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if not df[c].map(lambda v: isinstance(v, (list, dict, np.ndarray))).any()
     ]
     return df.sort_values(sortable).reset_index(drop=True) if sortable else df
+
+
+def compare_values(name: str, got: pd.DataFrame, want: pd.DataFrame) -> str | None:
+    """Strict value comparison emulating the driver's hash: bit-exact for
+    every column, except floats explicitly allowlisted in
+    ANALYTIC_FLOAT_COLS[name], which get rtol=1e-6 (and are flagged as such
+    in the ok line). Returns an error string or None."""
+    analytic = ANALYTIC_FLOAT_COLS.get(name, set())
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            ga = g.to_numpy(dtype=np.float64, na_value=np.nan)
+            wa = w.to_numpy(dtype=np.float64, na_value=np.nan)
+            if c in analytic:
+                ok = np.allclose(ga, wa, rtol=1e-6, atol=1e-9, equal_nan=True)
+            else:
+                ok = np.array_equal(ga, wa, equal_nan=True)
+            if not ok:
+                bad = np.nonzero(
+                    ~((ga == wa) | (np.isnan(ga) & np.isnan(wa)))
+                )[0][:3]
+                detail = "; ".join(
+                    f"row {i}: {ga[i]!r} != {wa[i]!r}" for i in bad
+                )
+                return f"float column {c} not bit-exact ({detail})"
+        else:
+            try:
+                pd.testing.assert_series_equal(
+                    g, w, check_dtype=False, check_names=False, check_exact=True
+                )
+            except AssertionError as ex:
+                return f"column {c}: {str(ex)[:300]}"
+    return None
 
 
 def _dtype_kind(s: pd.Series) -> str:
@@ -151,10 +193,9 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             failures.append(name)
             continue
-        try:
-            pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6)
-        except AssertionError as ex:
-            print(f"FAIL {name}: values differ: {str(ex)[:500]}")
+        err = compare_values(name, got, want)
+        if err:
+            print(f"FAIL {name}: values differ: {err}")
             failures.append(name)
             continue
         amber = strict_hash_amber(got_raw, want_raw)

@@ -78,11 +78,11 @@ def test_simhash_near_dups(ray_session, doc_dir):
     assert (0, 10) in got and (1, 11) in got
 
 
-def test_knn_bruteforce_matches_numpy(ray_session, emb_dir):
-    from quanta_ray.functions.simsearch import knn_bruteforce
+def test_knn_bruteforce_exact_matches_numpy(ray_session, emb_dir):
+    from quanta_ray.functions.simsearch import knn_bruteforce_exact
 
     d, mat = emb_dir
-    out = knn_bruteforce(d, query_ids=(5,), k=3)
+    out = knn_bruteforce_exact(d, query_ids=(5,), k=3)
     rows = out.to_pylist()
     assert [r["rank"] for r in rows] == [1, 2, 3]
     # ground truth in numpy
@@ -92,6 +92,32 @@ def test_knn_bruteforce_matches_numpy(ray_session, emb_dir):
     sims[5] = -np.inf
     top = np.argsort(-sims)[:3]
     assert [r["neighbor_id"] for r in rows] == top.tolist()
+    assert rows[0]["neighbor_id"] == 20  # planted near-identical vector
+
+
+def test_knn_bruteforce_integer_key_matches_numpy(ray_session, emb_dir):
+    """The registered (oracle-facing) bruteforce ranks on the integer
+    score_ppm key — pin it against a from-scratch numpy recomputation of
+    the quantize/score/tie-break contract, and the planted near-identical
+    vector must still rank first."""
+    from quanta_ray.functions.simsearch import knn_bruteforce
+
+    d, mat = emb_dir
+    out = knn_bruteforce(d, query_ids=(5,), k=3)
+    rows = out.to_pylist()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    q = np.floor(mat.astype(np.float64) * 30.0 + 0.5).astype(np.int64)
+    n2 = (q * q).sum(axis=1)
+    dots = q @ q[5]
+    den = n2 * n2[5]
+    den = np.where(den == 0, 1, den)
+    mag = (1_000_000 * dots * dots) // den
+    score = np.where(dots >= 0, mag, -mag)
+    ids = np.arange(len(mat))
+    cand = np.nonzero((ids != 5) & (n2 > 0))[0]
+    top = cand[np.lexsort((ids[cand], -score[cand]))][:3]
+    assert [r["neighbor_id"] for r in rows] == top.tolist()
+    assert [r["score_ppm"] for r in rows] == score[top].tolist()
     assert rows[0]["neighbor_id"] == 20  # planted near-identical vector
 
 

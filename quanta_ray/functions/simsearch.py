@@ -35,6 +35,20 @@ def _concat(ds: rd.Dataset) -> pa.Table:
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
 
 
+def _corpus_shard_rows() -> int:
+    """Max corpus rows broadcast whole via ``ray.put`` by the
+    corpus-as-query-side searches (range_search / knn_graph /
+    knn_graph_search). Above this the broadcast side is SHARDED: one
+    ``ray.put`` + one streaming pass per shard, results merged — so no
+    single object ever holds the whole corpus matrix (the 100-TB
+    scale-killer the single-shard path documents). Env-overridable for
+    tests (force a tiny limit to exercise the sharded path) and
+    deployment tuning."""
+    import os
+
+    return int(os.environ.get("QUANTA_CORPUS_BROADCAST_LIMIT", 2_000_000))
+
+
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """(ids, row-normalized float64 matrix) from an Arrow batch.
 
@@ -366,32 +380,25 @@ ORDER BY query_id, rank
 """
 
 
-def knn_graph(sf_dir: str, k: int = 5) -> pa.Table:
-    """k-NN GRAPH construction — the top-k of EVERY vector against the
-    corpus (the adjacency list SemDeDup-style clustering, label
-    propagation and graph-based ANN indexes build on) — with a FULLY
-    integer-exact ranking so the distributed result is bit-identical to
-    the SQL oracle.
+def _knn_edges(
+    sf_dir: str,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    q_norm2: np.ndarray,
+    k: int,
+    member_lo: int | None = None,
+    member_hi: int | None = None,
+) -> pd.DataFrame:
+    """One distributed top-k edge pass: the given pre-quantized query rows
+    (one broadcast shard, ``ray.put`` once, fetched per actor) against the
+    streamed corpus. Each query's top-k completes within this pass, so
+    concatenating passes over disjoint query shards is bit-identical to a
+    single whole-corpus broadcast (pinned by
+    test_sharded_paths_bit_identical).
 
-    Exactness convention (float cosine ranks can flip at the last-ulp
-    boundary between numpy float64 and DuckDB's kernel): both sides
-    quantize q = floor(x*30 + 0.5) (identical float64 op sequence) and
-    rank by the signed integer score
-        score_ppm = sign(dot) * ((10^6 * dot^2) // (na * nb))
-    — every term fits int64 (dot <= ~1.6e4 here), `//` is the same floor
-    division in numpy and DuckDB, ties break on neighbor_id. The score is
-    a ppm-quantized cos^2 with sign: a coarser but ORDER-EXACT surrogate.
-
-    Shape: the quantized corpus matrix doubles as the query matrix,
-    broadcast ONCE via ``ray.put``; every batch does one int64 matmul and
-    keeps its per-query top-k partial; the driver merges tiny partials.
-    At web scale the query side would be blocked (one broadcast block at
-    a time) — the per-batch compute shape is unchanged."""
-    q_tbl = _concat(_emb(sf_dir))
-    q_ids, q_mat = _quant_matrix(q_tbl, 30.0)
-    order = np.argsort(q_ids)
-    q_ids, q_mat = q_ids[order], q_mat[order]
-    q_norm2 = (q_mat * q_mat).sum(axis=1)
+    ``member_lo``/``member_hi`` (inclusive id range) restrict the CORPUS
+    side — the shard-LOCAL graph build used by ``knn_graph_search``'s
+    sharded path, where neighbors must stay within the shard."""
     ref = ray.put((q_ids, q_mat, q_norm2))
 
     class GraphTopK:
@@ -401,6 +408,9 @@ def knn_graph(sf_dir: str, k: int = 5) -> pa.Table:
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
             ids, mat = _quant_matrix(batch, 30.0)
             cols = ["query_id", "neighbor_id", "score_ppm"]
+            if member_lo is not None:
+                in_rng = (ids >= member_lo) & (ids <= member_hi)
+                ids, mat = ids[in_rng], mat[in_rng]
             if len(ids) == 0:
                 return pd.DataFrame(columns=cols)
             n2 = (mat * mat).sum(axis=1)
@@ -429,6 +439,57 @@ def knn_graph(sf_dir: str, k: int = 5) -> pa.Table:
         GraphTopK, batch_format="pyarrow", batch_size=4096, concurrency=2
     )
     df = _concat(partials).to_pandas()
+    if member_lo is not None:
+        # per-batch partials can exceed k for a query once the corpus is
+        # filtered thin; fold to the true per-query top-k here
+        df = df.sort_values(
+            ["query_id", "score_ppm", "neighbor_id"],
+            ascending=[True, False, True],
+        )
+        df = df.groupby("query_id", as_index=False).head(k)
+    return df
+
+
+def knn_graph(sf_dir: str, k: int = 5) -> pa.Table:
+    """k-NN GRAPH construction — the top-k of EVERY vector against the
+    corpus (the adjacency list SemDeDup-style clustering, label
+    propagation and graph-based ANN indexes build on) — with a FULLY
+    integer-exact ranking so the distributed result is bit-identical to
+    the SQL oracle.
+
+    Exactness convention (float cosine ranks can flip at the last-ulp
+    boundary between numpy float64 and DuckDB's kernel): both sides
+    quantize q = floor(x*30 + 0.5) (identical float64 op sequence) and
+    rank by the signed integer score
+        score_ppm = sign(dot) * ((10^6 * dot^2) // (na * nb))
+    — every term fits int64 (dot <= ~1.6e4 here), `//` is the same floor
+    division in numpy and DuckDB, ties break on neighbor_id. The score is
+    a ppm-quantized cos^2 with sign: a coarser but ORDER-EXACT surrogate.
+
+    Shape: the quantized corpus matrix doubles as the query matrix.
+    Up to ``_corpus_shard_rows()`` rows it is broadcast ONCE via
+    ``ray.put``; past the guard the query side is SHARDED — one
+    ``ray.put`` + one streaming corpus pass per shard (each query's
+    top-k completes within its shard's pass, so the union over shards
+    is bit-identical to the single broadcast; pinned by
+    test_sharded_paths_bit_identical). Every batch does one int64
+    matmul and keeps its per-query top-k partial; the driver merges
+    tiny partials."""
+    q_tbl = _concat(_emb(sf_dir))
+    q_ids, q_mat = _quant_matrix(q_tbl, 30.0)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], q_mat[order]
+    q_norm2 = (q_mat * q_mat).sum(axis=1)
+
+    shard = _corpus_shard_rows()
+    df = pd.concat(
+        [
+            _knn_edges(sf_dir, q_ids[lo : lo + shard], q_mat[lo : lo + shard],
+                       q_norm2[lo : lo + shard], k)
+            for lo in range(0, len(q_ids), shard)
+        ],
+        ignore_index=True,
+    )
     df = df.sort_values(
         ["query_id", "score_ppm", "neighbor_id"], ascending=[True, False, True]
     )
@@ -486,53 +547,70 @@ def range_search(sf_dir: str, tau_num: int = 7, tau_den: int = 20) -> pa.Table:
     emitted dot is an exact int). Zero-norm quantized vectors never match
     (dot > 0 fails), identically on both sides.
 
-    Shape: the quantized corpus matrix doubles as the query matrix
-    (bounded here; a corpus-scale radius query would use the LSH-bucketed
-    ``near_dup_cosine`` path instead) — broadcast ONCE via ``ray.put``,
-    fetched per actor; each batch does one int64 matmul against it and
-    emits only passing (a < b) pairs, so the stream is one linear pass."""
+    Shape: the quantized corpus matrix doubles as the query matrix.
+    Up to ``_corpus_shard_rows()`` rows it is broadcast ONCE via
+    ``ray.put``; past the guard the broadcast ('a') side is SHARDED —
+    one ``ray.put`` + one streaming pass per shard; each unordered pair
+    (a < b) is emitted exactly once, in the shard containing a, so the
+    union over shards is bit-identical to the single broadcast (pinned
+    by test_sharded_paths_bit_identical). A corpus-scale radius query
+    with a LOW threshold should still prefer the LSH-bucketed
+    ``near_dup_cosine`` path, which avoids the S corpus passes."""
     q_tbl = _concat(_emb(sf_dir))
     q_ids, q_mat = _quant_matrix(q_tbl, 100.0)
     order = np.argsort(q_ids)
     q_ids, q_mat = q_ids[order], q_mat[order]
     q_norm2 = (q_mat * q_mat).sum(axis=1)  # int64, exact
-    ref = ray.put((q_ids, q_mat, q_norm2))
     num2, den2 = tau_num * tau_num, tau_den * tau_den
 
-    class RangePairs:
-        def __init__(self):
-            self.q_ids, self.q_mat, self.q_norm2 = ray.get(ref)
+    def shard_pass(sh_ids, sh_mat, sh_norm2) -> pd.DataFrame:
+        ref = ray.put((sh_ids, sh_mat, sh_norm2))
 
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ids, mat = _quant_matrix(batch, 100.0)
-            if len(ids) == 0:
-                return pd.DataFrame(
-                    {"a_id": pd.Series(dtype=np.int64),
-                     "b_id": pd.Series(dtype=np.int64),
-                     "dot": pd.Series(dtype=np.int64)}
+        class RangePairs:
+            def __init__(self):
+                self.q_ids, self.q_mat, self.q_norm2 = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pd.DataFrame:
+                ids, mat = _quant_matrix(batch, 100.0)
+                if len(ids) == 0:
+                    return pd.DataFrame(
+                        {"a_id": pd.Series(dtype=np.int64),
+                         "b_id": pd.Series(dtype=np.int64),
+                         "dot": pd.Series(dtype=np.int64)}
+                    )
+                dots = mat @ self.q_mat.T  # (n, q) int64, exact
+                n2 = (mat * mat).sum(axis=1)
+                # a < b emits each unordered pair exactly once; dot > 0
+                # guards the squared comparison's sign (and zero-norm rows)
+                ok = (
+                    (self.q_ids[None, :] < ids[:, None])
+                    & (dots > 0)
+                    & (den2 * dots * dots
+                       >= num2 * n2[:, None] * self.q_norm2[None, :])
                 )
-            dots = mat @ self.q_mat.T  # (n, q) int64, exact
-            n2 = (mat * mat).sum(axis=1)
-            # a < b emits each unordered pair exactly once; dot > 0 guards
-            # the squared comparison's sign (and zero-norm rows)
-            ok = (
-                (self.q_ids[None, :] < ids[:, None])
-                & (dots > 0)
-                & (den2 * dots * dots >= num2 * n2[:, None] * self.q_norm2[None, :])
-            )
-            bi, qi = np.nonzero(ok)
-            return pd.DataFrame(
-                {
-                    "a_id": self.q_ids[qi].astype(np.int64),
-                    "b_id": ids[bi].astype(np.int64),
-                    "dot": dots[bi, qi].astype(np.int64),
-                }
-            )
+                bi, qi = np.nonzero(ok)
+                return pd.DataFrame(
+                    {
+                        "a_id": self.q_ids[qi].astype(np.int64),
+                        "b_id": ids[bi].astype(np.int64),
+                        "dot": dots[bi, qi].astype(np.int64),
+                    }
+                )
 
-    out = _emb(sf_dir).map_batches(
-        RangePairs, batch_format="pyarrow", batch_size=4096, concurrency=2
+        out = _emb(sf_dir).map_batches(
+            RangePairs, batch_format="pyarrow", batch_size=4096, concurrency=2
+        )
+        return _concat(out).to_pandas()
+
+    shard = _corpus_shard_rows()
+    df = pd.concat(
+        [
+            shard_pass(q_ids[lo : lo + shard], q_mat[lo : lo + shard],
+                       q_norm2[lo : lo + shard])
+            for lo in range(0, len(q_ids), shard)
+        ],
+        ignore_index=True,
     )
-    df = _concat(out).to_pandas()
     df = df.sort_values(["a_id", "b_id"]).reset_index(drop=True)
     return _from_pandas(df[["a_id", "b_id", "dot"]])
 
@@ -1689,14 +1767,15 @@ def knn_graph_search(
     Shape: the graph (built by the ``knn_graph`` machinery — one linear
     corpus pass) and the normalized corpus matrix are broadcast ONCE via
     ``ray.put``; queries fan out over an actor pool, each query's walk is
-    O(visits * graph_k) lookups into the shared read-only arrays.
-    Partitioning assumption (documented): this is the single-shard search
-    path — a sharded corpus searches per shard and merges top-k, exactly
-    like the IVF probe merge. Approximate by design -> rows-only oracle;
-    recall vs the exact scan is pinned by the planted pytest."""
-    g = knn_graph(sf_dir, k=graph_k)
-    gq = g.column("query_id").to_numpy()
-    gn = g.column("neighbor_id").to_numpy()
+    O(visits * graph_k) lookups into the shared read-only arrays. Past
+    ``_corpus_shard_rows()`` the corpus is SHARDED (contiguous vec_id
+    ranges): each shard builds its LOCAL k-NN graph (corpus stream
+    filtered to the shard's id range via ``_knn_edges``), every query
+    beam-searches every shard, and per-query top-k merges across shards
+    by (cosine desc, neighbor_id) — the same merge shape as the IVF
+    probe merge, so no single ``ray.put`` ever holds the whole corpus.
+    Approximate by design -> rows-only oracle; recall vs the exact scan
+    is pinned by the planted pytest (both regimes)."""
     q_tbl = _concat(_emb(sf_dir))
     ids, mat = _batch_matrix(q_tbl)
     order = np.argsort(ids)
@@ -1704,77 +1783,121 @@ def knn_graph_search(
     # dense position index: vec_id -> row (ids are small ints here; a
     # sparse corpus would keep the id->pos dict instead)
     pos = {int(v): i for i, v in enumerate(ids)}
-    adj = np.full((len(ids), graph_k), -1, dtype=np.int64)
-    fill = np.zeros(len(ids), dtype=np.int64)
-    for a, b in zip(gq, gn):
-        i = pos[int(a)]
-        if fill[i] < graph_k:
-            adj[i, fill[i]] = pos[int(b)]
-            fill[i] += 1
-    entry = 0  # deterministic entry point: lowest vec_id's row
-    ref = ray.put((ids, mat, adj))
-
-    class GraphSearch:
-        def __init__(self):
-            self.ids, self.mat, self.adj = ray.get(ref)
-
-        def _search(self, qi: int) -> tuple[np.ndarray, np.ndarray]:
-            mat, adj = self.mat, self.adj
-            qv = mat[qi]
-            visited = {entry}
-            beam_idx = [entry]
-            beam_sim = [float(mat[entry] @ qv)]
-            expanded: set[int] = set()
-            while True:
-                # expand the best not-yet-expanded beam member
-                cand = [
-                    (s, i) for s, i in zip(beam_sim, beam_idx) if i not in expanded
-                ]
-                if not cand:
-                    break
-                s_best, i_best = max(cand, key=lambda t: (t[0], -t[1]))
-                expanded.add(i_best)
-                nbrs = [j for j in adj[i_best] if j >= 0 and j not in visited]
-                if nbrs:
-                    visited.update(nbrs)
-                    sims = mat[nbrs] @ qv
-                    beam_idx.extend(nbrs)
-                    beam_sim.extend(sims.tolist())
-                    # trim to beam best (deterministic: sim desc, row asc)
-                    order_b = sorted(
-                        range(len(beam_idx)),
-                        key=lambda t: (-beam_sim[t], beam_idx[t]),
-                    )[:beam]
-                    beam_idx = [beam_idx[t] for t in order_b]
-                    beam_sim = [beam_sim[t] for t in order_b]
-            vis = np.fromiter(visited, dtype=np.int64)
-            sims = mat[vis] @ qv
-            keep = vis != qi
-            vis, sims = vis[keep], sims[keep]
-            top = np.lexsort((self.ids[vis], -sims))[:k]
-            return vis[top], sims[top]
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            out_q, out_r, out_n, out_s = [], [], [], []
-            for qid in batch.column("vec_id").to_pylist():
-                qi = int(np.searchsorted(self.ids, qid))
-                rows, sims = self._search(qi)
-                out_q.extend([qid] * len(rows))
-                out_r.extend(range(1, len(rows) + 1))
-                out_n.extend(self.ids[rows].tolist())
-                out_s.extend(np.round(sims, 4).tolist())
-            return pd.DataFrame(
-                {"query_id": out_q, "rank": out_r,
-                 "neighbor_id": out_n, "cosine": out_s}
-            )
-
-    import ray.data as rd_
-
+    shard = _corpus_shard_rows()
     qset = [int(q) for q in query_ids if int(q) in pos]
-    q_ds = rd_.from_arrow(pa.table({"vec_id": pa.array(qset, pa.int64())}))
-    out = _concat(
-        q_ds.map_batches(GraphSearch, batch_format="pyarrow", batch_size=64,
-                         concurrency=2)
-    ).to_pandas()
-    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    # the query vectors ride WITH the query rows (a shard's matrix only
+    # holds its own members, so qv can't be looked up shard-side)
+    q_vecs = [mat[pos[q]] for q in qset]
+    if len(ids) > shard:  # sharded regime: quantize once for the graph builds
+        _qi_all, _qm_all = _quant_matrix(q_tbl, 30.0)
+        _o2 = np.argsort(_qi_all)
+        _qi_all, _qm_all = _qi_all[_o2], _qm_all[_o2]
+
+    def shard_pass(lo: int, hi: int) -> pd.DataFrame:
+        sh_ids, sh_mat = ids[lo:hi], mat[lo:hi]
+        if hi - lo == len(ids):
+            g = knn_graph(sf_dir, k=graph_k)  # global = integer-exact build
+        else:
+            qi, qm = _qi_all[lo:hi], _qm_all[lo:hi]
+            qn2 = (qm * qm).sum(axis=1)
+            g = _from_pandas(
+                _knn_edges(sf_dir, qi, qm, qn2, graph_k,
+                           member_lo=int(sh_ids[0]), member_hi=int(sh_ids[-1]))
+            )
+        gq = g.column("query_id").to_numpy()
+        gn = g.column("neighbor_id").to_numpy()
+        sh_pos = {int(v): i for i, v in enumerate(sh_ids)}
+        adj = np.full((len(sh_ids), graph_k), -1, dtype=np.int64)
+        fill = np.zeros(len(sh_ids), dtype=np.int64)
+        for a, b in zip(gq, gn):
+            i = sh_pos[int(a)]
+            if fill[i] < graph_k:
+                adj[i, fill[i]] = sh_pos[int(b)]
+                fill[i] += 1
+        entry = 0  # deterministic entry point: lowest vec_id's row
+        ref = ray.put((sh_ids, sh_mat, adj))
+
+        class GraphSearch:
+            def __init__(self):
+                self.ids, self.mat, self.adj = ray.get(ref)
+
+            def _search(self, qid: int, qv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                mat_, adj_ = self.mat, self.adj
+                visited = {entry}
+                beam_idx = [entry]
+                beam_sim = [float(mat_[entry] @ qv)]
+                expanded: set[int] = set()
+                while True:
+                    # expand the best not-yet-expanded beam member
+                    cand = [
+                        (s, i)
+                        for s, i in zip(beam_sim, beam_idx)
+                        if i not in expanded
+                    ]
+                    if not cand:
+                        break
+                    s_best, i_best = max(cand, key=lambda t: (t[0], -t[1]))
+                    expanded.add(i_best)
+                    nbrs = [j for j in adj_[i_best] if j >= 0 and j not in visited]
+                    if nbrs:
+                        visited.update(nbrs)
+                        sims = mat_[nbrs] @ qv
+                        beam_idx.extend(nbrs)
+                        beam_sim.extend(sims.tolist())
+                        # trim to beam best (deterministic: sim desc, row asc)
+                        order_b = sorted(
+                            range(len(beam_idx)),
+                            key=lambda t: (-beam_sim[t], beam_idx[t]),
+                        )[:beam]
+                        beam_idx = [beam_idx[t] for t in order_b]
+                        beam_sim = [beam_sim[t] for t in order_b]
+                vis = np.fromiter(visited, dtype=np.int64)
+                sims = mat_[vis] @ qv
+                keep = self.ids[vis] != qid
+                vis, sims = vis[keep], sims[keep]
+                top = np.lexsort((self.ids[vis], -sims))[:k]
+                return vis[top], sims[top]
+
+            def __call__(self, batch: pa.Table) -> pd.DataFrame:
+                out_q, out_n, out_s = [], [], []
+                qv_col = batch.column("qv").to_numpy(zero_copy_only=False)
+                for qid, qv in zip(batch.column("vec_id").to_pylist(), qv_col):
+                    rows, sims = self._search(int(qid), np.asarray(qv))
+                    out_q.extend([qid] * len(rows))
+                    out_n.extend(self.ids[rows].tolist())
+                    out_s.extend(sims.tolist())
+                return pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
+                )
+
+        import ray.data as rd_
+
+        q_ds = rd_.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(qset, pa.int64()),
+                    "qv": pa.array([v.tolist() for v in q_vecs],
+                                   pa.list_(pa.float64())),
+                }
+            )
+        )
+        return _concat(
+            q_ds.map_batches(GraphSearch, batch_format="pyarrow",
+                             batch_size=64, concurrency=2)
+        ).to_pandas()
+
+    out = pd.concat(
+        [shard_pass(lo, min(lo + shard, len(ids)))
+         for lo in range(0, len(ids), shard)],
+        ignore_index=True,
+    )
+    # merge per-query top-k across shards; for a single shard this is a
+    # no-op re-rank identical to the in-actor lexsort (sim desc, id asc)
+    out = out.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = out.groupby("query_id", as_index=False).head(k)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out["cosine"] = np.round(out["cosine"].to_numpy(), 4)
+    out = out.reset_index(drop=True)
     return _from_pandas(out[["query_id", "rank", "neighbor_id", "cosine"]])

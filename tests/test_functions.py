@@ -2127,6 +2127,48 @@ def test_emb_range_search_planted(ray_session, tmp_path_factory):
     assert out.column("dot").to_pylist() == [10000]
 
 
+def test_sharded_paths_bit_identical(ray_session, monkeypatch):
+    """The sharded broadcast paths (corpus rows > QUANTA_CORPUS_BROADCAST_LIMIT
+    -> per-shard ``ray.put`` + streaming pass + merge) are pinned against the
+    single-broadcast path on the real sf0.001 embeddings (500 rows -> 4
+    shards at limit 150): range_search and knn_graph are BIT-identical
+    (each query/pair completes within one shard's pass), and the
+    graph-search's per-shard local-graph merge keeps the recall bar."""
+    import numpy as np
+
+    from quanta_ray.functions.simsearch import (
+        _batch_matrix, _concat, _emb, knn_graph, knn_graph_search,
+        range_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    whole_rs = range_search(sf).to_pandas()
+    whole_kg = knn_graph(sf).to_pandas()
+    monkeypatch.setenv("QUANTA_CORPUS_BROADCAST_LIMIT", "150")
+    shard_rs = range_search(sf).to_pandas()
+    shard_kg = knn_graph(sf).to_pandas()
+    pd.testing.assert_frame_equal(whole_rs, shard_rs)
+    pd.testing.assert_frame_equal(whole_kg, shard_kg)
+
+    got = knn_graph_search(sf).to_pandas()
+    t = _concat(_emb(sf))
+    ids, mat = _batch_matrix(t)
+    o = np.argsort(ids)
+    ids, mat = ids[o], mat[o]
+    sims = mat @ mat.T
+    recalls = []
+    for qid, grp in got.groupby("query_id"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert (grp["neighbor_id"] != qid).all()
+        qi = int(np.searchsorted(ids, qid))
+        s = sims[qi].copy()
+        s[qi] = -2.0
+        truth = set(ids[np.lexsort((ids, -s))[:10]].tolist())
+        recalls.append(len(truth & set(grp["neighbor_id"])) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8
+    assert min(recalls) >= 0.5
+
+
 def test_video_frame_near_dups_planted(ray_session, tmp_path_factory):
     """Frame-level video near-dup pinned on the planted noisy-group corpus:
     every surviving pair joins frames of the SAME doc group and the SAME

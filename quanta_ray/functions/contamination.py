@@ -24,7 +24,6 @@ closed-form so the SQL can re-derive it).
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
@@ -34,6 +33,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..hashutil import md5_hex
 from ..schema import read_parquet_clean as _read_pq
 
 
@@ -136,10 +136,8 @@ def _bloom_positions(hexs: np.ndarray) -> np.ndarray:
 
 
 def _md5_hex(texts: pd.Series) -> np.ndarray:
-    # per-row hashlib: required for SQL-oracle parity (same bounded cost as
-    # dedup_exact / fingerprints_md5; the non-oracle fast path would key on
-    # pd.util.hash_array as in dedup_exact_fast)
-    return texts.map(lambda s: hashlib.md5(s.encode()).hexdigest()).to_numpy(dtype=object)
+    # SQL-oracle-parity md5, through the shared vectorized DuckDB kernel
+    return md5_hex(texts.to_numpy(dtype=object))
 
 
 def blocklist_filter(sf_dir: str, every: int = 101) -> pa.Table:

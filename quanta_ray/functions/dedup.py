@@ -21,7 +21,6 @@ dup rates (30–50%) where candidates grow with the corpus.
 
 from __future__ import annotations
 
-import hashlib
 import os
 from typing import Any, Callable
 
@@ -31,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..hashutil import md5_hex
 from ..schema import read_parquet_clean as _read_pq
 
 MERSENNE = (1 << 61) - 1
@@ -57,7 +57,7 @@ def dedup_exact(sf_dir: str) -> pa.Table:
     the shuffle moves (hash, doc_id) pairs, not text."""
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["md5"] = batch["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        batch["md5"] = md5_hex(batch["text"].to_numpy(dtype=object))
         # per-batch partial: one survivor per md5 per batch
         return batch.groupby("md5", as_index=False)["doc_id"].min()
 
@@ -1043,7 +1043,7 @@ def dedup_clusters(
     def hash_partial(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "md5": batch["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest()),
+                "md5": md5_hex(batch["text"].to_numpy(dtype=object)),
                 "doc_id": batch["doc_id"].to_numpy(),
             }
         )
@@ -1137,7 +1137,7 @@ def dedup_incremental(sf_dir: str, num_buckets: int | None = None) -> pa.Table:
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         df = pd.DataFrame(
             {
-                "md5": batch["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest()),
+                "md5": md5_hex(batch["text"].to_numpy(dtype=object)),
                 "doc_id": batch["doc_id"].to_numpy(),
             }
         )

@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..hashutil import md5_hex
 from ..broadcast import cached_get as _cached_get
 from ..schema import from_pandas as _from_pandas, read_parquet_clean as _read_pq
 
@@ -169,9 +170,7 @@ def fingerprints(sf_dir: str) -> pa.Table:
     hash (rows-only; used by dedup)."""
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["md5"] = batch["text"].map(
-            lambda s: hashlib.md5(s.encode()).hexdigest()
-        )
+        batch["md5"] = md5_hex(batch["text"].to_numpy(dtype=object))
         batch["rhash"] = _rolling_hash_batch(batch["text"])
         return batch[["doc_id", "md5", "rhash"]]
 

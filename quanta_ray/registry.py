@@ -208,11 +208,104 @@ def _emb_outlier_scores(sf_dir: str) -> Any:
     return outlier_scores(sf_dir)
 
 
+
+# Round-5 driver sweep head (the external driver value-checks the FIRST 50
+# registered queries): (1) the single r4 hash-fail, now fixed, pinned at
+# slot 1 until the DRIVER re-greens it; (2) every oracle-bearing query whose
+# implementation changed since the r4 driver check (the integer-exactness
+# conversion sweep, the sharded ANN paths, the vectorized-md5 adoption);
+# (3) oracle-bearing queries NO driver round has ever value-checked, oldest
+# families first. Entries past the list keep registration order (rows-only
+# streaming family stays last for its warm-up cost).
+_DRIVER_PRIORITY_R5 = [
+    # (1) r4 driver hash-fail, fixed this round
+    "rel_supplier_share_in_nation",
+    # (2) implementation changed since the last driver check
+    "emb_range_search",
+    "emb_knn_graph",
+    "emb_knn_bruteforce",
+    "rel_nation_trade_volume",
+    "rel_region_revenue",
+    "rel_revenue_by_orderpriority",
+    "doc_dedup_exact",
+    "doc_dedup_clusters",
+    "doc_dedup_incremental",
+    "doc_decontaminate",
+    "doc_blocklist_filter",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_orders_by_month",
+    "rel_shipped_qty_by_flag",
+    "rel_customer_order_stats",
+    "ev_tumbling",
+    "ev_sliding",
+    "ev_session",
+    "ev_dedup_exact",
+    "ev_topk_users",
+    "ev_props_k_stats",
+    "ev_count_windows",
+    "doc_fingerprint_md5",
+    # (3) oracle-bearing, never driver-value-checked in any round
+    "doc_unimax_sample",
+    "ev_value_quantiles_by_type",
+    "ev_value_anomalies_mad",
+    "rel_discounted_revenue",
+    "rel_profit_by_nation_year",
+    "rel_top_orders_per_customer",
+    "rel_revenue_cube",
+    "doc_split_assign",
+    "doc_dup_spans",
+    "rel_big_spender_orders",
+    "rel_returned_item_revenue",
+    "rel_revenue_rollup",
+    "doc_vocab_stats",
+    "ev_user_moving_avg",
+    "rel_customers_without_orders",
+    "rel_order_counts_outer",
+    "doc_script_stats",
+    "doc_length_quantiles",
+    "doc_grouped_length_quantiles",
+    "doc_stratified_sample",
+    "doc_token_topk_by_lang",
+    "doc_repetition_stats",
+    "doc_line_dedup",
+    "doc_adaptive_length_filter",
+    "doc_source_mix_report",  # <- slot 50: end of the driver window
+    "doc_model_score",
+    "doc_dedup_exact_fast",
+    "doc_tfidf_topk",
+    "doc_bigram_topk",
+    "doc_shuffle_shards",
+    "doc_mixture_sample",
+    "doc_curate_e2e",
+    "doc_pack_sequences",
+    "doc_curate_train_ready",
+    "doc_decontaminate_ngram",
+    "emb_norm_stats",
+    "emb_label_lang_stats",
+    "rel_top_unshipped_orders",
+    "rel_promo_share_by_month",
+    # changed this round but rows-only (no SQL form)
+    "emb_knn_graph_search",
+    "emb_recall_eval",
+]
+
+
+def _driver_order(base: dict) -> dict:
+    """Priority names first (each must exist — a typo here would silently
+    drop a query from the surface, so assert), then registration order."""
+    missing = [k for k in _DRIVER_PRIORITY_R5 if k not in base]
+    assert not missing, f"_DRIVER_PRIORITY_R5 names unknown queries: {missing}"
+    out = {k: base[k] for k in _DRIVER_PRIORITY_R5}
+    out.update({k: v for k, v in base.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from .functions import contamination, curation, dedup, simsearch, text
     from .pipelines import batch_cep, relational
 
-    return {
+    base = {
         # Registration order IS the driver's sweep order (r03 checked exactly
         # the first 50 registered entries). Priority buckets: (1) queries
         # that are NEW this round or whose implementation changed since the
@@ -424,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cep_streaming_resplat": _streaming_stream("resplat"),
         "cep_streaming_runs": _streaming_stream("runs"),
     }
+    return _driver_order(base)
 
 
 def oracle_sql() -> dict[str, str]:

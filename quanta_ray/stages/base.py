@@ -51,7 +51,30 @@ STATUS_COL = "_status"
 
 
 class TransientError(RuntimeError):
-    """Stage-raised transient failure → retried, then dropped (T3)."""
+    """Stage-raised transient failure → retried, then dropped (T3).
+
+    ``retry_after_ms`` is the reference's plugin-dictated backoff
+    (``transformer.proto:34`` — a TransformResponse may carry
+    ``retry_after_ms`` overriding the spec's fixed ``backoff_ms``): unlike
+    the fixed backoff (pointless to sleep for a deterministic in-process
+    stage), a stage-supplied hint means the stage is waiting on EXTERNAL
+    state (a sidecar restart, a rate limit), so ``RetryingStage`` actually
+    sleeps it (capped at ``_MAX_RETRY_AFTER_MS``) before the next attempt.
+    """
+
+    def __init__(self, *args, retry_after_ms: int | None = None):
+        super().__init__(*args)
+        self.retry_after_ms = retry_after_ms
+
+
+#: Optional sibling of STATUS_COL: per-row backoff hint in ms, honored for
+#: the rows marked RETRY/ERROR (the max hint across the batch's retry rows
+#: is slept once before re-presenting them). transformer.proto:34 parity.
+RETRY_AFTER_COL = "_retry_after_ms"
+
+#: Safety cap on any stage-dictated sleep: a buggy plugin must not be able
+#: to stall a worker for minutes per attempt.
+_MAX_RETRY_AFTER_MS = 5_000
 
 
 class Transformer:
@@ -143,7 +166,12 @@ class RetryingStage:
     Works for both paths; usable directly as a ``map_batches`` callable.
     ``backoff_ms`` is honored as spec parity but not slept in-process
     (the reference sleeps between attempts, ``runner.go:151``; an in-process
-    deterministic stage gains nothing from sleeping).
+    deterministic stage gains nothing from sleeping). A STAGE-dictated
+    backoff, in contrast, IS slept: a ``TransientError(retry_after_ms=...)``
+    or a per-row ``_retry_after_ms`` column next to ``_status``
+    (``transformer.proto:34`` — the plugin overrides the spec's fixed
+    backoff) sleeps min(hint, 5 s) before the next attempt, never after the
+    last one (exhaustion still drop+acks immediately).
     """
 
     def __init__(
@@ -158,6 +186,8 @@ class RetryingStage:
         self.dropped_after_retries = 0
         self.dropped_by_status = 0  # intentional per-row DROPs (status col)
         self.timed_out = 0
+        self.backoff_hints_honored = 0  # stage-dictated retry_after_ms sleeps
+        self.backoff_hint_ms_total = 0
         # dead-letter: batches dropped after retry exhaustion, as seen at
         # THIS stage's input — collected by the caller (the reference drops
         # and acks to avoid deadlocks, CONFIGS.md:95; we additionally keep
@@ -172,6 +202,19 @@ class RetryingStage:
             return _call_with_timeout(self.inner.transform_batch, batch, self.timeout_ms)
         return self.inner.transform_batch(batch)
 
+    def _sleep_hint(self, hint_ms, attempts_left: int) -> None:
+        """Honor a stage-dictated backoff (transformer.proto:34) before the
+        NEXT attempt — skipped when retries are already exhausted, so an
+        exhausted batch still drop+acks immediately."""
+        if not hint_ms or hint_ms <= 0 or attempts_left <= 0:
+            return
+        import time
+
+        ms = min(int(hint_ms), _MAX_RETRY_AFTER_MS)
+        self.backoff_hints_honored += 1
+        self.backoff_hint_ms_total += ms
+        time.sleep(ms / 1000.0)
+
     def transform_batch(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -184,7 +227,8 @@ class RetryingStage:
             except StageTimeout:
                 self.timed_out += 1
                 continue  # whole-batch retry (pending unchanged)
-            except TransientError:
+            except TransientError as exc:
+                self._sleep_hint(exc.retry_after_ms, attempts - 1 - _attempt)
                 continue
             if STATUS_COL not in out.column_names:
                 ok_parts.append(out)
@@ -192,15 +236,22 @@ class RetryingStage:
                 break
             # per-row status granularity: split OK / DROP / RETRY+ERROR
             st = out.column(STATUS_COL)
+            aux = [STATUS_COL]
+            if RETRY_AFTER_COL in out.column_names:
+                aux.append(RETRY_AFTER_COL)
             ok_parts.append(
-                out.filter(pc.equal(st, int(Status.OK))).drop_columns([STATUS_COL])
+                out.filter(pc.equal(st, int(Status.OK))).drop_columns(aux)
             )
             self.dropped_by_status += pc.sum(
                 pc.cast(pc.equal(st, int(Status.DROP)), pa.int64())
             ).as_py() or 0
-            pending = out.filter(
-                pc.greater_equal(st, int(Status.RETRY))
-            ).drop_columns([STATUS_COL])
+            retry_rows = out.filter(pc.greater_equal(st, int(Status.RETRY)))
+            if RETRY_AFTER_COL in retry_rows.column_names and retry_rows.num_rows:
+                # one sleep per re-presentation: the max hint across the
+                # batch's retry rows (they are re-attempted together)
+                hint = pc.max(retry_rows.column(RETRY_AFTER_COL)).as_py()
+                self._sleep_hint(hint, attempts - 1 - _attempt)
+            pending = retry_rows.drop_columns(aux)
             if pending.num_rows == 0:
                 pending = None
                 break
@@ -215,10 +266,12 @@ class RetryingStage:
         return pa.concat_tables(ok_parts, promote_options="default")
 
     def apply_row(self, row: dict) -> list[dict] | None:
-        for _attempt in range(max(1, self.policy.attempts)):
+        attempts = max(1, self.policy.attempts)
+        for _attempt in range(attempts):
             try:
                 return self.inner.apply_row(row)
-            except TransientError:
+            except TransientError as exc:
+                self._sleep_hint(exc.retry_after_ms, attempts - 1 - _attempt)
                 continue
         self.dropped_after_retries += 1
         return None

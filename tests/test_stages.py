@@ -250,3 +250,119 @@ def test_enrich_stage_broadcast_lookup(ray_session):
     st2 = EnrichStage(mapping_ref=ref)
     row = st2.apply_row({"tool": "read"})[0]
     assert row["tool_class"] == "workspace"
+
+
+def test_retry_after_hint_exception_path():
+    """A stage-dictated backoff (transformer.proto:34 retry_after_ms) IS
+    slept between attempts — unlike the spec's fixed backoff_ms — and is
+    never slept after the final attempt (exhaustion drops immediately)."""
+    import time
+
+    from quanta_ray.stages.base import Transformer, TransientError
+
+    class HintedFlaky(Transformer):
+        name = "hinted-flaky"
+
+        def __init__(self, fail_times):
+            self.fail_times = fail_times
+            self.calls = 0
+
+        def transform_batch(self, batch):
+            self.calls += 1
+            if self.calls <= self.fail_times:
+                raise TransientError("busy", retry_after_ms=50)
+            return batch
+
+    st = RetryingStage(HintedFlaky(fail_times=1), RetryPolicy(attempts=3))
+    t0 = time.monotonic()
+    out = st.transform_batch(_batch())
+    elapsed = time.monotonic() - t0
+    assert out.num_rows == 3
+    assert st.backoff_hints_honored == 1
+    assert st.backoff_hint_ms_total == 50
+    assert elapsed >= 0.045
+
+    # exhaustion: attempts=2, both fail -> one sleep (between the two
+    # attempts), NOT two; batch still drop+acks
+    st2 = RetryingStage(HintedFlaky(fail_times=99), RetryPolicy(attempts=2))
+    out2 = st2.transform_batch(_batch())
+    assert out2.num_rows == 0
+    assert st2.dropped_after_retries == 3
+    assert st2.backoff_hints_honored == 1
+
+
+def test_retry_after_hint_per_row_column():
+    """The per-row ``_retry_after_ms`` sibling of ``_status``: the max hint
+    across a batch's RETRY rows is slept once per re-presentation and both
+    aux columns are stripped from OK output and re-presented rows."""
+    import time
+
+    import numpy as np
+
+    from quanta_ray.stages.base import (
+        RETRY_AFTER_COL, STATUS_COL, Status, Transformer,
+    )
+
+    class RowHinted(Transformer):
+        name = "row-hinted"
+
+        def __init__(self):
+            self.calls = 0
+
+        def transform_batch(self, batch):
+            self.calls += 1
+            n = batch.num_rows
+            if self.calls == 1:
+                idx = np.asarray(batch.column("turn_idx").to_numpy(zero_copy_only=False))
+                st = np.where(idx % 2 == 1, int(Status.RETRY), int(Status.OK))
+                hint = np.where(idx % 2 == 1, 40, 0)
+                return batch.append_column(
+                    STATUS_COL, pa.array(st, pa.int32())
+                ).append_column(RETRY_AFTER_COL, pa.array(hint, pa.int32()))
+            return batch.append_column(
+                STATUS_COL, pa.array([int(Status.OK)] * n, pa.int32())
+            ).append_column(RETRY_AFTER_COL, pa.array([0] * n, pa.int32()))
+
+    st = RetryingStage(RowHinted(), RetryPolicy(attempts=3))
+    t0 = time.monotonic()
+    out = st.transform_batch(_batch())
+    elapsed = time.monotonic() - t0
+    assert out.num_rows == 3
+    assert STATUS_COL not in out.column_names
+    assert RETRY_AFTER_COL not in out.column_names
+    assert st.backoff_hints_honored == 1
+    assert st.backoff_hint_ms_total == 40
+    assert elapsed >= 0.035
+    assert st.dropped_after_retries == 0
+
+
+def test_retry_after_hint_capped():
+    """A runaway plugin hint is capped at 5 s (here: verified by the
+    recorded honored total, not by actually sleeping minutes)."""
+    from quanta_ray.stages.base import _MAX_RETRY_AFTER_MS, Transformer, TransientError
+
+    class Greedy(Transformer):
+        name = "greedy"
+
+        def __init__(self):
+            self.calls = 0
+
+        def transform_batch(self, batch):
+            self.calls += 1
+            if self.calls == 1:
+                raise TransientError("busy", retry_after_ms=10_000_000)
+            return batch
+
+    st = RetryingStage(Greedy(), RetryPolicy(attempts=2))
+    # monkey-cap for the test so the sleep stays fast
+    import quanta_ray.stages.base as base_mod
+
+    orig = base_mod._MAX_RETRY_AFTER_MS
+    base_mod._MAX_RETRY_AFTER_MS = 20
+    try:
+        out = st.transform_batch(_batch())
+    finally:
+        base_mod._MAX_RETRY_AFTER_MS = orig
+    assert out.num_rows == 3
+    assert st.backoff_hint_ms_total == 20
+    assert _MAX_RETRY_AFTER_MS == 5_000

@@ -200,7 +200,7 @@ def run_headline(num_cpus: int) -> dict:
     # every recorded round, so BENCH_r* are comparable. The optional
     # second-level reduce streams (count windows, alerts, top-k, session
     # quantiles, conv histogram) are deliberately NOT in the headline:
-    # QUANTA_BENCH_ALL_STREAMS=1 enables all sixteen for the separately
+    # QUANTA_BENCH_ALL_STREAMS=1 enables all eighteen for the separately
     # recorded cost measurement (~3% busy, BASELINE.md) and for scaling
     # experiments on the full surface.
     if os.environ.get("QUANTA_BENCH_ALL_STREAMS"):
@@ -217,6 +217,7 @@ def run_headline(num_cpus: int) -> dict:
             resp_latency=True,
             run_min_len=3,
             noreply_timeout_us=1800 * 1_000_000,
+            new_convs=True,
             late_output=True,
         )
     else:

@@ -149,7 +149,11 @@ def bpe_merges_from_counts(
     # cluster just runs fewer shards instead of deadlocking ray.get on
     # forever-pending actors.
     avail = int(ray.cluster_resources().get("CPU", n_shards + 1))
-    n_shards = max(1, min(n_shards, len(words), max(1, avail - 1)))
+    # floor at 2 (not avail-1): correctness rests ONLY on the pinned
+    # shard-count invariance of the merge table, so a transiently
+    # under-reported cluster (cluster_resources() right after init on an
+    # autoscaler) still trains multi-shard rather than degenerating to 1
+    n_shards = max(1, min(n_shards, len(words), max(2, avail - 1)))
     h = pd.util.hash_array(np.asarray(words, dtype=object)) % np.uint64(n_shards)
     shards = []
     for s in range(n_shards):

@@ -758,6 +758,12 @@ def noisy_y4m_groups(sf_dir: str, group: int = 4, n_frames: int = 6, cut: int = 
     fields, so no pre/post pair should ever match."""
     from .media_codec import write_y4m
 
+    # the downstream composite frame key (doc_id*_FRAME_KEY+frame_idx)
+    # collides doc key spaces at >=_FRAME_KEY frames — guard at the source
+    assert 0 < n_frames < _FRAME_KEY, (
+        f"n_frames={n_frames} must stay under the _FRAME_KEY stride ({_FRAME_KEY})"
+    )
+
     H = W = 48
 
     def synth(batch: pa.Table) -> pa.Table:
@@ -827,6 +833,13 @@ class VideoFramePHasher:
             batch.column("media_id").to_pylist(), batch.column("payload")
         ):
             _w, _h, _fps, lumas = read_y4m(buf.as_py())
+            # composite frame key doc_id*_FRAME_KEY+frame_idx requires every
+            # clip to stay under the stride — a >=_FRAME_KEY-frame clip would
+            # silently collide into the next doc's key space
+            assert lumas.shape[0] < _FRAME_KEY, (
+                f"clip {did} has {lumas.shape[0]} frames >= _FRAME_KEY "
+                f"({_FRAME_KEY}); raise the key stride"
+            )
             for fi in range(lumas.shape[0]):
                 small = block_resize(
                     lumas[fi][:, :, None].astype(np.float64), self.size, self.size

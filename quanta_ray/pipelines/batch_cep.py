@@ -1585,7 +1585,7 @@ def pattern_match(
     """Detect every CONSECUTIVE occurrence of an event-type sequence per
     user (SQL MATCH_RECOGNIZE / lead()-chain family) — the batch form of the
     CEP pattern operator at the heart of engines like the reference's
-    source→transformer CEP chain (reference: internal/transformer/chain.go
+    source→transformer CEP chain (reference: internal/pipeline/runner.go:123-205
     orders stages; here the "pattern" runs over the event stream itself).
 
     Shape: one hash shuffle on user_id (3 columns leave the scan); inside
@@ -1706,7 +1706,7 @@ def count_windows(sf_dir: str, size: int = 5, buckets: int = 32) -> pa.Table:
     """COUNT-based tumbling windows: chunk each user's event stream into
     consecutive groups of ``size`` events (CEP count-trigger windows — the
     row-count sibling of the time-based tumbling operator; reference chains
-    fire per-record, internal/transformer/chain.go).
+    fire per-record, internal/pipeline/runner.go:123-205).
 
     One user_id hash shuffle of 4 narrow columns; per bucket one mergesort,
     a vectorized cumcount → window_id, then one grouped agg over

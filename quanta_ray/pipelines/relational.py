@@ -994,7 +994,7 @@ def customer_order_counts_outer(sf_dir: str, buckets: int = 16) -> pa.Table:
     """Customer LEFT OUTER JOIN orders → order count + total spent per
     customer, INCLUDING customers with no orders (count 0, spend 0.0) —
     the outer-join member of the join family (reference chains transforms
-    in-order, internal/transformer/chain.go; the join itself is Ray-native).
+    in-order, internal/pipeline/runner.go:123-205; the join itself is Ray-native).
 
     Shape: the fact side pre-aggregates per batch inside ``map_batches``
     (shuffle carries one (custkey, n, sum) partial row per batch-key, never

@@ -239,7 +239,9 @@ class EnrichStage(Transformer):
             import ray
 
             mapping = ray.get(mapping_ref)
-        self.mapping = dict(mapping) if mapping else dict(_DEFAULT_TOOL_DIM)
+        # `is not None`: an explicitly passed EMPTY dimension table means
+        # every tool is unmapped, not the default mapping
+        self.mapping = dict(mapping) if mapping is not None else dict(_DEFAULT_TOOL_DIM)
         self.unmapped = unmapped_class
         # Arrow-native lookup arrays (index_in + take, no per-row python)
         self._keys = pa.array(list(self.mapping.keys()), type=pa.string())

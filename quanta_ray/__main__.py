@@ -5,6 +5,7 @@ Usage:
     python -m quanta_ray run <pipeline.json|yml> <out_dir> [--follow N]
     python -m quanta_ray validate <out_dir>
     python -m quanta_ray metrics <out_dir | http://host:port/metrics>
+    python -m quanta_ray control <http://host:port> [ping|pause|resume|state]
     python -m quanta_ray export <out_dir> <stream> <dest_dir>
     python -m quanta_ray bench-stream <out_dir> [n_convs] [n_epochs]
     python -m quanta_ray query list
@@ -203,6 +204,20 @@ def main(argv: list[str]) -> int:
             print(json.dumps(fetch_metrics(rest[0])))
             return 0
         print(json.dumps(summarize_metrics(rest[0])))
+        return 0
+
+    if cmd == "control":
+        # control <metrics-url-or-base> ping|pause|resume|state — the
+        # reference Control service's Ping/PausePipeline verbs over the
+        # running pipeline's HTTP endpoint (control.proto:7-9; gRPC
+        # transport replaced by design, see stages/subprocess_stage.py).
+        base, verb = rest[0], (rest[1] if len(rest) > 1 else "state")
+        base = base.rsplit("/metrics", 1)[0]
+        path = {"ping": "/ping", "pause": "/control/pause",
+                "resume": "/control/resume", "state": "/control"}[verb]
+        from .telemetry import fetch_metrics
+
+        print(json.dumps(fetch_metrics(base + path)))
         return 0
 
     if cmd == "export":

@@ -350,11 +350,35 @@ class StreamingRunner:
         # inspectable after run() returns; off unless the spec or env asks.
         env_port = os.environ.get("QUANTA_METRICS_PORT")
         port = int(env_port) if env_port is not None else spec.metrics_port
+        # control plane: PausePipeline/Resume (reference Control service,
+        # api/proto/v1/control.proto:9,18-19 — stubbed UnimplementedControl
+        # there; real here). Pause quiesces DISPATCH: in-flight epochs
+        # drain and finished prefixes keep committing, no new epoch starts
+        # until resume. Kill-while-paused == crash (resume-from-manifest
+        # covers it), so pause never weakens exactly-once.
+        import threading as _threading
+
+        self._pause = _threading.Event()
         self.metrics_server = None
         if port >= 0:
             from ..telemetry import MetricsServer
 
             self.metrics_server = MetricsServer(port)
+            self.metrics_server.bind_control(
+                self.pause, self.resume, lambda: {"paused": self.paused}
+            )
+
+    def pause(self) -> None:
+        """Quiesce epoch dispatch (PausePipeline parity); idempotent."""
+        self._pause.set()
+
+    def resume(self) -> None:
+        """Lift a pause; idempotent (no-op when not paused)."""
+        self._pause.clear()
+
+    @property
+    def paused(self) -> bool:
+        return self._pause.is_set()
 
     @property
     def metrics_url(self) -> str | None:
@@ -364,6 +388,11 @@ class StreamingRunner:
         if self.metrics_server is not None:
             self.metrics_server.close()
             self.metrics_server = None
+        # drop worker actor handles so their CPU reservations free
+        # immediately (not at GC time) — a closed runner that stays
+        # referenced must not starve the next runner's actors
+        self._workers = None
+        self._assign = None
 
     def __del__(self) -> None:  # pragma: no cover - GC-order dependent
         try:
@@ -1016,6 +1045,18 @@ class StreamingRunner:
 
         idle_throttle = CommitThrottle(interval=max(poll_sleep_s, 0.0))
         while True:
+            # control plane: paused -> stop dispatching NEW epochs; keep
+            # harvesting in-flight results and committing finished
+            # contiguous prefixes (durability while quiesced), then resume
+            # exactly where dispatch stopped.
+            while self._pause.is_set():
+                harvest_ready()
+                if inflight and idle_throttle.should_commit(_walltime.monotonic()):
+                    if ooo:
+                        ooo_poll()
+                    else:
+                        commit(min(inflight))
+                _walltime.sleep(poll_sleep_s if poll_sleep_s else 0.02)
             # tailing: poll the source for new epoch files when caught up
             while e >= len(files) and follow > 0 and idle_polls < follow:
                 relisted = self.driver.list_files(spec.source.paths)

@@ -37,19 +37,50 @@ class MetricsServer:
         self._lock = threading.Lock()
         self._driver: dict[str, Any] = {}
         self._parts: dict[int, dict[str, Any]] = {}
+        # control plane (reference Control service, api/proto/v1/control.proto:
+        # Ping / DeployPipeline / PausePipeline — the reference registers
+        # UnimplementedControl; here Ping and Pause/Resume are real, Deploy
+        # maps to job submit by design). Bound by the runner via bind_control.
+        self._pause_fn = None
+        self._resume_fn = None
+        self._state_fn = None
         server = self
 
         class Handler(BaseHTTPRequestHandler):
-            def do_GET(self) -> None:  # noqa: N802 (http.server API)
-                if self.path.rstrip("/") not in ("", "/metrics"):
-                    self.send_error(404)
-                    return
-                body = json.dumps(server.snapshot(), sort_keys=True).encode()
-                self.send_response(200)
+            def _json(self, payload: dict, code: int = 200) -> None:
+                body = json.dumps(payload, sort_keys=True).encode()
+                self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def do_GET(self) -> None:  # noqa: N802 (http.server API)
+                path = self.path.rstrip("/")
+                if path in ("", "/metrics"):
+                    self._json(server.snapshot())
+                elif path == "/ping":  # PingReply{status} parity
+                    self._json({"status": "ok"})
+                elif path == "/control":
+                    if server._state_fn is None:
+                        self.send_error(404)
+                    else:
+                        self._json(server._state_fn())
+                elif path in ("/control/pause", "/control/resume"):
+                    fn = (
+                        server._pause_fn
+                        if path.endswith("pause")
+                        else server._resume_fn
+                    )
+                    if fn is None:
+                        self.send_error(404)
+                    else:  # PauseReply{ok} parity
+                        fn()
+                        self._json({"ok": True, **(server._state_fn() or {})})
+                else:
+                    self.send_error(404)
+
+            do_POST = do_GET  # control verbs accept both methods
 
             def log_message(self, *a: Any) -> None:  # silence per-request stderr
                 pass
@@ -68,6 +99,13 @@ class MetricsServer:
     def url(self) -> str:
         host, port = self._httpd.server_address[:2]
         return f"http://{host}:{port}/metrics"
+
+    def bind_control(self, pause_fn, resume_fn, state_fn) -> None:
+        """Wire the runner's pause/resume into ``/control/*`` (PausePipeline
+        parity). Until bound, the control paths 404 (metrics-only server)."""
+        self._pause_fn = pause_fn
+        self._resume_fn = resume_fn
+        self._state_fn = state_fn
 
     def update(self, **gauges: Any) -> None:
         with self._lock:

@@ -96,3 +96,70 @@ def test_metrics_off_by_default(ray_session, small_stream, tmp_path):
     )
     runner = StreamingRunner(spec, str(tmp_path / "out"))
     assert runner.metrics_server is None and runner.metrics_url is None
+
+
+def test_ping_endpoint():
+    """Control-plane Ping parity (control.proto:7,13): live endpoint answers
+    {"status": "ok"}; /control 404s until a runner binds it."""
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    srv = MetricsServer(0)
+    try:
+        base = srv.url.replace("/metrics", "")
+        assert fetch_metrics(base + "/ping") == {"status": "ok"}
+        with pytest.raises(HTTPError):
+            urlopen(base + "/control/pause", timeout=5)
+    finally:
+        srv.close()
+
+
+def test_pause_resume_quiesces_dispatch(ray_session, small_stream, tmp_path):
+    """PausePipeline parity (control.proto:9,18-19): pausing mid-run stops
+    NEW epoch dispatch (commit frontier freezes after the in-flight window
+    drains) while the endpoint stays live; resume completes the run and the
+    committed output is byte-identical to an unpaused run."""
+    import threading
+    import time
+
+    from quanta_ray.engine.runner import StreamingRunner
+    from quanta_ray.sinks.exactly_once import read_committed
+
+    files, _ = small_stream
+
+    def spec() -> PipelineSpec:
+        return PipelineSpec(
+            source=SourceSpec(paths=tuple(files)),
+            transformers=(StageSpec(name="normalize"),),
+            sink=SinkSpec(),
+            cep=CEPConfig(num_partitions=4),
+            metrics_port=0,
+        )
+
+    # paused BEFORE run(): dispatch must not start until resume
+    runner = StreamingRunner(spec(), str(tmp_path / "paused"))
+    try:
+        # drive pause through the HTTP control plane, as an operator would
+        base = runner.metrics_url.replace("/metrics", "")
+        assert fetch_metrics(base + "/control/pause")["paused"] is True
+        assert runner.paused
+        done: list[dict] = []
+        t = threading.Thread(
+            target=lambda: done.append(runner.run()), daemon=True
+        )
+        t.start()
+        time.sleep(0.8)
+        assert not done, "paused runner must not complete"
+        assert read_committed(str(tmp_path / "paused"), "turns") is None
+        assert fetch_metrics(base + "/control/resume")["paused"] is False
+        t.join(timeout=120)
+        assert done and done[0]["status"] == "complete"
+        paused_turns = read_committed(str(tmp_path / "paused"), "turns")
+    finally:
+        runner.close()
+
+    res = StreamingRunner(spec(), str(tmp_path / "plain")).run()
+    assert res["status"] == "complete"
+    plain_turns = read_committed(str(tmp_path / "plain"), "turns")
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    assert paused_turns.sort_by(key).equals(plain_turns.sort_by(key))

@@ -326,11 +326,80 @@ class ArrowIpcStreamDriver(JsonlStreamDriver):
         return t
 
 
+class OrcStreamDriver(JsonlStreamDriver):
+    """ORC epoch files — the columnar warehouse interchange format.
+
+    Stripes are ORC's row-group analog and fragment below file granularity:
+    ``plan_fragments`` packs whole stripes to the row target. pyarrow's ORC
+    reader exposes no stripe-row-count metadata, so the planner reads the
+    single narrow ``ts`` column per stripe (one column's pages, never the
+    payload columns) — more than Parquet's footer-only split, far less
+    than a data scan; the same narrow read serves the max-ts fallback when
+    no ``.maxts`` sidecar exists. Types survive natively, so like the IPC
+    driver no envelope re-widening is needed beyond ts → timestamp[us]."""
+
+    ext = ".orc"
+
+    def _open(self, path: str):
+        from pyarrow import orc as pa_orc
+
+        return pa_orc.ORCFile(path)
+
+    def max_ts_us(self, path: str, ts_col: str = "ts") -> int:
+        side = path + ".maxts"
+        if os.path.exists(side):
+            with open(side) as f:
+                return int(f.read().strip())
+        import pyarrow.compute as pc
+
+        f = self._open(path)
+        mx = -(1 << 62)
+        for i in range(f.nstripes):
+            col = f.read_stripe(i, columns=[ts_col]).column(ts_col)
+            if len(col):
+                mx = max(mx, pc.max(col.cast(pa.int64())).as_py())
+        return mx
+
+    def plan_fragments(self, path: str, target_rows: int) -> list[tuple[int, int, int]]:
+        f = self._open(path)
+        ns = f.nstripes
+        frags: list[tuple[int, int, int]] = []
+        lo = off = acc = frag_off = 0
+        for s in range(ns):
+            n = f.read_stripe(s, columns=["ts"]).num_rows
+            acc += n
+            off += n
+            if acc >= target_rows:
+                frags.append((lo, s + 1, frag_off))
+                lo, frag_off, acc = s + 1, off, 0
+        if lo < ns or not frags:
+            frags.append((lo, ns, frag_off))
+        return frags
+
+    def read_fragment(self, path: str, lo: int, hi: int | None) -> pa.Table:
+        f = self._open(path)
+        if hi is None:
+            hi = f.nstripes
+        batches = [f.read_stripe(i) for i in range(lo, hi)]
+        if not batches:
+            return f.schema.empty_table()
+        t = pa.Table.from_batches(batches)
+        ts = t.column("ts")
+        if not pa.types.is_timestamp(ts.type):
+            t = t.set_column(
+                t.schema.get_field_index("ts"),
+                "ts",
+                ts.cast(pa.int64()).cast(pa.timestamp("us")),
+            )
+        return t
+
+
 SOURCE_DRIVERS = {
     "parquet-stream": ParquetStreamDriver(),
     "jsonl-stream": JsonlStreamDriver(),
     "csv-stream": CsvStreamDriver(),
     "ipc-stream": ArrowIpcStreamDriver(),
+    "orc-stream": OrcStreamDriver(),
 }
 
 

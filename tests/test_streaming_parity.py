@@ -1226,3 +1226,61 @@ def test_tooluse_kill_resume_no_duplicates(ray_session, tmp_path_factory):
             .sort_values(["w_start", "tool"]).reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_orc_driver_matches_parquet_driver(ray_session, small_stream, tmp_path_factory):
+    """Fifth registry driver: the same stream as ORC epoch files — stripes
+    fragment like row groups (small stripe_size forces multiple stripes per
+    epoch, exercising the sub-file fragment path and the narrow-column
+    max-ts fallback: no sidecar)."""
+    from pyarrow import orc as pa_orc
+
+    from quanta_ray.engine import run_pipeline
+    from quanta_ray.sources.stream import get_driver
+
+    files, _params = small_stream
+    od = tmp_path_factory.mktemp("orc_stream")
+    ofiles = []
+    for i, f in enumerate(files):
+        t = pq.read_table(f)
+        # ts as int64 epoch-us (ORC has no us-timestamp guarantee across
+        # writers; the driver re-widens on read like jsonl/csv/ipc)
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts",
+            t.column("ts").cast(pa.int64()),
+        )
+        path = str(od / f"epoch-{i:05d}.orc")
+        pa_orc.write_table(t, path, batch_size=50, stripe_size=1024)
+        ofiles.append(path)
+
+    # multiple stripes -> multiple fragments at a small row target
+    drv = get_driver("orc-stream")
+    frags = drv.plan_fragments(ofiles[0], 60)
+    assert len(frags) > 1
+    n_total = pq.read_table(files[0]).num_rows
+    assert sum(
+        drv.read_fragment(ofiles[0], lo, hi).num_rows for lo, hi, _ in frags
+    ) == n_total
+    assert drv.max_ts_us(ofiles[0]) == get_driver("parquet-stream").max_ts_us(files[0])
+
+    cfg = CEPConfig(num_partitions=4)
+    outs = {}
+    for kind, paths in (("parquet-stream", files), ("orc-stream", ofiles)):
+        spec = PipelineSpec(
+            source=SourceSpec(kind=kind, paths=tuple(paths)),
+            transformers=(StageSpec(name="normalize"),),
+            sink=SinkSpec(),
+            cep=cfg,
+        )
+        out_dir = str(tmp_path_factory.mktemp(f"out_{kind}"))
+        summary = run_pipeline(spec, out_dir)
+        assert summary["status"] == "complete"
+        outs[kind] = out_dir
+
+    for stream, keys in SORT_KEYS.items():
+        a = read_committed(outs["parquet-stream"], stream)
+        b = read_committed(outs["orc-stream"], stream)
+        if a is None or a.num_rows == 0:
+            assert b is None or b.num_rows == 0, stream
+            continue
+        _assert_tables_equal(f"orc:{stream}", b, a, keys)

@@ -302,7 +302,9 @@ def _driver_order(base: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from .functions import contamination, curation, dedup, simsearch, text
+    from .functions import (
+        contamination, curation, dedup, simsearch, sketch, text,
+    )
     from .pipelines import batch_cep, relational
 
     base = {
@@ -384,6 +386,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_perplexity": text.lm_perplexity,
         "doc_vocab_stats": text.vocab_stats,
         "ev_user_moving_avg": batch_cep.user_moving_avg,
+        # mergeable one-pass sketches (order-insensitive partials, zero
+        # shuffle; deterministic fixed hash -> rows-only + accuracy pins)
+        "ev_hll_distinct_users": sketch.hll_distinct,
+        "ev_cms_heavy_hitters": sketch.cms_heavy_hitters,
         "ev_next_event_join": batch_cep.next_event_join,
         "ev_type_hourly_pivot": batch_cep.type_hourly_pivot,
         "ev_consistent_sample": batch_cep.consistent_sample,

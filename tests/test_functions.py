@@ -2403,3 +2403,83 @@ def test_audio_fingerprint_near_dups_planted(ray_session, tmp_path_factory):
     assert (a // 4 == b // 4).all()  # precision 1.0
     planted = n // 4 * 6  # groups x C(4,2)
     assert t.num_rows >= 0.95 * planted
+
+
+def test_hll_distinct_accuracy_and_shard_invariance(ray_session):
+    """HyperLogLog distinct-per-group pinned on the real events table:
+    within 3 sigma of the exact distinct (1.04/sqrt(4096) per register
+    theory), deterministic across runs, and BIT-identical at a different
+    batch size (register max is commutative/idempotent — the shard-count
+    invariance that makes the sketch safe to distribute)."""
+    import pyarrow.parquet as pq2
+
+    from quanta_ray.functions import sketch
+
+    sf = "/root/testdata/sf0.01"
+    got = sketch.hll_distinct(sf).to_pandas()
+    ev = pq2.read_table(sf + "/events.parquet", columns=["user_id", "event_type"]).to_pandas()
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    assert set(got["event_type"]) == set(exact.index)
+    tol = 3 * 1.04 / (4096 ** 0.5)  # ~4.9%
+    for _, r in got.iterrows():
+        true = exact[r["event_type"]]
+        assert abs(r["est_distinct"] - true) <= max(2, tol * true), (
+            r["event_type"], r["est_distinct"], true,
+        )
+    again = sketch.hll_distinct(sf).to_pandas()
+    pd.testing.assert_frame_equal(got, again)
+
+    # different batching = different partial grouping; the merged registers
+    # (and therefore the estimate) must not move
+    import ray.data as rd2
+
+    orig = sketch._events
+
+    def small_batches(sf_dir, columns=None):
+        return orig(sf_dir, columns).repartition(16)
+
+    sketch._events, got2 = small_batches, None
+    try:
+        got2 = sketch.hll_distinct(sf).to_pandas()
+    finally:
+        sketch._events = orig
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_cms_heavy_hitters_bounds(ray_session):
+    """Count-Min top-k pinned on the real events table: estimates never
+    undercount, overcount is within the 3N/w CM bound, the true top-k ids
+    are all recovered, and the output is shard-invariant (counter sum is
+    fully commutative)."""
+    import pyarrow.parquet as pq2
+
+    from quanta_ray.functions import sketch
+
+    sf = "/root/testdata/sf0.01"
+    k, w = 10, 2048
+    got = sketch.cms_heavy_hitters(sf, k=k, w=w).to_pandas()
+    ev = pq2.read_table(sf + "/events.parquet", columns=["user_id"]).to_pandas()
+    true = ev["user_id"].value_counts()
+    n = len(ev)
+    assert len(got) == k
+    for _, r in got.iterrows():
+        t = int(true.get(r["user_id"], 0))
+        assert r["est_count"] >= t, "CM must never undercount"
+        assert r["est_count"] <= t + 3 * n / w
+    # true top-k all present (strictly-heavier-than-k-th ids can't be lost:
+    # min-over-rows estimates only grow counts)
+    kth = true.iloc[k - 1]
+    must_have = set(true[true > kth].index.tolist())
+    assert must_have <= set(got["user_id"].tolist())
+
+    sketch_orig = sketch._events
+
+    def small_batches(sf_dir, columns=None):
+        return sketch_orig(sf_dir, columns).repartition(16)
+
+    sketch._events = small_batches
+    try:
+        got2 = sketch.cms_heavy_hitters(sf, k=k, w=w).to_pandas()
+    finally:
+        sketch._events = sketch_orig
+    pd.testing.assert_frame_equal(got, got2)

@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "emb_knn_graph_search",
     "ev_session_conversion",
     "ev_rolling_wau",
+    "ev_hll_distinct_users",
+    "ev_cms_heavy_hitters",
     "ev_conversion_latency",
     "doc_bpe_pack_sequences",
     "mm_audio_fingerprint_near_dups",

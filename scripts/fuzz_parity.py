@@ -9,9 +9,9 @@ Dimensions randomized per trial (the recorded fuzz config):
   checkpointing     checkpoint_every ∈ {1,2,4}
   commit mode       ooo_commit ∈ {False, True}  (out-of-order completion
                     window + contiguous-prefix commit)
-  source kind       parquet-stream (3/4) | jsonl-stream (1/4) — the same
-                    stream re-serialized as JSONL epochs, crossed with
-                    every other dimension
+  source kind       parquet-stream (1/2) | jsonl | csv | ipc | orc — the
+                    same stream re-serialized through an alternate
+                    registry driver, crossed with every other dimension
   top-k stream      topk_k ∈ {0, 1, 4} (windowed exact top-k)
   session quantiles sess_quantiles ∈ {off, (0.5), (0.25,0.5,0.95)} x
                     bin ∈ {30s, 120s} (running mergeable-histogram stream)
@@ -138,10 +138,11 @@ def main() -> int:
                 generate_transcripts(params), d + "/s", n_epochs,
                 row_group_size=int(rng.choice([50, 65536])),
             )
-            # source-kind cross-dimension: ~3/8 of trials run the SAME
+            # source-kind cross-dimension: half the trials run the SAME
             # stream through an alternate driver (jsonl or csv: ts as
             # epoch-µs ints + .maxts sidecar; arrow IPC: native types,
             # multi-batch files, NO sidecar — exercises the batch-header
+            # max-ts fallback; orc: multi-stripe epochs, narrow-column
             # max-ts fallback), crossing it with every other dimension
             # (ooo, scopes, chains, P)
             src_kind = "parquet-stream"
@@ -163,6 +164,21 @@ def main() -> int:
                     afiles.append(ap)
                 files = afiles
                 src_kind = "ipc-stream"
+            elif kind_roll == 3:
+                from pyarrow import orc as pa_orc
+
+                afiles = []
+                for i, f in enumerate(files):
+                    t = pq.read_table(f)
+                    ts_i = t.schema.get_field_index("ts")
+                    t = t.set_column(ts_i, "ts", t.column("ts").cast(pa.int64()))
+                    ap = f"{d}/s-epoch-{i:05d}.orc"
+                    # small batch/stripe sizes force multi-stripe epochs
+                    # (sub-file fragments + narrow-column max-ts fallback)
+                    pa_orc.write_table(t, ap, batch_size=64, stripe_size=1024)
+                    afiles.append(ap)
+                files = afiles
+                src_kind = "orc-stream"
             elif kind_roll < 2:
                 alt = "jsonl" if kind_roll == 0 else "csv"
                 afiles = []

@@ -556,7 +556,7 @@ def image_phash_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     from .dedup import _pairs_from_buckets, _route_verify
 
     sig_ds = noisy_bmp_groups(sf_dir).map_batches(
-        PHasher, batch_format="pyarrow", batch_size=64, concurrency=2
+        PHasher, batch_format="pyarrow", batch_size=64, concurrency=_decode_pool()
     ).materialize()
 
     def explode_bands(batch: pa.Table) -> "pd.DataFrame":
@@ -728,7 +728,8 @@ def audio_segments(sf_dir: str) -> pa.Table:
     import pyarrow.compute as pc
 
     out = burst_wav_from_documents(sf_dir).map_batches(
-        AudioSegmenter, batch_format="pyarrow", batch_size=64, concurrency=2
+        AudioSegmenter, batch_format="pyarrow", batch_size=64,
+        concurrency=_decode_pool()
     )
     tables = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
     if not tables:
@@ -806,6 +807,20 @@ def noisy_y4m_groups(sf_dir: str, group: int = 4, n_frames: int = 6, cut: int = 
     ).map_batches(synth, batch_format="pyarrow", batch_size=256)
 
 
+def _decode_pool() -> int:
+    """Actor-pool size for the heavy per-clip decode stages (Y4M/WAV parse,
+    DCT, FFT): a quarter of the cluster's CPUs, floor 2, cap 8 — each actor
+    reserves one CPU, and the downstream pair-shuffle stages need headroom
+    in the same pipelined execution (Ray Data runs both concurrently)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - cluster not up (unit import)
+        cpus = 8
+    return max(2, min(8, cpus // 4))
+
+
 _FRAME_KEY = 64  # frame key = doc_id * 64 + frame_idx (clips are < 64 frames)
 
 
@@ -874,7 +889,8 @@ def video_frame_near_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     from .dedup import _pairs_from_buckets, _route_verify
 
     sig_ds = noisy_y4m_groups(sf_dir).map_batches(
-        VideoFramePHasher, batch_format="pyarrow", batch_size=32, concurrency=2
+        VideoFramePHasher, batch_format="pyarrow", batch_size=32,
+        concurrency=_decode_pool()
     ).materialize()
 
     def explode_bands(batch: pa.Table) -> "pd.DataFrame":
@@ -1087,7 +1103,8 @@ def audio_fingerprint_near_dups(sf_dir: str, max_hamming: int = 0) -> pa.Table:
     from .dedup import _pairs_from_buckets, _route_verify
 
     sig_ds = noisy_wav_groups(sf_dir).map_batches(
-        AudioFingerprinter, batch_format="pyarrow", batch_size=64, concurrency=2
+        AudioFingerprinter, batch_format="pyarrow", batch_size=64,
+        concurrency=_decode_pool()
     ).materialize()
 
     def explode_bands(batch: pa.Table) -> "pd.DataFrame":

@@ -1059,6 +1059,20 @@ class StreamingRunner:
                 _walltime.sleep(poll_sleep_s if poll_sleep_s else 0.02)
             # tailing: poll the source for new epoch files when caught up
             while e >= len(files) and follow > 0 and idle_polls < follow:
+                if self._pause.is_set():
+                    # paused while tailing: freeze the end-of-stream idle
+                    # countdown (a paused pipeline must not declare the
+                    # stream ended) but keep committing finished prefixes
+                    # for durability, same as the dispatch-side pause block
+                    if inflight and idle_throttle.should_commit(
+                        _walltime.monotonic()
+                    ):
+                        if ooo:
+                            ooo_poll()
+                        else:
+                            commit(min(inflight))
+                    _walltime.sleep(poll_sleep_s if poll_sleep_s else 0.02)
+                    continue
                 relisted = self.driver.list_files(spec.source.paths)
                 new = relisted[len(files):]
                 if new:

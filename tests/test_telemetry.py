@@ -158,8 +158,66 @@ def test_pause_resume_quiesces_dispatch(ray_session, small_stream, tmp_path):
     finally:
         runner.close()
 
-    res = StreamingRunner(spec(), str(tmp_path / "plain")).run()
+    plain_runner = StreamingRunner(spec(), str(tmp_path / "plain"))
+    try:
+        res = plain_runner.run()
+    finally:
+        plain_runner.close()  # free the actors' CPUs for the next test
     assert res["status"] == "complete"
     plain_turns = read_committed(str(tmp_path / "plain"), "turns")
     key = [("conv_id", "ascending"), ("turn_idx", "ascending")]
     assert paused_turns.sort_by(key).equals(plain_turns.sort_by(key))
+
+
+def test_pause_freezes_tailing_countdown(ray_session, small_stream, tmp_path):
+    """Pausing a TAILING runner must freeze the end-of-stream idle
+    countdown — a paused pipeline may not declare the stream ended, no
+    matter how long the pause lasts relative to `follow`."""
+    import threading
+    import time
+
+    from quanta_ray.engine.runner import StreamingRunner
+
+    files, _ = small_stream
+    spec = PipelineSpec(
+        source=SourceSpec(paths=tuple(files)),
+        transformers=(StageSpec(name="normalize"),),
+        sink=SinkSpec(),
+        cep=CEPConfig(num_partitions=4),
+        metrics_port=0,
+    )
+    runner = StreamingRunner(spec, str(tmp_path / "out"))
+    try:
+        polls: list[int] = []
+        paused_at = {"n": None}
+
+        def on_idle(n: int) -> None:
+            polls.append(n)
+            if paused_at["n"] is None and n >= 2:
+                paused_at["n"] = n
+                runner.pause()
+
+        done: list[dict] = []
+        # follow=4, poll 10ms: unpaused this ends in ~40ms of idling; the
+        # mid-tail pause must hold it open across 1.2s (30x that budget)
+        t = threading.Thread(
+            target=lambda: done.append(
+                runner.run(follow=4, poll_sleep_s=0.01, on_idle=on_idle)
+            ),
+            daemon=True,
+        )
+        t.start()
+        deadline = time.monotonic() + 90
+        while paused_at["n"] is None and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert paused_at["n"] is not None, "runner never reached tailing idle"
+        time.sleep(1.2)
+        assert not done, "paused tailing runner must not declare end-of-stream"
+        n_polls_frozen = len(polls)
+        runner.resume()
+        t.join(timeout=120)
+        assert done and done[0]["status"] == "complete"
+        # countdown resumed where it left off: only the remaining polls ran
+        assert len(polls) - n_polls_frozen <= 4
+    finally:
+        runner.close()

@@ -213,11 +213,17 @@ def main(argv: list[str]) -> int:
         # transport replaced by design, see stages/subprocess_stage.py).
         base, verb = rest[0], (rest[1] if len(rest) > 1 else "state")
         base = base.rsplit("/metrics", 1)[0]
-        path = {"ping": "/ping", "pause": "/control/pause",
-                "resume": "/control/resume", "state": "/control"}[verb]
-        from .telemetry import fetch_metrics
+        paths = {"ping": "/ping", "pause": "/control/pause",
+                 "resume": "/control/resume", "state": "/control"}
+        if verb not in paths:
+            print(f"unknown control verb {verb!r}; one of: {' '.join(paths)}")
+            return 2
+        from .telemetry import fetch_metrics, post_control
 
-        print(json.dumps(fetch_metrics(base + path)))
+        if verb in ("pause", "resume"):  # state-changing -> POST only
+            print(json.dumps(post_control(base + paths[verb])))
+        else:
+            print(json.dumps(fetch_metrics(base + paths[verb])))
         return 0
 
     if cmd == "export":

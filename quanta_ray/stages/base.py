@@ -231,6 +231,11 @@ class RetryingStage:
                 self._sleep_hint(exc.retry_after_ms, attempts - 1 - _attempt)
                 continue
             if STATUS_COL not in out.column_names:
+                if RETRY_AFTER_COL in out.column_names:
+                    # a hint column without a status column is meaningless
+                    # (nothing is retrying) — strip it so it never leaks
+                    # into the stage's output schema
+                    out = out.drop_columns([RETRY_AFTER_COL])
                 ok_parts.append(out)
                 pending = None
                 break

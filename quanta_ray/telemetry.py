@@ -67,6 +67,16 @@ class MetricsServer:
                     else:
                         self._json(server._state_fn())
                 elif path in ("/control/pause", "/control/resume"):
+                    # state-changing verbs are POST-only: a GET probe (a
+                    # scraper walking endpoints, a browser prefetch) must
+                    # never quiesce a running pipeline
+                    self.send_error(405)
+                else:
+                    self.send_error(404)
+
+            def do_POST(self) -> None:  # noqa: N802 (http.server API)
+                path = self.path.rstrip("/")
+                if path in ("/control/pause", "/control/resume"):
                     fn = (
                         server._pause_fn
                         if path.endswith("pause")
@@ -78,9 +88,7 @@ class MetricsServer:
                         fn()
                         self._json({"ok": True, **(server._state_fn() or {})})
                 else:
-                    self.send_error(404)
-
-            do_POST = do_GET  # control verbs accept both methods
+                    self.send_error(405)
 
             def log_message(self, *a: Any) -> None:  # silence per-request stderr
                 pass
@@ -148,4 +156,13 @@ def fetch_metrics(url: str, timeout: float = 5.0) -> dict[str, Any]:
     from urllib.request import urlopen
 
     with urlopen(url, timeout=timeout) as r:
+        return json.loads(r.read().decode())
+
+
+def post_control(url: str, timeout: float = 5.0) -> dict[str, Any]:
+    """POST to a control verb (/control/pause|resume) — the state-changing
+    sibling of ``fetch_metrics`` (control verbs reject GET with 405)."""
+    from urllib.request import Request, urlopen
+
+    with urlopen(Request(url, data=b"", method="POST"), timeout=timeout) as r:
         return json.loads(r.read().decode())
